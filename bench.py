@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect cost), timed end-to-end including planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "ts_group_by_time_mean",
+    "ts_group_by_time_tag_fill_previous",
+    "energy_rollup",
+    "preagg_30s_directives",
+    "counter_difference_10m",
+    "two_level_group_energy",
+    "outlier_fence",
+    "raw_sql_query",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from ecollector_spark import driver_queries
+    from ecollector_spark.session import get_spark
+
+    driver_queries.load_all()
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in driver_queries.QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n.strip() for n in extra.split(",") if n.strip() in driver_queries.QUERIES]
+
+    # warm the JVM + file listing once with a trivial action
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = driver_queries.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline query wall time (noop sink), sum over queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

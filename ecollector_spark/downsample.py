@@ -1,0 +1,70 @@
+"""Downsampling cascade — the Spark twin of the reference's continuous
+queries (A20; reference storage/influxdb_v1.go:72-78, 333-348:
+``SELECT mean(*) INTO <next_rp>.:MEASUREMENT FROM <rp>./.*/ GROUP BY
+time(X),*`` at 1m -> 10m -> 1h -> 1d).
+
+Each cascade step is a scheduled batch job: read the source tier, mean
+every value per (measurement, all tags, bucket), write the target tier.
+We keep the column named ``value`` instead of InfluxDB's ``mean_mean_...``
+mangling (mapping.go:47 calls those "unusual field names"), so the query
+planner needs no field renaming.
+
+Scale notes: the groupBy keys include measurement + all tag columns, which
+is exactly the table's partition/sort layout, so partial aggregation is
+map-side and the single shuffle is on low-cardinality keys. Each step
+reads only its source tier partition (pruning), and AQE coalesces the
+output to sanely-sized files.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecollector_spark.functions.timeutil import parse_relative_duration, time_bucket
+from ecollector_spark.schema import DATAPOINT_TAG_COLUMNS
+from ecollector_spark.tiers import CASCADE
+
+
+def downsample_step(
+    src: DataFrame,
+    group_by_time: str,
+    tag_cols: Sequence[str] = DATAPOINT_TAG_COLUMNS,
+    target_tier: str | None = None,
+) -> DataFrame:
+    """One CQ step: mean of value per (measurement, tags, bucket).
+
+    Emits the canonical datapoint columns with ``ts`` snapped to the
+    bucket start; the target tier is stamped so a plain
+    ``partitionBy("tier", "measurement")`` append lands it correctly.
+    """
+    step = parse_relative_duration(group_by_time)
+    keys = ["measurement", *[c for c in tag_cols if c in src.columns]]
+    bucket = time_bucket("ts", step).alias("_bucket")
+    agg = src.groupBy(*keys, bucket).agg(
+        F.avg("value_f").alias("value_f"),
+        F.first("series_id", ignorenulls=True).alias("series_id"),
+        F.first("unit", ignorenulls=True).alias("unit"),
+    )
+    out = agg.withColumn("ts", F.timestamp_seconds(F.col("_bucket"))).drop("_bucket")
+    if target_tier:
+        out = out.withColumn("tier", F.lit(target_tier))
+    return out
+
+
+def run_cascade(tier_reader, tier_writer) -> None:
+    """Run all cascade steps (gen_raw->gen_day->...->gen_year).
+
+    ``tier_reader(tier) -> DataFrame``; ``tier_writer(df, tier)`` appends.
+    In production this is a scheduled job per step (the CQ cadence); steps
+    are independent given their source tier, and each is incremental if
+    the reader restricts to buckets newer than the target's high-water
+    mark (the driver job passes a filtered reader).
+    """
+    for src_tier, dst_tier, step in CASCADE:
+        src = tier_reader(src_tier)
+        if src is None:
+            continue
+        tier_writer(downsample_step(src, step, target_tier=dst_tier), dst_tier)

@@ -1,0 +1,86 @@
+"""Adapter: the driver's synthetic ``events`` table viewed as canonical
+datapoints (FIXTURES.md §3 maps events -> §1 fimp input).
+
+The mapping is deterministic and expression-only so the DuckDB oracle can
+reproduce it exactly (``EVENTS_DP_SQL`` is the SQL twin — keep the two in
+lockstep). event_type plays the measurement/service, user_id the device.
+
+This is also the pattern a production deployment uses to bring an existing
+event stream into the engine: a single declarative select, no UDFs, fully
+codegen'd, safe at any scale because it adds no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with ``ts`` as a proper TimestampType.
+
+    The file stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as long nanos,
+    which we floor-truncate to microseconds — the same truncation DuckDB
+    applies reading nanos into its native µs timestamps, so both engines
+    see identical instants.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def events_as_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    dev_id = F.col("user_id").cast("string")
+    return ev.select(
+        F.col("event_type").alias("measurement"),
+        F.col("ts").alias("ts"),
+        F.concat_ws(";", "event_type", dev_id, F.lit("import")).alias("series_id"),
+        dev_id.alias("dev_id"),
+        F.when(F.col("user_id") % 3 == 0, "meter.main_elec")
+        .otherwise("sensor.generic")
+        .alias("dev_type"),
+        F.lit("import").alias("dir"),
+        (F.col("user_id") % 5).cast("string").alias("location_id"),
+        F.col("event_type").alias("service"),
+        F.lit("driver").alias("src"),
+        F.concat(
+            F.lit("pt:j1/mt:evt/rt:dev/rn:test/ad:1/sv:"),
+            F.col("event_type"),
+            F.lit("/ad:"),
+            dev_id,
+        ).alias("topic"),
+        F.lit("site1").alias("domain"),
+        F.col("value").alias("value_f"),
+        F.lit(None).cast("boolean").alias("value_b"),
+        F.lit(None).cast("string").alias("value_s"),
+        F.lit("W").alias("unit"),
+        F.lit("mean").alias("agg_func"),
+        F.lit("gen_raw").alias("tier"),
+    )
+
+
+#: DuckDB twin of :func:`events_as_datapoints` (a CTE body over view `events`)
+EVENTS_DP_SQL = """
+SELECT
+  event_type AS measurement,
+  ts,
+  event_type || ';' || CAST(user_id AS VARCHAR) || ';import' AS series_id,
+  CAST(user_id AS VARCHAR) AS dev_id,
+  CASE WHEN user_id % 3 = 0 THEN 'meter.main_elec' ELSE 'sensor.generic' END AS dev_type,
+  'import' AS dir,
+  CAST(user_id % 5 AS VARCHAR) AS location_id,
+  event_type AS service,
+  'driver' AS src,
+  'pt:j1/mt:evt/rt:dev/rn:test/ad:1/sv:' || event_type || '/ad:' || CAST(user_id AS VARCHAR) AS topic,
+  'site1' AS domain,
+  value AS value_f,
+  CAST(NULL AS BOOLEAN) AS value_b,
+  CAST(NULL AS VARCHAR) AS value_s,
+  'W' AS unit,
+  'mean' AS agg_func,
+  'gen_raw' AS tier
+FROM events
+"""

@@ -1,0 +1,206 @@
+"""Spark-side operator tests: golden fixtures through the DataFrame
+operators (counter difference, gap fill, filter engine chains, planner
+shapes, preaggregation)."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecollector_spark.aggregate import counter_difference, windowed_preaggregate
+from ecollector_spark.filters import FilterRecord, compile_filters
+from ecollector_spark.gapfill import gap_fill
+from ecollector_spark.query import DataPointsFilter, DataPointsRequest, QueryPlanner
+
+
+def _dp_rows(spark, values, series="s1", start=1_700_000_000, step=1, agg="difference"):
+    rows = [
+        (series, datetime.fromtimestamp(start + i * step, tz=timezone.utc), float(v), agg)
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "series_id string, ts timestamp, value_f double, agg_func string")
+
+
+class TestCounterDifferenceSpark:
+    def test_golden_values_one_bucket(self, spark):
+        # all samples inside one 600s bucket -> one diff row per series
+        df = _dp_rows(spark, [10, 12, 14, 16, 40])
+        out = counter_difference(df, 600).collect()
+        assert len(out) == 1 and out[0]["value"] == 30
+
+    def test_meter_reset(self, spark):
+        df = _dp_rows(spark, [10, 12, 10, 20, 30])
+        out = counter_difference(df, 600).collect()
+        assert len(out) == 1 and out[0]["value"] == 22
+
+    def test_single_sample_no_output(self, spark):
+        assert counter_difference(_dp_rows(spark, [10]), 600).count() == 0
+
+    def test_float_exactness(self, spark):
+        df = _dp_rows(spark, [30.9099998474121, 30.9200000762939])
+        out = counter_difference(df, 600).collect()
+        assert out[0]["value"] == pytest.approx(0.01000022888180041, abs=1e-15)
+
+    def test_cap_100(self, spark):
+        df = _dp_rows(spark, [0, 500])
+        assert counter_difference(df, 600).count() == 0
+
+    def test_seed_carries_across_buckets(self, spark):
+        # two samples 600s apart: delta lands in the second bucket
+        df = _dp_rows(spark, [10, 15], step=600)
+        out = counter_difference(df, 600).collect()
+        assert len(out) == 1 and out[0]["value"] == 5
+        assert out[0]["time"] == (1_700_000_000 + 600) // 600 * 600
+
+
+class TestGapFill:
+    def _agg(self, spark):
+        return spark.createDataFrame(
+            [(0, "a", 1.0), (120, "a", 3.0), (60, "b", 2.0)],
+            "time long, g string, value double",
+        )
+
+    def test_fill_null(self, spark):
+        out = gap_fill(self._agg(spark), "null", 0, 120, 60, ["g"]).collect()
+        assert len(out) == 6
+        nulls = [r for r in out if r["value"] is None]
+        assert len(nulls) == 3
+
+    def test_fill_zero(self, spark):
+        out = gap_fill(self._agg(spark), "0", 0, 120, 60, ["g"]).collect()
+        assert sorted(r["value"] for r in out) == [0.0, 0.0, 0.0, 1.0, 2.0, 3.0]
+
+    def test_fill_previous(self, spark):
+        out = {(r["time"], r["g"]): r["value"] for r in
+               gap_fill(self._agg(spark), "previous", 0, 120, 60, ["g"]).collect()}
+        assert out[(60, "a")] == 1.0  # propagated
+        assert out[(0, "b")] is None  # nothing before
+        assert out[(120, "b")] == 2.0
+
+    def test_fill_linear(self, spark):
+        out = {(r["time"], r["g"]): r["value"] for r in
+               gap_fill(self._agg(spark), "linear", 0, 120, 60, ["g"]).collect()}
+        assert out[(60, "a")] == 2.0  # midpoint of 1 and 3
+
+
+class TestFilterEngine:
+    """The seven chain scenarios modeled on the reference's (disabled)
+    process_test.go:136-239 cases."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("t1", "d1", "evt.sensor.report", "sensor_temp"),
+                ("t2", "d1", "evt.meter.report", "meter_elec"),
+                ("t3", "d2", "evt.pd7.notify", "pd7"),
+                ("t4", "d2", "cmd.pd7.request", "pd7"),
+                ("t5", "d1", "evt.sensor.report", "ecollector"),
+            ],
+            "topic string, domain string, msg_type string, service string",
+        )
+
+    def _run(self, spark, records):
+        return {r["topic"] for r in self._df(spark).where(compile_filters(records)).collect()}
+
+    def test_allow_all(self, spark):
+        # empty atomic record = wildcard allow (minus self-traffic)
+        assert self._run(spark, [FilterRecord(id=1)]) == {"t1", "t2", "t3", "t4"}
+
+    def test_no_filters_drops_all(self, spark):
+        assert self._run(spark, []) == set()
+
+    def test_single_field(self, spark):
+        assert self._run(spark, [FilterRecord(id=1, service="pd7")]) == {"t3", "t4"}
+
+    def test_negation(self, spark):
+        assert self._run(
+            spark, [FilterRecord(id=1, msg_type="evt.pd7.notify", negation=True)]
+        ) == {"t1", "t2", "t4"}
+
+    def test_and_chain(self, spark):
+        recs = [
+            FilterRecord(id=1, service="pd7", linked_filter_id=2,
+                         linked_filter_boolean_operation="and"),
+            FilterRecord(id=2, msg_type="cmd.pd7.request", is_atomic=False),
+        ]
+        assert self._run(spark, recs) == {"t4"}
+
+    def test_or_chain(self, spark):
+        recs = [
+            FilterRecord(id=1, service="sensor_temp", linked_filter_id=2,
+                         linked_filter_boolean_operation="or"),
+            FilterRecord(id=2, service="meter_elec", is_atomic=False),
+        ]
+        assert self._run(spark, recs) == {"t1", "t2"}
+
+    def test_first_atomic_decides(self, spark):
+        recs = [
+            FilterRecord(id=1, service="sensor_temp"),
+            FilterRecord(id=2, service="meter_elec"),  # dead record
+        ]
+        assert self._run(spark, recs) == {"t1"}
+
+    def test_self_traffic_always_dropped(self, spark):
+        assert "t5" not in self._run(spark, [FilterRecord(id=1)])
+
+
+class TestPlannerShapes:
+    def _planner(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("m1", datetime(2024, 1, 1, 0, 0, 30, tzinfo=timezone.utc), "d1", 1.0),
+                ("m1", datetime(2024, 1, 1, 0, 1, 30, tzinfo=timezone.utc), "d1", 3.0),
+                ("m1", datetime(2024, 1, 1, 0, 1, 45, tzinfo=timezone.utc), "d2", 5.0),
+            ],
+            "measurement string, ts timestamp, dev_id string, value_f double",
+        )
+        return QueryPlanner(lambda tier: df)
+
+    NOW = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+    def test_bucketed_mean(self, spark):
+        req = DataPointsRequest(
+            measurement_name="m1",
+            from_time="2024-01-01T00:00:00Z",
+            to_time="2024-01-01T00:02:00Z",
+            group_by_time="1m",
+            fill_type="none",
+        )
+        out = {r["time"]: r["value"] for r in self._planner(spark).plan(req, self.NOW).collect()}
+        assert out == {1704067200: 1.0, 1704067260: 4.0}
+
+    def test_raw_tag_shape(self, spark):
+        req = DataPointsRequest(
+            measurement_name="m1",
+            from_time="2024-01-01T00:00:00Z",
+            to_time="2024-01-01T00:02:00Z",
+            group_by_tag="dev_id",
+        )
+        rows = self._planner(spark).plan(req, self.NOW).collect()
+        assert len(rows) == 3  # raw rows, no aggregation (influxdb_v1.go:161)
+        assert set(rows[0].asDict()) == {"time", "dev_id", "value"}
+
+    def test_whole_range_agg(self, spark):
+        req = DataPointsRequest(
+            measurement_name="m1",
+            from_time="2024-01-01T00:00:00Z",
+            to_time="2024-01-01T00:02:00Z",
+            data_function="max",
+        )
+        rows = self._planner(spark).plan(req, self.NOW).collect()
+        assert len(rows) == 1
+        assert rows[0]["value"] == 5.0
+        assert rows[0]["time"] == 1704067200  # stamped range start
+
+
+class TestPreaggregate:
+    def test_directive_routing(self, spark):
+        vals = [1.0, 2.0, 3.0]
+        frames = []
+        for agg in ("mean", "last", "sum", "min", "max"):
+            frames.append(_dp_rows(spark, vals, series=f"s_{agg}", agg=agg))
+        df = frames[0]
+        for f2 in frames[1:]:
+            df = df.union(f2)
+        out = {r["series_id"]: r["value"] for r in windowed_preaggregate(df, 30).collect()}
+        assert out == {"s_mean": 2.0, "s_last": 3.0, "s_sum": 6.0, "s_min": 1.0, "s_max": 3.0}
