@@ -1,0 +1,121 @@
+"""Adapter: driver ``events`` -> FIMP-shaped event stream covering every
+DefaultTransform branch (FIXTURES.md §1 event-shape cases 1-9).
+
+Deterministic mapping keyed on (event_type, user_id):
+- purchase            -> meter_elec evt.meter.report, float, unit W/kW
+- click, uid%3 != 0   -> meter_elec evt.meter.report, float, unit kWh
+- click, uid%3 == 0   -> chargepoint evt.current_session.report, float
+- signup              -> thermostat cmd.setpoint.set, str_map
+- error, uid%5 != 0   -> meter_elec evt.meter_ext.report, float_map
+- error, uid%5 == 0   -> price_info_elec evt.price_forecast.report, object
+- view, uid%7 == 0    -> ecollector self-traffic (must be dropped)
+- view otherwise      -> sensor_temp evt.sensor.report with val_t cycling
+                         float/bool/string/null by uid%4
+
+Every generated value is an exact double expression both engines compute
+identically (see the oracle in driver_queries.core), so the end-to-end
+transform is value-hash checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecollector_spark.sources.events_adapter import read_events
+
+
+def fimp_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    u = F.col("user_id")
+    v = F.col("value")
+    et = F.col("event_type")
+
+    serv = (
+        F.when(et == "purchase", "meter_elec")
+        .when(et == "click", F.when(u % 3 == 0, "chargepoint").otherwise("meter_elec"))
+        .when(et == "signup", "thermostat")
+        .when(et == "error", F.when(u % 5 == 0, "price_info_elec").otherwise("meter_elec"))
+        .otherwise(F.when(u % 7 == 0, "ecollector").otherwise("sensor_temp"))
+    )
+    typ = (
+        F.when(et == "purchase", "evt.meter.report")
+        .when(
+            et == "click",
+            F.when(u % 3 == 0, "evt.current_session.report").otherwise("evt.meter.report"),
+        )
+        .when(et == "signup", "cmd.setpoint.set")
+        .when(
+            et == "error",
+            F.when(u % 5 == 0, "evt.price_forecast.report").otherwise("evt.meter_ext.report"),
+        )
+        .otherwise("evt.sensor.report")
+    )
+    val_t = (
+        F.when(et.isin("purchase", "click"), "float")
+        .when(et == "signup", "str_map")
+        .when(et == "error", F.when(u % 5 == 0, "object").otherwise("float_map"))
+        .otherwise(
+            F.when(u % 4 == 0, "float")
+            .when(u % 4 == 1, "bool")
+            .when(u % 4 == 2, "string")
+            .otherwise("null")
+        )
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    hour1 = F.date_format(
+        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+    hour2 = F.date_format(
+        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 2 HOURS"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+    level = F.when(v > 100, "HIGH").otherwise("LOW")
+    price_json = F.concat(
+        F.lit('[{"level":"'), level, F.lit('","total":'), s(v / 100),
+        F.lit(',"energy":0.0,"tax":0.0,"currency":"NOK","startsAt":"'), hour1,
+        F.lit('"},{"level":"'), level, F.lit('","total":'), s(v / 50),
+        F.lit(',"energy":0.0,"tax":0.0,"currency":"NOK","startsAt":"'), hour2,
+        F.lit('"}]'),
+    )
+    ext_json = F.concat(
+        F.lit('{"e_import":'), s(v),
+        F.when(u % 2 == 0, F.concat(F.lit(',"e_export":'), s(v / 2))).otherwise(F.lit("")),
+        F.lit(',"p_import":'), s(v * 200), F.lit("}"),
+    )
+    val = (
+        F.when(et == "purchase", F.when(u % 2 == 0, s(v * 50)).otherwise(s(v)))
+        .when(et == "click", s(v))
+        .when(et == "signup", F.concat(F.lit('{"temp":"'), s(v), F.lit('","unit":"C","type":"heat"}')))
+        .when(et == "error", F.when(u % 5 == 0, price_json).otherwise(ext_json))
+        .otherwise(
+            F.when(u % 4 == 0, s(v))
+            .when(u % 4 == 1, F.when(v > 50, "true").otherwise("false"))
+            .when(u % 4 == 2, F.concat(F.lit('"lvl_'), s(F.floor(v).cast("long")), F.lit('"')))
+            .otherwise("null")
+        )
+    )
+    unit = (
+        F.when(et == "purchase", F.when(u % 2 == 0, "W").otherwise("kW"))
+        .when((et == "click") & (u % 3 != 0), "kWh")
+        .when((et == "view") & (u % 4 == 0), "C")
+    )
+    props = F.when(unit.isNotNull(), F.create_map(F.lit("unit"), unit)).otherwise(
+        F.create_map().cast("map<string,string>")
+    )
+    dev_id = s(u)
+    return ev.select(
+        F.concat(
+            F.lit("pt:j1/mt:evt/rt:dev/rn:test/ad:1/sv:"), serv, F.lit("/ad:"), dev_id
+        ).alias("topic"),
+        typ.alias("type"),
+        serv.alias("serv"),
+        val_t.alias("val_t"),
+        val.alias("val"),
+        props.alias("props"),
+        F.lit("driver").alias("src"),
+        F.col("ts").alias("ts"),
+        dev_id.alias("dev_id"),
+        s(u % 5).alias("location_id"),
+        F.when(u % 3 == 0, "meter.main_elec").otherwise("sensor.generic").alias("dev_type"),
+        F.lit("site1").alias("domain"),
+    )

@@ -1,0 +1,348 @@
+"""DefaultTransform — FIMP events -> canonical datapoints (reference
+T1-T12, src/integration/tsdb/transform.go:26-351, the biggest operator in
+the reference).
+
+The reference walks each event imperatively and emits 0..N InfluxDB
+points. Here the whole dispatch — service branch, typed value extraction,
+unit normalization, guards, 1->N fan-out — is ONE declarative expression:
+each possible emitted point is a `when(cond, struct)` candidate in an
+array column, which is compacted and exploded. One scan of the input, no
+Python in the loop, fully codegen'd; fan-out via `explode` parallelizes
+with the data (the Spark-native shape of the reference's
+"transform returns []*DataPoint").
+
+Faithfully ported semantics (each cites transform.go):
+- measurement naming serv+"."+type with meter overrides (T1/T6; 63-83)
+- kW -> W x1000, unit field keeps the reported unit (T5; 54-58)
+- power guard: >30 kW drops the WHOLE event, all its points (F3; 60-62,
+  199-201, 226-228 return error)
+- energy report fan-out: energy + energy_sampled/difference twin (T7;
+  69-78); chargepoint session -> sampled/sum + generic point (90-113)
+- meter_ext float_map -> up to 4 points with dir import/export (T8;
+  115-243), no generic point (fields=nil, 240)
+- thermostat str_map temp parse (T10; 245-269)
+- price_forecast object array -> one point per element, event time =
+  startsAt, dir=export quirk preserved (T9; 270-297)
+- val_t dispatch incl. null->0, object->"object", ""->error (T4; 299-336)
+- series-id synthesis, including the reference's double-prefix quirk for
+  meter measurements (the generic point prepends measurement to an
+  already-prefixed series id, 64-67 + 345; preserved bit-for-bit) (T12)
+- src carried as a field, not a tag (39-40)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_ALLOWED_POWER = 30000.0  # transform.go:22
+
+M_POWER = "electricity_meter_power"
+M_ENERGY = "electricity_meter_energy"
+M_ENERGY_SAMPLED = "electricity_meter_energy_sampled"
+M_PRICE = "electricity_price_info"
+
+_METER_SERVICES = ("meter_elec", "sensor_power", "chargepoint")
+
+_PRICE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("level", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("energy", T.DoubleType()),
+            T.StructField("tax", T.DoubleType()),
+            T.StructField("currency", T.StringType()),
+            T.StructField("startsAt", T.StringType()),
+        ]
+    )
+)
+
+_POINT_FIELDS = (
+    "measurement string, ts timestamp, series_id string, dir string, "
+    "value_f double, value_b boolean, value_s string, unit string, agg_func string"
+)
+
+
+def _pt(measurement, ts, series_id, dir_, value_f, value_b, value_s, unit, agg_func) -> Column:
+    return F.struct(
+        measurement.alias("measurement"),
+        ts.alias("ts"),
+        series_id.alias("series_id"),
+        dir_.alias("dir"),
+        value_f.cast("double").alias("value_f"),
+        value_b.cast("boolean").alias("value_b"),
+        value_s.cast("string").alias("value_s"),
+        unit.alias("unit"),
+        agg_func.alias("agg_func"),
+    )
+
+
+def default_transform(events: DataFrame) -> DataFrame:
+    """events (FIMP schema + enrichment cols dev_id/location_id/dev_type/
+    domain, ts) -> canonical datapoints.
+
+    Expects columns: topic, type, serv, val_t, val, props, src, ts,
+    dev_id, location_id, dev_type, domain. Emits the canonical datapoint
+    columns (FIXTURES.md §3) minus tier (stamped by the writer).
+    """
+    _NS = F.lit(None).cast("string")
+    _NF = F.lit(None).cast("double")
+    _NB = F.lit(None).cast("boolean")
+    e = events
+    serv, typ, val_t = F.col("serv"), F.col("type"), F.col("val_t")
+    ts = F.col("ts")
+    unit_prop = F.col("props").getItem("unit")
+    fval = F.col("val").try_cast("double")
+    fmap = F.from_json("val", "map<string,double>")
+    smap = F.from_json("val", "map<string,string>")
+    prices = F.from_json("val", _PRICE_SCHEMA)
+
+    # series base: dev_id tag (set to "" when metadata missing —
+    # transform.go:30-35; the topic fallback is unreachable because
+    # getDefaultTags always sets the key)
+    base = F.coalesce(F.col("dev_id"), F.lit(""))
+
+    is_meter_srv = serv.isin(*_METER_SERVICES)
+    is_meter_report = is_meter_srv & typ.isin("evt.meter.report", "evt.sensor.report")
+    is_session = is_meter_srv & (typ == "evt.current_session.report")
+    is_meter_ext = is_meter_srv & (typ == "evt.meter_ext.report")
+    is_thermostat = (serv == "thermostat") & typ.isin("cmd.setpoint.set", "cmd.setpoint.report")
+    is_price_srv = serv == "price_info_elec"
+    is_price = is_price_srv & (typ == "evt.price_forecast.report")
+
+    # ---- branch (a): meter/sensor float report (transform.go:46-88) ----
+    w_val = F.when(unit_prop == "kW", fval * 1000).otherwise(fval)
+    rep_power = is_meter_report & fval.isNotNull() & unit_prop.isin("W", "kW")
+    rep_energy = is_meter_report & fval.isNotNull() & (unit_prop == "kWh")
+
+    power_series = F.concat(F.lit(M_POWER + ";"), base, F.lit(";import"))
+    energy_series = F.concat(F.lit(M_ENERGY + ";"), base, F.lit(";import"))
+    session_series = F.concat(F.lit(M_ENERGY_SAMPLED + ";"), base, F.lit(";import"))
+
+    # event-level errors drop every point of the event (return nil, err)
+    err_power_guard = rep_power & (w_val > MAX_ALLOWED_POWER)
+    err_bad_unit = (
+        is_meter_report & fval.isNotNull() & ~unit_prop.isin("W", "kW", "kWh")
+    ) | (is_meter_report & fval.isNull())
+    pimp = fmap.getItem("p_import")
+    pexp = fmap.getItem("p_export")
+    err_ext_guard = is_meter_ext & (
+        (pimp > MAX_ALLOWED_POWER) | (pexp > MAX_ALLOWED_POWER)
+    )
+    therm_temp = smap.getItem("temp").try_cast("double")
+    err_thermostat = is_thermostat & (smap.isNull() | therm_temp.isNull())
+    err_no_valtype = val_t == ""
+    # coalesce: missing map keys make comparisons NULL (3-valued logic);
+    # an unknown verdict must read "no error" or ~event_error drops the row
+    event_error = F.coalesce(
+        err_power_guard | err_bad_unit | err_ext_guard | err_thermostat | err_no_valtype,
+        F.lit(False),
+    )
+
+    # generic trailing point applies unless a branch set _skip_/fields=nil
+    skip_generic = (
+        (is_meter_report & fval.isNotNull())
+        | is_session
+        | is_meter_ext
+        | is_thermostat
+        | is_price_srv  # price service skips generic for ALL its types (transform.go:298)
+    )
+
+    # power point (generic emission path with overridden measurement)
+    p_power = F.when(
+        rep_power,
+        _pt(
+            F.lit(M_POWER),
+            ts,
+            F.concat(F.lit(M_POWER + ";"), power_series),  # double-prefix quirk
+            F.lit("import"),
+            w_val,
+            _NB,
+            _NS,
+            unit_prop,
+            F.lit("mean"),
+        ),
+    )
+    # energy: generic point + sampled/difference twin (transform.go:65-79)
+    p_energy = F.when(
+        rep_energy,
+        _pt(
+            F.lit(M_ENERGY),
+            ts,
+            F.concat(F.lit(M_ENERGY + ";"), energy_series),
+            F.lit("import"),
+            fval,
+            _NB,
+            _NS,
+            unit_prop,
+            F.lit("mean"),
+        ),
+    )
+    p_energy_sampled = F.when(
+        rep_energy,
+        _pt(
+            F.lit(M_ENERGY_SAMPLED),
+            ts,
+            energy_series,  # reuses the energy series id (transform.go:67,73)
+            F.lit("import"),
+            fval,
+            _NB,
+            _NS,
+            unit_prop,
+            F.lit("difference"),
+        ),
+    )
+    # chargepoint session (transform.go:90-113): sampled/sum + generic
+    p_session = F.when(
+        is_session & fval.isNotNull(),
+        _pt(
+            F.lit(M_ENERGY_SAMPLED),
+            ts,
+            session_series,
+            F.lit("import"),
+            fval,
+            _NB,
+            _NS,
+            F.lit("kWh"),
+            F.lit("sum"),
+        ),
+    )
+    p_session_generic = F.when(
+        is_session & fval.isNotNull(),
+        _pt(
+            F.concat_ws(".", serv, typ),
+            ts,
+            F.concat(F.concat_ws(".", serv, typ), F.lit(";"), session_series),
+            F.lit("import"),
+            fval,
+            _NB,
+            _NS,
+            F.lit("kWh"),
+            F.lit("mean"),
+        ),
+    )
+
+    # ---- meter_ext float_map fan-out (transform.go:115-243) ----
+    def ext_point(key, meas, dir_, unit, aggf, series_meas):
+        v = fmap.getItem(key)
+        return F.when(
+            is_meter_ext & v.isNotNull(),
+            _pt(
+                F.lit(meas),
+                ts,
+                F.concat(F.lit(series_meas + ";"), base, F.lit(";" + dir_)),
+                F.lit(dir_),
+                v,
+                _NB,
+                _NS,
+                F.lit(unit),
+                F.lit(aggf),
+            ),
+        )
+
+    p_ext = [
+        ext_point("e_import", M_ENERGY, "import", "kWh", "last", M_ENERGY),
+        ext_point("e_import", M_ENERGY_SAMPLED, "import", "kWh", "difference", M_ENERGY_SAMPLED),
+        ext_point("e_export", M_ENERGY, "export", "kWh", "last", M_ENERGY),
+        ext_point("e_export", M_ENERGY_SAMPLED, "export", "kWh", "difference", M_ENERGY_SAMPLED),
+        ext_point("p_import", M_POWER, "import", "W", "mean", M_POWER),
+        ext_point("p_export", M_POWER, "export", "W", "mean", M_POWER),
+    ]
+
+    # ---- thermostat setpoint (transform.go:245-269) ----
+    p_thermostat = F.when(
+        is_thermostat & therm_temp.isNotNull(),
+        _pt(
+            F.concat_ws(".", serv, typ),
+            ts,
+            F.concat(F.concat_ws(".", serv, typ), F.lit(";"), base),
+            _NS,
+            therm_temp,
+            _NB,
+            F.coalesce(smap.getItem("type"), F.lit("heat")),
+            F.coalesce(smap.getItem("unit"), F.lit("C")),
+            F.lit("mean"),
+        ),
+    )
+
+    # ---- generic val_t dispatch (transform.go:299-336) ----
+    generic_ok = ~skip_generic & ~event_error
+    gm = F.concat_ws(".", serv, typ)
+    gseries = F.concat(gm, F.lit(";"), base)
+
+    def generic(cond, vf, vb, vs, unit):
+        return F.when(
+            generic_ok & cond,
+            _pt(gm, ts, gseries, _NS, vf, vb, vs, unit, F.lit("mean")),
+        )
+
+    p_generic = [
+        generic((val_t == "float") & fval.isNotNull(), fval, _NB, _NS, unit_prop),
+        generic((val_t == "int") & fval.isNotNull(), fval, _NB, _NS, _NS),
+        generic(val_t == "bool", _NF, F.col("val").try_cast("boolean"), _NS, _NS),
+        generic(
+            val_t == "string",
+            _NF,
+            _NB,
+            F.regexp_replace("val", r'^"|"$', ""),
+            _NS,
+        ),
+        generic(val_t == "null", F.lit(0.0), _NB, _NS, _NS),
+        generic(val_t == "object", _NF, _NB, F.lit("object"), _NS),
+    ]
+
+    # ---- price forecast explode (transform.go:270-297) ----
+    # handled as a separate select because each element becomes a point
+    # with its own event time
+    price_base = e.where(is_price & ~event_error & prices.isNotNull()).select(
+        *e.columns, F.explode(prices).alias("_p")
+    )
+    price_points = price_base.select(
+        *e.columns,
+        _pt(
+            F.lit(M_PRICE),
+            F.to_timestamp(F.col("_p.startsAt")),
+            F.concat(F.lit(M_PRICE + ";"), F.coalesce(F.col("dev_id"), F.lit(""))),
+            F.lit("export"),  # dir=export quirk (transform.go:278)
+            F.col("_p.total"),
+            _NB,
+            F.col("_p.level"),
+            F.col("_p.currency"),
+            F.lit("mean"),
+        ).alias("_point"),
+    )
+
+    candidates = [
+        p_power,
+        p_energy,
+        p_energy_sampled,
+        p_session,
+        p_session_generic,
+        *p_ext,
+        p_thermostat,
+        *p_generic,
+    ]
+    main = (
+        e.where((serv != "ecollector") & ~event_error)  # F2 + error drop
+        .select(*e.columns, F.explode(F.array_compact(F.array(*candidates))).alias("_point"))
+    )
+    combined = main.unionByName(price_points)
+    return combined.select(
+        F.col("_point.measurement").alias("measurement"),
+        F.col("_point.ts").alias("ts"),
+        F.col("_point.series_id").alias("series_id"),
+        F.col("dev_id"),
+        F.col("dev_type"),
+        F.col("_point.dir").alias("dir"),
+        F.col("location_id"),
+        serv.alias("service"),
+        F.col("src"),
+        F.col("topic"),
+        F.col("domain"),
+        F.col("_point.value_f").alias("value_f"),
+        F.col("_point.value_b").alias("value_b"),
+        F.col("_point.value_s").alias("value_s"),
+        F.col("_point.unit").alias("unit"),
+        F.col("_point.agg_func").alias("agg_func"),
+    )
