@@ -24,6 +24,11 @@ HEADLINE = [
     "two_level_group_energy",
     "outlier_fence",
     "raw_sql_query",
+    "fimp_transform_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
 ]
 
 

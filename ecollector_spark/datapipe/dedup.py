@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+- exact: hash-groupBy on md5(text) — one shuffle on a 128-bit key,
+  perfectly balanced; the keeper is min(doc_id) per group.
+- n-gram Jaccard: exact pairwise similarity, but candidate pairs come
+  from an inverted shingle index (docs sharing >=1 shingle), with a
+  document-frequency cap so a stop-shingle can't produce a quadratic
+  bucket. Cost = sum over shingles of df^2, bounded by max_df.
+- MinHash+LSH: 8 md5-derived min-hashes -> 4 bands x 2 rows; docs
+  colliding in any band are candidates, then exact Jaccard verifies.
+  This is the 100 TB path: cost is linear in corpus + bucket-local
+  joins; md5 keeps it deterministic and oracle-checkable (lexicographic
+  min over md5 hex strings is a valid permutation min-hash).
+- SimHash: 16-bit signed-projection hash over tokens; equal values are
+  near-dup candidates. One map-side pass + tiny groupBy.
+
+All expression-only — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecollector_spark.datapipe.text import shingles_expr, tokens_expr
+
+
+def _floor6(c):
+    """Truncate to 6 decimals. floor is a deterministic function of the
+    double (unlike round, whose half-tie rule differs across engines on
+    decimal-exact dyadic rationals like 2**-7)."""
+    return F.floor(c * 1000000.0) / 1000000.0
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, keeper_id, n_docs) for
+    groups with more than one doc. Dropping everything except keeper_id
+    implements exact dedup."""
+    h = docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+    return (
+        h.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    # Tokenize in a separate projection: shingles_expr references the
+    # token array k+2 times, and inlining the tokenizer into each
+    # reference would re-run the regex split per shingle per element
+    # (~150x per doc). A multi-referenced non-cheap alias survives
+    # CollapseProject, so tokens are computed once per row.
+    toks = docs.select("doc_id", tokens_expr(text_col).alias("_toks"))
+    return toks.select("doc_id", F.explode(shingles_expr(F.col("_toks"), k)).alias("shingle"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from an inverted shingle
+    index. Pairing uses only shingles with document frequency <= max_df
+    (skew guard); the Jaccard itself uses ALL shingles of both docs.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    to 6 decimals."""
+    sh = _doc_shingles(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).where(
+            F.col("df") <= max_df
+        ),
+        "shingle",
+    ).select("doc_id", "shingle")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(sh, cand, threshold)
+
+
+def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over ALL shingles of each candidate pair: intersection
+    via a shingle-equality join, union by inclusion-exclusion from per-doc
+    sizes. Touches only candidate docs; both joins key on doc_id, the
+    explode's natural partitioning."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(cand, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("y"),
+            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", _floor6(jac).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): per-seed minimum of md5(seed|shingle).
+    Lexicographic min over hex digests == min-hash under the permutation
+    induced by that seeded md5.
+
+    Computed as ``min()`` aggregates over the *exploded* shingle table —
+    one shuffle on doc_id with map-side partial mins — rather than
+    array-HOF expressions per hash: N array expressions each re-expand
+    the whole tokenize→shingle subtree, which Catalyst's project-collapse
+    then inflates multiplicatively (minutes of driver time and MB-sized
+    codegen at a few thousand docs); the aggregate form keeps every
+    expression O(1) and scales to corpora that don't fit in one array."""
+    sh = _doc_shingles(docs, text_col, k)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH: band signatures -> bucket join -> exact-Jaccard
+    verification of colliding pairs. Returns (doc_a, doc_b, jaccard >=
+    threshold).
+
+    Bands are unpivoted to long form (doc_id, band, sig) so candidate
+    generation is ONE self-equi-join on (band, sig) — the only pairwise
+    step, touching only colliding docs; at 100 TB this is a shuffle on
+    band signatures whose buckets are near-dup clusters by construction."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, k, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    bands_long = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("_bs"))
+        .select("doc_id", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
+        .where(F.col("sig").isNotNull())
+    )
+    x, y = bands_long.alias("x"), bands_long.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(_doc_shingles(docs, text_col, k), cand, threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): signed-projection hash over distinct tokens.
+    Token hash = first 60 bits of md5 (identical in the SQL twin via
+    '0x'||substr cast); bit i of the simhash is set when the sum of
+    (+1/-1) votes from token-hash bit i is >= 0."""
+    toks = F.array_distinct(tokens_expr(text_col))
+    ex = docs.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    votes = ex.select("doc_id", *[
+        F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1).alias(f"b{i}")
+        for i in range(bits)
+    ])
+    agg = votes.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)])
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

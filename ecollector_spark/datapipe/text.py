@@ -1,0 +1,134 @@
+"""Text analysis operators for large-scale training-data pipelines:
+tokenization, shingling, language-ID, quality scoring, token counting and
+document fingerprinting.
+
+All operators are pure Spark expressions (JVM, codegen'd, no UDFs) — at
+100 TB these run as a single map-side pass over the corpus with no
+shuffle; only per-doc aggregates (which explode to tokens first) shuffle
+on doc_id, the natural partitioning. Every expression has an exact DuckDB
+twin in driver_queries.datapipe so results are value-hash checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small stopword/marker sets for the language-ID heuristic. Order of
+#: _LANGS is the tie-break cascade (first wins).
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+_LANGS = tuple(LANG_MARKERS)
+
+EN_STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Lowercased alnum tokens. Identical twin: list_filter(
+    string_split_regex(lower(regexp_replace(t,'[^A-Za-z0-9 ]',' ','g')),
+    ' +'), x -> x <> '')."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.regexp_replace(c, "[^A-Za-z0-9 ]", " ")), " +")
+    return F.filter(toks, lambda x: x != "")
+
+
+def shingles_expr(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined). Empty array when the doc
+    has fewer than k tokens (Spark's sequence() would go descending on a
+    negative span — guard required)."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= k, joined).otherwise(F.array().cast("array<string>")))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/marker-word language heuristic: count distinct marker hits
+    per language, argmax with a fixed cascade (en>de>fr>es>zh), 'und'
+    (undetermined) when no marker hits."""
+    # tokens materialized once; every downstream reference sees the alias
+    # (inlining would re-tokenize per marker-set intersection)
+    d = docs.select("doc_id", F.array_distinct(tokens_expr(text_col)).alias("_dt"))
+    s = d.select(
+        "doc_id",
+        *[
+            F.size(F.array_intersect(F.col("_dt"), F.array(*[F.lit(m) for m in markers]))).alias(
+                f"_s_{lang}"
+            )
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in _LANGS}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(_LANGS):  # build cascade so earlier langs win ties
+        pred = F.when(scores[lang] == best, lang).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise("und")
+    return s.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality: token count, mean token length, stopword ratio,
+    punctuation ratio, blended into a [0,1] score. Weights are arbitrary
+    but fixed; the operator shape (cheap per-doc features -> filter) is
+    the standard pretraining-corpus gate."""
+    d = docs.select("doc_id", F.col(text_col).alias("_text"), tokens_expr(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    nd = n.cast("double")
+    text = F.col("_text")
+    avg_len = F.when(
+        n > 0, F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / nd
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))
+    )
+    stop_ratio = F.when(n > 0, stop_hits / nd).otherwise(F.lit(0.0))
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct_ratio = F.when(F.length(text) > 0, punct / F.length(text).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        0.4 * F.least(nd / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
+    )
+    def floor6(c):
+        # floor-truncation: deterministic across engines where round()'s
+        # half-tie rule is not (dyadic rationals land exactly on .5 ties)
+        return F.floor(c * 1000000.0) / 1000000.0
+
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        floor6(avg_len).alias("avg_token_len"),
+        floor6(stop_ratio).alias("stopword_ratio"),
+        floor6(punct_ratio).alias("punct_ratio"),
+        floor6(score).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish piece count (alnum runs and
+    individual non-space symbols — the usual cheap proxy for tokenizer
+    cost when the real tokenizer can't run engine-side)."""
+    ws = F.size(tokens_expr(text_col))
+    bpe = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+    return docs.select("doc_id", ws.alias("ws_tokens"), bpe.cast("int").alias("bpe_pieces"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over k-token
+    shingles (a deterministic 1-permutation MinHash), plus the shingle
+    count. Equal fingerprints = candidate duplicates at
+    0 storage overhead; used as a blocking key at scale."""
+    d = docs.select("doc_id", tokens_expr(text_col).alias("_toks"))
+    s = d.select("doc_id", shingles_expr(F.col("_toks"), k).alias("_sh"))
+    fp = F.array_min(F.transform(F.col("_sh"), lambda x: F.md5(x)))
+    return s.select("doc_id", fp.alias("fingerprint"), F.size("_sh").alias("n_shingles"))

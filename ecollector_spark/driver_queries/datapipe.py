@@ -1,0 +1,344 @@
+"""Driver queries for the training-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal) over the ``documents`` and
+``embeddings`` tables.
+
+The raw synthetic corpus has no duplicates, so dedup operators run on a
+derived corpus with deterministically planted near-duplicates (doc_id%10:
+first 80% of tokens) and exact duplicates (doc_id%17) — both engines
+construct it with identical expressions, so every operator stays
+value-hash checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecollector_spark.datapipe import dedup, similarity, text
+from ecollector_spark.datapipe.multimodal import attach_fake_media, extract_features
+from ecollector_spark.driver_queries import register
+
+# ---------------------------------------------------------------------------
+# shared corpus (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),"
+    " ' +'), x -> x <> '')"
+)
+_SH3 = "[array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)]"
+_SH5 = "[array_to_string(toks[i:i+4], ' ') FOR i IN generate_series(1, len(toks)-4)]"
+
+_CORPUS = f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(toks[1:greatest(CAST(floor(len(toks)*4/5) AS INT), 1)], ' ') AS text
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 10 = 0)
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+)"""
+
+_SHINGLED = f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+sh AS (SELECT doc_id, unnest(list_distinct({_SH3})) AS shingle FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
+
+_JACCARD_VERIFY = """inter AS (
+  SELECT doc_a, doc_b, count(*) AS inter
+  FROM sh x JOIN cand ON x.doc_id = cand.doc_a
+  JOIN sh y ON y.doc_id = cand.doc_b AND x.shingle = y.shingle
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, floor((i.inter/(sa.n_sh + sb.n_sh - i.inter))*1000000)/1000000 AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE floor((i.inter/(sa.n_sh + sb.n_sh - i.inter))*1000000)/1000000 >= {thr}
+ORDER BY 1, 2"""
+
+
+def dedup_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = text.tokens_expr("text")
+    keep = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), keep)).alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    f"""WITH {_CORPUS}
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_docs
+FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id."""
+    return dedup.exact_duplicates(dedup_corpus(spark, sf_dir)).orderBy("text_hash")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""WITH {_CORPUS},
+{_SHINGLED},
+dfq AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+        WHERE df <= 100),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+{_JACCARD_VERIFY.replace('{thr}', '0.5')}
+""",
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index candidates,
+    df-capped against stop-shingle blowup)."""
+    return dedup.jaccard_pairs(
+        dedup_corpus(spark, sf_dir), threshold=0.5, max_df=100
+    ).orderBy("doc_a", "doc_b")
+
+
+_BANDS_SQL = """mh AS (
+  SELECT doc_id,
+         list_min([md5('0|' || s) FOR s IN shl]) AS mh_0,
+         list_min([md5('1|' || s) FOR s IN shl]) AS mh_1,
+         list_min([md5('2|' || s) FOR s IN shl]) AS mh_2,
+         list_min([md5('3|' || s) FOR s IN shl]) AS mh_3,
+         list_min([md5('4|' || s) FOR s IN shl]) AS mh_4,
+         list_min([md5('5|' || s) FOR s IN shl]) AS mh_5,
+         list_min([md5('6|' || s) FOR s IN shl]) AS mh_6,
+         list_min([md5('7|' || s) FOR s IN shl]) AS mh_7
+  FROM (SELECT doc_id, list_distinct({sh3}) AS shl FROM tok)),
+banded AS (SELECT doc_id, mh_0||mh_1 AS b0, mh_2||mh_3 AS b1, mh_4||mh_5 AS b2, mh_6||mh_7 AS b3 FROM mh),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT x.doc_id doc_a, y.doc_id doc_b FROM banded x JOIN banded y ON x.b0=y.b0 AND x.doc_id<y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM banded x JOIN banded y ON x.b1=y.b1 AND x.doc_id<y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM banded x JOIN banded y ON x.b2=y.b2 AND x.doc_id<y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM banded x JOIN banded y ON x.b3=y.b3 AND x.doc_id<y.doc_id))"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {_CORPUS},
+{_SHINGLED},
+{_BANDS_SQL.replace('{sh3}', _SH3)},
+{_JACCARD_VERIFY.replace('{thr}', '0.5')}
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands x 2 rows) candidates, exact-Jaccard
+    verified — the linear-cost dedup path for 100 TB corpora."""
+    return dedup.minhash_lsh_pairs(
+        dedup_corpus(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_SQL = f"""tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tokd),
+votes AS (SELECT doc_id,
+  {', '.join(f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(_SIMHASH_BITS))}
+  FROM h GROUP BY 1)
+SELECT doc_id,
+  CAST({' + '.join(f"CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM votes ORDER BY doc_id"""
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH {_CORPUS},
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+{_SIMHASH_SQL}
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per document (signed projection over md5 token
+    hashes); equal values = near-dup candidates."""
+    return dedup.simhash(dedup_corpus(spark, sf_dir), bits=_SIMHASH_BITS).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]), (x,y) -> x+y)"
+
+
+def _cos_sql(v: str, q: str) -> str:
+    return (
+        f"{_DOT.format(a=v, b=q)} / "
+        f"(sqrt({_DOT.format(a=v, b=v)}) * sqrt({_DOT.format(a=q, b=q)}))"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
+FROM e, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 vs vec_id=0 (the ANN baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(emb, query_id=0, k=10)
+
+
+@register(
+    "ann_cosine_threshold",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
+FROM e, q WHERE vec_id <> 0 AND round({_cos_sql('v', 'qv')}, 6) >= 0.25
+ORDER BY vec_id
+""",
+)
+def ann_cosine_threshold(spark, sf_dir):
+    """All vectors with cosine >= 0.25 vs vec_id=0 (orderless exact
+    similarity search)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_threshold(emb, query_id=0, threshold=0.25).orderBy("vec_id")
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN {v}[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN {v}[2] >= 0 THEN 2 ELSE 0 END + "
+    "CASE WHEN {v}[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN {v}[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL.format(v='(embedding::DOUBLE[])')} AS b FROM embeddings),
+q AS (SELECT v AS qv, b AS qb FROM e WHERE vec_id = 0)
+SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
+FROM e, q WHERE vec_id <> 0 AND b = qb AND round({_cos_sql('v', 'qv')}, 6) >= 0.2
+ORDER BY vec_id
+""",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-bit LSH bucketed search: probe only the query's bucket — the
+    scan-reducing scale path (bucket id becomes a partition column at
+    100 TB)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_bucketed_search(emb, query_id=0, threshold=0.2, bits=4).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _markers_sql(markers) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+
+
+_LANG_SCORES = ", ".join(
+    f"len(list_intersect(dt, {_markers_sql(m)})) AS s_{lang}"
+    for lang, m in text.LANG_MARKERS.items()
+)
+_BEST = "greatest(s_en, s_de, s_fr, s_es, s_zh)"
+
+
+@register(
+    "text_langid",
+    f"""WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
+s AS (SELECT doc_id, {_LANG_SCORES} FROM d)
+SELECT doc_id, CASE WHEN {_BEST} = 0 THEN 'und'
+  WHEN s_en = {_BEST} THEN 'en' WHEN s_de = {_BEST} THEN 'de'
+  WHEN s_fr = {_BEST} THEN 'fr' WHEN s_es = {_BEST} THEN 'es' ELSE 'zh' END AS pred_lang
+FROM s ORDER BY doc_id
+""",
+)
+def text_langid(spark, sf_dir):
+    """Marker-word language ID heuristic (argmax with fixed cascade)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.lang_id(docs).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    f"""WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, text, toks, CAST(len(toks) AS INT) AS n,
+  CASE WHEN len(toks) > 0 THEN list_reduce(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), (a,b) -> a+b) / len(toks) ELSE 0.0 END AS avg_len,
+  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({_markers_sql(text.EN_STOPWORDS)}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+  CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
+  FROM t)
+SELECT doc_id, n AS n_tokens, floor(avg_len*1000000)/1000000 AS avg_token_len,
+       floor(stop_ratio*1000000)/1000000 AS stopword_ratio, floor(punct_ratio*1000000)/1000000 AS punct_ratio,
+       floor((0.4*least(n/100.0, 1.0) + 0.3*(1.0 - stop_ratio) + 0.3*least(avg_len/8.0, 1.0))*1000000)/1000000 AS quality
+FROM m ORDER BY doc_id
+""",
+)
+def text_quality(spark, sf_dir):
+    """Per-doc quality features + blended score (pretraining-corpus gate)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality_score(docs).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    f"""SELECT doc_id, CAST(len({_TOKS}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_pieces
+FROM documents ORDER BY doc_id
+""",
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.token_counts(docs).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_SH5}) AS shl FROM t)
+SELECT doc_id, list_min([md5(x) FOR x IN shl]) AS fingerprint,
+       CAST(len(shl) AS INT) AS n_shingles
+FROM s ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Winnowing-style min-md5 fingerprint over 5-token shingles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.fingerprint(docs, k=5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_binary_metadata",
+    """SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(doc_id % 640 + 1 AS INT) AS width,
+       CAST(doc_id % 480 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+""",
+)
+def mm_binary_metadata(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata schema
+    (decode itself is stubbed; see datapipe.multimodal)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_fake_media(docs)
+    return media.select("doc_id", "media_type", "width", "height", "n_bytes").orderBy("doc_id")
+
+
+@register("mm_feature_extract")  # rows-only: Arrow/pandas stage, not SQL-expressible
+def mm_feature_extract(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (stubbed
+    byte-histogram features; real decode raises NotImplementedError)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(attach_fake_media(docs))

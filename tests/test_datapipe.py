@@ -1,0 +1,125 @@
+"""Datapipe operator tests: dedup recovers planted duplicates, LSH output
+is a subset of exact Jaccard, similarity search invariants, multimodal
+Arrow plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecollector_spark.datapipe import dedup, similarity, text
+from ecollector_spark.datapipe.multimodal import attach_fake_media, extract_features, sample_frames
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog near the river"),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "another unrelated document discussing parquet column pruning strategies"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, corpus):
+        out = dedup.exact_duplicates(corpus).collect()
+        assert len(out) == 1
+        assert out[0]["keeper_id"] == 1 and out[0]["n_docs"] == 2
+
+    def test_jaccard_finds_near_dup(self, corpus):
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in dedup.jaccard_pairs(corpus, threshold=0.4).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_lsh_subset_of_exact(self, corpus):
+        exact = {(r["doc_a"], r["doc_b"]) for r in dedup.jaccard_pairs(corpus, threshold=0.4).collect()}
+        lsh = {(r["doc_a"], r["doc_b"]) for r in
+               dedup.minhash_lsh_pairs(corpus, threshold=0.4).collect()}
+        assert lsh <= exact
+        assert (1, 2) in lsh  # identical docs always collide in every band
+
+    def test_simhash_identical_docs_equal(self, corpus):
+        out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
+        assert out[1] == out[2]
+        assert 0 <= out[1] < 2**16
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.1, 0.0, 0.0]),   # close to query
+            (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+            (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite (different sign bucket)
+            (4, [0.9, -0.1, 0.2, 0.1]),  # close, same bucket on dim1
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_topk_order(self, emb):
+        out = similarity.brute_force_topk(emb, query_id=0, k=3).collect()
+        assert [r["vec_id"] for r in out] == [1, 4, 2]
+        assert out[0]["cosine"] > 0.99
+
+    def test_threshold(self, emb):
+        out = {r["vec_id"] for r in similarity.cosine_threshold(emb, 0, 0.5).collect()}
+        assert out == {1, 4}
+
+    def test_lsh_bucket_restricts_scan(self, emb):
+        # vec 3 has opposite sign on dim 1 -> different bucket -> excluded
+        # even if we lower the threshold to -1
+        out = {r["vec_id"] for r in similarity.lsh_bucketed_search(emb, 0, -1.0, bits=1).collect()}
+        assert 3 not in out and 1 in out
+
+
+class TestText:
+    def test_langid_markers(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the cat and the hat"), (2, "der hund ist nicht da"), (3, "xyzzy plugh")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+        assert out == {1: "en", 2: "de", 3: "und"}
+
+    def test_quality_features(self, spark):
+        docs = spark.createDataFrame([(1, "aa bb cc dd")], "doc_id long, text string")
+        r = text.quality_score(docs).collect()[0]
+        assert r["n_tokens"] == 4 and r["avg_token_len"] == 2.0
+        assert r["stopword_ratio"] == 0.0 and r["punct_ratio"] == 0.0
+
+    def test_token_counts(self, spark):
+        docs = spark.createDataFrame([(1, "ab, cd! ef")], "doc_id long, text string")
+        r = text.token_counts(docs).collect()[0]
+        assert r["ws_tokens"] == 3 and r["bpe_pieces"] == 5
+
+    def test_fingerprint_equal_for_equal_docs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+        assert out[1] == out[2] != out[3]
+
+
+class TestMultimodal:
+    def test_feature_extract_stub(self, spark):
+        docs = spark.createDataFrame([(0, "abc"), (1, "abcabc")], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in extract_features(attach_fake_media(docs)).collect()}
+        assert len(out[0]["feature"]) == 8
+        assert abs(sum(out[0]["feature"]) - 1.0) < 1e-6
+        # histogram is scale-invariant for repeated content
+        assert out[0]["feature"] == out[1]["feature"]
+        assert out[1]["n_bytes"] == 6
+
+    def test_decode_stub_raises(self, spark):
+        docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+            extract_features(attach_fake_media(docs), decode_stub=False).collect()
+
+    def test_frame_sampling(self, spark):
+        docs = spark.createDataFrame([(0, "x" * 130)], "doc_id long, text string")
+        rows = sample_frames(attach_fake_media(docs), every_n_bytes=64).collect()
+        assert [r["byte_offset"] for r in rows] == [0, 64, 128]
