@@ -1,0 +1,186 @@
+"""Ingest pipeline assembly — the Structured Streaming twin of the
+reference's Process (src/integration/tsdb/process.go:21-35, 125-189) and
+its Q3 dataflow (SURVEY §3).
+
+The same DataFrame composition serves batch and streaming: Spark's
+unified API means ``build_points(spark.read...)`` is the replay/backfill
+path (reference batch_loader) and ``build_points(spark.readStream...)``
+is the live pipeline — one code path, two execution modes, which is the
+core architectural win over the reference's separate goroutine pipeline.
+
+Stages (reference boundaries 1-4 collapse into one streaming query):
+1. source: file/kafka JSON stream of FIMP events
+2. F1/F2 filter engine + self-traffic drop (process.go:234-287)
+3. J1 metadata broadcast left join (process.go:141-145)
+4. T1-T12 DefaultTransform -> canonical datapoints
+5. A11 routing: high-frequency measurements -> stateful pre-aggregation
+   (30 s directive aggregates + counter difference); others direct
+6. sinks: parquet warehouse partitioned by (tier, measurement) with
+   checkpointing — exactly-once, vs the reference's drop-after-retries
+
+Scale: the only stateful shuffle keys on series_id; state is O(series),
+not O(events). The raw branch is shuffle-free (map-only) all the way to
+the partitioned writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from ecollector_spark.enrich import enrich_with_metadata
+from ecollector_spark.filters import FilterRecord, compile_filters
+from ecollector_spark.schema import FIMP_EVENT_SCHEMA, WAREHOUSE_PARTITION_COLUMNS
+from ecollector_spark.streaming.stateful import (
+    DIFF_OUTPUT_SCHEMA,
+    DIFF_STATE_SCHEMA,
+    PREAGG_OUTPUT_SCHEMA,
+    PREAGG_STATE_SCHEMA,
+    make_counter_difference_fn,
+    make_preaggregate_fn,
+)
+from ecollector_spark.tiers import is_high_frequency_col, write_retention_col
+from ecollector_spark.transform import default_transform
+
+#: dev_type whose series accumulate hourly (HAN main meters) — reference
+#: metadata/interface.go:4, process.go:160-162
+MAIN_ELEC_DEV_TYPE = "meter.main_elec"
+
+
+def read_fimp_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of FIMP JSON events (one object per line).
+
+    The file source stands in for the MQTT broker (S1): selector topic
+    filters become the F1 stage. ``maxFilesPerTrigger`` bounds batch size
+    like the reference's BatchMaxSize.
+    """
+    reader = spark.readStream.schema(FIMP_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def build_points(
+    events: DataFrame,
+    metadata: DataFrame | None = None,
+    filters: list[FilterRecord] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """events -> canonical datapoints (stages 2-4). Works on batch and
+    streaming frames alike.
+
+    The 2 h watermark mirrors the reference's only lateness rule — the
+    120 min staleness eviction (agreggator.go:236-241).
+    """
+    ev = events
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    if filters is not None:
+        ev = ev.where(compile_filters(filters))
+    ev = ev.where(F.col("serv") != "ecollector")  # F2 self-traffic
+    if metadata is not None:
+        ev = enrich_with_metadata(ev, metadata)
+    else:
+        ev = (
+            ev.withColumn("dev_id", F.lit(None).cast("string"))
+            .withColumn("location_id", F.lit(None).cast("string"))
+            .withColumn("dev_type", F.lit(None).cast("string"))
+        )
+    if "domain" not in ev.columns:
+        ev = ev.withColumn("domain", F.split(F.col("topic"), "/").getItem(0))
+    return default_transform(ev)
+
+
+def route_points(points: DataFrame, profile: str = "optimized") -> dict[str, DataFrame]:
+    """A11 routing split (process.go:154-178).
+
+    Returns branches: ``raw`` (direct write), ``preagg`` (high-frequency,
+    non-difference directives), ``diff`` (difference directives). Under
+    the ``raw`` profile everything bypasses aggregation (process.go:154).
+    """
+    if profile == "raw":
+        return {"raw": points, "preagg": None, "diff": None}
+    hf = is_high_frequency_col(F.col("measurement"))
+    return {
+        "raw": points.where(~hf),
+        "preagg": points.where(hf & (F.col("agg_func") != "difference")),
+        "diff": points.where(hf & (F.col("agg_func") == "difference")),
+    }
+
+
+def preaggregate_stateful(
+    points: DataFrame,
+    interval_seconds: int = 30,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """A1-A5 as a keyed-state operator: per-series directive aggregation
+    over event-time ticks with change suppression. Output columns:
+    (series_id, time, value, agg_func).
+
+    ``timeout`` defaults to NoTimeout: state is O(1)/series and the
+    operators flush every invocation, so eviction is optional. Pass
+    ProcessingTimeTimeout for live queries that must reap dead series
+    (note availableNow keeps scheduling batches to fire pending
+    timeouts, so replay/tests want NoTimeout)."""
+    fn = make_preaggregate_fn(interval_seconds)
+    return (
+        points.select("series_id", "ts", "value_f", "agg_func")
+        .groupBy("series_id")
+        .applyInPandasWithState(
+            fn, PREAGG_OUTPUT_SCHEMA, PREAGG_STATE_SCHEMA, "append", timeout
+        )
+    )
+
+
+def counter_difference_stateful(
+    points: DataFrame,
+    sample_interval_seconds: int = 600,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """A6-A10 as a keyed-state operator. Output: (series_id, time, value).
+
+    The hourly-accumulation profile comes from dev_type (main meters);
+    inputs may also carry a precomputed ``hourly`` boolean directly."""
+    fn = make_counter_difference_fn(sample_interval_seconds)
+    hourly = (
+        F.col("hourly")
+        if "hourly" in points.columns
+        else F.coalesce(F.col("dev_type") == MAIN_ELEC_DEV_TYPE, F.lit(False))
+    )
+    prepared = points.select("series_id", "ts", "value_f", hourly.alias("hourly"))
+    return prepared.groupBy("series_id").applyInPandasWithState(
+        fn, DIFF_OUTPUT_SCHEMA, DIFF_STATE_SCHEMA, "append", timeout
+    )
+
+
+def write_warehouse_stream(
+    points: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_seconds: int | None = 5,
+    available_now: bool = False,
+    query_name: str = "ecollector_raw",
+):
+    """S4/S5: append the raw branch to the tiered parquet warehouse.
+
+    Retention tier is stamped per measurement (mapping.go:146-154); the
+    partition layout (tier, measurement) makes query-side tier routing
+    pure partition pruning. The processing-time trigger replaces the
+    reference's SaveInterval flush loop; checkpointing replaces its
+    retry/drop logic with exactly-once.
+    """
+    out = points.withColumn("tier", write_retention_col(F.col("measurement")))
+    writer = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*WAREHOUSE_PARTITION_COLUMNS)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,385 @@
+"""Structured Streaming pipeline tests.
+
+The stateful operators are golden-matched to the reference's aggregator
+tests (reference processing/agreggator_test.go:65-97) and exercised
+through a real streaming query: JSON files -> file source -> stateful op
+-> memory sink, with a second availableNow run against the same
+checkpoint to prove state carries across restarts.
+"""
+
+import json
+import os
+
+import pytest
+
+
+def _write_json(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stateful(spark, tmp, build, schema: str, rows: list[dict], name: str):
+    """One availableNow pass: rows -> json file -> stream -> memory sink."""
+    src = f"{tmp}/src_{name}"
+    _write_json(f"{src}/part0.json", rows)
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+    q.stop()
+    return spark.table(name)
+
+
+PREAGG_IN = "series_id string, ts timestamp, value_f double, agg_func string"
+DIFF_IN = "series_id string, ts timestamp, value_f double, hourly boolean"
+
+
+def _dp(series, ts, v, func="mean"):
+    return {"series_id": series, "ts": ts, "value_f": v, "agg_func": func}
+
+
+def _dd(series, ts, v, hourly=False):
+    return {"series_id": series, "ts": ts, "value_f": v, "hourly": hourly}
+
+
+class TestPreaggregateStateful:
+    def test_directives_and_change_suppression(self, spark, tmp_path):
+        from ecollector_spark.streaming.pipeline import preaggregate_stateful
+
+        rows = [
+            # s_mean: bucket1 mean 15, bucket2 mean 15 again -> suppressed
+            _dp("s_mean", "2024-01-01T00:00:01", 10.0),
+            _dp("s_mean", "2024-01-01T00:00:10", 20.0),
+            _dp("s_mean", "2024-01-01T00:00:40", 15.0),
+            # s_last: keeps most recent (agreggator.go:121-127)
+            _dp("s_last", "2024-01-01T00:00:05", 1.0, "last"),
+            _dp("s_last", "2024-01-01T00:00:06", 3.0, "last"),
+            # s_min / s_max / s_sum
+            _dp("s_min", "2024-01-01T00:00:02", 5.0, "min"),
+            _dp("s_min", "2024-01-01T00:00:03", 2.0, "min"),
+            _dp("s_max", "2024-01-01T00:00:02", 5.0, "max"),
+            _dp("s_max", "2024-01-01T00:00:03", 7.0, "max"),
+            _dp("s_sum", "2024-01-01T00:00:02", 5.0, "sum"),
+            _dp("s_sum", "2024-01-01T00:00:03", 7.0, "sum"),
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), preaggregate_stateful, PREAGG_IN, rows, "t_preagg"
+        )
+        got = {
+            (r.series_id, r.time.isoformat(), r.value) for r in out.collect()
+        }
+        assert got == {
+            ("s_mean", "2024-01-01T00:00:30", 15.0),
+            ("s_last", "2024-01-01T00:00:30", 3.0),
+            ("s_min", "2024-01-01T00:00:30", 2.0),
+            ("s_max", "2024-01-01T00:00:30", 7.0),
+            ("s_sum", "2024-01-01T00:00:30", 12.0),
+        }
+
+    def test_first_zero_aggregate_suppressed(self, spark, tmp_path):
+        """A new series starts with last_emitted=0 (agreggator.go:134), so
+        a first mean of exactly 0.0 never emits."""
+        from ecollector_spark.streaming.pipeline import preaggregate_stateful
+
+        rows = [
+            _dp("s0", "2024-01-01T00:00:01", 0.0),
+            _dp("s0", "2024-01-01T00:00:40", 4.0),
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), preaggregate_stateful, PREAGG_IN, rows, "t_zero"
+        )
+        assert [(r.series_id, r.value) for r in out.collect()] == [("s0", 4.0)]
+
+    def test_state_carries_across_restarts(self, spark, tmp_path):
+        """Second availableNow run on the same checkpoint sees the carried
+        last-emitted value and suppresses an equal aggregate."""
+        from ecollector_spark.streaming.pipeline import preaggregate_stateful
+
+        tmp = str(tmp_path)
+        src, ckpt, out = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/out"
+        _write_json(f"{src}/a.json", [_dp("s1", "2024-01-01T00:00:01", 42.0)])
+
+        def run():
+            # memory sink can't recover a checkpoint; parquet sink can
+            stream = spark.readStream.schema(PREAGG_IN).json(src)
+            q = (
+                preaggregate_stateful(stream)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+            return sorted(
+                (r.time.isoformat(), r.value) for r in spark.read.parquet(out).collect()
+            )
+
+        assert run() == [("2024-01-01T00:00:30", 42.0)]
+        # same aggregate in a later bucket -> suppressed across restart
+        _write_json(f"{src}/b.json", [_dp("s1", "2024-01-01T00:05:01", 42.0)])
+        assert run() == [("2024-01-01T00:00:30", 42.0)]
+        # a different value emits again
+        _write_json(f"{src}/c.json", [_dp("s1", "2024-01-01T00:10:01", 43.0)])
+        assert run() == [
+            ("2024-01-01T00:00:30", 42.0),
+            ("2024-01-01T00:10:30", 43.0),
+        ]
+
+
+class TestCounterDifferenceStateful:
+    def test_golden_reset_sequence(self, spark, tmp_path):
+        """{10,12,10,20,30} -> 22 (meter reset skipped) — pinned by
+        reference agreggator_test.go:72-76."""
+        from ecollector_spark.streaming.pipeline import counter_difference_stateful
+
+        rows = [
+            _dd("m1", f"2024-01-01T00:0{i}:00", v)
+            for i, v in enumerate([10.0, 12.0, 10.0, 20.0, 30.0])
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), counter_difference_stateful, DIFF_IN, rows, "t_diff1"
+        )
+        assert [(r.series_id, r.value) for r in out.collect()] == [("m1", 22.0)]
+
+    def test_golden_float_precision(self, spark, tmp_path):
+        """{30.9099998474121, 30.9200000762939} -> 0.01000022888180041
+        (agreggator_test.go:91-96) — bit-exact float64 arithmetic."""
+        from ecollector_spark.streaming.pipeline import counter_difference_stateful
+
+        rows = [
+            _dd("m2", "2024-01-01T00:01:00", 30.9099998474121),
+            _dd("m2", "2024-01-01T00:02:00", 30.9200000762939),
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), counter_difference_stateful, DIFF_IN, rows, "t_diff2"
+        )
+        assert [r.value for r in out.collect()] == [0.01000022888180041]
+
+    def test_zeros_filtered_and_cap(self, spark, tmp_path):
+        """Zeros dropped before diff (agreggator.go:327); result >100 kWh
+        discarded (agreggator.go:261-264)."""
+        from ecollector_spark.streaming.pipeline import counter_difference_stateful
+
+        rows = [
+            # s_zero: 0 removed -> [5, 8] -> diff 3
+            _dd("s_zero", "2024-01-01T00:01:00", 5.0),
+            _dd("s_zero", "2024-01-01T00:02:00", 0.0),
+            _dd("s_zero", "2024-01-01T00:03:00", 8.0),
+            # s_cap: diff 150 > 100 -> dropped
+            _dd("s_cap", "2024-01-01T00:01:00", 100.0),
+            _dd("s_cap", "2024-01-01T00:02:00", 250.0),
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), counter_difference_stateful, DIFF_IN, rows, "t_diff3"
+        )
+        assert [(r.series_id, r.value) for r in out.collect()] == [("s_zero", 3.0)]
+
+    def test_seed_carries_to_next_bucket(self, spark, tmp_path):
+        """The last value of a bucket seeds the next (agreggator.go:258):
+        bucket1 [10,12]->2; bucket2 sees [12,15,18]->6."""
+        from ecollector_spark.streaming.pipeline import counter_difference_stateful
+
+        rows = [
+            _dd("m3", "2024-01-01T00:01:00", 10.0),
+            _dd("m3", "2024-01-01T00:05:00", 12.0),
+            _dd("m3", "2024-01-01T00:11:00", 15.0),
+            _dd("m3", "2024-01-01T00:15:00", 18.0),
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), counter_difference_stateful, DIFF_IN, rows, "t_diff4"
+        )
+        got = [(r.time.isoformat(), r.value) for r in out.orderBy("time").collect()]
+        assert got == [("2024-01-01T00:10:00", 2.0), ("2024-01-01T00:20:00", 6.0)]
+
+    def test_staleness_evicts_buffer(self, spark, tmp_path):
+        """A gap >120 min discards buffer and seed (agreggator.go:236-241):
+        the 13:00 bucket has only one usable sample -> no diff."""
+        from ecollector_spark.streaming.pipeline import counter_difference_stateful
+
+        rows = [
+            _dd("m4", "2024-01-01T00:01:00", 10.0),
+            _dd("m4", "2024-01-01T00:05:00", 20.0),
+            _dd("m4", "2024-01-01T13:01:00", 50.0),  # 13 h later
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), counter_difference_stateful, DIFF_IN, rows, "t_diff5"
+        )
+        got = [(r.time.isoformat(), r.value) for r in out.collect()]
+        assert got == [("2024-01-01T00:10:00", 10.0)]
+
+    def test_hourly_profile_time_reattribution(self, spark, tmp_path):
+        """Main-meter series: emission stamped previous hour :59
+        (agreggator.go:243-246, 307-310); zeros kept (no noise filter) but
+        zero *results* suppressed; change-suppression NOT applied."""
+        from ecollector_spark.streaming.pipeline import counter_difference_stateful
+
+        rows = [
+            _dd("h1", "2024-01-01T05:00:30", 100.0, True),
+            _dd("h1", "2024-01-01T05:05:00", 103.0, True),
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), counter_difference_stateful, DIFF_IN, rows, "t_diff6"
+        )
+        got = [(r.time.isoformat(), r.value) for r in out.collect()]
+        assert got == [("2024-01-01T04:59:00", 3.0)]
+
+    def test_unchanged_suppressed_nonhourly(self, spark, tmp_path):
+        """Equal consecutive diff results are suppressed for normal series
+        (agreggator.go:266-275)."""
+        from ecollector_spark.streaming.pipeline import counter_difference_stateful
+
+        rows = [
+            _dd("m5", "2024-01-01T00:01:00", 10.0),
+            _dd("m5", "2024-01-01T00:05:00", 12.0),
+            _dd("m5", "2024-01-01T00:11:00", 14.0),  # [12, 14] -> 2 again
+        ]
+        out = _run_stateful(
+            spark, str(tmp_path), counter_difference_stateful, DIFF_IN, rows, "t_diff7"
+        )
+        got = [(r.time.isoformat(), r.value) for r in out.collect()]
+        assert got == [("2024-01-01T00:10:00", 2.0)]
+
+
+class TestEndToEndPipeline:
+    def test_file_stream_to_warehouse(self, spark, tmp_path):
+        """FIMP JSON files -> filter -> transform -> routed branches ->
+        partitioned parquet warehouse, via one availableNow pass."""
+        from ecollector_spark.streaming.pipeline import (
+            build_points,
+            read_fimp_stream,
+            route_points,
+            write_warehouse_stream,
+        )
+
+        tmp = str(tmp_path)
+        src = f"{tmp}/events"
+        events = [
+            {
+                "topic": "pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7",
+                "type": "evt.meter.report",
+                "serv": "meter_elec",
+                "val_t": "float",
+                "val": "1.5",
+                "props": {"unit": "kW"},
+                "src": "t",
+                "ctime": "2024-01-01T00:00:01",
+                "uid": "u1",
+            },
+            {   # self-traffic: must be dropped (F2)
+                "topic": "pt:j1/mt:evt/rt:app/rn:ecollector/ad:1",
+                "type": "evt.tsdb.query_report",
+                "serv": "ecollector",
+                "val_t": "string",
+                "val": "\"x\"",
+                "props": {},
+                "src": "t",
+                "ctime": "2024-01-01T00:00:02",
+                "uid": "u2",
+            },
+            {   # low-frequency branch -> raw write
+                "topic": "pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:out_bin_switch/ad:9",
+                "type": "evt.binary.report",
+                "serv": "out_bin_switch",
+                "val_t": "bool",
+                "val": "true",
+                "props": {},
+                "src": "t",
+                "ctime": "2024-01-01T00:00:03",
+                "uid": "u3",
+            },
+        ]
+        _write_json(f"{src}/b0.json", events)
+
+        stream = read_fimp_stream(spark, src).withColumn(
+            "ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ctime")
+        )
+        points = build_points(stream)
+        branches = route_points(points)
+        q = write_warehouse_stream(
+            branches["raw"],
+            path=f"{tmp}/warehouse",
+            checkpoint=f"{tmp}/ckpt_raw",
+            available_now=True,
+            query_name="t_e2e_raw",
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+        stored = spark.read.parquet(f"{tmp}/warehouse")
+        rows = stored.collect()
+        # meter power is high-frequency -> not in raw branch; switch is low-freq
+        assert [r.measurement for r in rows] == ["out_bin_switch.evt.binary.report"]
+        assert rows[0].value_b is True
+        assert rows[0].tier == "gen_default"
+        # partition layout on disk: tier=.../measurement=...
+        assert os.path.isdir(
+            f"{tmp}/warehouse/tier=gen_default/measurement=out_bin_switch.evt.binary.report"
+        )
+
+    def test_preagg_branch_streaming(self, spark, tmp_path):
+        """High-frequency meter events flow through transform then the
+        stateful 30 s pre-aggregation (kW -> W normalization included)."""
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.streaming.pipeline import (
+            build_points,
+            preaggregate_stateful,
+            read_fimp_stream,
+            route_points,
+        )
+
+        tmp = str(tmp_path)
+        src = f"{tmp}/events"
+
+        def ev(ts, val):
+            return {
+                "topic": "pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7",
+                "type": "evt.meter.report",
+                "serv": "meter_elec",
+                "val_t": "float",
+                "val": str(val),
+                "props": {"unit": "kW"},
+                "src": "t",
+                "ctime": ts,
+                "uid": ts,
+            }
+
+        _write_json(
+            f"{src}/b0.json",
+            [ev("2024-01-01T00:00:01", 1.0), ev("2024-01-01T00:00:10", 2.0)],
+        )
+        metadata = spark.createDataFrame(
+            [("/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7", 7, 1, "meter_elec")],
+            "address string, device_id int, location_id int, device_type string",
+        )
+        stream = read_fimp_stream(spark, src).withColumn("ts", F.col("ctime"))
+        branches = route_points(build_points(stream, metadata=metadata))
+        q = (
+            preaggregate_stateful(branches["preagg"])
+            .writeStream.format("memory")
+            .queryName("t_e2e_preagg")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        got = spark.table("t_e2e_preagg").collect()
+        # mean(1000 W, 2000 W) = 1500 W in the 00:00:00 bucket; the series
+        # id carries the reference's double-prefix quirk (transform.go:64)
+        assert [(r.series_id, r.value) for r in got] == [
+            ("electricity_meter_power;electricity_meter_power;7;import", 1500.0)
+        ]
