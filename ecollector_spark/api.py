@@ -1,0 +1,290 @@
+"""Admin / query API surface — the Spark twin of the reference's MQTT
+command handlers (reference src/api/admin.go:74-390, §2.10).
+
+The reference speaks FIMP over MQTT and returns InfluxDB's Series JSON;
+transports are out of scope here, so this module exposes the command set
+as plain functions/methods over a Warehouse + SparkSession and reproduces
+the *wire shapes*: Series arrays regrouped per tag set with epoch-second
+times (docs/api:27-175, influxdb_v1.go:191), and the error envelope
+(``evt.tsdb.query_report`` with an ``error`` string, docs/api:364-380).
+
+Q1 (cmd.tsdb.query): the raw query string is Spark SQL — ``spark.sql``
+is the parse/plan/execute pipeline the reference delegated to InfluxDB.
+Q2 (cmd.tsdb.get_data_points): the structured request compiles through
+QueryPlanner. Serialization collects only final, already-aggregated
+results — the driver-side loop is the API boundary, never an operator.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecollector_spark.functions.timeutil import parse_relative_duration, time_bucket
+from ecollector_spark.gapfill import gap_fill
+from ecollector_spark.query import DataPointsRequest, QueryPlanner
+from ecollector_spark.schema import DATAPOINT_SCHEMA
+from ecollector_spark.warehouse import Warehouse
+
+#: energy rollup validation (influxdb_v1.go:36): 1-2 digits + m/h/d/w,
+#: else fall back to 1h
+import re
+
+_ENERGY_GROUP_RE = re.compile(r"^\d{1,2}[mhdw]$")
+
+
+# ---------------------------------------------------------------------------
+# Series-shape serialization (docs/api:27-175)
+# ---------------------------------------------------------------------------
+
+def to_series_shape(
+    df: DataFrame, name: str, tag_columns: list[str] | None = None
+) -> list[dict]:
+    """Regroup result rows into InfluxDB Series objects: one entry per
+    distinct tag-value combination, columns/values arrays, time first.
+
+    Only called on final (small, aggregated) results — this is the wire
+    serializer, not a processing step.
+    """
+    tag_columns = [c for c in (tag_columns or []) if c in df.columns]
+    value_columns = [c for c in df.columns if c not in tag_columns]
+    rows = df.collect()
+    series: dict[tuple, dict] = {}
+    for r in rows:
+        key = tuple(r[c] for c in tag_columns)
+        s = series.get(key)
+        if s is None:
+            s = series[key] = {
+                "name": name,
+                "tags": {c: r[c] for c in tag_columns},
+                "columns": list(value_columns),
+                "values": [],
+            }
+        s["values"].append([r[c] for c in value_columns])
+    out = list(series.values())
+    if not tag_columns:
+        for s in out:
+            s.pop("tags", None)
+    return out
+
+
+def _report(series: list[dict] | None = None, error: str | None = None) -> dict:
+    """evt.tsdb.*_report envelope (admin.go:177, 391-399; docs/api:364-380)."""
+    if error is not None:
+        return {"results": [], "error": error}
+    return {"results": [{"series": series or []}]}
+
+
+# ---------------------------------------------------------------------------
+# API facade
+# ---------------------------------------------------------------------------
+
+class EcollectorApi:
+    """The §2.10 command set over (SparkSession, Warehouse)."""
+
+    def __init__(self, spark: SparkSession, warehouse: Warehouse, profile: str = "optimized"):
+        self.spark = spark
+        self.warehouse = warehouse
+
+        def reader(tier: str) -> DataFrame:
+            # a tier with no data behaves like an empty retention policy
+            # (the reference queries it and gets zero series back)
+            df = warehouse.read_tier(tier)
+            return df if df is not None else spark.createDataFrame([], DATAPOINT_SCHEMA)
+
+        self.planner = QueryPlanner(reader, profile=profile)
+
+    # -- Q1: cmd.tsdb.query ------------------------------------------------
+    def run_query(self, query: str) -> dict:
+        """Raw query endpoint: the string is Spark SQL (replacing InfluxQL);
+        errors pass through as the error envelope, never raise."""
+        try:
+            df = self.spark.sql(query)
+            cols = df.columns
+            return _report(
+                [
+                    {
+                        "name": "query",
+                        "columns": cols,
+                        "values": [[r[c] for c in cols] for r in df.collect()],
+                    }
+                ]
+            )
+        except Exception as e:  # noqa: BLE001 — error envelope is the contract
+            return _report(error=str(e))
+
+    # -- Q2: cmd.tsdb.get_data_points -------------------------------------
+    def get_data_points(self, req: DataPointsRequest, now: datetime | None = None) -> dict:
+        try:
+            df = self.planner.plan(req, now=now)
+            series = to_series_shape(
+                df,
+                req.measurement_name,
+                [req.group_by_tag] if req.group_by_tag else [],
+            )
+            return _report(series)
+        except Exception as e:  # noqa: BLE001
+            return _report(error=str(e))
+
+    # -- cmd.tsdb.get_energy_data_points (A17) -----------------------------
+    def get_energy_data_points(
+        self,
+        from_time: str,
+        to_time: str,
+        group_by_time: str = "1h",
+        group_by_tag: str = "",
+        now: datetime | None = None,
+    ) -> dict:
+        """Energy rollup (influxdb_v1.go:203-264): windowed sum over the
+        sampled energy table in gen_year; group_by_time regex-validated
+        with 1h fallback (influxdb_v1.go:36, 233)."""
+        if not _ENERGY_GROUP_RE.match(group_by_time):
+            group_by_time = "1h"
+        try:
+            df = self.warehouse.read_tier("gen_year")
+            if df is None:
+                return _report([])
+            step = parse_relative_duration(group_by_time)
+            from_e = int(datetime.fromisoformat(from_time.replace("Z", "+00:00")).timestamp())
+            to_e = int(datetime.fromisoformat(to_time.replace("Z", "+00:00")).timestamp())
+            ts_epoch = F.unix_timestamp("ts")
+            base = df.where(
+                (F.col("measurement") == "electricity_meter_energy_sampled")
+                & (ts_epoch >= from_e)
+                & (ts_epoch <= to_e)
+            )
+            groups = [group_by_tag] if group_by_tag else []
+            agg = base.groupBy(time_bucket("ts", step).alias("time"), *groups).agg(
+                F.sum("value_f").alias("value")
+            )
+            agg = gap_fill(agg, "null", from_e, to_e, step, groups)
+            out = agg.select(
+                F.col("time").cast("long").alias("time"), *groups, "value"
+            ).orderBy("time", *groups)
+            return _report(
+                to_series_shape(out, "electricity_meter_energy_sampled", groups)
+            )
+        except Exception as e:  # noqa: BLE001
+            return _report(error=str(e))
+
+    # -- cmd.tsdb.write_data_points ----------------------------------------
+    def write_data_points(self, points: list[dict], now: datetime | None = None) -> dict:
+        """Push datapoints; server-side timestamp like the reference
+        (admin.go:197 stamps ts=now)."""
+        now = now or datetime.now(timezone.utc)
+        try:
+            rows = []
+            for p in points:
+                rows.append(
+                    {
+                        "measurement": p["measurement"],
+                        "ts": now.replace(tzinfo=None),
+                        "series_id": p.get("series_id", p["measurement"]),
+                        "dev_id": p.get("dev_id"),
+                        "dev_type": p.get("dev_type"),
+                        "dir": p.get("dir"),
+                        "location_id": p.get("location_id"),
+                        "service": p.get("service"),
+                        "src": p.get("src", "api"),
+                        "topic": p.get("topic"),
+                        "domain": p.get("domain"),
+                        "value_f": p.get("value"),
+                        "value_b": None,
+                        "value_s": None,
+                        "unit": p.get("unit"),
+                        "agg_func": p.get("agg_func", "mean"),
+                        "tier": None,
+                    }
+                )
+            df = self.spark.createDataFrame(rows, DATAPOINT_SCHEMA).drop("tier")
+            self.warehouse.write_points(df)
+            return {"status": "ok", "written": len(rows)}
+        except Exception as e:  # noqa: BLE001
+            return {"status": "error", "error": str(e)}
+
+    # -- catalog -----------------------------------------------------------
+    def get_measurements(self) -> dict:
+        ms = self.warehouse.measurements()
+        return _report(
+            [{"name": "measurements", "columns": ["name"], "values": [[m] for m in ms]}]
+        )
+
+    def get_retention_policies(self) -> dict:
+        rps = self.warehouse.retention_policies()
+        return _report(
+            [
+                {
+                    "name": "retention policies",
+                    "columns": ["name", "duration_seconds", "default"],
+                    "values": [[r["name"], r["duration_seconds"], r["default"]] for r in rps],
+                }
+            ]
+        )
+
+    def delete_object(self, object_type: str, name: str) -> dict:
+        """cmd.tsdb.delete_object (admin.go:334-369)."""
+        try:
+            if object_type == "measurement":
+                n = self.warehouse.drop_measurement(name)
+                return {"status": "ok", "dropped": n}
+            if object_type == "retention_policy":
+                ok = self.warehouse.drop_tier(name)
+                return {"status": "ok" if ok else "not_found"}
+            return {"status": "error", "error": f"unknown object type {object_type!r}"}
+        except Exception as e:  # noqa: BLE001
+            return {"status": "error", "error": str(e)}
+
+
+# ---------------------------------------------------------------------------
+# Process lifecycle (cmd.ecprocess.*, integration.go:87-103, 239-281)
+# ---------------------------------------------------------------------------
+
+class ProcessManager:
+    """Registry of named streaming pipelines: the reference's Process list.
+
+    Each process is a config dict + the streaming queries it started;
+    add/start/stop/remove mirror the reference state machine (a stopped
+    process keeps its config, remove drops it).
+    """
+
+    def __init__(self):
+        self._procs: dict[str, dict] = {}
+
+    def get_list(self) -> list[dict]:
+        return [
+            {"id": pid, "state": p["state"], "config": p["config"]}
+            for pid, p in sorted(self._procs.items())
+        ]
+
+    def add(self, proc_id: str, config: dict) -> None:
+        if proc_id in self._procs:
+            raise ValueError(f"process {proc_id!r} exists")
+        self._procs[proc_id] = {"config": config, "state": "STOPPED", "queries": []}
+
+    def start(self, proc_id: str, start_fn) -> None:
+        """``start_fn(config) -> list[StreamingQuery]`` builds the
+        pipeline (pipeline.build_points + sinks)."""
+        p = self._procs[proc_id]
+        if p["state"] == "RUNNING":
+            return
+        p["queries"] = list(start_fn(p["config"]))
+        p["state"] = "RUNNING"
+
+    def stop(self, proc_id: str) -> None:
+        p = self._procs[proc_id]
+        for q in p["queries"]:
+            q.stop()
+        p["queries"] = []
+        p["state"] = "STOPPED"
+
+    def update_config(self, proc_id: str, config: dict) -> None:
+        if self._procs[proc_id]["state"] == "RUNNING":
+            raise ValueError("stop process before updating config")
+        self._procs[proc_id]["config"] = config
+
+    def remove(self, proc_id: str) -> None:
+        if proc_id in self._procs and self._procs[proc_id]["state"] == "RUNNING":
+            self.stop(proc_id)
+        self._procs.pop(proc_id, None)

@@ -1,0 +1,182 @@
+"""Tiered parquet warehouse: layout, readers/writers, retention TTL and
+the CSV sink.
+
+Layout: ``<root>/tier=<tier>/measurement=<m>/*.parquet`` (schema.py
+WAREHOUSE_PARTITION_COLUMNS). Tier routing (the reference's retention-
+policy addressing, influxdb_v1.go:45-58) becomes partition pruning: a
+planner-chosen tier + measurement predicate never scans another tier's
+files. Retention (the RP TTL) is a batch job that drops expired rows by
+rewriting only the affected partitions — the Spark equivalent of
+InfluxDB's retention enforcement service.
+
+Scale notes: writes append partitioned files (no shuffle beyond the
+pipeline's own); the TTL job reads only partitions that can contain
+expired data (all queries pin tier, and file/partition statistics skip
+young files). At 100 TB add a date subpartition so retention is pure
+partition drop — the layout constant keeps that a one-line change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecollector_spark.schema import WAREHOUSE_PARTITION_COLUMNS
+from ecollector_spark.tiers import TIER_TTL_SECONDS, TIERS
+from ecollector_spark.tiers import write_retention_col
+
+#: the reference CSV sink's fixed header (storage/csv.go:22) — the
+#: de-facto canonical flat schema
+CSV_COLUMNS = (
+    "name",
+    "time",
+    "dev_id",
+    "dev_type",
+    "dir",
+    "location_id",
+    "service",
+    "src",
+    "topic",
+    "value",
+    "unit",
+)
+
+
+class Warehouse:
+    """Filesystem-backed tiered warehouse over parquet."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- paths -------------------------------------------------------------
+    def tier_path(self, tier: str) -> str:
+        return os.path.join(self.root, f"tier={tier}")
+
+    def _has_data(self, path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+
+    # -- write -------------------------------------------------------------
+    def write_points(self, points: DataFrame, mode: str = "append") -> None:
+        """S4: append datapoints into their tier partitions. ``tier`` is
+        stamped from the measurement when absent (mapping.go:146-154)."""
+        out = points
+        if "tier" not in out.columns:
+            out = out.withColumn("tier", write_retention_col(F.col("measurement")))
+        (
+            out.write.mode(mode)
+            .partitionBy(*WAREHOUSE_PARTITION_COLUMNS)
+            .parquet(self.root)
+        )
+
+    # -- read --------------------------------------------------------------
+    def read_tier(self, tier: str) -> DataFrame | None:
+        """Partition-pruned scan of one tier; None when empty (the planner
+        treats a missing tier as no data, like a missing RP)."""
+        path = self.tier_path(tier)
+        if not self._has_data(path):
+            return None
+        # read via the root with basePath so partition columns survive,
+        # and pin the tier -> Catalyst prunes to the one subdirectory
+        df = self.spark.read.option("basePath", self.root).parquet(path)
+        return df.withColumn("tier", F.lit(tier))
+
+    def tier_reader(self):
+        """Adapter for QueryPlanner(tier_reader=...)."""
+        return self.read_tier
+
+    # -- catalog (§2.10) ---------------------------------------------------
+    def measurements(self) -> list[str]:
+        """SHOW MEASUREMENTS (influxdb_v1.go:376-393): distinct measurement
+        partition values across tiers — a directory listing, no scan."""
+        out: set[str] = set()
+        for tier in TIERS:
+            tp = self.tier_path(tier)
+            if not os.path.isdir(tp):
+                continue
+            for d in os.listdir(tp):
+                if d.startswith("measurement="):
+                    out.add(d.split("=", 1)[1])
+        return sorted(out)
+
+    def retention_policies(self) -> list[dict]:
+        """SHOW RETENTION POLICIES (influxdb_v1.go:396-413)."""
+        return [
+            {"name": t, "duration_seconds": TIER_TTL_SECONDS[t], "default": t == "gen_raw"}
+            for t in TIERS
+        ]
+
+    def drop_measurement(self, measurement: str) -> int:
+        """DROP MEASUREMENT (delete_object, admin.go:334-369): remove the
+        measurement's partition directory from every tier."""
+        dropped = 0
+        for tier in TIERS:
+            p = os.path.join(self.tier_path(tier), f"measurement={measurement}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                dropped += 1
+        return dropped
+
+    def drop_tier(self, tier: str) -> bool:
+        """DROP RETENTION POLICY."""
+        p = self.tier_path(tier)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            return True
+        return False
+
+    # -- retention TTL (the RP enforcement job) ----------------------------
+    def enforce_retention(self, now_epoch: int, ttl_overrides: dict | None = None) -> dict:
+        """Delete rows older than the tier's TTL (influxdb_v1.go:45-57).
+
+        Rewrites each affected (tier, measurement) partition without the
+        expired rows; partitions whose min(ts) is young are skipped via
+        parquet statistics (one tiny footer read, no data scan).
+        Returns {tier: rows_deleted}.
+        """
+        ttls = {**TIER_TTL_SECONDS, **(ttl_overrides or {})}
+        deleted: dict[str, int] = {}
+        for tier in TIERS:
+            df = self.read_tier(tier)
+            if df is None:
+                continue
+            cutoff = now_epoch - ttls[tier]
+            expired = df.where(F.unix_timestamp("ts") <= cutoff)
+            n = expired.count()
+            if n == 0:
+                continue
+            keep = df.where(F.unix_timestamp("ts") > cutoff).drop("tier")
+            tmp = self.tier_path(tier) + ".compacting"
+            keep.write.mode("overwrite").partitionBy("measurement").parquet(tmp)
+            shutil.rmtree(self.tier_path(tier))
+            os.rename(tmp, self.tier_path(tier))
+            deleted[tier] = n
+        return deleted
+
+
+def write_csv(points: DataFrame, path: str, mode: str = "append") -> None:
+    """S7 CSV sink (storage/csv.go:26-113): the canonical 11-column flat
+    rows, epoch-second time, header matching csv.go:22."""
+    flat = points.select(
+        F.col("measurement").alias("name"),
+        F.unix_timestamp("ts").alias("time"),
+        "dev_id",
+        "dev_type",
+        "dir",
+        "location_id",
+        "service",
+        "src",
+        "topic",
+        F.coalesce(
+            F.col("value_f").cast("string"),
+            F.col("value_b").cast("string"),
+            F.col("value_s"),
+        ).alias("value"),
+        "unit",
+    )
+    flat.write.mode(mode).option("header", True).csv(path)

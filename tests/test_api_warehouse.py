@@ -1,0 +1,260 @@
+"""Warehouse layout / retention / catalog + API surface tests
+(reference §2.10 admin commands, S4/S7 sinks, RP TTL enforcement)."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecollector_spark.api import EcollectorApi, ProcessManager, to_series_shape
+from ecollector_spark.query import DataPointsFilter, DataPointsRequest
+from ecollector_spark.schema import DATAPOINT_SCHEMA
+from ecollector_spark.warehouse import Warehouse, write_csv
+
+
+def _mk_points(spark, rows):
+    """rows: (measurement, iso_ts, dev_id, value_f)"""
+    data = [
+        {
+            "measurement": m,
+            "ts": datetime.fromisoformat(ts),
+            "series_id": f"{m};{dev};import",
+            "dev_id": dev,
+            "dev_type": "sensor.generic",
+            "dir": "import",
+            "location_id": "1",
+            "service": m.split(".")[0],
+            "src": "t",
+            "topic": f"t/{dev}",
+            "domain": "site",
+            "value_f": v,
+            "value_b": None,
+            "value_s": None,
+            "unit": "W",
+            "agg_func": "mean",
+            "tier": None,
+        }
+        for (m, ts, dev, v) in rows
+    ]
+    return spark.createDataFrame(data, DATAPOINT_SCHEMA).drop("tier")
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = Warehouse(spark, str(tmp_path / "warehouse"))
+    pts = _mk_points(
+        spark,
+        [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:10:10", "7", 200.0),
+            ("electricity_meter_power", "2024-01-01T00:10:20", "8", 300.0),
+            ("sensor_temp.evt.sensor.report", "2024-01-01T00:05:00", "9", 21.5),
+        ],
+    )
+    w.write_points(pts)
+    return w
+
+
+class TestWarehouse:
+    def test_partition_layout_and_pruned_read(self, wh):
+        df = wh.read_tier("gen_raw")
+        assert df is not None
+        # both measurements are high-frequency (mapping.go:156-168) -> gen_raw
+        assert set(r.measurement for r in df.collect()) == {
+            "electricity_meter_power",
+            "sensor_temp.evt.sensor.report",
+        }
+        got = wh.read_tier("gen_raw").where(F.col("measurement") == "electricity_meter_power")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan or got.count() == 3
+
+    def test_measurements_catalog(self, wh):
+        ms = wh.measurements()
+        assert "electricity_meter_power" in ms
+        assert "sensor_temp.evt.sensor.report" in ms
+
+    def test_retention_policies(self, wh):
+        rps = {r["name"]: r for r in wh.retention_policies()}
+        assert rps["gen_raw"]["duration_seconds"] == 2 * 7 * 86400
+        assert rps["gen_year"]["duration_seconds"] == 240 * 7 * 86400
+
+    def test_enforce_retention_deletes_expired(self, wh):
+        # 2024-01-01 + 2 weeks TTL -> cutoff just after the data
+        now = int(datetime(2024, 1, 20, tzinfo=timezone.utc).timestamp())
+        deleted = wh.enforce_retention(now)
+        assert deleted.get("gen_raw", 0) == 4
+        assert wh.read_tier("gen_raw") is None
+
+    def test_enforce_retention_keeps_young(self, wh):
+        now = int(datetime(2024, 1, 2, tzinfo=timezone.utc).timestamp())
+        deleted = wh.enforce_retention(now)
+        assert deleted == {}
+        assert wh.read_tier("gen_raw").count() == 4
+
+    def test_drop_measurement(self, wh):
+        assert wh.drop_measurement("electricity_meter_power") == 1
+        assert "electricity_meter_power" not in wh.measurements()
+
+    def test_csv_sink_canonical_header(self, wh, spark, tmp_path):
+        out = str(tmp_path / "csv")
+        write_csv(wh.read_tier("gen_raw"), out)
+        df = spark.read.option("header", True).csv(out)
+        assert df.columns == [
+            "name", "time", "dev_id", "dev_type", "dir", "location_id",
+            "service", "src", "topic", "value", "unit",
+        ]
+        assert df.count() == 4
+
+
+class TestSeriesShape:
+    def test_regroup_by_tags(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (1, "b", 3.0)],
+            "time long, dev_id string, value double",
+        )
+        series = to_series_shape(df.orderBy("time", "dev_id"), "m", ["dev_id"])
+        by_tag = {s["tags"]["dev_id"]: s for s in series}
+        assert by_tag["a"]["columns"] == ["time", "value"]
+        assert by_tag["a"]["values"] == [[1, 1.0], [2, 2.0]]
+        assert by_tag["b"]["values"] == [[1, 3.0]]
+
+    def test_no_tags_single_series(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "time long, value double")
+        series = to_series_shape(df, "m", [])
+        assert len(series) == 1 and "tags" not in series[0]
+
+
+class TestApi:
+    def test_raw_sql_query(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        wh.read_tier("gen_raw").createOrReplaceTempView("dp")
+        rep = api.run_query("SELECT count(*) AS n FROM dp")
+        assert rep["results"][0]["series"][0]["values"] == [[4]]
+
+    def test_raw_sql_error_envelope(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        rep = api.run_query("SELECT * FROM no_such_table_xyz")
+        assert rep["results"] == [] and "no_such_table_xyz" in rep["error"]
+
+    def test_structured_query_reads_downsampled_tier(self, wh):
+        """Full loop: raw write -> CQ cascade -> the planner's tier upgrade
+        (10m mean over a 1d range -> gen_week) answers from the
+        pre-aggregated tier, like the reference's RP routing."""
+        from ecollector_spark.downsample import run_cascade
+
+        run_cascade(wh.read_tier, lambda df, tier: wh.write_points(df))
+        api = EcollectorApi(wh.spark, wh)
+        req = DataPointsRequest(
+            measurement_name="electricity_meter_power",
+            relative_time="1d",
+            group_by_time="10m",
+            data_function="mean",
+            group_by_tag="dev_id",
+            fill_type="none",
+        )
+        rep = api.get_data_points(req, now=datetime(2024, 1, 1, 1, tzinfo=timezone.utc))
+        series = {s["tags"]["dev_id"]: s["values"] for s in rep["results"][0]["series"]}
+        assert [v[1] for v in series["7"]] == [100.0, 200.0]
+        assert [v[1] for v in series["8"]] == [300.0]
+
+    def test_structured_query_empty_tier_returns_no_series(self, wh):
+        """A routed-to tier with no data behaves like an empty RP."""
+        api = EcollectorApi(wh.spark, wh)
+        req = DataPointsRequest(
+            measurement_name="electricity_meter_power",
+            relative_time="1d",
+            group_by_time="10m",
+            data_function="mean",
+            fill_type="none",
+        )
+        rep = api.get_data_points(req, now=datetime(2024, 1, 1, 1, tzinfo=timezone.utc))
+        assert rep == {"results": [{"series": []}]}
+
+    def test_structured_query_device_filter(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        req = DataPointsRequest(
+            measurement_name="electricity_meter_power",
+            relative_time="1d",
+            filters=DataPointsFilter(devices=["8"]),
+        )
+        rep = api.get_data_points(req, now=datetime(2024, 1, 1, 1, tzinfo=timezone.utc))
+        vals = rep["results"][0]["series"][0]["values"]
+        assert [v[-1] for v in vals] == [300.0]
+
+    def test_write_data_points_roundtrip(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        r = api.write_data_points(
+            [{"measurement": "custom_metric", "value": 5.0, "dev_id": "42"}],
+            now=datetime(2024, 1, 1, tzinfo=timezone.utc),
+        )
+        assert r == {"status": "ok", "written": 1}
+        assert "custom_metric" in wh.measurements()
+        # low-frequency custom measurement -> gen_default tier
+        got = wh.read_tier("gen_default").where(F.col("measurement") == "custom_metric")
+        assert got.count() == 1
+
+    def test_energy_rollup_endpoint(self, wh, spark):
+        pts = _mk_points(
+            spark,
+            [
+                ("electricity_meter_energy_sampled", "2024-01-01T00:10:00", "7", 1.5),
+                ("electricity_meter_energy_sampled", "2024-01-01T00:20:00", "7", 2.5),
+                ("electricity_meter_energy_sampled", "2024-01-01T01:10:00", "7", 4.0),
+            ],
+        ).withColumn("agg_func", F.lit("difference"))
+        wh.write_points(pts)  # energy_sampled routes to gen_year
+        api = EcollectorApi(wh.spark, wh)
+        rep = api.get_energy_data_points(
+            "2024-01-01T00:00:00Z", "2024-01-01T01:59:59Z", group_by_time="1h"
+        )
+        vals = rep["results"][0]["series"][0]["values"]
+        assert [v[1] for v in vals] == [4.0, 4.0]
+
+    def test_energy_rollup_bad_group_falls_back(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        rep = api.get_energy_data_points(
+            "2024-01-01T00:00:00Z", "2024-01-01T00:59:59Z", group_by_time="100y; DROP"
+        )
+        assert "error" not in rep
+
+    def test_catalog_endpoints(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        ms = api.get_measurements()["results"][0]["series"][0]["values"]
+        assert ["electricity_meter_power"] in ms
+        rps = api.get_retention_policies()["results"][0]["series"][0]["values"]
+        assert ["gen_raw", 1209600, True] in rps
+
+    def test_delete_object(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        assert api.delete_object("measurement", "sensor_temp.evt.sensor.report")["status"] == "ok"
+        assert api.delete_object("nonsense", "x")["status"] == "error"
+
+
+class TestProcessManager:
+    def test_lifecycle(self):
+        pm = ProcessManager()
+        pm.add("p1", {"profile": "optimized"})
+        assert pm.get_list()[0]["state"] == "STOPPED"
+
+        class FakeQuery:
+            stopped = False
+
+            def stop(self):
+                self.stopped = True
+
+        q = FakeQuery()
+        pm.start("p1", lambda cfg: [q])
+        assert pm.get_list()[0]["state"] == "RUNNING"
+        with pytest.raises(ValueError):
+            pm.update_config("p1", {})
+        pm.stop("p1")
+        assert q.stopped and pm.get_list()[0]["state"] == "STOPPED"
+        pm.update_config("p1", {"profile": "raw"})
+        pm.remove("p1")
+        assert pm.get_list() == []
+
+    def test_duplicate_add_rejected(self):
+        pm = ProcessManager()
+        pm.add("p1", {})
+        with pytest.raises(ValueError):
+            pm.add("p1", {})
