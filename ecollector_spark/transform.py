@@ -89,14 +89,25 @@ def default_transform(events: DataFrame) -> DataFrame:
     _NS = F.lit(None).cast("string")
     _NF = F.lit(None).cast("double")
     _NB = F.lit(None).cast("boolean")
-    e = events
     serv, typ, val_t = F.col("serv"), F.col("type"), F.col("val_t")
     ts = F.col("ts")
     unit_prop = F.col("props").getItem("unit")
-    fval = F.col("val").try_cast("double")
-    fmap = F.from_json("val", "map<string,double>")
-    smap = F.from_json("val", "map<string,string>")
-    prices = F.from_json("val", _PRICE_SCHEMA)
+    # Parse the polymorphic payload ONCE per row, in its own projection:
+    # the parsed values are referenced by a dozen branch conditions below,
+    # and inlining from_json into each reference would re-parse the JSON
+    # per branch per row (CollapseProject only inlines cheap aliases, so
+    # the materialized columns survive optimization).
+    e = events.select(
+        *events.columns,
+        F.col("val").try_cast("double").alias("_fval"),
+        F.from_json("val", "map<string,double>").alias("_fmap"),
+        F.from_json("val", "map<string,string>").alias("_smap"),
+        F.from_json("val", _PRICE_SCHEMA).alias("_prices"),
+    )
+    fval = F.col("_fval")
+    fmap = F.col("_fmap")
+    smap = F.col("_smap")
+    prices = F.col("_prices")
 
     # series base: dev_id tag (set to "" when metadata missing —
     # transform.go:30-35; the topic fallback is unreachable because
@@ -139,6 +150,10 @@ def default_transform(events: DataFrame) -> DataFrame:
         err_power_guard | err_bad_unit | err_ext_guard | err_thermostat | err_no_valtype,
         F.lit(False),
     )
+    # materialized: referenced by the row filter and every generic
+    # candidate — one evaluation instead of seven
+    e = e.select(*e.columns, event_error.alias("_event_error"))
+    event_error = F.col("_event_error")
 
     # generic trailing point applies unless a branch set _skip_/fields=nil
     skip_generic = (
