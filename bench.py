@@ -29,6 +29,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "text_quality",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

@@ -1,0 +1,304 @@
+"""TPC-H-style relational queries over the driver's synthetic tables.
+
+The reference has no fact-to-fact relational joins (SURVEY §2.5) — they
+come free with Spark SQL, and these queries prove that surface: multi-way
+joins, grouped aggregation, top-k, window ranking, semi/anti joins. Each
+is written in idiomatic DataFrame API with explicit ``broadcast`` on the
+dimension side (at 100 TB lineitem/orders shuffle on join keys; nation/
+region/customer ship to executors) and has the literal SQL twin as its
+DuckDB oracle.
+
+Determinism: double sums depend on accumulation order, so every aggregate
+over doubles is computed in exact DECIMAL on BOTH engines and cast back
+to double at the end — bit-identical regardless of parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecollector_spark.driver_queries import register
+from ecollector_spark.session import load_tables
+
+DEC = "decimal(28,6)"
+
+
+def _dec(c):
+    return c.cast(DEC)
+
+
+def _dbl(c):
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary report
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """Q1: single-pass grouped aggregation; map-side partial aggregation
+    does the heavy lifting, the shuffle carries 6 groups."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].where(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dbl(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
+        _dbl(F.sum(_dec(F.col("l_extendedprice")))).alias("sum_base_price"),
+        _dbl(F.sum(_dec(disc))).alias("sum_disc_price"),
+        _dbl(F.sum(_dec(charge))).alias("sum_charge"),
+        (_dbl(F.sum(_dec(F.col("l_quantity")))) / F.count("*")).alias("avg_qty"),
+        (_dbl(F.sum(_dec(F.col("l_extendedprice")))) / F.count("*")).alias("avg_price"),
+        (_dbl(F.sum(_dec(F.col("l_discount")))) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+    return g.orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Q3: unshipped-order revenue (top 10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q3_order_revenue",
+    """
+SELECT l_orderkey,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+  o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def tpch_q3_order_revenue(spark, sf_dir):
+    """Q3: fact-fact join (orders x lineitem) shuffles on orderkey; the
+    filtered customer dimension broadcasts."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = F.broadcast(t["customer"].where(F.col("c_mktsegment") == "BUILDING"))
+    orders = t["orders"].where(F.col("o_orderdate") < "1997-03-15")
+    li = t["lineitem"].where(F.col("l_shipdate") > "1997-03-15")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dbl(F.sum(_dec(revenue))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+    )
+    return g.orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Q5: local supplier volume
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """Q5: six-way join; supplier/nation/region broadcast, the two fact
+    tables shuffle once each on orderkey."""
+    t = load_tables(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    region = t["region"].where(F.col("r_name") == "EUROPE")
+    nation = F.broadcast(
+        t["nation"].join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    supplier = F.broadcast(t["supplier"])
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy("n_name").agg(_dbl(F.sum(_dec(revenue))).alias("revenue"))
+    return g.orderBy(F.desc("revenue"), "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecast revenue change
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6: pure scan-filter-sum; every predicate pushes to parquet."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dbl(F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting (top 20 customers)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q10_returned_items",
+    """
+SELECT c_custkey, c_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+  CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dbl(F.sum(_dec(revenue))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", _dbl(F.col("c_acctbal")).alias("c_acctbal"), "n_name")
+    )
+    return g.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# window ranking: latest order per customer (rank/row_number surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_latest_order_per_customer",
+    """
+SELECT c_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM (
+  SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) WHERE rn = 1 AND c_custkey % 100 = 0
+ORDER BY c_custkey
+""",
+)
+def tpch_latest_order_per_customer(spark, sf_dir):
+    """Analytic-window surface: row_number over (customer, recency) —
+    the dedup-keep-latest shape used everywhere in log compaction."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("c_custkey") % 100 == 0))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            _dbl(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi/anti join surface: customers with no orders in a window
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_customers_without_recent_orders",
+    """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey % 50 = 0 AND c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+)
+ORDER BY c_custkey
+""",
+)
+def tpch_customers_without_recent_orders(spark, sf_dir):
+    """Anti-join (NOT IN with non-null keys) — a set-op the reference
+    could never express over InfluxQL."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    recent = t["orders"].where(F.col("o_orderdate") >= "2001-01-01")
+    return (
+        t["customer"]
+        .where(F.col("c_custkey") % 50 == 0)
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
