@@ -1,0 +1,85 @@
+"""Physical-plan audit: assert the plans we ship are the plans we want.
+
+For each audited query this checks executed-plan properties that matter
+at 100 TB: parquet filter pushdown, column-pruned schemas, broadcast
+joins for dimensions, map-side partial aggregation, and absence of
+row-at-a-time Python evaluation in hot paths.
+
+    python tools/explain_audit.py [sf_dir] [-v]
+
+Exit 0 = every assertion holds. Run under -v to dump the plans.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+CHECKS = {
+    # planner path: measurement + time predicates must reach the scan,
+    # aggregation must have a partial (map-side) phase
+    # (the scan is the raw events adapter: pruned to [ts,event_type,value]
+    # with the measurement predicate pushed as event_type=...)
+    "ts_group_by_time_mean": [
+        "PushedFilters: \\[IsNotNull\\(event_type\\), EqualTo\\(event_type",
+        "partial_",
+        "FileScan parquet \\[ts#\\d+L?,event_type#\\d+,value#\\d+\\]",
+    ],
+    # enrichment is a broadcast join, never a shuffle of the fact side
+    "enrichment_left_join": ["BroadcastHashJoin"],
+    # TPC-H Q5: dimensions broadcast; fact join is hash/sort-merge
+    "tpch_q5_local_supplier_volume": ["BroadcastHashJoin", "partial_"],
+    # scan-heavy query: predicate pushdown into parquet
+    # pushed-filter list renders truncated; IsNotNull(l_shipdate) leading
+    # the list + the >= DataFilter proves the range predicate reached the
+    # scan, and the ReadSchema is pruned to the 4 needed columns
+    "tpch_q6_forecast_revenue": [
+        "PushedFilters: \\[IsNotNull\\(l_shipdate\\)",
+        "l_shipdate#\\d+ >= ",
+        "FileScan parquet \\[l_quantity#\\d+,l_extendedprice#\\d+,l_discount#\\d+,l_shipdate#\\d+\\]",
+        "partial_",
+    ],
+    # dedup: the minhash aggregate must be partial (map-side min)
+    "dedup_minhash_lsh": ["partial_min", "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+    # text ops are one map-side pass: no shuffle except the explicit sort
+    "text_quality": ["^((?!Exchange hashpartitioning).)*$"],
+    # ANN brute force: the query vector is a broadcast, the scan is pruned
+    "ann_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastHashJoin", "TakeOrderedAndProject"],
+}
+
+FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.001"
+    verbose = "-v" in sys.argv
+
+    from ecollector_spark import driver_queries
+    from ecollector_spark.session import get_spark
+
+    driver_queries.load_all()
+    spark = get_spark("explain_audit")
+    failures = 0
+    for name, patterns in CHECKS.items():
+        df = driver_queries.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if verbose:
+            print(f"\n===== {name} =====\n{plan}")
+        for pat in patterns:
+            if not re.search(pat, plan, re.MULTILINE | re.DOTALL):
+                print(f"FAIL {name}: plan lacks /{pat}/")
+                failures += 1
+        for pat in FORBIDDEN_EVERYWHERE:
+            if re.search(pat, plan):
+                print(f"FAIL {name}: plan contains forbidden {pat}")
+                failures += 1
+        if not failures:
+            print(f"OK {name}")
+    print(f"\n{'FAIL' if failures else 'PASS'} ({failures} failures)")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
