@@ -98,9 +98,9 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 def dedup_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (inverted-index candidates,
     df-capped against stop-shingle blowup)."""
-    return dedup.jaccard_pairs(
-        dedup_corpus(spark, sf_dir), threshold=0.5, max_df=100
-    ).orderBy("doc_a", "doc_b")
+    pairs = dedup.jaccard_pairs(dedup_corpus(spark, sf_dir), threshold=0.5, max_df=100)
+    # lazy checkpoint: the sort's range sampling must not re-run the joins
+    return pairs.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 _BANDS_SQL = """mh AS (
@@ -137,9 +137,10 @@ cand AS (
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(8) + LSH(4 bands x 2 rows) candidates, exact-Jaccard
     verified — the linear-cost dedup path for 100 TB corpora."""
-    return dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_pairs(
         dedup_corpus(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5
-    ).orderBy("doc_a", "doc_b")
+    )
+    return pairs.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 _SIMHASH_BITS = 16
@@ -163,7 +164,8 @@ tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash per document (signed projection over md5 token
     hashes); equal values = near-dup candidates."""
-    return dedup.simhash(dedup_corpus(spark, sf_dir), bits=_SIMHASH_BITS).orderBy("doc_id")
+    sh = dedup.simhash(dedup_corpus(spark, sf_dir), bits=_SIMHASH_BITS)
+    return sh.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

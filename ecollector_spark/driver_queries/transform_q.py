@@ -136,7 +136,7 @@ ORDER BY 1, 2, 3
 def fimp_transform_pipeline(spark, sf_dir):
     fimp = fimp_from_events(spark, sf_dir)
     dp = default_transform(fimp)
-    return dp.select(
+    out = dp.select(
         "measurement",
         F.unix_timestamp("ts").alias("time"),
         "series_id",
@@ -146,4 +146,8 @@ def fimp_transform_pipeline(spark, sf_dir):
         "value_s",
         "unit",
         "agg_func",
-    ).orderBy("measurement", "time", "series_id")
+    )
+    # the global sort's range-partition sampling would execute the whole
+    # transform twice; checkpointing materializes it once (lazy: only
+    # when the query actually runs)
+    return out.localCheckpoint(eager=False).orderBy("measurement", "time", "series_id")
