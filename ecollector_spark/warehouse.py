@@ -130,6 +130,48 @@ class Warehouse:
             return True
         return False
 
+    def register_views(self, name: str = "datapoints") -> list[str]:
+        """Register SQL views: one per tier (``<name>_<tier>``) plus a
+        union view ``<name>`` over every populated tier — the table
+        surface behind the Q1 raw-SQL endpoint. Tier + measurement
+        predicates in user SQL still prune partitions (the views are thin
+        wrappers over the partitioned scans)."""
+        registered = []
+        union = None
+        for tier in TIERS:
+            df = self.read_tier(tier)
+            if df is None:
+                continue
+            vname = f"{name}_{tier}"
+            df.createOrReplaceTempView(vname)
+            registered.append(vname)
+            union = df if union is None else union.unionByName(df, allowMissingColumns=True)
+        if union is not None:
+            union.createOrReplaceTempView(name)
+            registered.append(name)
+        return registered
+
+    def compact(self, tier: str, target_files_per_measurement: int = 1) -> bool:
+        """Small-file compaction: streaming micro-batches leave one file
+        per trigger per partition; rewrite the tier with ``repartition``
+        so each measurement partition holds ~target file count. Run
+        alongside the TTL job. (At 100 TB: compact only partitions whose
+        file count exceeds a threshold, tracked from the file index.)"""
+        df = self.read_tier(tier)
+        if df is None:
+            return False
+        tmp = self.tier_path(tier) + ".compacting"
+        (
+            df.drop("tier")
+            .repartition(target_files_per_measurement, "measurement")
+            .write.mode("overwrite")
+            .partitionBy("measurement")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.tier_path(tier))
+        os.rename(tmp, self.tier_path(tier))
+        return True
+
     # -- retention TTL (the RP enforcement job) ----------------------------
     def enforce_retention(self, now_epoch: int, ttl_overrides: dict | None = None) -> dict:
         """Delete rows older than the tier's TTL (influxdb_v1.go:45-57).

@@ -1,0 +1,185 @@
+"""Kafka parse stage, skew helpers, warehouse views/compaction, and
+property-based tests for the pure operator twins."""
+
+import json
+from datetime import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ecollector_spark.aggregate import calculate_difference, filter_series_noise
+from ecollector_spark.functions.skew import salted_aggregate, top_frequent_keys
+from ecollector_spark.sources.kafka_source import parse_kafka_records
+from ecollector_spark.tiers import (
+    TIERS,
+    choose_query_tier,
+    resolve_retention_by_elapsed,
+)
+
+
+class TestKafkaParse:
+    def test_parse_kafka_records(self, spark):
+        env = {
+            "topic": "pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7",
+            "type": "evt.meter.report",
+            "serv": "meter_elec",
+            "val_t": "float",
+            "val": "1.5",
+            "props": {"unit": "W"},
+            "src": "t",
+            "ctime": "2024-01-01T00:00:01",
+            "uid": "u1",
+        }
+        rows = [
+            # key carries the MQTT topic (bridge convention)
+            ("mqtt/topic/a", json.dumps(env).encode(), "fimp", 0, 0, datetime(2024, 1, 2)),
+            # no key -> envelope topic; no ctime -> kafka timestamp
+            (None, json.dumps({**env, "ctime": None}).encode(), "fimp", 0, 1, datetime(2024, 1, 3)),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "key string, value binary, topic string, partition int, offset long, timestamp timestamp",
+        )
+        got = parse_kafka_records(df).collect()
+        assert got[0].topic == "mqtt/topic/a"
+        assert got[0].serv == "meter_elec" and got[0].ts.isoformat() == "2024-01-01T00:00:01"
+        assert got[1].topic == env["topic"]
+        assert got[1].ts.isoformat() == "2024-01-03T00:00:00"
+
+
+class TestSkewHelpers:
+    def test_salted_aggregate_matches_plain(self, spark):
+        rows = [("hot", float(i)) for i in range(500)] + [
+            (f"k{i}", float(i)) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "key string, v double")
+        salted = salted_aggregate(
+            df, ["key"], {"total": ("sum", "v"), "n": ("count", "v"),
+                          "lo": ("min", "v"), "hi": ("max", "v")}
+        )
+        plain = df.groupBy("key").agg(
+            F.sum("v").alias("total"), F.count("v").alias("n"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+        a = {r.key: (r.total, r.n, r.lo, r.hi) for r in salted.collect()}
+        b = {r.key: (r.total, r.n, r.lo, r.hi) for r in plain.collect()}
+        # sum of doubles: same partials merged in different order — compare
+        # with tolerance for the hot key, exactly for singletons
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k][1:] == b[k][1:]
+            assert abs(a[k][0] - b[k][0]) < 1e-6
+
+    def test_salted_rejects_non_algebraic(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "key string, v double")
+        with pytest.raises(ValueError):
+            salted_aggregate(df, ["key"], {"m": ("median", "v")})
+
+    def test_top_frequent_keys(self, spark):
+        rows = [("hot",)] * 90 + [("cold",)] * 10
+        df = spark.createDataFrame(rows, "key string")
+        top = top_frequent_keys(df, "key", n=1).collect()
+        assert top[0].key == "hot" and abs(top[0].share - 0.9) < 1e-9
+
+
+class TestWarehouseViewsCompact:
+    def test_register_views_and_sql(self, spark, tmp_path):
+        from tests.test_api_warehouse import _mk_points
+        from ecollector_spark.warehouse import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "w"))
+        wh.write_points(
+            _mk_points(
+                spark,
+                [
+                    ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+                    ("door_lock.evt.lock.report", "2024-01-01T00:00:10", "9", 1.0),
+                ],
+            )
+        )
+        views = wh.register_views("dp")
+        assert "dp" in views and "dp_gen_raw" in views and "dp_gen_default" in views
+        got = spark.sql(
+            "SELECT tier, count(*) AS n FROM dp GROUP BY tier ORDER BY tier"
+        ).collect()
+        assert [(r.tier, r.n) for r in got] == [("gen_default", 1), ("gen_raw", 1)]
+
+    def test_compact_reduces_files(self, spark, tmp_path):
+        import glob
+
+        from tests.test_api_warehouse import _mk_points
+        from ecollector_spark.warehouse import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "w"))
+        # 5 separate appends -> >=5 files in the measurement partition
+        for i in range(5):
+            wh.write_points(
+                _mk_points(
+                    spark, [("electricity_meter_power", f"2024-01-01T00:0{i}:00", "7", float(i))]
+                )
+            )
+        pat = f"{wh.tier_path('gen_raw')}/measurement=*/*.parquet"
+        assert len(glob.glob(pat)) >= 5
+        assert wh.compact("gen_raw", target_files_per_measurement=1)
+        assert len(glob.glob(pat)) == 1
+        assert wh.read_tier("gen_raw").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# property-based pins for the pure twins (hypothesis)
+# ---------------------------------------------------------------------------
+
+finite = st.floats(min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False)
+
+
+class TestProperties:
+    @given(st.lists(finite, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_difference_nonnegative_and_bounded(self, values):
+        r = calculate_difference(values)
+        assert r >= 0.0
+        if len(values) >= 2:
+            # never exceeds total upward movement
+            ups = sum(b - a for a, b in zip(values, values[1:]) if b >= a)
+            assert r == pytest.approx(ups)
+        else:
+            assert r == 0.0
+
+    @given(st.lists(finite, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_difference_of_sorted_is_span(self, values):
+        s = sorted(values)
+        if len(s) >= 2:
+            assert calculate_difference(s) == pytest.approx(s[-1] - s[0])
+
+    @given(st.lists(finite, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_filter_series_noise_subset_no_zeros(self, values):
+        out = filter_series_noise(values)
+        assert all(v != 0 for v in out)
+        # multiset-subset of input
+        from collections import Counter
+
+        assert not Counter(out) - Counter(values)
+
+    @given(st.floats(min_value=0, max_value=10 * 365 * 86400, allow_nan=False))
+    @settings(max_examples=200, deadline=None)
+    def test_tier_routing_total_and_monotone(self, elapsed):
+        t = resolve_retention_by_elapsed(elapsed)
+        assert t in TIERS
+        # coarser horizon never routes to a finer tier
+        order = {"gen_raw": 0, "gen_day": 1, "gen_week": 2, "gen_month": 3, "gen_year": 4}
+        t2 = resolve_retention_by_elapsed(elapsed * 2 + 1)
+        assert order[t2] >= order[t]
+
+    @given(
+        st.sampled_from(["electricity_meter_power", "sensor_temp.evt", "door_lock.evt"]),
+        st.sampled_from(["10m", "1h", "1d", ""]),
+        st.sampled_from(["mean", "last", ""]),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_choose_query_tier_always_valid(self, m, gbt, fn):
+        c = choose_query_tier(m, relative_time="2d", group_by_time=gbt, data_function=fn)
+        assert c.tier in TIERS
