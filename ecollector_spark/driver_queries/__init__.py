@@ -30,7 +30,13 @@ def register(name: str, oracle: Optional[str] = None):
 
 def load_all() -> None:
     """Import all query modules (idempotent)."""
-    from ecollector_spark.driver_queries import cascade, core, streaming_q, transform_q  # noqa: F401
+    from ecollector_spark.driver_queries import (  # noqa: F401
+        cascade,
+        core,
+        planner_extra,
+        streaming_q,
+        transform_q,
+    )
 
     try:
         from ecollector_spark.driver_queries import tpch  # noqa: F401

@@ -1,0 +1,94 @@
+"""Planner shapes completing the A15/A16 oracle coverage: the abs
+transform wrap and FILL(linear)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecollector_spark.driver_queries import register
+from ecollector_spark.driver_queries.core import (
+    F_EPOCH,
+    FROM_T,
+    NOW,
+    T_EPOCH,
+    TO_T,
+    _bucket,
+    _DP,
+    _plan,
+    _spine,
+    _src_sql,
+)
+
+
+@register(
+    "ts_transform_abs_diff",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+agg AS (SELECT {_bucket(21600)} AS time, arg_max(value_f, ts) AS value FROM src GROUP BY 1),
+d AS (SELECT time, value - lag(value) OVER (ORDER BY time) AS value FROM agg)
+SELECT time, round(abs(value), 6) AS value FROM d WHERE value IS NOT NULL ORDER BY time
+""",
+)
+def ts_transform_abs_diff(spark, sf_dir):
+    """A15 transform wrap f(g(x)): abs(difference(last(value))) per 6h
+    bucket — the InfluxQL ``abs(difference(...))`` shape
+    (influxdb_v1.go:184-186, 229-231)."""
+    df = _plan(
+        spark,
+        sf_dir,
+        measurement_name="purchase",
+        from_time=FROM_T,
+        to_time=TO_T,
+        group_by_time="6h",
+        data_function="difference",
+        transform_function="abs",
+    )
+    return df.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "ts_agg_mean_fill_linear",
+    f"""{_DP},
+src AS ({_src_sql('signup')}),
+agg AS (SELECT {_bucket(14400)} AS time, round(avg(value_f), 3) AS value FROM src GROUP BY 1),
+spine AS ({_spine(14400)}),
+joined AS (SELECT spine.time, agg.value FROM spine LEFT JOIN agg USING (time)),
+w AS (SELECT time, value,
+  last_value(value IGNORE NULLS) OVER (ORDER BY time
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+  first_value(value IGNORE NULLS) OVER (ORDER BY time
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+  last_value(CASE WHEN value IS NOT NULL THEN time END IGNORE NULLS) OVER (ORDER BY time
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+  first_value(CASE WHEN value IS NOT NULL THEN time END IGNORE NULLS) OVER (ORDER BY time
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM joined)
+SELECT time,
+  round(CASE WHEN value IS NOT NULL THEN value
+             WHEN pt = nt THEN pv
+             ELSE pv + (nv - pv) * (time - pt) / (nt - pt) END, 6) AS value
+FROM w ORDER BY time
+""",
+)
+def ts_agg_mean_fill_linear(spark, sf_dir):
+    """A16 FILL(linear): empty buckets interpolated between neighbors;
+    leading/trailing gaps stay null (InfluxDB linear-fill semantics)."""
+    from ecollector_spark.gapfill import gap_fill
+    from ecollector_spark.query import DataPointsRequest
+    from ecollector_spark.driver_queries.core import _planner
+
+    # round the aggregate before filling so interpolation runs over the
+    # same numbers as the oracle, then round the interpolant
+    req = DataPointsRequest(
+        measurement_name="signup",
+        from_time=FROM_T,
+        to_time=TO_T,
+        group_by_time="4h",
+        data_function="mean",
+        fill_type="none",
+    )
+    agg = _planner(spark, sf_dir).plan(req, now=NOW).withColumn("value", F.round("value", 3))
+    filled = gap_fill(agg, "linear", F_EPOCH, T_EPOCH, 14400, [])
+    return filled.select(
+        F.col("time").cast("long").alias("time"), F.round("value", 6).alias("value")
+    ).orderBy("time")
