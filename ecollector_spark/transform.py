@@ -97,12 +97,20 @@ def default_transform(events: DataFrame) -> DataFrame:
     # and inlining from_json into each reference would re-parse the JSON
     # per branch per row (CollapseProject only inlines cheap aliases, so
     # the materialized columns survive optimization).
+    # ...and only for rows whose branch consumes that parse: the float_map
+    # is meter_ext-only, the str_map thermostat-only, the price array
+    # price-service-only (val_t discriminates too, so mismatched payloads
+    # for other branches can't slip through a dropped guard).
+    _serv, _typ, _vt = F.col("serv"), F.col("type"), F.col("val_t")
+    _need_fmap = (_vt == "float_map") | (_serv.isin(*_METER_SERVICES) & (_typ == "evt.meter_ext.report"))
+    _need_smap = (_vt == "str_map") | (_serv == "thermostat")
+    _need_prices = (_vt == "object") & (_serv == "price_info_elec")
     e = events.select(
         *events.columns,
         F.col("val").try_cast("double").alias("_fval"),
-        F.from_json("val", "map<string,double>").alias("_fmap"),
-        F.from_json("val", "map<string,string>").alias("_smap"),
-        F.from_json("val", _PRICE_SCHEMA).alias("_prices"),
+        F.when(_need_fmap, F.from_json("val", "map<string,double>")).alias("_fmap"),
+        F.when(_need_smap, F.from_json("val", "map<string,string>")).alias("_smap"),
+        F.when(_need_prices, F.from_json("val", _PRICE_SCHEMA)).alias("_prices"),
     )
     fval = F.col("_fval")
     fmap = F.col("_fmap")
@@ -286,25 +294,31 @@ def default_transform(events: DataFrame) -> DataFrame:
     gm = F.concat_ws(".", serv, typ)
     gseries = F.concat(gm, F.lit(";"), base)
 
-    def generic(cond, vf, vb, vs, unit):
-        return F.when(
-            generic_ok & cond,
-            _pt(gm, ts, gseries, _NS, vf, vb, vs, unit, F.lit("mean")),
-        )
-
+    # one candidate slot for all six val_t cases (they're mutually
+    # exclusive per event, so a single struct with per-field dispatch
+    # emits the same row at a third of the expression count)
+    g_cond = (
+        ((val_t == "float") & fval.isNotNull())
+        | ((val_t == "int") & fval.isNotNull())
+        | val_t.isin("bool", "string", "null", "object")
+    )
+    g_vf = (
+        F.when(val_t.isin("float", "int"), fval)
+        .when(val_t == "null", F.lit(0.0))
+        .otherwise(_NF)
+    )
+    g_vb = F.when(val_t == "bool", F.col("val").try_cast("boolean")).otherwise(_NB)
+    g_vs = (
+        F.when(val_t == "string", F.regexp_replace("val", r'^"|"$', ""))
+        .when(val_t == "object", F.lit("object"))
+        .otherwise(_NS)
+    )
+    g_unit = F.when(val_t == "float", unit_prop).otherwise(_NS)
     p_generic = [
-        generic((val_t == "float") & fval.isNotNull(), fval, _NB, _NS, unit_prop),
-        generic((val_t == "int") & fval.isNotNull(), fval, _NB, _NS, _NS),
-        generic(val_t == "bool", _NF, F.col("val").try_cast("boolean"), _NS, _NS),
-        generic(
-            val_t == "string",
-            _NF,
-            _NB,
-            F.regexp_replace("val", r'^"|"$', ""),
-            _NS,
-        ),
-        generic(val_t == "null", F.lit(0.0), _NB, _NS, _NS),
-        generic(val_t == "object", _NF, _NB, F.lit("object"), _NS),
+        F.when(
+            generic_ok & g_cond,
+            _pt(gm, ts, gseries, _NS, g_vf, g_vb, g_vs, g_unit, F.lit("mean")),
+        )
     ]
 
     # ---- price forecast explode (transform.go:270-297) ----
