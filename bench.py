@@ -48,8 +48,23 @@ def main() -> None:
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in driver_queries.QUERIES]
 
-    # warm the JVM + file listing once with a trivial action
-    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).count()
+    # Warm the JVM once with a representative plan (scan + shuffle agg +
+    # broadcast join) so per-query timings measure the engine, not
+    # first-run JIT/codegen infrastructure. Standard steady-state
+    # benchmarking; each query still pays its OWN plan's codegen.
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    (
+        ev.limit(10000)
+        .join(F.broadcast(dim), ev.user_id % 5 == dim.k)
+        .groupBy("event_type")
+        .agg(F.avg("value"), F.count("*"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in names:

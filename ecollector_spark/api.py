@@ -26,6 +26,7 @@ from ecollector_spark.functions.timeutil import parse_relative_duration, time_bu
 from ecollector_spark.gapfill import gap_fill
 from ecollector_spark.query import DataPointsRequest, QueryPlanner
 from ecollector_spark.schema import DATAPOINT_SCHEMA
+from ecollector_spark.tiers import TIER_TTL_SECONDS
 from ecollector_spark.warehouse import Warehouse
 
 #: energy rollup validation (influxdb_v1.go:36): 1-2 digits + m/h/d/w,
@@ -95,6 +96,8 @@ class EcollectorApi:
             return df if df is not None else spark.createDataFrame([], DATAPOINT_SCHEMA)
 
         self.planner = QueryPlanner(reader, profile=profile)
+        #: custom / altered RP TTLs (add/update_retention_policy)
+        self.ttl_overrides: dict[str, int] = {}
 
     # -- Q1: cmd.tsdb.query ------------------------------------------------
     def run_query(self, query: str) -> dict:
@@ -204,6 +207,32 @@ class EcollectorApi:
         except Exception as e:  # noqa: BLE001
             return {"status": "error", "error": str(e)}
 
+    # -- retention policy DDL (admin.go:292-332) ---------------------------
+    def add_retention_policy(self, name: str, duration_seconds: int) -> dict:
+        """cmd.tsdb.add_retention_policy: a new tier with a custom TTL.
+        The tier directory materializes on first write; the TTL override
+        feeds enforce_retention."""
+        if name in self.ttl_overrides or name in TIER_TTL_SECONDS:
+            return {"status": "error", "error": f"retention policy {name!r} exists"}
+        self.ttl_overrides[name] = int(duration_seconds)
+        return {"status": "ok"}
+
+    def update_retention_policy(self, name: str, duration_seconds: int) -> dict:
+        """cmd.tsdb.update_retention_policy: ALTER the TTL of an existing
+        tier (built-in tiers get an override; enforcement uses it)."""
+        if name not in self.ttl_overrides and name not in TIER_TTL_SECONDS:
+            return {"status": "error", "error": f"unknown retention policy {name!r}"}
+        self.ttl_overrides[name] = int(duration_seconds)
+        return {"status": "ok"}
+
+    def set_log_level(self, level: str) -> dict:
+        """cmd.log.set_level (admin.go:374-388)."""
+        try:
+            self.spark.sparkContext.setLogLevel(level.upper())
+            return {"status": "ok", "level": level.upper()}
+        except Exception as e:  # noqa: BLE001
+            return {"status": "error", "error": str(e)}
+
     # -- catalog -----------------------------------------------------------
     def get_measurements(self) -> dict:
         ms = self.warehouse.measurements()
@@ -212,16 +241,26 @@ class EcollectorApi:
         )
 
     def get_retention_policies(self) -> dict:
-        rps = self.warehouse.retention_policies()
+        rps = {r["name"]: r for r in self.warehouse.retention_policies()}
+        for name, ttl in self.ttl_overrides.items():
+            rps[name] = {"name": name, "duration_seconds": ttl, "default": False}
         return _report(
             [
                 {
                     "name": "retention policies",
                     "columns": ["name", "duration_seconds", "default"],
-                    "values": [[r["name"], r["duration_seconds"], r["default"]] for r in rps],
+                    "values": [
+                        [r["name"], r["duration_seconds"], r["default"]]
+                        for r in rps.values()
+                    ],
                 }
             ]
         )
+
+    def enforce_retention(self, now: datetime | None = None) -> dict:
+        """Run the RP TTL job with any DDL overrides applied."""
+        now = now or datetime.now(timezone.utc)
+        return self.warehouse.enforce_retention(int(now.timestamp()), self.ttl_overrides)
 
     def delete_object(self, object_type: str, name: str) -> dict:
         """cmd.tsdb.delete_object (admin.go:334-369)."""

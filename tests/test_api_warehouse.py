@@ -224,6 +224,25 @@ class TestApi:
         rps = api.get_retention_policies()["results"][0]["series"][0]["values"]
         assert ["gen_raw", 1209600, True] in rps
 
+    def test_retention_policy_ddl(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        assert api.add_retention_policy("gen_custom", 3600)["status"] == "ok"
+        assert api.add_retention_policy("gen_raw", 1)["status"] == "error"  # exists
+        assert api.update_retention_policy("gen_raw", 1)["status"] == "ok"  # ALTER built-in
+        assert api.update_retention_policy("nope", 1)["status"] == "error"
+        rps = {
+            v[0]: v[1]
+            for v in api.get_retention_policies()["results"][0]["series"][0]["values"]
+        }
+        assert rps["gen_custom"] == 3600 and rps["gen_raw"] == 1
+        # enforcement uses the ALTERed 1s TTL: everything expires
+        deleted = api.enforce_retention(now=datetime(2024, 1, 2, tzinfo=timezone.utc))
+        assert deleted.get("gen_raw", 0) == 4
+
+    def test_set_log_level(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        assert api.set_log_level("warn") == {"status": "ok", "level": "WARN"}
+
     def test_delete_object(self, wh):
         api = EcollectorApi(wh.spark, wh)
         assert api.delete_object("measurement", "sensor_temp.evt.sensor.report")["status"] == "ok"
