@@ -1,0 +1,97 @@
+"""End-to-end quickstart — the migration path for a reference user.
+
+Everything an ecollector deployment does, in one script:
+ingest FIMP events (batch replay here; swap in read_fimp_stream /
+read_kafka_stream for live) -> filter/enrich/transform -> tiered
+warehouse -> downsample cascade -> structured query + raw SQL, answered
+in the reference's Series JSON shape.
+
+    python examples/quickstart.py [workdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ecollector_spark.api import EcollectorApi
+from ecollector_spark.downsample import run_cascade
+from ecollector_spark.query import DataPointsFilter, DataPointsRequest
+from ecollector_spark.session import get_spark
+from ecollector_spark.streaming.pipeline import build_points, route_points
+from ecollector_spark.warehouse import Warehouse
+
+
+def main() -> None:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="ecollector_qs_")
+    spark = get_spark("quickstart")
+
+    # -- 1. some FIMP events (normally: read_fimp_stream / kafka / replay log)
+    events = spark.createDataFrame(
+        [
+            (
+                "pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7",
+                "evt.meter.report", "meter_elec", "float", str(1.0 + i / 10),
+                {"unit": "kW"}, "qs", f"2024-01-01T00:{i:02d}:00", f"u{i}",
+            )
+            for i in range(30)
+        ],
+        "topic string, type string, serv string, val_t string, val string, "
+        "props map<string,string>, src string, ctime string, uid string",
+    ).withColumn("ts", F.col("ctime").cast("timestamp"))
+
+    # -- 2. device registry dimension (vinculum/file store equivalent)
+    metadata = spark.createDataFrame(
+        [("/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7", 7, 1, "meter.main_elec")],
+        "address string, device_id int, location_id int, device_type string",
+    )
+
+    # -- 3. pipeline: filter -> enrich -> transform -> route -> warehouse
+    points = build_points(events, metadata=metadata)
+    branches = route_points(points, profile="optimized")
+    wh = Warehouse(spark, f"{workdir}/warehouse")
+    for branch in ("raw", "preagg", "diff"):
+        df = branches[branch]
+        if df is not None and df.take(1):
+            wh.write_points(df)
+
+    # -- 4. the CQ cascade (scheduled job in production)
+    run_cascade(wh.read_tier, lambda df, tier: wh.write_points(df))
+
+    # -- 5. query: structured API (Q2) and raw SQL (Q1)
+    api = EcollectorApi(spark, wh)
+    report = api.get_data_points(
+        DataPointsRequest(
+            measurement_name="electricity_meter_power",
+            relative_time="1d",
+            group_by_time="10m",
+            data_function="mean",
+            group_by_tag="dev_id",
+            fill_type="null",
+            filters=DataPointsFilter(devices=["7"]),
+        ),
+        now=__import__("datetime").datetime(2024, 1, 1, 1, tzinfo=__import__("datetime").timezone.utc),
+    )
+    print("structured query (Series shape):")
+    print(json.dumps(report, indent=2, default=str)[:800])
+
+    wh.register_views("datapoints")
+    sql_report = api.run_query(
+        "SELECT measurement, count(*) AS points, round(avg(value_f), 1) AS avg_w "
+        "FROM datapoints GROUP BY measurement ORDER BY measurement"
+    )
+    print("\nraw SQL:")
+    print(json.dumps(sql_report, indent=2, default=str))
+
+    print("\nmeasurements:", wh.measurements())
+    print("workdir:", workdir)
+
+
+if __name__ == "__main__":
+    main()
