@@ -34,6 +34,7 @@ def load_all() -> None:
         cascade,
         core,
         planner_extra,
+        sessionize,
         streaming_q,
         transform_q,
     )
