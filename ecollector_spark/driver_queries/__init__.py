@@ -31,6 +31,7 @@ def register(name: str, oracle: Optional[str] = None):
 def load_all() -> None:
     """Import all query modules (idempotent)."""
     from ecollector_spark.driver_queries import (  # noqa: F401
+        asof_q,
         cascade,
         core,
         planner_extra,
