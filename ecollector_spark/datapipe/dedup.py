@@ -45,14 +45,23 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+def _doc_shingles(docs: DataFrame, text_col: str, k: int, materialize: bool = False) -> DataFrame:
     # Tokenize in a separate projection: shingles_expr references the
     # token array k+2 times, and inlining the tokenizer into each
     # reference would re-run the regex split per shingle per element
     # (~150x per doc). A multi-referenced non-cheap alias survives
     # CollapseProject, so tokens are computed once per row.
     toks = docs.select("doc_id", tokens_expr(text_col).alias("_toks"))
-    return toks.select("doc_id", F.explode(shingles_expr(F.col("_toks"), k)).alias("shingle"))
+    sh = toks.select("doc_id", F.explode(shingles_expr(F.col("_toks"), k)).alias("shingle"))
+    if materialize:
+        # The shingle table feeds the signature aggregate, both sides of
+        # the verification intersection join, and the two size joins —
+        # five evaluations of tokenize+shingle+explode without a
+        # materialization barrier. Lazy localCheckpoint computes it once
+        # on first use; at cluster scale this is the standard
+        # persist-the-exploded-index step of an LSH pipeline.
+        sh = sh.localCheckpoint(eager=False)
+    return sh
 
 
 def jaccard_pairs(
@@ -67,8 +76,7 @@ def jaccard_pairs(
     (skew guard); the Jaccard itself uses ALL shingles of both docs.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     to 6 decimals."""
-    sh = _doc_shingles(docs, text_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = _doc_shingles(docs, text_col, k, materialize=True)
 
     rare = sh.join(
         sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).where(
@@ -86,27 +94,27 @@ def jaccard_pairs(
 
 
 def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over ALL shingles of each candidate pair: intersection
-    via a shingle-equality join, union by inclusion-exclusion from per-doc
-    sizes. Touches only candidate docs; both joins key on doc_id, the
-    explode's natural partitioning."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("x")
-        .join(cand, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            sh.alias("y"),
-            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.shingle") == F.col("y.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    """Exact Jaccard over ALL shingles of each candidate pair: the shingle
+    set of each doc is collected once (docs are bounded-length, so the set
+    is a small array), then each candidate pair needs just TWO doc_id
+    equi-joins and an `array_intersect` — versus the alternative
+    intersection-count-by-shingle-join shape, which costs three joins and
+    re-shuffles the full exploded shingle table. Only candidate docs'
+    sets travel through the join."""
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"), F.count("*").alias("n_sh")
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("na")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("nb")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select("doc_a", "doc_b", _floor6(jac).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -126,7 +134,10 @@ def minhash_signatures(
     then inflates multiplicatively (minutes of driver time and MB-sized
     codegen at a few thousand docs); the aggregate form keeps every
     expression O(1) and scales to corpora that don't fit in one array."""
-    sh = _doc_shingles(docs, text_col, k)
+    return _signatures_from_shingles(_doc_shingles(docs, text_col, k), num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
@@ -152,7 +163,8 @@ def minhash_lsh_pairs(
     step, touching only colliding docs; at 100 TB this is a shuffle on
     band signatures whose buckets are near-dup clusters by construction."""
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, k, num_hashes)
+    sh = _doc_shingles(docs, text_col, k, materialize=True)
+    sig = _signatures_from_shingles(sh, num_hashes)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -176,7 +188,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(_doc_shingles(docs, text_col, k), cand, threshold)
+    return _verify_jaccard(sh, cand, threshold)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

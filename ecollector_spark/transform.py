@@ -62,6 +62,7 @@ _POINT_FIELDS = (
     "measurement string, ts timestamp, series_id string, dir string, "
     "value_f double, value_b boolean, value_s string, unit string, agg_func string"
 )
+_POINT_ARRAY_DDL = "array<struct<" + _POINT_FIELDS.replace(", ", ",").replace(" ", ":") + ">>"
 
 
 def _pt(measurement, ts, series_id, dir_, value_f, value_b, value_s, unit, agg_func) -> Column:
@@ -322,25 +323,29 @@ def default_transform(events: DataFrame) -> DataFrame:
     ]
 
     # ---- price forecast explode (transform.go:270-297) ----
-    # handled as a separate select because each element becomes a point
-    # with its own event time
-    price_base = e.where(is_price & ~event_error & prices.isNotNull()).select(
-        *e.columns, F.explode(prices).alias("_p")
+    # each array element becomes a point with its own event time; emitted
+    # from the SAME scan as every other branch by mapping the parsed array
+    # to point-structs with F.transform and concatenating onto the
+    # candidate array (a separate select + union would execute the whole
+    # adapter/parse subtree twice)
+    price_arr = F.when(
+        is_price & prices.isNotNull(),
+        F.transform(
+            prices,
+            lambda p: _pt(
+                F.lit(M_PRICE),
+                F.to_timestamp(p["startsAt"]),
+                F.concat(F.lit(M_PRICE + ";"), base),
+                F.lit("export"),  # dir=export quirk (transform.go:278)
+                p["total"],
+                _NB,
+                p["level"],
+                p["currency"],
+                F.lit("mean"),
+            ),
+        ),
     )
-    price_points = price_base.select(
-        *e.columns,
-        _pt(
-            F.lit(M_PRICE),
-            F.to_timestamp(F.col("_p.startsAt")),
-            F.concat(F.lit(M_PRICE + ";"), F.coalesce(F.col("dev_id"), F.lit(""))),
-            F.lit("export"),  # dir=export quirk (transform.go:278)
-            F.col("_p.total"),
-            _NB,
-            F.col("_p.level"),
-            F.col("_p.currency"),
-            F.lit("mean"),
-        ).alias("_point"),
-    )
+    _empty_pts = F.array().cast(_POINT_ARRAY_DDL)
 
     candidates = [
         p_power,
@@ -352,11 +357,13 @@ def default_transform(events: DataFrame) -> DataFrame:
         p_thermostat,
         *p_generic,
     ]
-    main = (
-        e.where((serv != "ecollector") & ~event_error)  # F2 + error drop
-        .select(*e.columns, F.explode(F.array_compact(F.array(*candidates))).alias("_point"))
+    all_points = F.concat(
+        F.array_compact(F.array(*candidates)), F.coalesce(price_arr, _empty_pts)
     )
-    combined = main.unionByName(price_points)
+    combined = (
+        e.where((serv != "ecollector") & ~event_error)  # F2 + error drop
+        .select(*e.columns, F.explode(all_points).alias("_point"))
+    )
     return combined.select(
         F.col("_point.measurement").alias("measurement"),
         F.col("_point.ts").alias("ts"),
