@@ -236,6 +236,55 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucketed_search(emb, query_id=0, threshold=0.2, bits=4).orderBy("vec_id")
 
 
+_L2SQ = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_BUCKET_SQL.format(v='v')} AS b FROM e)
+SELECT a.vec_id AS vec_a, y.vec_id AS vec_b, round({_cos_sql('a.v', 'y.v')}, 6) AS cosine
+FROM b a JOIN b y ON a.b = y.b AND a.vec_id < y.vec_id
+WHERE round({_cos_sql('a.v', 'y.v')}, 6) >= 0.3
+ORDER BY 1, 2
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
+    exact-cosine verify (the semantic-dedup path for embedded corpora)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.3, bits=4)
+    return pairs.localCheckpoint(eager=False).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, v, cid FROM (SELECT e.vec_id, e.v, c.cid, {_L2SQ.format(a='e.v', b='c.cvec')} AS d2 FROM e, c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+probes AS (
+  SELECT cid FROM (SELECT c.cid, {_L2SQ.format(a='c.cvec', b='q.qv')} AS d2 FROM c, q)
+  QUALIFY row_number() OVER (ORDER BY d2, cid) <= 2)
+SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
+FROM assign JOIN probes USING (cid), q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10 vs vec_id=0: deterministic-sample coarse
+    centroids (8), nearest-centroid inverted lists, probe the 2 closest
+    lists, exact cosine within — the partition-pruning ANN scale path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, query_id=0, k=10, n_centroids=8, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -74,6 +74,33 @@ class TestSimilarity:
         out = {r["vec_id"] for r in similarity.lsh_bucketed_search(emb, 0, -1.0, bits=1).collect()}
         assert 3 not in out and 1 in out
 
+    def test_embedding_near_dup_pairs(self, emb):
+        pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+                 for r in similarity.embedding_near_dup_pairs(emb, 0.9, bits=1).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+        # vec 3 shares no bucket with 0/1/4 at bits=1 -> never a candidate
+        assert not any(3 in p for p in pairs)
+        # pairs are canonical (a < b) and above threshold
+        assert all(a < b for a, b in pairs)
+        assert all(c >= 0.9 for c in pairs.values())
+
+    def test_ivf_assignment_and_search(self, emb):
+        assigned = {r["vec_id"]: r["cid"] for r in
+                    similarity.ivf_assignments(emb, n_centroids=2).collect()}
+        # centroids are vec 0 and vec 1; every vector has exactly one list
+        assert set(assigned) == {0, 1, 2, 3, 4}
+        assert assigned[0] == 0 and assigned[1] == 1
+        # nprobe = all lists ==> IVF reduces to exact search
+        full = similarity.ivf_topk(emb, 0, k=3, n_centroids=2, nprobe=2).collect()
+        exact = similarity.brute_force_topk(emb, 0, k=3).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in full] == [
+            (r["vec_id"], r["cosine"]) for r in exact
+        ]
+        # nprobe=1 scans only the query's own list -> subset of corpus
+        probed = {r["vec_id"] for r in
+                  similarity.ivf_topk(emb, 0, k=5, n_centroids=2, nprobe=1).collect()}
+        assert probed <= {1, 2, 3, 4}
+
 
 class TestText:
     def test_langid_markers(self, spark):
