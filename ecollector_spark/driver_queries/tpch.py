@@ -302,3 +302,208 @@ def tpch_customers_without_recent_orders(spark, sf_dir):
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 (adapted): order priority checking via EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q4_priority_count",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def tpch_q4_priority_count(spark, sf_dir):
+    """Q4 shape (adapted to the driver's columns: the classic
+    commitdate<receiptdate predicate becomes shipped-after-ordering):
+    EXISTS compiles to a left-semi join — lineitem is never widened, the
+    probe side carries only (l_orderkey, l_shipdate)."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = orders.join(
+        t["lineitem"].select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 (adapted): promotion revenue share — conditional aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                 ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Q14: conditional aggregation over a fact-dim join; part is
+    broadcast, the month filter prunes the lineitem scan before the join,
+    and both sums ride one partial-aggregate pass."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast(DEC)
+    j = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        (
+            100.0
+            * _dbl(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)))
+            / _dbl(F.sum(rev))
+        ).alias("promo_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted): supplier-part relationship counting — distinct agg + NOT IN
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q16_parts_supplier_counts",
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (1, 4, 9, 16, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+""",
+)
+def tpch_q16_parts_supplier_counts(spark, sf_dir):
+    """Q16 shape: distinct-count aggregation (expands to a two-phase
+    group-by under the hood) with a broadcast anti-join excluding
+    negative-balance suppliers (the 'complaints' stand-in)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].where(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 (adapted): large-volume customers — HAVING subquery + top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q18_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def tpch_q18_large_volume_customers(spark, sf_dir):
+    """Q18: pre-aggregate lineitem per order (map-side partials on the
+    fact's natural key), HAVING filters to the tail before any join, then
+    two slim joins and a top-k."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sq"))
+        .where(F.col("_sq") > 250)
+        .select("l_orderkey", _dbl(F.col("_sq")).alias("sum_qty"))
+    )
+    j = big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey")).join(
+        t["customer"], F.col("c_custkey") == F.col("o_custkey")
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            _dbl(F.col("o_totalprice")).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted): global sales opportunity — scalar subquery + anti join
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q22_sales_opportunity",
+    """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+)
+def tpch_q22_sales_opportunity(spark, sf_dir):
+    """Q22 shape: decimal-exact scalar average (broadcast as a 1-row
+    frame so the plan stays fully distributed — no driver collect),
+    anti-join against customers who ordered since 2000, per-nation rollup."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"]
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((_dbl(F.sum(_dec(F.col("c_acctbal")))) / F.count("*")).alias("_a"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("_a"))
+    recent = t["orders"].where(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    no_orders = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dbl(F.sum(_dec(F.col("c_acctbal")))).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
