@@ -88,6 +88,38 @@ def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, max_w: int = 224, max_h: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """Arrow-batched resize stage: scales (width, height) to fit within
+    (max_w, max_h) preserving aspect ratio, never upscaling. With the
+    stub the pixel work is a byte passthrough (real path would call
+    Pillow's ``Image.resize`` and raises NotImplementedError here); the
+    metadata math is the real contract and is exact double arithmetic,
+    so a SQL oracle can verify the mapInPandas stage end to end."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires Pillow (not available); "
+                    "use decode_stub=True"
+                )
+            scales = [
+                min(max_w / w, max_h / h, 1.0)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            pdf = pdf.assign(
+                width=[max(1, math.floor(w * s)) for w, s in zip(pdf["width"], scales)],
+                height=[max(1, math.floor(h * s)) for h, s in zip(pdf["height"], scales)],
+            )
+            yield pdf
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' on the stub payload: one row per every_n_bytes
     offset (stands in for video frame extraction; shows the 1->N

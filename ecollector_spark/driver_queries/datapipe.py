@@ -387,6 +387,34 @@ def mm_binary_metadata(spark, sf_dir):
     return media.select("doc_id", "media_type", "width", "height", "n_bytes").orderBy("doc_id")
 
 
+@register(
+    "mm_resize_metadata",
+    """WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents),
+s AS (SELECT *, least(224.0 / w, 224.0 / h, 1.0) AS sc FROM m)
+SELECT doc_id, media_type,
+       CAST(greatest(1, floor(w * sc)) AS INT) AS width,
+       CAST(greatest(1, floor(h * sc)) AS INT) AS height,
+       n_bytes
+FROM s ORDER BY doc_id
+""",
+)
+def mm_resize_metadata(spark, sf_dir):
+    """mapInPandas resize stage (fit-within-224x224, aspect preserved,
+    no upscale): the pandas stage's metadata arithmetic is exact double
+    math, so the SQL oracle verifies the Arrow batch path end to end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ecollector_spark.datapipe.multimodal import resize_media
+
+    out = resize_media(attach_fake_media(docs))
+    return out.select("doc_id", "media_type", "width", "height", "n_bytes").orderBy("doc_id")
+
+
 @register("mm_feature_extract")  # rows-only: Arrow/pandas stage, not SQL-expressible
 def mm_feature_extract(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (stubbed

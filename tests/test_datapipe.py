@@ -150,3 +150,16 @@ class TestMultimodal:
         docs = spark.createDataFrame([(0, "x" * 130)], "doc_id long, text string")
         rows = sample_frames(attach_fake_media(docs), every_n_bytes=64).collect()
         assert [r["byte_offset"] for r in rows] == [0, 64, 128]
+
+    def test_resize_fits_aspect_preserved(self, spark):
+        from ecollector_spark.datapipe.multimodal import resize_media
+
+        # doc_id 639 -> fake dims 640x160 -> fit-224 downscale to 224x56;
+        # doc_id 2019 -> 100x100 -> no upscale; byte payload untouched
+        docs = spark.createDataFrame(
+            [(639, "small"), (2019, "tiny")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in resize_media(attach_fake_media(docs)).collect()}
+        assert (out[639]["width"], out[639]["height"]) == (224, 56)
+        assert (out[2019]["width"], out[2019]["height"]) == (100, 100)
+        assert bytes(out[639]["media"]) == b"small"
