@@ -49,6 +49,21 @@ CHECKS = {
     "text_quality": ["^((?!Exchange hashpartitioning).)*$"],
     # ANN brute force: the query vector is a broadcast, the scan is pruned
     "ann_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastHashJoin", "TakeOrderedAndProject"],
+    # IVF: centroid/probe tables broadcast, top-k stays a TakeOrdered
+    "ann_ivf_topk": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    # embedding near-dup: bucket-equality pairing must be a hash join on
+    # the bucket key, never a cartesian pair enumeration
+    "_raw_embedding_near_dup": [
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        "!CartesianProduct",
+    ],
+    # transform: the price fan-out rides the same scan as every other
+    # branch — exactly one parquet scan, no Union (built pre-checkpoint)
+    "_raw_transform": ["!Union", "Generate explode"],
+    # q16: anti-join + dim join broadcast; distinct agg has partial phase
+    "tpch_q16_parts_supplier_counts": ["BroadcastHashJoin", "LeftAnti", "partial_"],
+    # q18: lineitem pre-aggregates map-side before any join; final top-k
+    "tpch_q18_large_volume_customers": ["partial_sum", "TakeOrderedAndProject"],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
@@ -69,8 +84,22 @@ def main():
 
         return minhash_lsh_pairs(dedup_corpus(spark, sf_dir))
 
+    def _raw_embedding_near_dup(spark, sf_dir):
+        from ecollector_spark.datapipe.similarity import embedding_near_dup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_near_dup_pairs(emb, threshold=0.3)
+
+    def _raw_transform(spark, sf_dir):
+        from ecollector_spark.sources.fimp_adapter import fimp_from_events
+        from ecollector_spark.transform import default_transform
+
+        return default_transform(fimp_from_events(spark, sf_dir))
+
     builders = dict(driver_queries.QUERIES)
     builders["_raw_minhash"] = _raw_minhash
+    builders["_raw_embedding_near_dup"] = _raw_embedding_near_dup
+    builders["_raw_transform"] = _raw_transform
 
     spark = get_spark("explain_audit")
     failures = 0
@@ -80,7 +109,11 @@ def main():
         if verbose:
             print(f"\n===== {name} =====\n{plan}")
         for pat in patterns:
-            if not re.search(pat, plan, re.MULTILINE | re.DOTALL):
+            if pat.startswith("!"):
+                if re.search(pat[1:], plan, re.MULTILINE | re.DOTALL):
+                    print(f"FAIL {name}: plan contains forbidden /{pat[1:]}/")
+                    failures += 1
+            elif not re.search(pat, plan, re.MULTILINE | re.DOTALL):
                 print(f"FAIL {name}: plan lacks /{pat}/")
                 failures += 1
         for pat in FORBIDDEN_EVERYWHERE:
