@@ -36,6 +36,7 @@ def load_all() -> None:
         core,
         planner_extra,
         sessionize,
+        sketches_q,
         streaming_q,
         transform_q,
     )

@@ -636,3 +636,34 @@ def raw_sql_query(spark, sf_dir):
         GROUP BY 1, 2 ORDER BY time
         """
     )
+
+
+@register(
+    "events_top3_users_per_type",
+    """WITH c AS (
+  SELECT event_type, user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, n_events, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, user_id) AS rnk
+  FROM c)
+WHERE rnk <= 3 ORDER BY event_type, rnk
+""",
+)
+def events_top3_users_per_type(spark, sf_dir):
+    """Grouped top-n (top 3 users by event count per type): pre-aggregate
+    shrinks the fact table to (type, user) counts map-side before the
+    single rank shuffle — the scalable shape of per-group leaderboards."""
+    from pyspark.sql import Window
+
+    from ecollector_spark.sources.events_adapter import read_events
+
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), "user_id")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "n_events", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("event_type", "rnk")
+    )

@@ -183,3 +183,39 @@ class TestProperties:
     def test_choose_query_tier_always_valid(self, m, gbt, fn):
         c = choose_query_tier(m, relative_time="2d", group_by_time=gbt, data_function=fn)
         assert c.tier in TIERS
+
+
+class TestKmvSketch:
+    def test_estimator_accuracy_high_cardinality(self, spark):
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.functions.sketches import kmv_distinct
+
+        df = spark.range(10000).select(F.lit("g").alias("g"), F.col("id"))
+        out = kmv_distinct(df, ["g"], "id", k=256).collect()[0]
+        assert out["n_kept"] == 256
+        # KMV relative error ~ 1/sqrt(k-1) ≈ 6%; allow 3 sigma
+        assert abs(out["est_distinct"] - 10000) / 10000 < 0.2
+
+    def test_exact_under_k(self, spark):
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.functions.sketches import kmv_distinct
+
+        df = spark.range(30).select(
+            (F.col("id") % 2).cast("string").alias("g"), F.col("id")
+        )
+        rows = {r["g"]: r for r in kmv_distinct(df, ["g"], "id", k=64).collect()}
+        assert rows["0"]["est_distinct"] == rows["0"]["n_kept"] == 15
+        assert rows["1"]["est_distinct"] == rows["1"]["n_kept"] == 15
+
+    def test_duplicates_do_not_inflate(self, spark):
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.functions.sketches import kmv_distinct
+
+        base = spark.range(500).select(F.lit("g").alias("g"), F.col("id"))
+        doubled = base.unionAll(base)
+        a = kmv_distinct(base, ["g"], "id", k=64).collect()[0]
+        b = kmv_distinct(doubled, ["g"], "id", k=64).collect()[0]
+        assert a["est_distinct"] == b["est_distinct"]
