@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ecollector_spark.driver_queries import register
-from ecollector_spark.functions.sketches import kmv_distinct
+from ecollector_spark.functions.sketches import hash_unit, kmv_distinct
 
 _K = 64
 _U = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0"
@@ -47,3 +47,36 @@ def sketch_kmv_distinct_users(spark, sf_dir):
     return est.join(exact, "event_type").select(
         "event_type", "n_kept", "est_distinct", "exact_distinct"
     ).orderBy("event_type")
+
+
+@register(
+    "sketch_sampled_quantiles",
+    f"""WITH s AS (
+  SELECT event_type, value FROM events WHERE {_U} < 0.5),
+q AS (SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS p50_sample,
+        round(quantile_cont(value, 0.95), 6) AS p95_sample
+      FROM s GROUP BY 1),
+ex AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact
+       FROM events GROUP BY 1)
+SELECT event_type, p50_sample, p95_sample, p50_exact
+FROM q JOIN ex USING (event_type) ORDER BY event_type
+""",
+)
+def sketch_sampled_quantiles(spark, sf_dir):
+    """Quantiles over a deterministic 50% hash sample of users (the
+    scale path for percentile dashboards: the sample predicate is
+    engine- and retry-stable, unlike rand()), exact p50 alongside.
+    Exercises reproducible sampling + interpolated-percentile parity."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id", "value"
+    )
+    sample = ev.where(hash_unit("user_id") < 0.5)
+    q = sample.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_sample"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_sample"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact")
+    )
+    return q.join(ex, "event_type").orderBy("event_type")

@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 _SCALE = float(1 << 60)
 
 
+def hash_unit(col) -> "F.Column":
+    """Deterministic uniform hash of a value into [0, 1): first 60 bits
+    of md5 scaled by 2^-60. Engine-portable (see module docstring), so
+    it doubles as a *reproducible sampling* predicate: `hash_unit(key) <
+    p` picks the same p-fraction of keys on any engine, any cluster, any
+    partitioning — the sound way to sample at 100 TB (rand() is neither
+    repeatable nor consistent across retries)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string") if isinstance(col, str) else col.cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(_SCALE)
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -43,12 +57,7 @@ def kmv_distinct(
     shuffle on group for the windowed min-k — at scale the second is a
     partial top-k (only k rows per group survive each partition).
     """
-    u = (
-        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
-        .cast("double")
-        / F.lit(_SCALE)
-    )
-    hashed = df.select(*group_cols, u.alias("_u")).distinct()
+    hashed = df.select(*group_cols, hash_unit(value_col).alias("_u")).distinct()
     w = Window.partitionBy(*group_cols).orderBy("_u")
     mink = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     return (

@@ -219,3 +219,25 @@ class TestKmvSketch:
         a = kmv_distinct(base, ["g"], "id", k=64).collect()[0]
         b = kmv_distinct(doubled, ["g"], "id", k=64).collect()[0]
         assert a["est_distinct"] == b["est_distinct"]
+
+    def test_min_k_merge_equals_sketch_of_union(self, spark):
+        # mergeability: the min-k union of two partitions' sketches is
+        # the sketch of the union — what makes KMV a distributed sketch
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.functions.sketches import hash_unit, kmv_distinct
+
+        k = 32
+        left = spark.range(0, 400).select(F.lit("g").alias("g"), F.col("id"))
+        right = spark.range(300, 700).select(F.lit("g").alias("g"), F.col("id"))
+        whole = kmv_distinct(left.unionAll(right), ["g"], "id", k=k).collect()[0]
+
+        def minima(df):
+            return [r["u"] for r in df.select(hash_unit("id").alias("u"))
+                    .distinct().orderBy("u").limit(k).collect()]
+
+        merged = sorted(set(minima(left)) | set(minima(right)))[:k]
+        est = (k - 1) / merged[-1]
+        import math
+
+        assert math.floor(est * 1e6) / 1e6 == whole["est_distinct"]
