@@ -28,6 +28,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "sketch_kmv_distinct_users",
     "text_quality",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",

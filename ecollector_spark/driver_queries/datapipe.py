@@ -104,16 +104,18 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 _BANDS_SQL = """mh AS (
+  -- 8 hash fns = disjoint 16-bit slices of one md5 per shingle
+  -- (mirrors dedup._signatures_from_shingles)
   SELECT doc_id,
-         list_min([md5('0|' || s) FOR s IN shl]) AS mh_0,
-         list_min([md5('1|' || s) FOR s IN shl]) AS mh_1,
-         list_min([md5('2|' || s) FOR s IN shl]) AS mh_2,
-         list_min([md5('3|' || s) FOR s IN shl]) AS mh_3,
-         list_min([md5('4|' || s) FOR s IN shl]) AS mh_4,
-         list_min([md5('5|' || s) FOR s IN shl]) AS mh_5,
-         list_min([md5('6|' || s) FOR s IN shl]) AS mh_6,
-         list_min([md5('7|' || s) FOR s IN shl]) AS mh_7
-  FROM (SELECT doc_id, list_distinct({sh3}) AS shl FROM tok)),
+         list_min([substr(h, 1, 4) FOR h IN hl]) AS mh_0,
+         list_min([substr(h, 5, 4) FOR h IN hl]) AS mh_1,
+         list_min([substr(h, 9, 4) FOR h IN hl]) AS mh_2,
+         list_min([substr(h, 13, 4) FOR h IN hl]) AS mh_3,
+         list_min([substr(h, 17, 4) FOR h IN hl]) AS mh_4,
+         list_min([substr(h, 21, 4) FOR h IN hl]) AS mh_5,
+         list_min([substr(h, 25, 4) FOR h IN hl]) AS mh_6,
+         list_min([substr(h, 29, 4) FOR h IN hl]) AS mh_7
+  FROM (SELECT doc_id, [md5(s) FOR s IN list_distinct({sh3})] AS hl FROM tok)),
 banded AS (SELECT doc_id, mh_0||mh_1 AS b0, mh_2||mh_3 AS b1, mh_4||mh_5 AS b2, mh_6||mh_7 AS b3 FROM mh),
 cand AS (
   SELECT DISTINCT doc_a, doc_b FROM (
