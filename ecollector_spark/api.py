@@ -327,3 +327,45 @@ class ProcessManager:
         if proc_id in self._procs and self._procs[proc_id]["state"] == "RUNNING":
             self.stop(proc_id)
         self._procs.pop(proc_id, None)
+
+
+class DiskGuard:
+    """Ops guardrail: stop every running pipeline when the warehouse
+    volume passes a usage threshold (reference: disk monitor stops all
+    processes at 85% used, checked every minute —
+    src/integration/tsdb/integration.go:283-307, default 319-321).
+
+    Pure check/enforce functions; the host scheduler owns the poll
+    cadence (the reference's 1-minute ticker). ``usage_fn`` is
+    injectable for tests and custom mounts.
+    """
+
+    def __init__(self, path: str, threshold_pct: float = 85.0, usage_fn=None):
+        self.path = path
+        self.threshold_pct = threshold_pct
+        if usage_fn is None:
+            import shutil
+
+            def usage_fn(p):
+                u = shutil.disk_usage(p)
+                return 100.0 * u.used / u.total
+
+        self._usage_fn = usage_fn
+
+    def usage_pct(self) -> float:
+        return self._usage_fn(self.path)
+
+    def should_stop(self) -> bool:
+        return self.usage_pct() >= self.threshold_pct
+
+    def enforce(self, pm: "ProcessManager") -> list[str]:
+        """Stop all RUNNING processes if over threshold; returns the ids
+        stopped (empty when under threshold)."""
+        if not self.should_stop():
+            return []
+        stopped = []
+        for p in pm.get_list():
+            if p["state"] == "RUNNING":
+                pm.stop(p["id"])
+                stopped.append(p["id"])
+        return stopped

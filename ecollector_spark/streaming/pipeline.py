@@ -61,20 +61,38 @@ def read_fimp_stream(spark: SparkSession, path: str, max_files_per_trigger: int 
     return reader.json(path)
 
 
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("uid",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Ingest-side exactly-once-per-event dedup: the reference's broker
+    contract is MQTT QoS 1 (at-least-once, process.go:461-463), so
+    reconnects can redeliver envelopes. Duplicates are dropped by
+    message ``uid`` inside the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state bounded (one
+    key per uid per horizon) instead of growing forever like a plain
+    streaming ``dropDuplicates``. Batch frames use plain dropDuplicates
+    (the frame is finite)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))
+
+
 def build_points(
     events: DataFrame,
     metadata: DataFrame | None = None,
     filters: list[FilterRecord] | None = None,
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """events -> canonical datapoints (stages 2-4). Works on batch and
     streaming frames alike.
 
     The 2 h watermark mirrors the reference's only lateness rule — the
-    120 min staleness eviction (agreggator.go:236-241).
+    120 min staleness eviction (agreggator.go:236-241). Pass
+    ``watermark=None`` when an upstream stage (e.g. ``dedup_stream``)
+    already stamped one — Spark forbids redefining it.
     """
     ev = events
-    if ev.isStreaming:
+    if ev.isStreaming and watermark is not None:
         ev = ev.withWatermark("ts", watermark)
     if filters is not None:
         ev = ev.where(compile_filters(filters))

@@ -277,3 +277,33 @@ class TestProcessManager:
         pm.add("p1", {})
         with pytest.raises(ValueError):
             pm.add("p1", {})
+
+
+class TestDiskGuard:
+    def test_stops_running_processes_over_threshold(self, tmp_path):
+        from ecollector_spark.api import DiskGuard, ProcessManager
+
+        pm = ProcessManager()
+        pm.add("p1", {})
+        pm.add("p2", {})
+        pm.start("p1", lambda cfg: [])
+        guard = DiskGuard(str(tmp_path), threshold_pct=85.0, usage_fn=lambda p: 90.0)
+        assert guard.should_stop()
+        assert guard.enforce(pm) == ["p1"]
+        assert all(p["state"] == "STOPPED" for p in pm.get_list())
+
+    def test_noop_under_threshold(self, tmp_path):
+        from ecollector_spark.api import DiskGuard, ProcessManager
+
+        pm = ProcessManager()
+        pm.add("p1", {})
+        pm.start("p1", lambda cfg: [])
+        guard = DiskGuard(str(tmp_path), threshold_pct=85.0, usage_fn=lambda p: 40.0)
+        assert guard.enforce(pm) == []
+        assert pm.get_list()[0]["state"] == "RUNNING"
+
+    def test_real_disk_usage_readable(self, tmp_path):
+        from ecollector_spark.api import DiskGuard
+
+        pct = DiskGuard(str(tmp_path)).usage_pct()
+        assert 0.0 <= pct <= 100.0

@@ -383,3 +383,56 @@ class TestEndToEndPipeline:
         assert [(r.series_id, r.value) for r in got] == [
             ("electricity_meter_power;electricity_meter_power;7;import", 1500.0)
         ]
+
+
+class TestStreamDedup:
+    def test_qos1_redelivery_dropped(self, spark, tmp_path):
+        """Duplicate uids (broker redelivery) collapse to one event in
+        the streaming path; distinct uids survive."""
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.streaming.pipeline import (
+            build_points,
+            dedup_stream,
+            read_fimp_stream,
+        )
+
+        tmp = str(tmp_path)
+        base = {
+            "topic": "pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:sensor_temp/ad:5",
+            "type": "evt.sensor.report",
+            "serv": "sensor_temp",
+            "val_t": "float",
+            "val": "21.5",
+            "props": {},
+            "src": "t",
+        }
+        events = [
+            {**base, "ctime": "2024-01-01T00:00:01", "uid": "m1"},
+            {**base, "ctime": "2024-01-01T00:00:01", "uid": "m1"},  # redelivery
+            {**base, "ctime": "2024-01-01T00:00:02", "uid": "m2"},
+        ]
+        _write_json(f"{tmp}/events/b0.json", events)
+
+        stream = read_fimp_stream(spark, f"{tmp}/events").withColumn("ts", F.col("ctime"))
+        points = build_points(dedup_stream(stream), watermark=None)
+        q = (
+            points.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .queryName("t_dedup_stream")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        rows = spark.read.parquet(f"{tmp}/out").collect()
+        assert sorted(r.value_f for r in rows) == [21.5, 21.5]
+
+    def test_batch_frame_dedup(self, spark):
+        from ecollector_spark.streaming.pipeline import dedup_stream
+
+        df = spark.createDataFrame(
+            [("m1", 1.0), ("m1", 1.0), ("m2", 2.0)], "uid string, v double"
+        )
+        assert dedup_stream(df).count() == 2
