@@ -59,12 +59,52 @@ def run_cascade(tier_reader, tier_writer) -> None:
 
     ``tier_reader(tier) -> DataFrame``; ``tier_writer(df, tier)`` appends.
     In production this is a scheduled job per step (the CQ cadence); steps
-    are independent given their source tier, and each is incremental if
-    the reader restricts to buckets newer than the target's high-water
-    mark (the driver job passes a filtered reader).
+    are independent given their source tier. For append-only sources use
+    ``run_cascade_incremental`` — this full variant recomputes every
+    bucket (idempotent only with an overwrite writer).
     """
     for src_tier, dst_tier, step in CASCADE:
         src = tier_reader(src_tier)
         if src is None:
             continue
         tier_writer(downsample_step(src, step, target_tier=dst_tier), dst_tier)
+
+
+def run_cascade_incremental(
+    tier_reader, tier_writer, high_water_mark, now_epoch: int | None = None
+) -> dict:
+    """Incremental cascade: each step aggregates only source buckets
+    STRICTLY AFTER the target tier's high-water mark — the property that
+    makes the CQ equivalent affordable at 100 TB (each run touches the
+    new tail, not the full history; with the warehouse's
+    tier/measurement partition layout + a ts predicate, the tail read is
+    partition-and-rowgroup pruned, never a full scan).
+
+    ``high_water_mark(tier) -> epoch seconds | None`` is the max bucket
+    ts already materialized in the target. Source rows inside that
+    bucket are excluded (the bucket is done); rows in the current
+    still-filling bucket (per ``now_epoch``) are held back for the next
+    run, so every materialized bucket is computed exactly once, from
+    complete data. Late data older than a materialized bucket needs a
+    trailing-window re-run — the same contract as InfluxDB CQs, which
+    the reference relies on. Returns {target_tier: written DataFrame}.
+    """
+    written: dict = {}
+    for src_tier, dst_tier, step in CASCADE:
+        src = tier_reader(src_tier)
+        if src is None:
+            continue
+        step_s = parse_relative_duration(step)
+        hwm = high_water_mark(dst_tier)
+        if hwm is not None:
+            # first source row of the next unmaterialized bucket
+            src = src.where(
+                F.col("ts") >= F.timestamp_seconds(F.lit(int(hwm) + step_s))
+            )
+        if now_epoch is not None:
+            cur_bucket = (int(now_epoch) // step_s) * step_s
+            src = src.where(F.col("ts") < F.timestamp_seconds(F.lit(cur_bucket)))
+        out = downsample_step(src, step, target_tier=dst_tier)
+        tier_writer(out, dst_tier)
+        written[dst_tier] = out
+    return written

@@ -90,6 +90,44 @@ class Warehouse:
         """Adapter for QueryPlanner(tier_reader=...)."""
         return self.read_tier
 
+    def write_bucketed(
+        self,
+        points: DataFrame,
+        table: str,
+        n_buckets: int = 32,
+        bucket_col: str = "series_id",
+        mode: str = "append",
+    ) -> None:
+        """Bucketed + sorted materialization for co-located per-series
+        work: ``CLUSTERED BY (series_id) SORTED BY (ts) INTO n BUCKETS``.
+
+        Any downstream groupBy/join/window keyed on ``series_id`` then
+        reads pre-shuffled data — Catalyst sees the bucket spec and
+        plans NO Exchange (asserted in tests). At 100 TB this is the
+        difference between re-shuffling the fact table per reprocessing
+        job and shuffling once at write time; pick n_buckets ≈ cluster
+        cores × small factor so each bucket is one task.
+        """
+        (
+            points.write.mode(mode)
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col, "ts")
+            .option("path", os.path.join(self.root, "_bucketed", table))
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    def high_water_mark(self, tier: str) -> int | None:
+        """Max materialized bucket ts (epoch s) in a tier, None if empty.
+        One max() over the tier scan — parquet footer stats make this a
+        metadata-read at scale, and it's what run_cascade_incremental
+        keys its tail filter on."""
+        df = self.read_tier(tier)
+        if df is None:
+            return None
+        row = df.agg(F.max("ts").alias("m")).collect()[0]
+        return None if row["m"] is None else int(row["m"].timestamp())
+
     # -- catalog (§2.10) ---------------------------------------------------
     def measurements(self) -> list[str]:
         """SHOW MEASUREMENTS (influxdb_v1.go:376-393): distinct measurement

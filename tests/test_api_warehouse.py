@@ -307,3 +307,77 @@ class TestDiskGuard:
 
         pct = DiskGuard(str(tmp_path)).usage_pct()
         assert 0.0 <= pct <= 100.0
+
+
+class TestIncrementalCascade:
+    def test_each_bucket_materialized_exactly_once(self, spark, tmp_path):
+        from ecollector_spark.downsample import run_cascade_incremental
+
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:00:40", "7", 300.0),
+            ("electricity_meter_power", "2024-01-01T00:01:10", "7", 500.0),
+            ("electricity_meter_power", "2024-01-01T00:02:05", "7", 700.0),  # current bucket
+        ]))
+
+        def writer(df, tier):
+            w.write_points(df)
+
+        now1 = int(datetime(2024, 1, 1, 0, 2, 30, tzinfo=timezone.utc).timestamp())
+        run_cascade_incremental(w.read_tier, writer, w.high_water_mark, now_epoch=now1)
+        day = {r["ts"].isoformat(): r["value_f"]
+               for r in w.read_tier("gen_day").where(F.col("dev_id") == "7").collect()}
+        # complete buckets 00:00 (mean 200) and 00:01; 00:02 held back
+        assert day == {"2024-01-01T00:00:00": 200.0, "2024-01-01T00:01:00": 500.0}
+
+        # complete bucket 00:02 with a second point, add 00:03
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:02:40", "7", 900.0),
+            ("electricity_meter_power", "2024-01-01T00:03:10", "7", 1100.0),
+        ]))
+        now2 = int(datetime(2024, 1, 1, 0, 4, 10, tzinfo=timezone.utc).timestamp())
+        run_cascade_incremental(w.read_tier, writer, w.high_water_mark, now_epoch=now2)
+        rows = w.read_tier("gen_day").where(F.col("dev_id") == "7").collect()
+        day2 = {r["ts"].isoformat(): r["value_f"] for r in rows}
+        assert day2 == {
+            "2024-01-01T00:00:00": 200.0,
+            "2024-01-01T00:01:00": 500.0,
+            "2024-01-01T00:02:00": 800.0,   # mean(700, 900) — complete data
+            "2024-01-01T00:03:00": 1100.0,
+        }
+        # exactly once: no duplicate bucket rows after the second run
+        assert len(rows) == 4
+
+
+class TestBucketedWarehouse:
+    def test_bucketed_agg_and_join_have_no_shuffle(self, spark, tmp_path):
+        """The bucket spec (CLUSTERED BY series_id) lets Catalyst plan
+        per-series aggregation AND self-join with zero Exchange — the
+        write-once-shuffle-never layout for reprocessing jobs."""
+        import uuid
+
+        w = Warehouse(spark, str(tmp_path / "w"))
+        pts = _mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:01:10", "7", 200.0),
+            ("electricity_meter_power", "2024-01-01T00:00:20", "8", 300.0),
+        ])
+        table = f"bucketed_{uuid.uuid4().hex[:8]}"
+        try:
+            w.write_bucketed(pts.withColumn("tier", F.lit("gen_raw")), table, n_buckets=4)
+            t = spark.table(table)
+
+            agg = t.groupBy("series_id").agg(F.avg("value_f").alias("v"))
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan
+            assert {(r["series_id"], r["v"]) for r in agg.collect()} == {
+                ("electricity_meter_power;7;import", 150.0),
+                ("electricity_meter_power;8;import", 300.0),
+            }
+
+            j = t.alias("a").join(t.alias("b"), "series_id").groupBy("series_id").count()
+            jplan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in jplan
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
