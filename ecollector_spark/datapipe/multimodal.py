@@ -32,7 +32,10 @@ MEDIA_SCHEMA = (
     "doc_id long, media binary, media_type string, width int, height int, n_bytes long"
 )
 
-FEATURE_SCHEMA = "doc_id long, media_type string, n_bytes long, feature array<float>"
+# float64 features: the stub histogram is count/total — exact small-int
+# quotients that any engine reproduces bit-for-bit in double, which keeps
+# the Arrow path value-hash checkable (float32 would round differently)
+FEATURE_SCHEMA = "doc_id long, media_type string, n_bytes long, feature array<double>"
 
 
 def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:

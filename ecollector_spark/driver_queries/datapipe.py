@@ -417,7 +417,38 @@ def mm_resize_metadata(spark, sf_dir):
     return out.select("doc_id", "media_type", "width", "height", "n_bytes").orderBy("doc_id")
 
 
-@register("mm_feature_extract")  # rows-only: Arrow/pandas stage, not SQL-expressible
+_F_COLS = ", ".join(
+    f"floor((len(list_filter(codes, x -> x = {j})) / CAST(greatest(n, 1) AS DOUBLE)) * 1000000)"
+    f" / 1000000 AS f{j}"
+    for j in range(8)
+)
+
+
+@register(
+    "mm_feature_hist",
+    f"""WITH c AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)) % 8) AS codes,
+         length(text) AS n
+  FROM documents)
+SELECT doc_id, {_F_COLS} FROM c ORDER BY doc_id
+""",
+)
+def mm_feature_hist(spark, sf_dir):
+    """The mapInPandas byte-histogram feature vector, value-matched: the
+    corpus is ASCII so the SQL twin recomputes the same count/total
+    quotients in double — the Arrow batch path sits in the value gate,
+    not just a row count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(attach_fake_media(docs))
+    cols = [
+        (F.floor(F.element_at("feature", j + 1) * 1000000.0) / 1000000.0).alias(f"f{j}")
+        for j in range(8)
+    ]
+    return feats.select("doc_id", *cols).orderBy("doc_id")
+
+
+@register("mm_feature_extract")  # rows-only: Arrow/pandas stage kept as the raw-vector form
 def mm_feature_extract(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (stubbed
     byte-histogram features; real decode raises NotImplementedError)."""
