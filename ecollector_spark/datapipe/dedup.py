@@ -198,6 +198,61 @@ def minhash_lsh_pairs(
     return _verify_jaccard(sh, cand, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (doc_id,
+    cluster_id), cluster_id = min doc_id in the component. This is the
+    step that turns pairwise dedup output into an actionable keep-list
+    (keep doc_id == cluster_id, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (dup clusters are shallow). Each round
+    is one join + one aggregate on node id — all hash-partitioned, no
+    driver-side graph. Lineage is truncated per round with a lazy
+    localCheckpoint so plan depth stays O(1) instead of O(iterations)
+    (the classic iterative-algorithm trap at scale); convergence is
+    detected by a count of changed labels.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash): signed-projection hash over distinct tokens.
     Token hash = first 60 bits of md5 (identical in the SQL twin via

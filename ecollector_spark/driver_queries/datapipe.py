@@ -42,15 +42,17 @@ _SHINGLED = f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 sh AS (SELECT doc_id, unnest(list_distinct({_SH3})) AS shingle FROM tok),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
 
-_JACCARD_VERIFY = """inter AS (
+_JV_CTE = """inter AS (
   SELECT doc_a, doc_b, count(*) AS inter
   FROM sh x JOIN cand ON x.doc_id = cand.doc_a
   JOIN sh y ON y.doc_id = cand.doc_b AND x.shingle = y.shingle
-  GROUP BY 1, 2)
-SELECT i.doc_a, i.doc_b, floor((i.inter/(sa.n_sh + sb.n_sh - i.inter))*1000000)/1000000 AS jaccard
+  GROUP BY 1, 2)"""
+
+_JV_SELECT = """SELECT i.doc_a, i.doc_b, floor((i.inter/(sa.n_sh + sb.n_sh - i.inter))*1000000)/1000000 AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE floor((i.inter/(sa.n_sh + sb.n_sh - i.inter))*1000000)/1000000 >= {thr}
-ORDER BY 1, 2"""
+WHERE floor((i.inter/(sa.n_sh + sb.n_sh - i.inter))*1000000)/1000000 >= {thr}"""
+
+_JACCARD_VERIFY = _JV_CTE + "\n" + _JV_SELECT + "\nORDER BY 1, 2"
 
 
 def dedup_corpus(spark, sf_dir):
@@ -143,6 +145,37 @@ def dedup_minhash_lsh(spark, sf_dir):
         dedup_corpus(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5
     )
     return pairs.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_CORPUS},
+{_SHINGLED},
+{_BANDS_SQL.replace('{sh3}', _SH3)},
+{_JV_CTE},
+pairs AS ({_JV_SELECT.replace('{thr}', '0.5')}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH-verified near-dup pairs ->
+    (doc_id, cluster_id = min doc_id of the component): the keep-list
+    step of a dedup pipeline (keep doc_id == cluster_id). Iterative
+    min-label propagation in Spark, transitive-closure recursive CTE in
+    the oracle — an iterative algorithm inside the value gate."""
+    pairs = dedup.minhash_lsh_pairs(
+        dedup_corpus(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5
+    ).localCheckpoint(eager=False)
+    cc = dedup.connected_components(pairs)
+    return cc.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _SIMHASH_BITS = 16

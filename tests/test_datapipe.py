@@ -163,3 +163,22 @@ class TestMultimodal:
         assert (out[639]["width"], out[639]["height"]) == (224, 56)
         assert (out[2019]["width"], out[2019]["height"]) == (100, 100)
         assert bytes(out[639]["media"]) == b"small"
+
+
+class TestConnectedComponents:
+    def test_chain_and_island(self, spark):
+        # chain 1-2-3-4 (diameter 3) + island 10-11: two components
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+        )
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_keeper_selection(self, corpus):
+        # exact dup (1,2) forms a cluster; keep-list = cluster_id rows
+        pairs = dedup.jaccard_pairs(corpus, threshold=0.4)
+        cc = dedup.connected_components(pairs)
+        keep = {r["doc_id"] for r in cc.where("doc_id = cluster_id").collect()}
+        drop = {r["doc_id"] for r in cc.where("doc_id != cluster_id").collect()}
+        assert 1 in keep and 2 in drop and 3 in drop
