@@ -507,3 +507,127 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 (adapted): volume shipping between two nations, by year
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q7_nation_volume",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """Q7 shape: two broadcast nation joins pre-filter both fact sides to
+    the two nations BEFORE the fact-fact shuffles (supplier and customer
+    shrink first, so lineitem/orders shuffle only matching keys)."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    n = t["nation"].where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = t["supplier"].join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_sn"),
+    )
+    cust = t["customer"].join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_cn"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("_cn"),
+    )
+    volume = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        t["lineitem"]
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dbl(F.sum(volume)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 (adapted): market share of one nation within a region, by year
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q8_market_share",
+    """
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                THEN CAST(volume AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+       / CAST(sum(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+)
+GROUP BY o_year ORDER BY o_year
+""",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8 shape: a supplier nation's share of a region's order volume per
+    year — conditional aggregation over a 6-way join; all dimension
+    joins broadcast, fact joins shuffle once each."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
+    )
+    europe_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_en"))
+    )
+    cust = t["customer"].join(
+        F.broadcast(europe_nations), F.col("c_nationkey") == F.col("_en"), "left_semi"
+    )
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].select(F.col("n_nationkey").alias("_sn2"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_sn2"),
+    )
+    volume = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast(DEC)
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                _dbl(F.sum(F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(zero)))
+                / _dbl(F.sum(volume))
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
