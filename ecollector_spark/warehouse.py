@@ -62,12 +62,20 @@ class Warehouse:
         )
 
     # -- write -------------------------------------------------------------
-    def write_points(self, points: DataFrame, mode: str = "append") -> None:
+    def write_points(self, points: DataFrame, mode: str = "append", sort: bool = True) -> None:
         """S4: append datapoints into their tier partitions. ``tier`` is
-        stamped from the measurement when absent (mapping.go:146-154)."""
+        stamped from the measurement when absent (mapping.go:146-154).
+
+        Rows are sorted (series_id, ts) within each task before the
+        write — no shuffle, but every parquet file comes out clustered,
+        so its rowgroup min/max stats are tight and time-range /
+        series predicates skip rowgroups instead of scanning them (the
+        cheap half of Z-ordering, free at write time)."""
         out = points
         if "tier" not in out.columns:
             out = out.withColumn("tier", write_retention_col(F.col("measurement")))
+        if sort:
+            out = out.sortWithinPartitions("series_id", "ts")
         (
             out.write.mode(mode)
             .partitionBy(*WAREHOUSE_PARTITION_COLUMNS)
