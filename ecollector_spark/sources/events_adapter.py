@@ -25,6 +25,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies reading nanos into its native µs timestamps, so both engines
     see identical instants.
     """
+    # The driver harness hands us a *vanilla* SparkSession, so the nanos
+    # legacy flag must be set at runtime here — it is a runtime-settable
+    # SQLConf, not a builder-only one.  Without it the read dies with
+    # PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS)).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # older/newer Spark without the conf: fall through to the read
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
