@@ -17,15 +17,102 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Same-operator variants and redundant TPC-H shapes, kept runnable (pytest,
+#: tools/check.py --shelved) but excluded from the driver gate so every
+#: *distinct* operator family fits inside the driver's 50-query check budget.
+SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SHELVED_ORACLES: dict[str, str] = {}
 
-def register(name: str, oracle: Optional[str] = None):
+
+def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
     def deco(fn):
-        QUERIES[name] = fn
+        q, o = (SHELVED_QUERIES, SHELVED_ORACLES) if shelved else (QUERIES, ORACLES)
+        q[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            o[name] = oracle
         return fn
 
     return deco
+
+
+#: Gate ordering: one representative per operator family first, so even a
+#: truncated check run still touches every family. Names absent from this
+#: list keep their registration order after it.
+_PRIORITY = [
+    # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
+    "ts_group_by_time_mean",
+    "fimp_transform_pipeline",
+    # dedup family (datapipe)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
+    # ANN family
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    # text family
+    "text_langid",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    # multimodal family
+    "mm_binary_metadata",
+    "mm_feature_hist",
+    # aggregation / rollup operators
+    "preagg_30s_directives",
+    "counter_difference_10m",
+    "outlier_fence",
+    "hour_reattribution",
+    "downsample_cascade_10m",
+    "energy_rollup",
+    "two_level_group_energy",
+    # joins / enrichment
+    "enrichment_left_join",
+    "asof_join_last_purchase",
+    "interval_join_post_purchase",
+    # filters / transform / topics
+    "filter_engine_chain",
+    "topic_wildcard_match",
+    # fill + agg variants
+    "ts_group_by_time_tag_fill_previous",
+    "ts_agg_count_fill_zero",
+    "ts_agg_mean_fill_linear",
+    "ts_agg_median",
+    "ts_agg_last",
+    "ts_agg_max",
+    "ts_filtered_devices_raw",
+    "ts_transform_difference_max",
+    # sessions / sketches / streaming
+    "session_window_30m",
+    "sketch_kmv_distinct_users",
+    "sketch_sampled_quantiles",
+    "streaming_preagg_replay",
+    "streaming_counter_diff_replay",
+    # SQL surface + grouped top-n
+    "raw_sql_query",
+    "events_top3_users_per_type",
+    # §2.6 relational surface (window fn, anti-join, and 4 TPC-H spans)
+    "tpch_latest_order_per_customer",
+    "tpch_customers_without_recent_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_order_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q18_large_volume_customers",
+]
+
+
+def _reorder() -> None:
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    for n, fn in QUERIES.items():
+        ordered.setdefault(n, fn)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    o_ordered = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(o_ordered)
 
 
 def load_all() -> None:
@@ -49,3 +136,4 @@ def load_all() -> None:
         from ecollector_spark.driver_queries import datapipe  # noqa: F401
     except ImportError:
         pass
+    _reorder()

@@ -136,6 +136,7 @@ src AS ({_src_sql('error')})
 SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, dev_id, value_f AS value
 FROM src WHERE location_id IN ('1','2') ORDER BY time, dev_id
 """,
+    shelved=True,
 )
 def ts_group_by_tag_raw(spark, sf_dir):
     """SURVEY A13/F4: raw field grouped by tag with location filter."""
@@ -208,6 +209,7 @@ spine AS ({_spine(86400)})
 SELECT spine.time AS time, coalesce(agg.value, 0.0) AS value
 FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
+    shelved=True,
 )
 def ts_agg_sum_fill_zero(spark, sf_dir):
     """SURVEY A3/A14: SUM per 1d bucket, FILL(0)."""
@@ -258,6 +260,7 @@ agg AS (SELECT {_bucket(86400)} AS time, min(value_f) AS value FROM src GROUP BY
 spine AS ({_spine(86400)})
 SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
+    shelved=True,
 )
 def ts_agg_min(spark, sf_dir):
     """SURVEY A2/A14: MIN per 1d bucket."""
@@ -303,6 +306,7 @@ src AS ({_src_sql('purchase')})
 SELECT CAST({F_EPOCH} AS BIGINT) AS time, location_id, round(avg(value_f), 3) AS value
 FROM src GROUP BY 2 ORDER BY location_id
 """,
+    shelved=True,
 )
 def ts_overall_mean_by_tag(spark, sf_dir):
     """SURVEY A13/A14: whole-range mean per tag (row stamped range start)."""

@@ -240,6 +240,7 @@ SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
 FROM e, q WHERE vec_id <> 0 AND round({_cos_sql('v', 'qv')}, 6) >= 0.25
 ORDER BY vec_id
 """,
+    shelved=True,
 )
 def ann_cosine_threshold(spark, sf_dir):
     """All vectors with cosine >= 0.25 vs vec_id=0 (orderless exact
@@ -438,6 +439,7 @@ SELECT doc_id, media_type,
        n_bytes
 FROM s ORDER BY doc_id
 """,
+    shelved=True,
 )
 def mm_resize_metadata(spark, sf_dir):
     """mapInPandas resize stage (fit-within-224x224, aspect preserved,
@@ -481,7 +483,7 @@ def mm_feature_hist(spark, sf_dir):
     return feats.select("doc_id", *cols).orderBy("doc_id")
 
 
-@register("mm_feature_extract")  # rows-only: Arrow/pandas stage kept as the raw-vector form
+@register("mm_feature_extract", shelved=True)  # rows-only: Arrow/pandas stage kept as the raw-vector form
 def mm_feature_extract(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (stubbed
     byte-histogram features; real decode raises NotImplementedError)."""

@@ -28,6 +28,7 @@ agg AS (SELECT {_bucket(21600)} AS time, arg_max(value_f, ts) AS value FROM src 
 d AS (SELECT time, value - lag(value) OVER (ORDER BY time) AS value FROM agg)
 SELECT time, round(abs(value), 6) AS value FROM d WHERE value IS NOT NULL ORDER BY time
 """,
+    shelved=True,
 )
 def ts_transform_abs_diff(spark, sf_dir):
     """A15 transform wrap f(g(x)): abs(difference(last(value))) per 6h

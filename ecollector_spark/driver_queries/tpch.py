@@ -137,6 +137,7 @@ WHERE r_name = 'EUROPE'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
+    shelved=True,
 )
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     """Q5: six-way join; supplier/nation/region broadcast, the two fact
@@ -180,6 +181,7 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """,
+    shelved=True,
 )
 def tpch_q6_forecast_revenue(spark, sf_dir):
     """Q6: pure scan-filter-sum; every predicate pushes to parquet."""
@@ -215,6 +217,7 @@ WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20
 """,
+    shelved=True,
 )
 def tpch_q10_returned_items(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
@@ -318,6 +321,7 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
+    shelved=True,
 )
 def tpch_q4_priority_count(spark, sf_dir):
     """Q4 shape (adapted to the driver's columns: the classic
@@ -355,6 +359,7 @@ SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
 """,
+    shelved=True,
 )
 def tpch_q14_promo_revenue(spark, sf_dir):
     """Q14: conditional aggregation over a fact-dim join; part is
@@ -391,6 +396,7 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 LIMIT 20
 """,
+    shelved=True,
 )
 def tpch_q16_parts_supplier_counts(spark, sf_dir):
     """Q16 shape: distinct-count aggregation (expands to a two-phase
@@ -483,6 +489,7 @@ WHERE c_acctbal > a
                         WHERE o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey ORDER BY c_nationkey
 """,
+    shelved=True,
 )
 def tpch_q22_sales_opportunity(spark, sf_dir):
     """Q22 shape: decimal-exact scalar average (broadcast as a 1-row
@@ -590,6 +597,7 @@ FROM (
 )
 GROUP BY o_year ORDER BY o_year
 """,
+    shelved=True,
 )
 def tpch_q8_market_share(spark, sf_dir):
     """Q8 shape: a supplier nation's share of a region's order volume per

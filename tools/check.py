@@ -4,7 +4,10 @@ Runs every registered query on Spark AND its DuckDB oracle at the given
 sf dir, then compares row count, column names/shapes, and values
 (column-name-sorted, row-sorted). Usage:
 
-    python tools/check.py [sf_dir] [query ...]
+    python tools/check.py [--shelved] [sf_dir] [query ...]
+
+``--shelved`` additionally runs the shelved (non-gate) variants so they
+stay verified even though they don't spend driver check budget.
 """
 
 from __future__ import annotations
@@ -57,8 +60,10 @@ def compare(name, sdf, oracle, con):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--shelved"]
+    shelved = "--shelved" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from ecollector_spark import driver_queries
     from ecollector_spark.session import get_spark
@@ -71,11 +76,17 @@ def main():
               "lineitem", "events", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    queries = dict(driver_queries.QUERIES)
+    oracles = dict(driver_queries.ORACLES)
+    if shelved:
+        queries.update(driver_queries.SHELVED_QUERIES)
+        oracles.update(driver_queries.SHELVED_ORACLES)
+
     failures = 0
-    for name, fn in driver_queries.QUERIES.items():
+    for name, fn in queries.items():
         if only and name not in only:
             continue
-        oracle = driver_queries.ORACLES.get(name)
+        oracle = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
