@@ -356,7 +356,10 @@ class DiskGuard:
         return self._usage_fn(self.path)
 
     def should_stop(self) -> bool:
-        return self.usage_pct() >= self.threshold_pct
+        # Strict >, matching the reference's `UsedPercent >
+        # DiskMonitorShutdownLimit` (integration.go:299): exactly-at-limit
+        # does NOT stop.
+        return self.usage_pct() > self.threshold_pct
 
     def enforce(self, pm: "ProcessManager") -> list[str]:
         """Stop all RUNNING processes if over threshold; returns the ids

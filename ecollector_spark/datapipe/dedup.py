@@ -20,6 +20,8 @@ All expression-only — no Python UDFs anywhere.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -144,13 +146,18 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     # num_hashes-fold (measured ~40% off the whole LSH pipeline at
     # sf0.1). 16-bit min ties only blunt candidate *generation*;
     # membership is decided by exact-Jaccard verification afterwards.
-    h = F.md5(F.col("shingle"))
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(h, 4 * i + 1, 4)).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    # md5 yields 32 hex chars = 8 disjoint 4-char slices; beyond that,
+    # derive extra independent hashes from seeded re-hashes (md5(seed|shingle))
+    # rather than silently slicing past the digest (substring past position
+    # 32 returns '' -> constant signatures -> universal LSH collisions).
+    def _hash_expr(i: int):
+        digest, slot = divmod(i, 8)
+        h = F.md5(F.col("shingle")) if digest == 0 else F.md5(
+            F.concat(F.lit(f"{digest}|"), F.col("shingle"))
+        )
+        return F.min(F.substring(h, 4 * slot + 1, 4)).alias(f"mh_{i}")
+
+    return sh.groupBy("doc_id").agg(*[_hash_expr(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -216,7 +223,10 @@ def connected_components(
     driver-side graph. Lineage is truncated per round with a lazy
     localCheckpoint so plan depth stays O(1) instead of O(iterations)
     (the classic iterative-algorithm trap at scale); convergence is
-    detected by a count of changed labels.
+    detected by a count of changed labels. If the label propagation has
+    not converged after ``max_iter`` rounds (component diameter >
+    max_iter), a warning is emitted — unconverged labels would split one
+    component into several cluster_ids and over-retain duplicates.
     """
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -250,6 +260,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"connected_components: labels still changing after {max_iter} "
+            "iterations; clusters may be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -18,6 +18,7 @@ output to sanely-sized files.
 
 from __future__ import annotations
 
+import time
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -71,7 +72,7 @@ def run_cascade(tier_reader, tier_writer) -> None:
 
 
 def run_cascade_incremental(
-    tier_reader, tier_writer, high_water_mark, now_epoch: int | None = None
+    tier_reader, tier_writer, high_water_mark, now_epoch: int | float | None = None
 ) -> dict:
     """Incremental cascade: each step aggregates only source buckets
     STRICTLY AFTER the target tier's high-water mark — the property that
@@ -88,7 +89,16 @@ def run_cascade_incremental(
     complete data. Late data older than a materialized bucket needs a
     trailing-window re-run — the same contract as InfluxDB CQs, which
     the reference relies on. Returns {target_tier: written DataFrame}.
+
+    ``now_epoch`` defaults to wall-clock time so the still-filling-bucket
+    holdback is ALWAYS applied — without it a partial current bucket would
+    be materialized, the high-water mark would advance past it, and that
+    bucket's remaining rows would be silently lost on every later run.
+    Pass ``now_epoch=float("inf")`` only to explicitly opt out (e.g.
+    replaying a closed historical dataset where every bucket is final).
     """
+    if now_epoch is None:
+        now_epoch = int(time.time())
     written: dict = {}
     for src_tier, dst_tier, step in CASCADE:
         src = tier_reader(src_tier)
@@ -101,7 +111,7 @@ def run_cascade_incremental(
             src = src.where(
                 F.col("ts") >= F.timestamp_seconds(F.lit(int(hwm) + step_s))
             )
-        if now_epoch is not None:
+        if now_epoch != float("inf"):
             cur_bucket = (int(now_epoch) // step_s) * step_s
             src = src.where(F.col("ts") < F.timestamp_seconds(F.lit(cur_bucket)))
         out = downsample_step(src, step, target_tier=dst_tier)

@@ -127,14 +127,38 @@ class Warehouse:
 
     def high_water_mark(self, tier: str) -> int | None:
         """Max materialized bucket ts (epoch s) in a tier, None if empty.
-        One max() over the tier scan — parquet footer stats make this a
-        metadata-read at scale, and it's what run_cascade_incremental
-        keys its tail filter on."""
+
+        Fast path: a tiny ``_hwm`` sidecar file written by
+        :meth:`record_high_water_mark` after each incremental cascade run
+        — O(1) regardless of tier size. Fallback: one max() over the
+        tier's ts column. Note the fallback IS a column scan: Spark only
+        answers max() from parquet footer stats when
+        ``spark.sql.parquet.aggregatePushdown`` is enabled (off by
+        default), so at scale the sidecar is the path that matters.
+        """
+        sidecar = os.path.join(self.tier_path(tier), "_hwm")
+        try:
+            with open(sidecar) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            pass
         df = self.read_tier(tier)
         if df is None:
             return None
         row = df.agg(F.max("ts").alias("m")).collect()[0]
         return None if row["m"] is None else int(row["m"].timestamp())
+
+    def record_high_water_mark(self, tier: str, epoch_s: int) -> None:
+        """Persist the tier's max materialized bucket ts so later
+        incremental runs skip the fallback scan. Written atomically
+        (tmp + rename) because a concurrent reader hitting a torn file
+        would silently fall back to the scan path — correct but slow."""
+        tp = self.tier_path(tier)
+        os.makedirs(tp, exist_ok=True)
+        tmp = os.path.join(tp, "_hwm.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(int(epoch_s)))
+        os.replace(tmp, os.path.join(tp, "_hwm"))
 
     # -- catalog (§2.10) ---------------------------------------------------
     def measurements(self) -> list[str]:

@@ -308,6 +308,13 @@ class TestDiskGuard:
         pct = DiskGuard(str(tmp_path)).usage_pct()
         assert 0.0 <= pct <= 100.0
 
+    def test_exact_boundary_does_not_stop(self, tmp_path):
+        # reference: UsedPercent > DiskMonitorShutdownLimit (integration.go:299)
+        from ecollector_spark.api import DiskGuard
+
+        guard = DiskGuard(str(tmp_path), threshold_pct=85.0, usage_fn=lambda p: 85.0)
+        assert not guard.should_stop()
+
 
 class TestIncrementalCascade:
     def test_each_bucket_materialized_exactly_once(self, spark, tmp_path):
@@ -348,6 +355,42 @@ class TestIncrementalCascade:
         }
         # exactly once: no duplicate bucket rows after the second run
         assert len(rows) == 4
+
+    def test_default_now_applies_holdback(self, spark, tmp_path):
+        """now_epoch omitted -> wall clock: a fresh point in the current
+        (still-filling) bucket must be held back, not materialized."""
+        import time as _time
+
+        from ecollector_spark.downsample import run_cascade_incremental
+
+        w = Warehouse(spark, str(tmp_path / "w"))
+        # a point safely in the future stays inside a still-filling bucket
+        # regardless of when this test runs (no minute-boundary race)
+        now = int(_time.time()) + 3600
+        cur_minute = datetime.fromtimestamp((now // 60) * 60 + 5, tz=timezone.utc)
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", cur_minute.strftime("%Y-%m-%dT%H:%M:%S"), "7", 123.0),
+        ]))
+
+        def writer(df, tier):
+            w.write_points(df)
+
+        run_cascade_incremental(w.read_tier, writer, w.high_water_mark)
+        day = w.read_tier("gen_day")
+        assert day is None or day.where(F.col("dev_id") == "7").count() == 0
+
+    def test_hwm_sidecar_preferred_over_scan(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+        ]))
+        scanned = w.high_water_mark("gen_raw")
+        assert scanned is not None
+        w.record_high_water_mark("gen_raw", 1234567890)
+        assert w.high_water_mark("gen_raw") == 1234567890
+        # sidecar must not break the parquet tier read (underscore-prefixed
+        # files are hidden to Spark's file index)
+        assert w.read_tier("gen_raw").count() == 1
 
 
 class TestBucketedWarehouse:

@@ -41,6 +41,29 @@ class TestDedup:
         assert lsh <= exact
         assert (1, 2) in lsh  # identical docs always collide in every band
 
+    def test_minhash_more_than_8_hashes_nonconstant(self, corpus):
+        """num_hashes > 8 must derive real seeded hashes past the first
+        md5 digest (32 hex chars = 8 slices), never empty-string columns
+        that would make every LSH band collide universally."""
+        sig = dedup.minhash_signatures(corpus, num_hashes=16).collect()
+        for col in [f"mh_{i}" for i in range(16)]:
+            vals = {r[col] for r in sig}
+            assert all(v and len(v) == 4 for v in vals)
+        # docs 4 and 5 share no shingles: their extended signatures differ
+        by_id = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8, 16)) for r in sig}
+        assert by_id[4] != by_id[5]
+
+    def test_connected_components_warns_when_unconverged(self, spark):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+        )
+        with pytest.warns(RuntimeWarning, match="still changing"):
+            dedup.connected_components(pairs, max_iter=1)
+        # converged run on the same chain: one component labeled by min id
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert set(out.values()) == {0}
+
     def test_simhash_identical_docs_equal(self, corpus):
         out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
         assert out[1] == out[2]
