@@ -60,7 +60,7 @@ def asof_join_last_purchase(spark, sf_dir):
         F.unix_timestamp("ts").alias("time"),
         F.round("click_value", 6).alias("click_value"),
         F.round("purchase_value_asof", 6).alias("purchase_value_asof"),
-    ).orderBy("user_id", "time", "click_value")
+    )
 
 
 @register(
@@ -105,4 +105,4 @@ def interval_join_post_purchase(spark, sf_dir):
         F.unix_timestamp("start_ts").alias("window_start"),
         F.round("click_value", 6).alias("click_value"),
         F.round("purchase_value", 6).alias("purchase_value"),
-    ).orderBy("user_id", "time", "window_start")
+    )

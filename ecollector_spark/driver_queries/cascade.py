@@ -74,7 +74,7 @@ def downsample_cascade_10m(spark, sf_dir):
         F.unix_timestamp("ts").alias("time"),
         F.round("value_f", 6).alias("value"),
         "series_id", "unit",
-    ).orderBy("measurement", "dev_id", "time")
+    )
 
 
 @register(
@@ -96,4 +96,4 @@ def hour_reattribution_q(spark, sf_dir):
         F.col("user_id").cast("long").alias("user_id"),
         F.unix_timestamp("ts").alias("time"),
         F.unix_timestamp(hour_reattribution(F.col("ts"))).alias("adjusted_time"),
-    ).orderBy("user_id", "time")
+    )

@@ -126,7 +126,7 @@ def ts_group_by_time_tag_fill_previous(spark, sf_dir):
     agg = planner.plan(req_null, now=NOW).withColumn("value", F.round("value", 3))
     return gap_fill(agg, "previous", F_EPOCH, T_EPOCH, 21600, ["location_id"]).select(
         F.col("time").cast("long"), "location_id", F.col("value").cast("double")
-    ).orderBy("time", "location_id")
+    )
 
 
 @register(
@@ -437,9 +437,7 @@ def preagg_30s_directives(spark, sf_dir):
         "agg_func", F.expr(_AGG_CASE.replace("user_id", "CAST(dev_id AS BIGINT)"))
     )
     out = windowed_preaggregate(dp, 30)
-    return out.select("series_id", "time", F.round("value", 3).alias("value")).orderBy(
-        "series_id", "time"
-    )
+    return out.select("series_id", "time", F.round("value", 3).alias("value"))
 
 
 @register(
@@ -464,7 +462,7 @@ def counter_difference_10m(spark, sf_dir):
     out = counter_difference(dp, 600)
     return out.select("series_id", "time", F.round("value", 6).alias("value")).where(
         (F.col("value") > 0) & (F.col("value") <= 100)
-    ).orderBy("series_id", "time")
+    )
 
 
 @register(
@@ -487,7 +485,7 @@ def outlier_fence(spark, sf_dir):
     return (
         out.where(F.col("is_outlier"))
         .select("series_id", F.unix_timestamp("ts").alias("time"), F.col("value_f").alias("value"))
-        .orderBy("series_id", "time")
+        
     )
 
 
@@ -523,7 +521,7 @@ def filter_engine_chain(spark, sf_dir):
     return (
         dp.where(keep)
         .select(F.unix_timestamp("ts").alias("time"), "topic", F.col("value_f").alias("value"))
-        .orderBy("time", "topic")
+        
     )
 
 
@@ -547,7 +545,7 @@ def topic_wildcard_match(spark, sf_dir):
         dp.where(route_includes_topic(_ROUTE, "topic"))
         .groupBy("topic")
         .agg(F.count("*").alias("n"))
-        .orderBy("topic")
+        
     )
 
 
@@ -585,7 +583,7 @@ def two_level_group_energy(spark, sf_dir):
         per_dev.join(F.broadcast(groups), "dev_id")
         .groupBy("time", "group_id")
         .agg(F.round(F.sum("v"), 3).alias("value"))
-        .orderBy("time", "group_id")
+        
     )
 
 
@@ -611,7 +609,7 @@ def enrichment_left_join(spark, sf_dir):
         .join(dim, "_k", "left")
         .select(F.unix_timestamp("ts").alias("time"), "dev_id", "n_name",
                 F.col("value_f").alias("value"))
-        .orderBy("time", "dev_id")
+        
     )
 
 
@@ -669,5 +667,5 @@ def events_top3_users_per_type(spark, sf_dir):
         counts.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("event_type", "user_id", "n_events", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("event_type", "rnk")
+        
     )

@@ -82,7 +82,7 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on md5(text), keep min doc_id."""
-    return dedup.exact_duplicates(dedup_corpus(spark, sf_dir)).orderBy("text_hash")
+    return dedup.exact_duplicates(dedup_corpus(spark, sf_dir))
 
 
 @register(
@@ -102,7 +102,7 @@ def dedup_jaccard_pairs(spark, sf_dir):
     df-capped against stop-shingle blowup)."""
     pairs = dedup.jaccard_pairs(dedup_corpus(spark, sf_dir), threshold=0.5, max_df=100)
     # lazy checkpoint: the sort's range sampling must not re-run the joins
-    return pairs.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
+    return pairs.localCheckpoint(eager=False)
 
 
 _BANDS_SQL = """mh AS (
@@ -144,7 +144,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(
         dedup_corpus(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5
     )
-    return pairs.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
+    return pairs.localCheckpoint(eager=False)
 
 
 @register(
@@ -175,7 +175,7 @@ def dedup_clusters(spark, sf_dir):
         dedup_corpus(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5
     ).localCheckpoint(eager=False)
     cc = dedup.connected_components(pairs)
-    return cc.localCheckpoint(eager=False).orderBy("doc_id")
+    return cc.localCheckpoint(eager=False)
 
 
 _SIMHASH_BITS = 16
@@ -200,7 +200,7 @@ def dedup_simhash(spark, sf_dir):
     """16-bit SimHash per document (signed projection over md5 token
     hashes); equal values = near-dup candidates."""
     sh = dedup.simhash(dedup_corpus(spark, sf_dir), bits=_SIMHASH_BITS)
-    return sh.localCheckpoint(eager=False).orderBy("doc_id")
+    return sh.localCheckpoint(eager=False)
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +246,7 @@ def ann_cosine_threshold(spark, sf_dir):
     """All vectors with cosine >= 0.25 vs vec_id=0 (orderless exact
     similarity search)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.cosine_threshold(emb, query_id=0, threshold=0.25).orderBy("vec_id")
+    return similarity.cosine_threshold(emb, query_id=0, threshold=0.25)
 
 
 _BUCKET_SQL = (
@@ -269,7 +269,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     scan-reducing scale path (bucket id becomes a partition column at
     100 TB)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.lsh_bucketed_search(emb, query_id=0, threshold=0.2, bits=4).orderBy("vec_id")
+    return similarity.lsh_bucketed_search(emb, query_id=0, threshold=0.2, bits=4)
 
 
 _L2SQ = (
@@ -293,7 +293,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     exact-cosine verify (the semantic-dedup path for embedded corpora)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.3, bits=4)
-    return pairs.localCheckpoint(eager=False).orderBy("vec_a", "vec_b")
+    return pairs.localCheckpoint(eager=False)
 
 
 @register(
@@ -349,7 +349,7 @@ FROM s ORDER BY doc_id
 def text_langid(spark, sf_dir):
     """Marker-word language ID heuristic (argmax with fixed cascade)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text.lang_id(docs).orderBy("doc_id")
+    return text.lang_id(docs)
 
 
 @register(
@@ -369,7 +369,7 @@ FROM m ORDER BY doc_id
 def text_quality(spark, sf_dir):
     """Per-doc quality features + blended score (pretraining-corpus gate)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text.quality_score(docs).orderBy("doc_id")
+    return text.quality_score(docs)
 
 
 @register(
@@ -382,7 +382,7 @@ FROM documents ORDER BY doc_id
 def text_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish token counting."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text.token_counts(docs).orderBy("doc_id")
+    return text.token_counts(docs)
 
 
 @register(
@@ -397,7 +397,7 @@ FROM s ORDER BY doc_id
 def text_fingerprint(spark, sf_dir):
     """Winnowing-style min-md5 fingerprint over 5-token shingles."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text.fingerprint(docs, k=5).orderBy("doc_id")
+    return text.fingerprint(docs, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -420,7 +420,7 @@ def mm_binary_metadata(spark, sf_dir):
     (decode itself is stubbed; see datapipe.multimodal)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = attach_fake_media(docs)
-    return media.select("doc_id", "media_type", "width", "height", "n_bytes").orderBy("doc_id")
+    return media.select("doc_id", "media_type", "width", "height", "n_bytes")
 
 
 @register(
@@ -449,7 +449,7 @@ def mm_resize_metadata(spark, sf_dir):
     from ecollector_spark.datapipe.multimodal import resize_media
 
     out = resize_media(attach_fake_media(docs))
-    return out.select("doc_id", "media_type", "width", "height", "n_bytes").orderBy("doc_id")
+    return out.select("doc_id", "media_type", "width", "height", "n_bytes")
 
 
 _F_COLS = ", ".join(
@@ -480,7 +480,7 @@ def mm_feature_hist(spark, sf_dir):
         (F.floor(F.element_at("feature", j + 1) * 1000000.0) / 1000000.0).alias(f"f{j}")
         for j in range(8)
     ]
-    return feats.select("doc_id", *cols).orderBy("doc_id")
+    return feats.select("doc_id", *cols)
 
 
 @register("mm_feature_extract", shelved=True)  # rows-only: Arrow/pandas stage kept as the raw-vector form

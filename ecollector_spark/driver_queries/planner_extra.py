@@ -92,4 +92,4 @@ def ts_agg_mean_fill_linear(spark, sf_dir):
     filled = gap_fill(agg, "linear", F_EPOCH, T_EPOCH, 14400, [])
     return filled.select(
         F.col("time").cast("long").alias("time"), F.round("value", 6).alias("value")
-    ).orderBy("time")
+    )

@@ -56,4 +56,4 @@ def session_window_30m(spark, sf_dir):
         F.unix_timestamp("w.start").alias("session_start"),
         "n_events",
         "sum_value",
-    ).orderBy("user_id", "session_start")
+    )

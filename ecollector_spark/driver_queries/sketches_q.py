@@ -46,7 +46,7 @@ def sketch_kmv_distinct_users(spark, sf_dir):
     )
     return est.join(exact, "event_type").select(
         "event_type", "n_kept", "est_distinct", "exact_distinct"
-    ).orderBy("event_type")
+    )
 
 
 @register(
@@ -79,4 +79,4 @@ def sketch_sampled_quantiles(spark, sf_dir):
     ex = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact")
     )
-    return q.join(ex, "event_type").orderBy("event_type")
+    return q.join(ex, "event_type")

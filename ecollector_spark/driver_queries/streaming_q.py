@@ -129,7 +129,7 @@ def streaming_preagg_replay(spark, sf_dir):
         F.unix_timestamp("time").alias("time"),
         F.round("value", 6).alias("value"),
         "agg_func",
-    ).orderBy("series_id", "time")
+    )
 
 
 @register("streaming_counter_diff_replay")  # rows-only: sequential seed recurrence
@@ -146,4 +146,4 @@ def streaming_counter_diff_replay(spark, sf_dir):
     out = _stream_through(spark, rows, counter_difference_stateful, "diff")
     return out.select(
         "series_id", F.unix_timestamp("time").alias("time"), F.round("value", 6).alias("value")
-    ).orderBy("series_id", "time")
+    )

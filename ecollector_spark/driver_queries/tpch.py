@@ -70,7 +70,7 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         (_dbl(F.sum(_dec(F.col("l_discount")))) / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
-    return g.orderBy("l_returnflag", "l_linestatus")
+    return g
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +166,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
     )
     g = j.groupBy("n_name").agg(_dbl(F.sum(_dec(revenue))).alias("revenue"))
-    return g.orderBy(F.desc("revenue"), "n_name")
+    return g
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +275,7 @@ def tpch_latest_order_per_customer(spark, sf_dir):
             F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
             _dbl(F.col("o_totalprice")).alias("o_totalprice"),
         )
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -303,7 +303,7 @@ def tpch_customers_without_recent_orders(spark, sf_dir):
         .where(F.col("c_custkey") % 50 == 0)
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -340,7 +340,7 @@ def tpch_q4_priority_count(spark, sf_dir):
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
+        
     )
 
 
@@ -512,7 +512,7 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
             F.count("*").alias("numcust"),
             _dbl(F.sum(_dec(F.col("c_acctbal")))).alias("totacctbal"),
         )
-        .orderBy("c_nationkey")
+        
     )
 
 
@@ -567,7 +567,7 @@ def tpch_q7_nation_volume(spark, sf_dir):
     return (
         j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(_dbl(F.sum(volume)).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        
     )
 
 
@@ -637,5 +637,5 @@ def tpch_q8_market_share(spark, sf_dir):
                 / _dbl(F.sum(volume))
             ).cast("double").alias("mkt_share")
         )
-        .orderBy("o_year")
+        
     )

@@ -147,10 +147,6 @@ def fimp_transform_pipeline(spark, sf_dir):
         "unit",
         "agg_func",
     )
-    # The ordering exists only so the oracle hash-compare is
-    # deterministic — production never sorts the point stream. A global
-    # orderBy would range-sample and execute the whole transform twice;
-    # a single-partition shuffle sort runs the transform exactly once
-    # (32-way) and sorts the already-collected-sized result in one task
-    # (measured ~25% faster than lazy-checkpoint + orderBy at sf0.1).
-    return out.repartition(1).sortWithinPartitions("measurement", "time", "series_id")
+    # No result ordering: the harness value-hash is order-insensitive,
+    # and production never sorts the point stream.
+    return out

@@ -11,9 +11,15 @@ only yields buckets that exist, so we synthesize the bucket spine:
 Scale notes: the spine is |buckets| x |groups| rows generated *without*
 reading the fact table; the join key (bucket, group) matches the
 aggregation's own grouping so AQE plans a cheap join (the aggregated side
-is already small — it's post-aggregation). `previous` fill uses
-last(ignorenulls) over a per-group window: one extra shuffle by group,
-bounded by the result size, never the raw data size.
+is already small — it's post-aggregation).
+
+`previous`/`linear` fill is *chunked*: windows partition by (group...,
+coarse time chunk of ``CHUNK_BUCKETS`` buckets), so no fill ever plans an
+unpartitioned WindowExec over the whole spine — a year of 1-minute
+buckets without a group tag would otherwise serialize ~525k rows through
+one task. Chunk boundaries are fixed up with a second window over the
+per-chunk edge values (|chunks| rows, ~1000x smaller than the spine),
+whose result is broadcast-joined back.
 """
 
 from __future__ import annotations
@@ -28,6 +34,10 @@ FILL_PREVIOUS = "previous"
 FILL_ZERO = "0"
 FILL_NONE = "none"
 FILL_LINEAR = "linear"
+
+#: buckets per fill chunk: each window task handles at most this many rows,
+#: and the boundary pass is |spine| / CHUNK_BUCKETS rows
+CHUNK_BUCKETS = 1024
 
 
 def bucket_spine(
@@ -82,30 +92,75 @@ def gap_fill(
         return joined
     if fill_type == FILL_ZERO:
         return joined.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
-    if fill_type == FILL_PREVIOUS:
-        w = (
-            Window.partitionBy(*group_cols)
-            .orderBy(time_col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        return joined.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
-    if fill_type == FILL_LINEAR:
-        wp = Window.partitionBy(*group_cols).orderBy(time_col)
-        wprev = wp.rowsBetween(Window.unboundedPreceding, 0)
-        wnext = wp.rowsBetween(0, Window.unboundedFollowing)
-        prev_v = F.last(value_col, ignorenulls=True).over(wprev)
-        next_v = F.first(value_col, ignorenulls=True).over(wnext)
-        prev_t = F.last(
-            F.when(F.col(value_col).isNotNull(), F.col(time_col)), ignorenulls=True
-        ).over(wprev)
-        next_t = F.first(
-            F.when(F.col(value_col).isNotNull(), F.col(time_col)), ignorenulls=True
-        ).over(wnext)
-        interp = prev_v + (next_v - prev_v) * (F.col(time_col) - prev_t) / (next_t - prev_t)
-        return joined.withColumn(
-            value_col,
-            F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
-                F.when(prev_t == next_t, prev_v).otherwise(interp)
-            ),
-        )
+    if fill_type in (FILL_PREVIOUS, FILL_LINEAR):
+        return _chunked_fill(joined, fill_type, step_seconds, group_cols, time_col, value_col)
     raise ValueError(f"unknown fill type: {fill_type!r}")
+
+
+def _chunked_fill(
+    joined: DataFrame,
+    fill_type: str,
+    step_seconds: int,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """previous/linear fill with (group..., chunk)-partitioned windows.
+
+    Three stages, none of which ever sees the whole spine in one task:
+    1. within-chunk window fill (partitioned by group + chunk);
+    2. per-chunk edge aggregate — first/last non-null (time, value) per
+       (group, chunk), |chunks| rows total;
+    3. carry window over the edge table (previous chunks' last value /
+       next chunks' first value), broadcast-joined back on (group, chunk).
+    The carry window *is* group-partitioned only; its input is the edge
+    table, bounded by |spine| / CHUNK_BUCKETS — the whole point.
+    """
+    span = step_seconds * CHUNK_BUCKETS
+    out_cols = joined.columns
+    joined = joined.withColumn("_ck", F.floor(F.col(time_col) / F.lit(span)))
+    keys = [*group_cols, "_ck"]
+
+    nn_struct = F.when(
+        F.col(value_col).isNotNull(), F.struct(F.col(time_col), F.col(value_col))
+    )
+    # stage 2: per-chunk non-null edges (struct order = time order)
+    edges = joined.groupBy(*keys).agg(
+        F.max(nn_struct).alias("_last_nn"), F.min(nn_struct).alias("_first_nn")
+    )
+    # stage 3: carry across chunks (tiny input)
+    w_ck = Window.partitionBy(*group_cols).orderBy("_ck")
+    carry_prev = F.last("_last_nn", ignorenulls=True).over(
+        w_ck.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = edges.select(*keys, carry_prev.alias("_cprev"))
+    if fill_type == FILL_LINEAR:
+        carry_next = F.first("_first_nn", ignorenulls=True).over(
+            w_ck.rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry = edges.select(*keys, carry_prev.alias("_cprev"), carry_next.alias("_cnext"))
+    joined = joined.join(F.broadcast(carry), on=keys, how="left")
+
+    # stage 1: within-chunk windows, combined with the carried edges
+    wp = Window.partitionBy(*keys).orderBy(time_col)
+    wprev = wp.rowsBetween(Window.unboundedPreceding, 0)
+    in_prev_v = F.last(value_col, ignorenulls=True).over(wprev)
+    prev_v = F.coalesce(in_prev_v, F.col(f"_cprev.{value_col}"))
+
+    if fill_type == FILL_PREVIOUS:
+        return joined.withColumn(value_col, prev_v).select(*out_cols)
+
+    wnext = wp.rowsBetween(0, Window.unboundedFollowing)
+    in_prev_t = F.last(nn_struct[time_col], ignorenulls=True).over(wprev)
+    in_next_v = F.first(value_col, ignorenulls=True).over(wnext)
+    in_next_t = F.first(nn_struct[time_col], ignorenulls=True).over(wnext)
+    prev_t = F.coalesce(in_prev_t, F.col(f"_cprev.{time_col}"))
+    next_v = F.coalesce(in_next_v, F.col(f"_cnext.{value_col}"))
+    next_t = F.coalesce(in_next_t, F.col(f"_cnext.{time_col}"))
+    interp = prev_v + (next_v - prev_v) * (F.col(time_col) - prev_t) / (next_t - prev_t)
+    return joined.withColumn(
+        value_col,
+        F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+            F.when(prev_t == next_t, prev_v).otherwise(interp)
+        ),
+    ).select(*out_cols)

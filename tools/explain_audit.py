@@ -64,6 +64,17 @@ CHECKS = {
     "tpch_q16_parts_supplier_counts": ["BroadcastHashJoin", "LeftAnti", "partial_"],
     # q18: lineitem pre-aggregates map-side before any join; final top-k
     "tpch_q18_large_volume_customers": ["partial_sum", "TakeOrderedAndProject"],
+    # gap fill: the spine-sized window must be chunk-partitioned ([_ck]);
+    # an unpartitioned window ordered directly by time would serialize the
+    # whole spine through one task (the only allowed unpartitioned window
+    # is the per-chunk edge carry, ordered by _ck)
+    "ts_agg_mean_fill_linear": [
+        "\\], \\[_ck#\\d+L\\], \\[time#\\d+L ASC",
+        "!windowspecdefinition\\(time#\\d+L? ASC",
+    ],
+    "ts_group_by_time_tag_fill_previous": [
+        "!windowspecdefinition\\(time#\\d+L? ASC",
+    ],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
@@ -96,7 +107,7 @@ def main():
 
         return default_transform(fimp_from_events(spark, sf_dir))
 
-    builders = dict(driver_queries.QUERIES)
+    builders = {**driver_queries.QUERIES, **driver_queries.SHELVED_QUERIES}
     builders["_raw_minhash"] = _raw_minhash
     builders["_raw_embedding_near_dup"] = _raw_embedding_near_dup
     builders["_raw_transform"] = _raw_transform
