@@ -3,10 +3,17 @@
 - brute-force cosine: exact baseline — one scan, dot product as a
   sequential fold (bit-identical to the DuckDB oracle's list_reduce),
   no shuffle until the final top-k (which AQE keeps tiny).
-- LSH-bucketed: sign-bit bucketing (axis hyperplanes) — the scale path:
-  the query probes one bucket, cutting the scan by ~2^bits; recall is
-  traded explicitly. At 100 TB the bucket id becomes a partition column
-  so probing is partition pruning.
+- LSH-bucketed: random-hyperplane LSH for cosine with ``bits``
+  deterministic md5-seeded hyperplanes per table x ``tables``
+  independent tables. Candidate recall for a pair at angle theta is
+  1 - (1 - (1 - theta/pi)^bits)^tables; more tables buys recall, more
+  bits buys smaller buckets (expected bucket size N / 2^bits, so the
+  bucket-local pair join is O(sum b^2) ~ N^2 / 2^bits per table instead
+  of N^2). At 100 TB (table, bucket) becomes a partition column so
+  probing is partition pruning.
+- IVF: seeded-sample centroids refined by a fixed number of Lloyd
+  iterations (means in exact decimal so any engine reproduces them
+  bit-identically), then nprobe nearest inverted lists.
 
 Everything is expression-only; a Pandas-UDF variant would move Arrow
 batches for no gain since the fold is already JVM-side.
@@ -14,8 +21,12 @@ batches for no gain since the fold is already JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+DEFAULT_LSH_SEED = "ecollector-lsh"
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -63,42 +74,121 @@ def cosine_threshold(
     )
 
 
+def hyperplanes(
+    dim: int, bits: int, tables: int = 1, seed: str = DEFAULT_LSH_SEED
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes ``[table][bit][dim]``.
+
+    Each weight is md5(seed|table|bit|dim) mapped to [-1, 1) — a dyadic
+    rational (k/2^31 - 1), exactly representable as a double, so any
+    engine given the same literals computes bit-identical projections.
+    No RNG state: reproducible across processes, rounds, and the SQL
+    oracle."""
+    return [
+        [
+            [
+                int(hashlib.md5(f"{seed}|{t}|{j}|{d}".encode()).hexdigest()[:8], 16)
+                / 2.0**31
+                - 1.0
+                for d in range(dim)
+            ]
+            for j in range(bits)
+        ]
+        for t in range(tables)
+    ]
+
+
+def _dot_lit(v: Column, ws: list[float]) -> Column:
+    return _dot(v, F.array(*[F.lit(float(w)) for w in ws]))
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id for one LSH table: bit j set iff dot(vec, plane_j) >= 0."""
+    b = F.lit(0)
+    for j, ws in enumerate(planes):
+        b = b + F.when(_dot_lit(vec, ws) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
 def sign_bucket(vec: Column, bits: int = 4) -> Column:
-    """LSH bucket id from the sign of the first ``bits`` dimensions
-    (axis-aligned random-hyperplane LSH for cosine)."""
+    """Axis-aligned LSH bucket (sign of the first ``bits`` dimensions) —
+    the degenerate hyperplane family; kept for comparison/tests."""
     b = F.lit(0)
     for i in range(bits):
         b = b + F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b.cast("int")
 
 
-def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float, vec_col: str = "embedding", bits: int = 4
+def _embedding_dim(emb: DataFrame, vec_col: str) -> int:
+    row = emb.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        raise ValueError("empty embedding table: pass dim= explicitly")
+    return row["d"]
+
+
+def _table_buckets(
+    base: DataFrame, planes: list[list[list[float]]]
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidate pairs share a
-    sign-LSH bucket (so pairing is bucket-local — at 100 TB the bucket id
-    is a partition column and each bucket's pairs are generated by a
-    co-partitioned self-join, never a global cross join), then exact
-    cosine verifies. Returns (vec_a, vec_b, cosine >= threshold),
-    vec_a < vec_b, cosine rounded to 6 decimals."""
-    with_bucket = emb.select(
-        F.col("vec_id"), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_bucket", sign_bucket(F.col("_v"), bits))
-    a, b = with_bucket.alias("a"), with_bucket.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    va, vb = F.col("a._v"), F.col("b._v")
-    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+    """(vec_id, _t, _b): each vector's bucket in every LSH table — the
+    slim index frame (ids only, vectors stay behind) that all candidate
+    generation joins on."""
+    structs = [
+        F.struct(
+            F.lit(t).alias("t"), hyperplane_bucket(F.col("_v"), tp).alias("b")
         )
-        .where(F.col("cosine") >= threshold)
+        for t, tp in enumerate(planes)
+    ]
+    return base.select("vec_id", F.explode(F.array(*structs)).alias("_tb")).select(
+        "vec_id", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b")
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 2,
+    dim: int | None = None,
+    seed: str = DEFAULT_LSH_SEED,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a
+    hyperplane-LSH bucket in ANY of ``tables`` independent tables, then
+    exact cosine verifies. Returns (vec_a, vec_b, cosine >= threshold),
+    vec_a < vec_b, cosine rounded to 6 decimals.
+
+    Scale shape: the bucket index carries only (vec_id, table, bucket),
+    so the candidate self-join shuffles ids, not vectors; expected
+    bucket size is N/2^bits per table (the quadratic term is
+    N^2/2^bits, vs N^2/16 for the old 4-bit axis bucketing), and the
+    verify step rejoins vectors by id. Candidate recall for a pair at
+    cosine c: 1 - (1 - (1 - acos(c)/pi)^bits)^tables — tune tables up
+    for higher recall, bits up for bigger corpora."""
+    if dim is None:
+        dim = _embedding_dim(emb, vec_col)
+    planes = hyperplanes(dim, bits, tables, seed)
+    base = emb.select(F.col("vec_id"), _as_double(F.col(vec_col)).alias("_v"))
+    buckets = _table_buckets(base, planes)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._b") == F.col("b._b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"))
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.sqrt(_dot(F.col("_va"), F.col("_va"))) * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -108,27 +198,68 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def ivf_assignments(
-    emb: DataFrame, n_centroids: int = 8, vec_col: str = "embedding"
-) -> DataFrame:
-    """IVF coarse quantizer: centroids are a deterministic sample of the
-    corpus (vec_id < n_centroids — the standard train-on-a-sample IVF
-    approximation, kept seedless so the oracle can reproduce it); every
-    vector is assigned to its nearest centroid by squared L2. Returns
-    (vec_id, v, cid). One scan + a broadcast of the tiny centroid table;
-    at 100 TB `cid` becomes the partition column of the vector index, so
-    probing is partition pruning."""
-    e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
-    cents = e.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
-    )
+def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cid): nearest centroid by squared L2, ties to the
+    lowest cid. One scan + a broadcast of the tiny centroid table."""
     pairs = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cid", _l2sq(F.col("v"), F.col("cvec")).alias("d2")
     )
-    from pyspark.sql import Window
-
     rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid"))
     return pairs.withColumn("_rn", rn).where(F.col("_rn") == 1).select("vec_id", "v", "cid")
+
+
+def ivf_centroids(
+    e: DataFrame, n_centroids: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """(cid, cvec): k-means centroids — deterministic seed (the first
+    ``n_centroids`` vec_ids) refined by ``n_iter`` Lloyd iterations.
+
+    Every mean is computed as exact-decimal sum / count cast back to
+    double, so the result is independent of partitioning AND bit-
+    identical to a SQL oracle doing the same — which is why this is a
+    fixed iteration count, not convergence-tested (the oracle mirrors
+    the same fixed unrolling). A centroid whose cluster goes empty keeps
+    its previous position. Per iteration: one broadcast-join assignment
+    pass over the corpus + a (cid, dim)-keyed aggregate — no
+    driver-side math, scales to any corpus that can stand one scan per
+    iteration."""
+    cents = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(e, cents)
+        comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        means = comp.groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")
+            ).alias("m")
+        )
+        new = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("ncvec")
+        )
+        cents = (
+            cents.join(new, "cid", "left")
+            .select("cid", F.coalesce("ncvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF coarse quantizer: Lloyd-refined centroids (see
+    :func:`ivf_centroids`), every vector assigned to its nearest one by
+    squared L2. Returns (vec_id, v, cid). At 100 TB ``cid`` becomes the
+    partition column of the vector index, so probing is partition
+    pruning."""
+    e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    return _assign_to_centroids(e, ivf_centroids(e, n_centroids, n_iter))
 
 
 def ivf_topk(
@@ -138,18 +269,15 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     vec_col: str = "embedding",
+    n_iter: int = 2,
 ) -> DataFrame:
     """IVF search: probe the query's ``nprobe`` nearest centroid lists,
     exact cosine inside them, top-k. The inverted lists cut the scan to
     ~nprobe/n_centroids of the corpus; recall < 1 by design (the ANN
     trade). Output (vec_id, cosine) ordered desc, ties by vec_id."""
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
-    cents = e.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
-    )
+    cents = ivf_centroids(e, n_centroids, n_iter)
     q = e.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
-    from pyspark.sql import Window
-
     probes = (
         cents.crossJoin(F.broadcast(q))
         .select("cid", _l2sq(F.col("cvec"), F.col("qv")).alias("d2"))
@@ -157,7 +285,7 @@ def ivf_topk(
         .where(F.col("_rn") <= nprobe)
         .select("cid")
     )
-    assigned = ivf_assignments(emb, n_centroids, vec_col)
+    assigned = _assign_to_centroids(e, cents)
     probed = assigned.join(F.broadcast(probes), "cid").crossJoin(F.broadcast(q))
     cos = _dot(F.col("v"), F.col("qv")) / (
         F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
@@ -175,16 +303,36 @@ def lsh_bucketed_search(
     query_id: int,
     threshold: float,
     vec_col: str = "embedding",
-    bits: int = 4,
+    bits: int = 8,
+    tables: int = 2,
+    dim: int | None = None,
+    seed: str = DEFAULT_LSH_SEED,
 ) -> DataFrame:
-    """Approximate search: score only vectors in the query's sign bucket.
-    Same output shape as cosine_threshold; recall < 1 by design."""
-    with_bucket = emb.withColumn("_bucket", sign_bucket(F.col(vec_col), bits))
-    q = with_bucket.where(F.col("vec_id") == query_id).select(
-        F.col(vec_col).alias("_q"), F.col("_bucket").alias("_qb")
+    """Approximate search: score only vectors sharing the query's
+    hyperplane-LSH bucket in ANY table. Same output shape as
+    cosine_threshold; recall < 1 by design (see module docstring for
+    the recall formula). The probe is an id-only broadcast semi-join —
+    at scale, (table, bucket) partition pruning."""
+    if dim is None:
+        dim = _embedding_dim(emb, vec_col)
+    planes = hyperplanes(dim, bits, tables, seed)
+    base = emb.select(F.col("vec_id"), _as_double(F.col(vec_col)).alias("_v"))
+    buckets = _table_buckets(base, planes)
+    qb = buckets.where(F.col("vec_id") == query_id).select(
+        F.col("_t").alias("_qt"), F.col("_b").alias("_qb")
     )
+    cand_ids = (
+        buckets.join(
+            F.broadcast(qb),
+            (F.col("_t") == F.col("_qt")) & (F.col("_b") == F.col("_qb")),
+            "left_semi",
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    q = base.where(F.col("vec_id") == query_id).select(F.col("_v").alias("_q"))
     scored = cosine_scores(
-        with_bucket.join(F.broadcast(q), F.col("_bucket") == F.col("_qb")), F.col("_q"), vec_col
+        base.join(cand_ids, "vec_id").crossJoin(F.broadcast(q)), F.col("_q"), "_v"
     )
     return (
         scored.where(F.col("vec_id") != query_id)

@@ -249,27 +249,77 @@ def ann_cosine_threshold(spark, sf_dir):
     return similarity.cosine_threshold(emb, query_id=0, threshold=0.25)
 
 
-_BUCKET_SQL = (
-    "(CASE WHEN {v}[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN {v}[2] >= 0 THEN 2 ELSE 0 END + "
-    "CASE WHEN {v}[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN {v}[4] >= 0 THEN 8 ELSE 0 END)"
-)
+# ---- hyperplane-LSH twins: the SQL embeds the SAME md5-derived weight
+# ---- literals the Spark expressions use (similarity.hyperplanes), so both
+# ---- engines compute bit-identical projections
+_EMB_DIM = 64
+#: near-dup config: 8 bits (small buckets, the quadratic term / 256) x 2
+#: tables; planted near-dups (cosine ~1) collide with ~certainty
+_LSH_BITS, _LSH_TABLES = 8, 2
+#: search config: 4 bits x 4 tables — wider probes so moderate-cosine
+#: neighbors are still reachable (recall at cosine c per module formula)
+_SEARCH_BITS, _SEARCH_TABLES = 4, 4
+
+
+def _dot_lit_sql(v: str, ws) -> str:
+    arr = "[" + ", ".join(repr(float(w)) for w in ws) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_EMB_DIM}), "
+        f"i -> {v}[i]*({arr})[i]), (x,y) -> x+y)"
+    )
+
+
+def _hp_bucket_sql(v: str, planes_t) -> str:
+    cases = " + ".join(
+        f"CASE WHEN {_dot_lit_sql(v, ws)} >= 0 THEN {1 << j} ELSE 0 END"
+        for j, ws in enumerate(planes_t)
+    )
+    return f"({cases})"
+
+
+def _b_cte(bits: int, tables: int) -> tuple[str, str]:
+    """(bucket CTE over e, any-table-equality predicate) for the given
+    LSH config — built from the same hyperplanes() literals Spark uses."""
+    planes = similarity.hyperplanes(_EMB_DIM, bits, tables)
+    cte = (
+        "b AS (SELECT vec_id, "
+        + ", ".join(f"{_hp_bucket_sql('v', planes[t])} AS b{t}" for t in range(tables))
+        + " FROM e)"
+    )
+    any_eq = " OR ".join(f"a.b{t} = y.b{t}" for t in range(tables))
+    return cte, any_eq
+
+
+_B_CTE, _ANY_TABLE_EQ = _b_cte(_LSH_BITS, _LSH_TABLES)
+_SB_CTE, _S_ANY_EQ = _b_cte(_SEARCH_BITS, _SEARCH_TABLES)
 
 
 @register(
     "ann_lsh_bucketed",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL.format(v='(embedding::DOUBLE[])')} AS b FROM embeddings),
-q AS (SELECT v AS qv, b AS qb FROM e WHERE vec_id = 0)
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_SB_CTE},
+qb AS (SELECT * FROM b WHERE vec_id = 0),
+cand AS (SELECT DISTINCT a.vec_id FROM b a, qb y WHERE {_S_ANY_EQ}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
-FROM e, q WHERE vec_id <> 0 AND b = qb AND round({_cos_sql('v', 'qv')}, 6) >= 0.2
-ORDER BY vec_id
+FROM cand JOIN e USING (vec_id), q
+WHERE vec_id <> 0 AND round({_cos_sql('v', 'qv')}, 6) >= 0.2
 """,
 )
 def ann_lsh_bucketed(spark, sf_dir):
-    """Sign-bit LSH bucketed search: probe only the query's bucket — the
-    scan-reducing scale path (bucket id becomes a partition column at
+    """Hyperplane-LSH bucketed search: probe the query's bucket in each
+    of {_SEARCH_TABLES} tables x {_SEARCH_BITS} seeded hyperplanes — the
+    scan-reducing scale path ((table, bucket) partition-prunes at
     100 TB)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.lsh_bucketed_search(emb, query_id=0, threshold=0.2, bits=4)
+    return similarity.lsh_bucketed_search(
+        emb,
+        query_id=0,
+        threshold=0.2,
+        bits=_SEARCH_BITS,
+        tables=_SEARCH_TABLES,
+        dim=_EMB_DIM,
+    )
 
 
 _L2SQ = (
@@ -281,44 +331,79 @@ _L2SQ = (
 @register(
     "dedup_embedding_cosine",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {_BUCKET_SQL.format(v='v')} AS b FROM e)
-SELECT a.vec_id AS vec_a, y.vec_id AS vec_b, round({_cos_sql('a.v', 'y.v')}, 6) AS cosine
-FROM b a JOIN b y ON a.b = y.b AND a.vec_id < y.vec_id
-WHERE round({_cos_sql('a.v', 'y.v')}, 6) >= 0.3
-ORDER BY 1, 2
+{_B_CTE},
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, y.vec_id AS vec_b
+         FROM b a JOIN b y ON a.vec_id < y.vec_id AND ({_ANY_TABLE_EQ}))
+SELECT vec_a, vec_b, round({_cos_sql('ea.v', 'eb.v')}, 6) AS cosine
+FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+WHERE round({_cos_sql('ea.v', 'eb.v')}, 6) >= 0.3
 """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
-    exact-cosine verify (the semantic-dedup path for embedded corpora)."""
+    """Embedding-cosine near-dup pairs: hyperplane-LSH candidates (any of
+    {_LSH_TABLES} tables x {_LSH_BITS} seeded hyperplanes) + exact-cosine
+    verify (the semantic-dedup path for embedded corpora)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.3, bits=4)
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.3, bits=_LSH_BITS, tables=_LSH_TABLES, dim=_EMB_DIM
+    )
     return pairs.localCheckpoint(eager=False)
 
 
-@register(
-    "ann_ivf_topk",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-assign AS (
-  SELECT vec_id, v, cid FROM (SELECT e.vec_id, e.v, c.cid, {_L2SQ.format(a='e.v', b='c.cvec')} AS d2 FROM e, c)
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-probes AS (
-  SELECT cid FROM (SELECT c.cid, {_L2SQ.format(a='c.cvec', b='q.qv')} AS d2 FROM c, q)
-  QUALIFY row_number() OVER (ORDER BY d2, cid) <= 2)
+def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, n_iter: int = 2, k: int = 10) -> str:
+    """DuckDB twin of similarity.ivf_topk: the same seed centroids and the
+    same ``n_iter`` Lloyd steps unrolled as chained CTEs. Means are
+    exact-decimal sum / count cast to double on both engines, so centroid
+    coordinates (and therefore assignments and the probed lists) are
+    bit-identical."""
+
+    def assign(c: str) -> str:
+        return (
+            f"SELECT vec_id, v, cid FROM (SELECT e.vec_id, e.v, {c}.cid, "
+            f"{_L2SQ.format(a='e.v', b=f'{c}.cvec')} AS d2 FROM e, {c} {c}) "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {n_centroids})",
+    ]
+    for i in range(n_iter):
+        parts += [
+            f"a{i} AS ({assign(f'c{i}')})",
+            f"m{i} AS (SELECT cid, i, CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)"
+            f" / count(*) AS m FROM a{i}, generate_series(1, {_EMB_DIM}) AS g(i)"
+            f" GROUP BY cid, i)",
+            f"n{i} AS (SELECT cid, list(m ORDER BY i) AS ncvec FROM m{i} GROUP BY cid)",
+            f"c{i + 1} AS (SELECT c{i}.cid, coalesce(n{i}.ncvec, c{i}.cvec) AS cvec"
+            f" FROM c{i} LEFT JOIN n{i} USING (cid))",
+        ]
+    cf = f"c{n_iter}"
+    parts += [
+        f"assign AS ({assign(cf)})",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"probes AS (SELECT cid FROM (SELECT {cf}.cid, "
+        f"{_L2SQ.format(a=f'{cf}.cvec', b='q.qv')} AS d2 FROM {cf}, q) "
+        f"QUALIFY row_number() OVER (ORDER BY d2, cid) <= {nprobe})",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
 SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
 FROM assign JOIN probes USING (cid), q
 WHERE vec_id <> 0
-ORDER BY cosine DESC, vec_id LIMIT 10
-""",
-)
+ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+    )
+
+
+@register("ann_ivf_topk", _ivf_sql())
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-10 vs vec_id=0: deterministic-sample coarse
-    centroids (8), nearest-centroid inverted lists, probe the 2 closest
-    lists, exact cosine within — the partition-pruning ANN scale path."""
+    """IVF approximate top-10 vs vec_id=0: seeded coarse centroids (8)
+    refined by 2 exact-decimal Lloyd iterations, nearest-centroid
+    inverted lists, probe the 2 closest lists, exact cosine within — the
+    partition-pruning ANN scale path."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ivf_topk(emb, query_id=0, k=10, n_centroids=8, nprobe=2)
+    return similarity.ivf_topk(emb, query_id=0, k=10, n_centroids=8, nprobe=2, n_iter=2)
 
 
 # ---------------------------------------------------------------------------

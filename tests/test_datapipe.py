@@ -107,6 +107,61 @@ class TestSimilarity:
         assert all(a < b for a, b in pairs)
         assert all(c >= 0.9 for c in pairs.values())
 
+    @pytest.fixture(scope="class")
+    def corpus_emb(self, spark):
+        """200 deterministic pseudo-random 16-dim vectors (no RNG)."""
+        import math
+
+        rows = [
+            (i, [math.sin(0.1 * i * (d + 1) + d) for d in range(16)])
+            for i in range(200)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_hyperplanes_deterministic_and_ranged(self):
+        p1 = similarity.hyperplanes(8, 4, tables=2)
+        p2 = similarity.hyperplanes(8, 4, tables=2)
+        assert p1 == p2
+        flat = [w for t in p1 for plane in t for w in plane]
+        assert all(-1.0 <= w < 1.0 for w in flat)
+        # independent across tables and bits
+        assert p1[0][0] != p1[1][0] and p1[0][0] != p1[0][1]
+
+    def test_lsh_bucket_sizes_bounded(self, corpus_emb):
+        """Hyperplane buckets must fragment the corpus: the bucket-local
+        pair join is O(sum b^2), so one bucket holding a large share of
+        the corpus would reintroduce the quadratic blowup."""
+        base = corpus_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        )
+        planes = similarity.hyperplanes(16, 6, tables=2)
+        buckets = similarity._table_buckets(base, planes)
+        sizes = [
+            r["n"]
+            for r in buckets.groupBy("_t", "_b").agg(F.count("*").alias("n")).collect()
+        ]
+        assert sum(sizes) == 400  # every vector bucketed in both tables
+        assert max(sizes) <= 40  # largest bucket is a small corpus share
+
+    def test_ivf_recall_vs_bruteforce(self, corpus_emb):
+        exact = {r["vec_id"] for r in
+                 similarity.brute_force_topk(corpus_emb, 0, k=10).collect()}
+        probed = {r["vec_id"] for r in
+                  similarity.ivf_topk(corpus_emb, 0, k=10, n_centroids=8, nprobe=4).collect()}
+        recall = len(exact & probed) / 10
+        assert recall >= 0.5, f"recall@10 {recall} too low for nprobe=half the lists"
+
+    def test_ivf_centroids_move_from_seed(self, corpus_emb):
+        e = corpus_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        seed = {r["cid"]: r["cvec"] for r in
+                similarity.ivf_centroids(e, n_centroids=4, n_iter=0).collect()}
+        refined = {r["cid"]: r["cvec"] for r in
+                   similarity.ivf_centroids(e, n_centroids=4, n_iter=2).collect()}
+        assert set(seed) == set(refined) == {0, 1, 2, 3}
+        assert any(seed[c] != refined[c] for c in seed)  # Lloyd actually moved them
+
     def test_ivf_assignment_and_search(self, emb):
         assigned = {r["vec_id"]: r["cid"] for r in
                     similarity.ivf_assignments(emb, n_centroids=2).collect()}
