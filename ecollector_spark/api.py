@@ -72,10 +72,19 @@ def to_series_shape(
 
 
 def _report(series: list[dict] | None = None, error: str | None = None) -> dict:
-    """evt.tsdb.*_report envelope (admin.go:177, 391-399; docs/api:364-380)."""
+    """evt.tsdb.*_report FIMP envelope (admin.go:177, 391-399;
+    docs/api:205-238, 364-380): ``val.Results[].Series[]`` on success,
+    ``val.error`` with ``Results: null`` on failure."""
     if error is not None:
-        return {"results": [], "error": error}
-    return {"results": [{"series": series or []}]}
+        val = {"Results": None, "error": error}
+    else:
+        val = {"Results": [{"Series": series or [], "Messages": None}]}
+    return {
+        "type": "evt.tsdb.query_report",
+        "serv": "ecollector",
+        "val_t": "object",
+        "val": val,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -100,10 +109,29 @@ class EcollectorApi:
         self.ttl_overrides: dict[str, int] = {}
 
     # -- Q1: cmd.tsdb.query ------------------------------------------------
-    def run_query(self, query: str) -> dict:
-        """Raw query endpoint: the string is Spark SQL (replacing InfluxQL);
-        errors pass through as the error envelope, never raise."""
+    def run_query(self, query: str, now: datetime | None = None) -> dict:
+        """Raw query endpoint. Strings matching the documented InfluxQL
+        shapes (docs/api:181-248) are compiled onto the structured planner
+        (see ecollector_spark.influxql) so a reference user's saved
+        queries run verbatim; anything else is executed as Spark SQL.
+        Errors pass through as the error envelope, never raise."""
+        from ecollector_spark.influxql import InfluxQLParseError, parse_influxql
+
         try:
+            iq = parse_influxql(query)
+        except InfluxQLParseError:
+            iq = None
+        try:
+            if iq is not None:
+                df = self.planner.plan(iq.request, now=now)
+                if iq.alias and iq.alias != "value":
+                    df = df.withColumnRenamed("value", iq.alias)
+                series = to_series_shape(
+                    df,
+                    iq.measurement,
+                    [iq.request.group_by_tag] if iq.request.group_by_tag else [],
+                )
+                return _report(series)
             df = self.spark.sql(query)
             cols = df.columns
             return _report(

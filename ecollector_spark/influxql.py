@@ -1,0 +1,150 @@
+"""InfluxQL compatibility shim for ``cmd.tsdb.query`` strings.
+
+The reference forwards raw InfluxQL to InfluxDB (src/api/admin.go:156-177;
+docs/api:181-248 shows the documented query shapes). This engine's native
+raw-query surface is Spark SQL, but a migrating user's saved queries
+follow a small documented grammar:
+
+    SELECT f("value") [AS "alias"] FROM ["rp".]"measurement"
+      [WHERE time > now()-10m [AND "tag"='v' ...]]
+      [GROUP BY time(30m)[, "tag"] | "tag"]
+      [FILL(null|previous|0|none|linear)]
+
+``parse_influxql`` compiles that into a :class:`DataPointsRequest`, so the
+docs/README examples run verbatim through ``EcollectorApi.run_query`` on
+the structured planner path (predicate pushdown, tier choice, gap fill —
+not a string rewrite). Anything outside the recognized grammar raises
+:class:`InfluxQLParseError`, and ``run_query`` falls back to Spark SQL.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ecollector_spark import tiers
+from ecollector_spark.query import DataPointsFilter, DataPointsRequest
+
+#: documented aggregate functions (influxdb_v1.go selector surface)
+_FUNCS = {"mean", "sum", "min", "max", "count", "median", "last", "first", "difference"}
+
+_STMT_RE = re.compile(
+    r"""^\s*SELECT\s+(?P<fn>\w+)\(\s*"?(?P<field>[\w.]+)"?\s*\)
+    (?:\s+AS\s+"?(?P<alias>[\w.]+)"?)?
+    \s+FROM\s+(?P<from>"[^"]+"(?:\."[^"]+")?|[\w.]+)
+    (?:\s+WHERE\s+(?P<where>.*?))?
+    (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
+    (?:\s+FILL\(\s*(?P<fill>\w+)\s*\))?
+    \s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_TIME_RE = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*(?P<rhs>.+)$", re.IGNORECASE)
+_NOW_RE = re.compile(r"^now\(\)\s*-\s*(?P<dur>\w+)$", re.IGNORECASE)
+_TAG_RE = re.compile(r"""^"?(?P<key>[\w.]+)"?\s*=\s*'(?P<val>[^']*)'$""")
+_GROUP_TIME_RE = re.compile(r"^time\(\s*(?P<dur>\w+)\s*\)$", re.IGNORECASE)
+
+
+class InfluxQLParseError(ValueError):
+    """The string is not one of the supported InfluxQL shapes."""
+
+
+@dataclass
+class InfluxQLQuery:
+    request: DataPointsRequest
+    measurement: str
+    retention_policy: str | None  # advisory: the planner re-derives the tier
+    alias: str | None
+
+
+def _parse_from(frm: str) -> tuple[str | None, str]:
+    """'"rp"."measurement"' | '"measurement"' | unquoted equivalents."""
+    m = re.fullmatch(r'"([^"]+)"\."([^"]+)"', frm)
+    if m:
+        return m.group(1), m.group(2)
+    m = re.fullmatch(r'"([^"]+)"', frm)
+    if m:
+        return None, m.group(1)
+    # unquoted: split off a leading known-tier prefix, else whole string
+    # is the measurement (measurements themselves contain dots)
+    head, _, rest = frm.partition(".")
+    if rest and head in tiers.TIERS:
+        return head, rest
+    return None, frm
+
+
+def parse_influxql(query: str) -> InfluxQLQuery:
+    m = _STMT_RE.match(query)
+    if not m:
+        raise InfluxQLParseError(f"unrecognized InfluxQL shape: {query!r}")
+    fn = m.group("fn").lower()
+    if fn not in _FUNCS:
+        raise InfluxQLParseError(f"unsupported function: {fn}")
+    rp, measurement = _parse_from(m.group("from"))
+
+    flt = DataPointsFilter()
+    relative_time = from_time = to_time = ""
+    for cond in re.split(r"\s+AND\s+", m.group("where") or "", flags=re.IGNORECASE):
+        cond = cond.strip()
+        if not cond:
+            continue
+        tm = _TIME_RE.match(cond)
+        if tm:
+            rhs = tm.group("rhs").strip()
+            now_m = _NOW_RE.match(rhs)
+            if now_m:
+                if tm.group("op") not in (">", ">="):
+                    raise InfluxQLParseError(f"unsupported time bound: {cond!r}")
+                relative_time = now_m.group("dur")
+            else:
+                lit = rhs.strip("'\"")
+                if tm.group("op") in (">", ">="):
+                    from_time = lit
+                else:
+                    to_time = lit
+            continue
+        tg = _TAG_RE.match(cond)
+        if tg:
+            key, val = tg.group("key"), tg.group("val")
+            if key == "dev_id":
+                flt.devices.append(val)
+            elif key == "location_id":
+                flt.locations.append(val)
+            elif key == "dev_type":
+                flt.dev_types.append(val)
+            else:
+                flt.tags[key] = val
+            continue
+        raise InfluxQLParseError(f"unsupported WHERE condition: {cond!r}")
+
+    group_by_time = group_by_tag = ""
+    group = (m.group("group") or "").strip()
+    if group:
+        for item in group.split(","):
+            item = item.strip()
+            gt = _GROUP_TIME_RE.match(item)
+            if gt:
+                group_by_time = gt.group("dur")
+            elif re.fullmatch(r'"?[\w.]+"?', item):
+                if group_by_tag:
+                    raise InfluxQLParseError("multiple GROUP BY tags unsupported")
+                group_by_tag = item.strip('"')
+            else:
+                raise InfluxQLParseError(f"unsupported GROUP BY item: {item!r}")
+
+    fill = (m.group("fill") or "").lower()
+    req = DataPointsRequest(
+        measurement_name=measurement,
+        field_name=m.group("field"),
+        data_function=fn,
+        relative_time=relative_time,
+        from_time=from_time,
+        to_time=to_time,
+        group_by_time=group_by_time,
+        group_by_tag=group_by_tag,
+        fill_type=fill,
+        filters=flt,
+    )
+    return InfluxQLQuery(
+        request=req, measurement=measurement, retention_policy=rp, alias=m.group("alias")
+    )

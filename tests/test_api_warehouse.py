@@ -129,12 +129,12 @@ class TestApi:
         api = EcollectorApi(wh.spark, wh)
         wh.read_tier("gen_raw").createOrReplaceTempView("dp")
         rep = api.run_query("SELECT count(*) AS n FROM dp")
-        assert rep["results"][0]["series"][0]["values"] == [[4]]
+        assert rep["val"]["Results"][0]["Series"][0]["values"] == [[4]]
 
     def test_raw_sql_error_envelope(self, wh):
         api = EcollectorApi(wh.spark, wh)
         rep = api.run_query("SELECT * FROM no_such_table_xyz")
-        assert rep["results"] == [] and "no_such_table_xyz" in rep["error"]
+        assert rep["val"]["Results"] is None and "no_such_table_xyz" in rep["val"]["error"]
 
     def test_structured_query_reads_downsampled_tier(self, wh):
         """Full loop: raw write -> CQ cascade -> the planner's tier upgrade
@@ -153,7 +153,7 @@ class TestApi:
             fill_type="none",
         )
         rep = api.get_data_points(req, now=datetime(2024, 1, 1, 1, tzinfo=timezone.utc))
-        series = {s["tags"]["dev_id"]: s["values"] for s in rep["results"][0]["series"]}
+        series = {s["tags"]["dev_id"]: s["values"] for s in rep["val"]["Results"][0]["Series"]}
         assert [v[1] for v in series["7"]] == [100.0, 200.0]
         assert [v[1] for v in series["8"]] == [300.0]
 
@@ -168,7 +168,7 @@ class TestApi:
             fill_type="none",
         )
         rep = api.get_data_points(req, now=datetime(2024, 1, 1, 1, tzinfo=timezone.utc))
-        assert rep == {"results": [{"series": []}]}
+        assert rep["val"]["Results"][0]["Series"] == []
 
     def test_structured_query_device_filter(self, wh):
         api = EcollectorApi(wh.spark, wh)
@@ -178,7 +178,7 @@ class TestApi:
             filters=DataPointsFilter(devices=["8"]),
         )
         rep = api.get_data_points(req, now=datetime(2024, 1, 1, 1, tzinfo=timezone.utc))
-        vals = rep["results"][0]["series"][0]["values"]
+        vals = rep["val"]["Results"][0]["Series"][0]["values"]
         assert [v[-1] for v in vals] == [300.0]
 
     def test_write_data_points_roundtrip(self, wh):
@@ -207,7 +207,7 @@ class TestApi:
         rep = api.get_energy_data_points(
             "2024-01-01T00:00:00Z", "2024-01-01T01:59:59Z", group_by_time="1h"
         )
-        vals = rep["results"][0]["series"][0]["values"]
+        vals = rep["val"]["Results"][0]["Series"][0]["values"]
         assert [v[1] for v in vals] == [4.0, 4.0]
 
     def test_energy_rollup_bad_group_falls_back(self, wh):
@@ -215,13 +215,13 @@ class TestApi:
         rep = api.get_energy_data_points(
             "2024-01-01T00:00:00Z", "2024-01-01T00:59:59Z", group_by_time="100y; DROP"
         )
-        assert "error" not in rep
+        assert "error" not in rep["val"]
 
     def test_catalog_endpoints(self, wh):
         api = EcollectorApi(wh.spark, wh)
-        ms = api.get_measurements()["results"][0]["series"][0]["values"]
+        ms = api.get_measurements()["val"]["Results"][0]["Series"][0]["values"]
         assert ["electricity_meter_power"] in ms
-        rps = api.get_retention_policies()["results"][0]["series"][0]["values"]
+        rps = api.get_retention_policies()["val"]["Results"][0]["Series"][0]["values"]
         assert ["gen_raw", 1209600, True] in rps
 
     def test_retention_policy_ddl(self, wh):
@@ -232,7 +232,7 @@ class TestApi:
         assert api.update_retention_policy("nope", 1)["status"] == "error"
         rps = {
             v[0]: v[1]
-            for v in api.get_retention_policies()["results"][0]["series"][0]["values"]
+            for v in api.get_retention_policies()["val"]["Results"][0]["Series"][0]["values"]
         }
         assert rps["gen_custom"] == 3600 and rps["gen_raw"] == 1
         # enforcement uses the ALTERed 1s TTL: everything expires

@@ -1,0 +1,124 @@
+"""InfluxQL shim: the documented cmd.tsdb.query shapes (reference
+docs/api:9,194,251) parse into DataPointsRequest and run verbatim
+through EcollectorApi.run_query on the planner path."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from ecollector_spark.api import EcollectorApi
+from ecollector_spark.influxql import InfluxQLParseError, parse_influxql
+from ecollector_spark.warehouse import Warehouse
+
+from tests.test_api_warehouse import _mk_points
+
+# the three query strings documented in the reference's API docs, verbatim
+DOC_Q_COUNT = (
+    'SELECT count("value") AS "count_value" FROM "gen_default".'
+    '"sensor_presence.evt.presence.report" WHERE  '
+    "topic='pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:sensor_presence/ad:9_0' "
+    "GROUP BY time(30m) FILL(null)"
+)
+DOC_Q_MEAN = (
+    'SELECT mean("value") AS "mean_value" FROM "gen_raw"."electricity_meter_power" '
+    "WHERE time > now()-10m AND \"dev_id\"='100'"
+)
+DOC_Q_LAST = (
+    'SELECT last(value) AS count_value FROM "gen_default".'
+    '"sensor_presence.evt.presence.report" GROUP BY location_id  FILL(null)'
+)
+
+
+class TestParse:
+    def test_doc_count_query(self):
+        iq = parse_influxql(DOC_Q_COUNT)
+        assert iq.measurement == "sensor_presence.evt.presence.report"
+        assert iq.retention_policy == "gen_default"
+        assert iq.alias == "count_value"
+        r = iq.request
+        assert r.data_function == "count"
+        assert r.group_by_time == "30m"
+        assert r.fill_type == "null"
+        assert r.filters.tags == {
+            "topic": "pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:sensor_presence/ad:9_0"
+        }
+
+    def test_doc_mean_query(self):
+        iq = parse_influxql(DOC_Q_MEAN)
+        assert iq.retention_policy == "gen_raw"
+        assert iq.measurement == "electricity_meter_power"
+        r = iq.request
+        assert r.data_function == "mean"
+        assert r.relative_time == "10m"
+        assert r.filters.devices == ["100"]
+
+    def test_doc_last_query(self):
+        iq = parse_influxql(DOC_Q_LAST)
+        r = iq.request
+        assert r.data_function == "last"
+        assert r.group_by_tag == "location_id"
+        assert r.group_by_time == ""
+        assert r.fill_type == "null"
+
+    def test_unquoted_tier_dot_measurement(self):
+        iq = parse_influxql("SELECT mean(value) FROM gen_raw.electricity_meter_power")
+        assert iq.retention_policy == "gen_raw"
+        assert iq.measurement == "electricity_meter_power"
+
+    def test_dotted_measurement_without_tier(self):
+        iq = parse_influxql('SELECT last(value) FROM "sensor_temp.evt.sensor.report"')
+        assert iq.retention_policy is None
+        assert iq.measurement == "sensor_temp.evt.sensor.report"
+
+    def test_absolute_time_range(self):
+        iq = parse_influxql(
+            "SELECT sum(value) FROM m WHERE time >= '2024-01-01T00:00:00Z' "
+            "AND time <= '2024-01-02T00:00:00Z' GROUP BY time(1h)"
+        )
+        assert iq.request.from_time == "2024-01-01T00:00:00Z"
+        assert iq.request.to_time == "2024-01-02T00:00:00Z"
+
+    def test_spark_sql_rejected(self):
+        for q in (
+            "SELECT * FROM events",
+            "SELECT event_type, count(*) FROM events GROUP BY event_type",
+            "WITH x AS (SELECT 1) SELECT * FROM x",
+        ):
+            with pytest.raises(InfluxQLParseError):
+                parse_influxql(q)
+
+
+class TestRunQuery:
+    def test_doc_mean_query_end_to_end(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "100", 400.0),
+            ("electricity_meter_power", "2024-01-01T00:05:10", "100", 800.0),
+            ("electricity_meter_power", "2024-01-01T00:05:20", "7", 999.0),   # other dev
+            ("electricity_meter_power", "2023-12-31T23:00:00", "100", 5.0),   # out of range
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 0, 9, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(DOC_Q_MEAN.replace("'100'", "'100'"), now=now)
+        assert rsp["val"]["Results"][0].get("error") is None or "error" not in rsp["val"]["Results"][0]
+        series = rsp["val"]["Results"][0]["Series"]
+        assert series[0]["name"] == "electricity_meter_power"
+        assert "mean_value" in series[0]["columns"]
+        vals = series[0]["values"]
+        # raw-ish mean path: dev 100 rows in the last 10m only
+        col = series[0]["columns"].index("mean_value")
+        got = [v[col] for v in vals]
+        assert got == [600.0]
+
+    def test_spark_sql_fallback_still_works(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        api = EcollectorApi(spark, w)
+        rsp = api.run_query("SELECT 1 AS one")
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[1]]
+
+    def test_error_envelope_not_raise(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        api = EcollectorApi(spark, w)
+        rsp = api.run_query("SELECT definitely broken syntax FROM FROM")
+        # reference error shape: Results null, error at val level (docs/api:364-380)
+        assert rsp["val"]["Results"] is None and rsp["val"]["error"]
