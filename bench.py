@@ -3,13 +3,18 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is materialized with the noop sink (full execution, no
-driver-side collect cost), timed end-to-end including planning.
+driver-side collect cost), timed end-to-end including planning, and run
+$SPARK_GRAFT_BENCH_RUNS times (default 3): "queries" holds the per-query
+MEDIAN, "value" the sum of medians, and "spread" the per-query
+[min, max] so round-over-round regressions are distinguishable from
+run-to-run noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,10 +50,12 @@ def main() -> None:
     driver_queries.load_all()
     spark = get_spark("bench")
 
-    names = [n for n in HEADLINE if n in driver_queries.QUERIES]
+    registry = {**driver_queries.QUERIES, **driver_queries.SHELVED_QUERIES}
+    names = [n for n in HEADLINE if n in registry]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
-        names = [n.strip() for n in extra.split(",") if n.strip() in driver_queries.QUERIES]
+        names = [n.strip() for n in extra.split(",") if n.strip() in registry]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     # Warm the JVM once with a representative plan (scan + shuffle agg +
     # broadcast join) so per-query timings measure the engine, not
@@ -69,18 +76,24 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        fn = driver_queries.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn = registry[name]
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     out = {
-        "metric": "headline query wall time (noop sink), sum over queries",
+        "metric": f"headline query wall time (noop sink), sum of per-query medians of {n_runs} runs",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -118,7 +118,11 @@ def _chunked_fill(
     """
     span = step_seconds * CHUNK_BUCKETS
     out_cols = joined.columns
-    joined = joined.withColumn("_ck", F.floor(F.col(time_col) / F.lit(span)))
+    # materialized once (lazily): the spine join feeds both the edge
+    # aggregate and the fill windows — without this it would execute twice
+    joined = joined.withColumn(
+        "_ck", F.floor(F.col(time_col) / F.lit(span))
+    ).localCheckpoint(eager=False)
     keys = [*group_cols, "_ck"]
 
     nn_struct = F.when(
