@@ -200,12 +200,28 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, cid): nearest centroid by squared L2, ties to the
-    lowest cid. One scan + a broadcast of the tiny centroid table."""
-    pairs = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid", _l2sq(F.col("v"), F.col("cvec")).alias("d2")
+    lowest cid.
+
+    The argmin happens WITHIN each row: the centroid table collapses to
+    a one-row array that is broadcast-cross-joined, and the nearest cid
+    is min(struct(d2, cid)) over that array — map-only, no row blowup,
+    no shuffle. (The alternative — explode to (vector x centroid) pairs
+    + a row_number window — shuffles corpus x n_centroids rows at full
+    vector width per assignment pass, which is the term that grows
+    fastest at 100 TB; assignment runs once per Lloyd iteration plus
+    once per search.)"""
+    carr = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("_cs"))
+    best = F.array_min(
+        F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                _l2sq(F.col("v"), c["cvec"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
     )
-    rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid"))
-    return pairs.withColumn("_rn", rn).where(F.col("_rn") == 1).select("vec_id", "v", "cid")
+    return e.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "v", best["cid"].alias("cid")
+    )
 
 
 def ivf_centroids(
