@@ -5,10 +5,15 @@ docs/api:181-248 shows the documented query shapes). This engine's native
 raw-query surface is Spark SQL, but a migrating user's saved queries
 follow a small documented grammar:
 
-    SELECT f("value") [AS "alias"] FROM ["rp".]"measurement"
+    SELECT sel [AS "alias"] FROM [["db".]"rp".]"measurement"
       [WHERE time > now()-10m [AND "tag"='v' ...]]
       [GROUP BY time(30m)[, "tag"] | "tag"]
       [FILL(null|previous|0|none|linear)]
+
+    where ``sel`` is any selector the reference itself generates
+    (influxdb_v1.go:159-188): a bare field (``"value"`` — raw points),
+    an aggregate (``mean("value")``), or a transform-wrapped aggregate
+    (``difference(max("value"))`` — the A15 f(g(x)) surface).
 
 ``parse_influxql`` compiles that into a :class:`DataPointsRequest`, so the
 docs/README examples run verbatim through ``EcollectorApi.run_query`` on
@@ -27,11 +32,18 @@ from ecollector_spark.query import DataPointsFilter, DataPointsRequest
 
 #: documented aggregate functions (influxdb_v1.go selector surface)
 _FUNCS = {"mean", "sum", "min", "max", "count", "median", "last", "first", "difference"}
+#: transform wraps the planner's A15 surface accepts (query.py:190-198)
+_TRANSFORMS = {"abs", "difference"}
 
 _STMT_RE = re.compile(
-    r"""^\s*SELECT\s+(?P<fn>\w+)\(\s*"?(?P<field>[\w.]+)"?\s*\)
+    r"""^\s*SELECT\s+
+    (?:
+        (?P<tf>\w+)\(\s*(?P<fn2>\w+)\(\s*"?(?P<field2>[\w.]+)"?\s*\)\s*\)
+      | (?P<fn>\w+)\(\s*"?(?P<field>[\w.]+)"?\s*\)
+      | "?(?P<rawfield>[\w.]+)"?
+    )
     (?:\s+AS\s+"?(?P<alias>[\w.]+)"?)?
-    \s+FROM\s+(?P<from>"[^"]+"(?:\."[^"]+")?|[\w.]+)
+    \s+FROM\s+(?P<from>"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+)
     (?:\s+WHERE\s+(?P<where>.*?))?
     (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
     (?:\s+FILL\(\s*(?P<fill>\w+)\s*\))?
@@ -58,7 +70,13 @@ class InfluxQLQuery:
 
 
 def _parse_from(frm: str) -> tuple[str | None, str]:
-    """'"rp"."measurement"' | '"measurement"' | unquoted equivalents."""
+    """'["db".]["rp".]"measurement"' | unquoted equivalents. The 3-part
+    form is what the reference's energy query emits
+    (influxdb_v1.go:233 — '"historian"."gen_year"."..."'); the database
+    part is dropped (there is exactly one warehouse)."""
+    m = re.fullmatch(r'"([^"]+)"\."([^"]+)"\."([^"]+)"', frm)
+    if m:
+        return m.group(2), m.group(3)
     m = re.fullmatch(r'"([^"]+)"\."([^"]+)"', frm)
     if m:
         return m.group(1), m.group(2)
@@ -77,8 +95,20 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     m = _STMT_RE.match(query)
     if not m:
         raise InfluxQLParseError(f"unrecognized InfluxQL shape: {query!r}")
-    fn = m.group("fn").lower()
-    if fn not in _FUNCS:
+    tf = (m.group("tf") or "").lower()
+    if tf:  # transform-wrapped aggregate: tf(fn("field"))
+        fn, fld = m.group("fn2").lower(), m.group("field2")
+        if tf not in _TRANSFORMS:
+            raise InfluxQLParseError(f"unsupported transform: {tf}")
+    elif m.group("fn"):
+        fn, fld = m.group("fn").lower(), m.group("field")
+    else:  # bare field -> raw points (influxdb_v1.go:163,180)
+        fn, fld = "", m.group("rawfield")
+        # SELECT is statement-shaped but bare-SELECT of a non-"value"
+        # word is far more likely Spark SQL: only accept known fields
+        if fld.lower() not in ("value",):
+            raise InfluxQLParseError(f"not a raw-field selector: {fld!r}")
+    if fn and fn not in _FUNCS:
         raise InfluxQLParseError(f"unsupported function: {fn}")
     rp, measurement = _parse_from(m.group("from"))
 
@@ -135,8 +165,9 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     fill = (m.group("fill") or "").lower()
     req = DataPointsRequest(
         measurement_name=measurement,
-        field_name=m.group("field"),
+        field_name=fld,
         data_function=fn,
+        transform_function=tf,
         relative_time=relative_time,
         from_time=from_time,
         to_time=to_time,

@@ -78,6 +78,41 @@ class TestParse:
         assert iq.request.from_time == "2024-01-01T00:00:00Z"
         assert iq.request.to_time == "2024-01-02T00:00:00Z"
 
+    def test_raw_field_select(self):
+        # bare-field selector: raw points (influxdb_v1.go:163,180)
+        iq = parse_influxql(
+            'SELECT "value" AS "value" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-10m GROUP BY dev_id FILL(null)"
+        )
+        assert iq.request.data_function == ""
+        assert iq.request.group_by_tag == "dev_id"
+
+    def test_transform_wrapped_aggregate(self):
+        # A15 f(g(x)) selector (influxdb_v1.go:185)
+        iq = parse_influxql(
+            'SELECT difference(max("value")) AS "value" FROM "gen_raw"."m" '
+            "WHERE time > now()-1h GROUP BY time(10m), \"dev_id\" FILL(null)"
+        )
+        assert iq.request.transform_function == "difference"
+        assert iq.request.data_function == "max"
+        assert iq.request.group_by_time == "10m"
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql('SELECT exp(max("value")) FROM m')
+
+    def test_three_part_from(self):
+        # the reference's energy query shape (influxdb_v1.go:233)
+        iq = parse_influxql(
+            'SELECT sum("value") AS "value" FROM "historian"."gen_year".'
+            '"electricity_meter_energy_sampled" WHERE time > now()-2d '
+            "GROUP BY time(1h), dev_id FILL(null)"
+        )
+        assert iq.retention_policy == "gen_year"
+        assert iq.measurement == "electricity_meter_energy_sampled"
+
+    def test_bare_non_value_field_rejected(self):
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql("SELECT something FROM events")
+
     def test_spark_sql_rejected(self):
         for q in (
             "SELECT * FROM events",
