@@ -1,0 +1,40 @@
+"""Composed training-data curation pipeline — the shape a pretraining
+corpus actually flows through, built ENTIRELY from the individually-gated
+operators (dedup.exact_duplicates' keep-list semantics, text.quality_score,
+text.lang_id):
+
+    corpus -> exact-dedup keep-list -> quality gate -> per-doc manifest
+              (md5 groupBy)           (score >= min)   (lang, tokens, quality)
+
+Scale shape: one shuffle on md5(text) (uniform 128-bit key — perfectly
+balanced) for the keep-list, survivors rejoin on doc_id; quality and
+lang-ID are both map-side expression passes over the surviving docs, and
+their doc_id join co-partitions. Nothing here is new machinery — the
+point of the operator inventory is that curation IS a composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecollector_spark.datapipe import text
+
+
+def curate(
+    docs: DataFrame, min_quality: float = 0.55, text_col: str = "text"
+) -> DataFrame:
+    """Curated-corpus manifest: (doc_id, pred_lang, n_tokens, quality)
+    for every document that (a) is the keeper (min doc_id) of its
+    byte-identical group and (b) clears the quality gate."""
+    hashed = docs.select("doc_id", F.md5(text_col).alias("_h"), F.col(text_col))
+    keepers = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    kept = hashed.join(keepers, ["_h", "doc_id"]).select("doc_id", text_col)
+
+    q = text.quality_score(kept, text_col).select("doc_id", "n_tokens", "quality")
+    lang = text.lang_id(kept, text_col)
+    return (
+        q.where(F.col("quality") >= min_quality)
+        .join(lang, "doc_id")
+        .select("doc_id", "pred_lang", "n_tokens", "quality")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ecollector_spark.datapipe import dedup, similarity, text
+from ecollector_spark.datapipe import curation, dedup, similarity, text
 from ecollector_spark.datapipe.multimodal import attach_fake_media, extract_features
 from ecollector_spark.driver_queries import register
 
@@ -574,3 +574,42 @@ def mm_feature_extract(spark, sf_dir):
     byte-histogram features; real decode raises NotImplementedError)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return extract_features(attach_fake_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline (datapipe/curation.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "datapipe_curation",
+    f"""WITH cur AS (SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id + 20000000, text FROM documents),
+keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM cur GROUP BY 1),
+d AS (SELECT cur.doc_id, cur.text FROM cur JOIN keep ON cur.doc_id = keep.doc_id),
+t AS (SELECT doc_id, text, {_TOKS} AS toks FROM d),
+m AS (SELECT doc_id, len(toks) AS n,
+  CASE WHEN len(toks) > 0 THEN list_reduce(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), (a,b) -> a+b) / len(toks) ELSE 0.0 END AS avg_len,
+  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({_markers_sql(text.EN_STOPWORDS)}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio
+  FROM t),
+q AS (SELECT doc_id, CAST(n AS INT) AS n_tokens,
+  floor((0.4*least(n/100.0, 1.0) + 0.3*(1.0 - stop_ratio) + 0.3*least(avg_len/8.0, 1.0))*1000000)/1000000 AS quality
+  FROM m),
+dl AS (SELECT doc_id, list_distinct(toks) AS dt FROM t),
+s AS (SELECT doc_id, {_LANG_SCORES} FROM dl),
+lang AS (SELECT doc_id, CASE WHEN {_BEST} = 0 THEN 'und'
+  WHEN s_en = {_BEST} THEN 'en' WHEN s_de = {_BEST} THEN 'de'
+  WHEN s_fr = {_BEST} THEN 'fr' WHEN s_es = {_BEST} THEN 'es' ELSE 'zh' END AS pred_lang FROM s)
+SELECT q.doc_id, pred_lang, n_tokens, quality
+FROM q JOIN lang USING (doc_id) WHERE quality >= 0.65 ORDER BY doc_id
+""",
+    shelved=True,  # composition of already-gated operators; no extra gate budget
+)
+def datapipe_curation(spark, sf_dir):
+    """Composed curation manifest: exact-dedup keep-list -> quality gate
+    -> (doc_id, pred_lang, n_tokens, quality). The corpus doubles every
+    doc under an offset id so the dedup stage provably removes rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 20000000).alias("doc_id"), "text")
+    )
+    return curation.curate(doubled, min_quality=0.65)

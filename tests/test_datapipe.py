@@ -260,3 +260,33 @@ class TestConnectedComponents:
         keep = {r["doc_id"] for r in cc.where("doc_id = cluster_id").collect()}
         drop = {r["doc_id"] for r in cc.where("doc_id != cluster_id").collect()}
         assert 1 in keep and 2 in drop and 3 in drop
+
+
+class TestCuration:
+    def test_dedup_then_quality_gate(self, spark):
+        from ecollector_spark.datapipe.curation import curate
+
+        good = ("the cat and the dog played in the garden of the house "
+                "with a ball and a stick while the sun was shining") * 3
+        docs = spark.createDataFrame(
+            [
+                (1, good),            # keeper of the identical pair
+                (2, good),            # exact duplicate -> dropped
+                (3, "x"),             # junk -> fails quality gate
+                (4, good + " extra"), # near-identical but distinct bytes -> kept
+            ],
+            "doc_id long, text string",
+        )
+        out = curate(docs, min_quality=0.5).collect()
+        ids = sorted(r.doc_id for r in out)
+        assert ids == [1, 4]
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[1].pred_lang == "en"
+        assert by_id[1].n_tokens > 50
+        assert 0.0 <= by_id[1].quality <= 1.0
+
+    def test_threshold_one_keeps_nothing(self, spark):
+        from ecollector_spark.datapipe.curation import curate
+
+        docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+        assert curate(docs, min_quality=1.01).count() == 0
