@@ -83,6 +83,70 @@ class TestGapFill:
         assert out[(60, "a")] == 2.0  # midpoint of 1 and 3
 
 
+class TestGapFillAcrossChunks:
+    """The chunked fill must be value-identical to a naive single-window
+    fill when the spine crosses CHUNK_BUCKETS boundaries — the boundary
+    carry (previous chunks' last value / next chunks' first value) is the
+    code the small-range tests never reach. Spine: 3501 one-second
+    buckets ~ 3.4 chunks; known points land in chunks 0, 1 and 3 with
+    chunk 2 entirely empty (the carry must cross it)."""
+
+    KNOWN = {5: 10.0, 2000: 20.0, 3400: 7.0}
+    N = 3500  # inclusive end -> 3501 buckets at step 1
+
+    def _sparse(self, spark):
+        return spark.createDataFrame(
+            [(t, v) for t, v in self.KNOWN.items()], "time long, value double"
+        )
+
+    def _naive_previous(self, t):
+        prevs = [k for k in self.KNOWN if k <= t]
+        return self.KNOWN[max(prevs)] if prevs else None
+
+    def _naive_linear(self, t):
+        if t in self.KNOWN:
+            return self.KNOWN[t]
+        prevs = [k for k in self.KNOWN if k < t]
+        nexts = [k for k in self.KNOWN if k > t]
+        if not prevs or not nexts:
+            return None
+        p, n = max(prevs), min(nexts)
+        pv, nv = self.KNOWN[p], self.KNOWN[n]
+        return pv + (nv - pv) * (t - p) / (n - p)
+
+    def test_previous_matches_naive_ungrouped(self, spark):
+        out = {r["time"]: r["value"] for r in
+               gap_fill(self._sparse(spark), "previous", 0, self.N, 1).collect()}
+        assert len(out) == self.N + 1
+        for t in range(0, self.N + 1, 7):  # sampled spine walk
+            assert out[t] == self._naive_previous(t), f"t={t}"
+        # exact chunk edges (1024 boundaries) checked densely
+        for edge in (1023, 1024, 1025, 2047, 2048, 2049, 3071, 3072, 3073):
+            assert out[edge] == self._naive_previous(edge), f"edge={edge}"
+
+    def test_linear_matches_naive_ungrouped(self, spark):
+        out = {r["time"]: r["value"] for r in
+               gap_fill(self._sparse(spark), "linear", 0, self.N, 1).collect()}
+        for t in list(range(0, self.N + 1, 7)) + [1023, 1024, 1025, 2047, 2048, 2049]:
+            expected = self._naive_linear(t)
+            if expected is None:
+                assert out[t] is None, f"t={t}"
+            else:
+                assert out[t] == pytest.approx(expected, rel=1e-12), f"t={t}"
+
+    def test_previous_grouped_carry_is_per_group(self, spark):
+        # group "b" has no value before chunk 3 — its chunk-2 spine must
+        # stay null while "a" carries straight through
+        df = spark.createDataFrame(
+            [(5, "a", 1.0), (3400, "b", 2.0)], "time long, g string, value double"
+        )
+        out = {(r["time"], r["g"]): r["value"] for r in
+               gap_fill(df, "previous", 0, self.N, 1, ["g"]).collect()}
+        assert out[(2500, "a")] == 1.0
+        assert out[(2500, "b")] is None
+        assert out[(3401, "b")] == 2.0
+
+
 class TestFilterEngine:
     """The seven chain scenarios modeled on the reference's (disabled)
     process_test.go:136-239 cases."""
