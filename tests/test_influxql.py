@@ -157,3 +157,88 @@ class TestRunQuery:
         rsp = api.run_query("SELECT definitely broken syntax FROM FROM")
         # reference error shape: Results null, error at val level (docs/api:364-380)
         assert rsp["val"]["Results"] is None and rsp["val"]["error"]
+
+
+# ---------------------------------------------------------------------------
+# property: any query assembled from the supported grammar parses back to
+# exactly its components (pure parser — no Spark session involved)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from ecollector_spark import tiers as _tiers  # noqa: E402
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}(\.[a-z][a-z0-9_]{0,8}){0,2}", fullmatch=True)
+_funcs = st.sampled_from(sorted({"mean", "sum", "min", "max", "count", "median", "last", "first"}))
+_transforms = st.sampled_from(["abs", "difference"])
+_durs = st.sampled_from(["30s", "10m", "1h", "2d", "1w"])
+_fills = st.sampled_from(["null", "previous", "0", "none", "linear"])
+_tagkeys = st.sampled_from(["dev_id", "location_id", "dev_type", "topic", "custom_tag"])
+_tagvals = st.from_regex(r"[A-Za-z0-9:/_.-]{1,20}", fullmatch=True)
+
+
+@st.composite
+def influxql_queries(draw):
+    fn = draw(st.one_of(st.none(), _funcs))
+    tf = draw(_transforms) if fn and draw(st.booleans()) else ""
+    sel = '"value"' if fn is None else (
+        f'{tf}({fn}("value"))' if tf else f'{fn}("value")'
+    )
+    alias = draw(st.one_of(st.none(), _ident))
+    rp = draw(st.one_of(st.none(), st.sampled_from(sorted(_tiers.TIERS))))
+    meas = draw(_ident)
+    frm = f'"{rp}"."{meas}"' if rp else f'"{meas}"'
+    conds, exp_where = [], {}
+    if draw(st.booleans()):
+        dur = draw(_durs)
+        conds.append(f"time > now()-{dur}")
+        exp_where["relative"] = dur
+    tags = draw(st.dictionaries(_tagkeys, _tagvals, max_size=3))
+    for k, v in tags.items():
+        conds.append(f"\"{k}\"='{v}'")
+    gb_time = draw(st.one_of(st.none(), _durs))
+    gb_tag = draw(st.one_of(st.none(), st.sampled_from(["dev_id", "location_id"])))
+    group_items = ([f"time({gb_time})"] if gb_time else []) + ([gb_tag] if gb_tag else [])
+    fill = draw(st.one_of(st.none(), _fills))
+    q = f"SELECT {sel}"
+    if alias:
+        q += f' AS "{alias}"'
+    q += f" FROM {frm}"
+    if conds:
+        q += " WHERE " + " AND ".join(conds)
+    if group_items:
+        q += " GROUP BY " + ", ".join(group_items)
+    if fill:
+        q += f" FILL({fill})"
+    return q, {
+        "fn": fn or "", "tf": tf, "alias": alias, "rp": rp, "meas": meas,
+        "where": exp_where, "tags": tags, "gb_time": gb_time or "",
+        "gb_tag": gb_tag or "", "fill": fill or "",
+    }
+
+
+class TestParserProperty:
+    @given(influxql_queries())
+    @settings(max_examples=300, deadline=None)
+    def test_roundtrip(self, qe):
+        q, exp = qe
+        iq = parse_influxql(q)
+        r = iq.request
+        assert r.data_function == exp["fn"]
+        assert r.transform_function == exp["tf"]
+        assert iq.alias == exp["alias"]
+        assert iq.retention_policy == exp["rp"]
+        assert iq.measurement == exp["meas"]
+        assert r.relative_time == exp["where"].get("relative", "")
+        assert r.group_by_time == exp["gb_time"]
+        assert r.group_by_tag == exp["gb_tag"]
+        assert r.fill_type == exp["fill"]
+        expected_tags = dict(exp["tags"])
+        devs = [expected_tags.pop("dev_id", None)]
+        locs = [expected_tags.pop("location_id", None)]
+        dts = [expected_tags.pop("dev_type", None)]
+        assert r.filters.devices == [d for d in devs if d]
+        assert r.filters.locations == [v for v in locs if v]
+        assert r.filters.dev_types == [v for v in dts if v]
+        assert r.filters.tags == expected_tags
