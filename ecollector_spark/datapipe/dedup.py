@@ -288,3 +288,39 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         bit = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share ANY
+    k-token shingle with the benchmark corpus — the standard
+    pretraining-hygiene pass that keeps eval data out of the training
+    set (n-gram overlap, the common published recipe).
+
+    Returns (doc_id, n_hits) for contaminated training docs, where
+    n_hits counts the distinct shared shingles; anti-join the training
+    corpus on doc_id to clean it.
+
+    Scale shape: the benchmark side collapses to its DISTINCT shingle
+    set (benchmarks are orders of magnitude smaller than training
+    corpora, so this is broadcast-sized in practice and Spark picks the
+    broadcast automatically below the threshold); the train side is the
+    usual exploded shingle index, and the flagging is one semi-join-
+    shaped equi-join on the shingle key followed by a doc_id count.
+    Nothing is quadratic; a stop-shingle costs train-df rows, not df^2,
+    because the benchmark side is distinct."""
+    ts = _doc_shingles(train, text_col, k)
+    bs = (
+        _doc_shingles(benchmark, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        ts.join(bs, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )

@@ -613,3 +613,21 @@ def datapipe_curation(spark, sf_dir):
         docs.select((F.col("doc_id") + 20000000).alias("doc_id"), "text")
     )
     return curation.curate(doubled, min_quality=0.65)
+
+
+@register(
+    "dedup_decontaminate",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tsh AS (SELECT doc_id, unnest(list_distinct({_SH5})) AS shingle FROM t WHERE len(toks) >= 5),
+bsh AS (SELECT DISTINCT shingle FROM tsh WHERE doc_id % 20 = 0)
+SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) AS n_hits
+FROM tsh JOIN bsh USING (shingle) GROUP BY doc_id ORDER BY doc_id
+""",
+    shelved=True,  # composition over the gated shingle machinery
+)
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 5-gram with
+    the benchmark subset (doc_id % 20 == 0 plays the eval set)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(docs, benchmark, k=5)

@@ -290,3 +290,34 @@ class TestCuration:
 
         docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
         assert curate(docs, min_quality=1.01).count() == 0
+
+
+class TestDecontaminate:
+    def test_flags_ngram_overlap_only(self, spark):
+        from ecollector_spark.datapipe.dedup import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                # contains "quick brown fox jumps over" -> contaminated
+                (1, "she saw the quick brown fox jumps over a fence yesterday"),
+                # shares words but no 5-gram run -> clean
+                (2, "the dog and the fox were quick but lazy over brown hills"),
+                # no overlap at all -> clean
+                (3, "completely unrelated text about spark dataframes and shuffles"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.n_hits for r in decontaminate(train, bench, k=5).collect()}
+        assert set(out) == {1}
+        assert out[1] >= 1
+
+    def test_short_docs_never_flagged(self, spark):
+        from ecollector_spark.datapipe.dedup import decontaminate
+
+        bench = spark.createDataFrame([(9, "one two three four five six")], "doc_id long, text string")
+        train = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+        assert decontaminate(train, bench, k=5).count() == 0
