@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ecollector_spark.driver_queries import register
 from ecollector_spark.functions.sketches import hash_unit, kmv_distinct
+from ecollector_spark.sources.events_adapter import read_events
 
 _K = 64
 _U = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0"
@@ -37,7 +38,9 @@ def sketch_kmv_distinct_users(spark, sf_dir):
     alongside. At sf0.01 every group has 150 distinct users so the
     (k-1)/u_k estimator path is exercised; at sf0.001 groups are under
     k and the sketch degrades to exact — both paths sit in the gate."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "user_id")
+    # read_events, not a direct parquet read: the driver hands us a vanilla
+    # session and only read_events sets the nanos legacy conf
+    ev = read_events(spark, sf_dir).select("event_type", "user_id")
     est = kmv_distinct(ev, ["event_type"], "user_id", k=_K).withColumn(
         "n_kept", F.col("n_kept").cast("int")
     )
@@ -68,9 +71,7 @@ def sketch_sampled_quantiles(spark, sf_dir):
     scale path for percentile dashboards: the sample predicate is
     engine- and retry-stable, unlike rand()), exact p50 alongside.
     Exercises reproducible sampling + interpolated-percentile parity."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_type", "user_id", "value"
-    )
+    ev = read_events(spark, sf_dir).select("event_type", "user_id", "value")
     sample = ev.where(hash_unit("user_id") < 0.5)
     q = sample.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_sample"),

@@ -80,3 +80,35 @@ def kmv_distinct(
             ).alias("est_distinct"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` rows with
+    the smallest ``hash_unit(seed || key)`` per stratum — the balanced
+    training-mix builder (equal docs per language, per source, per
+    bucket) that stays reproducible across engines, retries and
+    repartitions, unlike rand()-based sampleBy.
+
+    Ties (duplicate keys inside a stratum) break by the key itself, so
+    the output is a pure function of the data.
+
+    Plan shape: one shuffle on the strata columns for the rank window;
+    at scale the window is a partial top-k (each map task only needs the
+    n smallest hashes of its partition), so the exchange carries
+    ~n_per_stratum rows per (stratum, partition), not the corpus. A
+    different ``seed`` draws an independent sample."""
+    key = F.concat(F.lit(seed), F.col(key_col).cast("string"))
+    u = hash_unit(key).alias("_u")
+    w = Window.partitionBy(*strata_cols).orderBy("_u", key_col)
+    return (
+        df.select(*df.columns, u)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_u", "_rn")
+    )
