@@ -81,3 +81,26 @@ def sketch_sampled_quantiles(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact")
     )
     return q.join(ex, "event_type")
+
+
+@register(
+    "sketch_stratified_sample",
+    f"""WITH h AS (SELECT doc_id, doc_id % 7 AS stratum,
+  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
+  FROM documents)
+SELECT CAST(stratum AS BIGINT) AS stratum, doc_id FROM h
+QUALIFY row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id) <= 5
+ORDER BY stratum, doc_id
+""",
+    shelved=True,  # sampling-family variant; hash sampling already gated
+)
+def sketch_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: 5 docs per (doc_id % 7) stratum
+    by smallest md5-hash — the balanced training-mix builder, identical
+    on any engine/partitioning."""
+    from ecollector_spark.functions.sketches import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 7).alias("stratum")
+    )
+    return stratified_sample(docs, ["stratum"], 5, "doc_id").select("stratum", "doc_id")

@@ -241,3 +241,30 @@ class TestKmvSketch:
         import math
 
         assert math.floor(est * 1e6) / 1e6 == whole["est_distinct"]
+
+
+class TestStratifiedSample:
+    def test_balanced_and_deterministic(self, spark):
+        from ecollector_spark.functions.sketches import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "abc"[i % 3]) for i in range(90)], "id long, lang string"
+        )
+        s1 = stratified_sample(df, ["lang"], 4, "id")
+        counts = {r["lang"]: r["n"] for r in
+                  s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"a": 4, "b": 4, "c": 4}
+        # reproducible: second evaluation picks the identical rows
+        ids1 = sorted(r.id for r in s1.collect())
+        ids2 = sorted(r.id for r in stratified_sample(df, ["lang"], 4, "id").collect())
+        assert ids1 == ids2
+        # a different seed draws a different (but again deterministic) sample
+        ids3 = sorted(r.id for r in stratified_sample(df, ["lang"], 4, "id", seed="v2").collect())
+        assert ids3 != ids1
+
+    def test_small_stratum_returned_whole(self, spark):
+        from ecollector_spark.functions.sketches import stratified_sample
+
+        df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "id long, g string")
+        out = stratified_sample(df, ["g"], 10, "id")
+        assert out.count() == 3
