@@ -29,8 +29,13 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legacy flag must be set at runtime here — it is a runtime-settable
     # SQLConf, not a builder-only one.  Without it the read dies with
     # PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS)).
+    # The session timezone is pinned for the same reason: downstream
+    # date_trunc/date_format results must match the DuckDB oracle, which
+    # treats naive parquet timestamps as UTC — a vanilla session on a
+    # non-UTC host would silently shift every local-time rendering.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # older/newer Spark without the conf: fall through to the read
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -1,0 +1,112 @@
+"""Driver-contract guard: re-impose the round harness's exact conditions.
+
+Round 1 lost 34 of 50 gate queries to a single session-config assumption
+(``spark.sql.legacy.parquet.nanosAsLong`` lived only in our own session
+builder; the harness passes a *vanilla* SparkSession). These tests strip
+the builder-only confs and re-run the analysis phase of every registered
+gate query, so any regression of that class fails pytest instead of an
+entire round's correctness gate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from ecollector_spark import driver_queries
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Builder confs a vanilla driver session will not have. Queries must
+#: re-set anything they depend on at runtime (events_adapter.read_events
+#: does for both of these).
+_BUILDER_ONLY_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.session.timeZone",
+)
+
+#: Gates that execute a real Structured Streaming replay inside the
+#: builder callable — excluded from the plan-only sweep (their full runs
+#: are covered by tests/test_streaming.py and the driver itself).
+_EXECUTING_GATES = {"streaming_preagg_replay", "streaming_counter_diff_replay"}
+
+
+@pytest.fixture(scope="module")
+def registry():
+    driver_queries.load_all()
+    return dict(driver_queries.QUERIES), dict(driver_queries.ORACLES)
+
+
+def _strip_builder_confs(spark):
+    for key in _BUILDER_ONLY_CONFS:
+        try:
+            spark.conf.unset(key)
+        except Exception:  # noqa: BLE001 — already unset / unknown key
+            pass
+
+
+def test_entry_module_matches_registry(registry):
+    queries, oracles = registry
+    assert set(entry_mod.queries()) == set(queries)
+    assert entry_mod.oracle_sql() == oracles
+
+
+def test_registry_shape(registry):
+    queries, oracles = registry
+    assert len(queries) == 50, "driver checks at most 50 queries"
+    assert set(oracles) <= set(queries)
+    # only the documented sequential-recurrence gate may be rows-only
+    assert set(queries) - set(oracles) == {"streaming_counter_diff_replay"}
+
+
+def test_every_oracle_parses_in_duckdb(registry, sf_dir):
+    """Parse+bind each oracle against the real table schemas (EXPLAIN
+    runs DuckDB's binder without executing)."""
+    _, oracles = registry
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, sql in oracles.items():
+        try:
+            con.execute("EXPLAIN " + sql)
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"oracle for {name!r} failed DuckDB binding: {e}")
+
+
+def test_every_gate_analyzes_on_vanilla_session(registry, spark, sf_dir):
+    """The round-1 failure fired at analysis time (the parquet nanos
+    AnalysisException surfaces when the plan is built, not when it runs).
+    Building every gate's resolved plan with builder-only confs stripped
+    catches that whole class without executing anything."""
+    queries, _ = registry
+    try:
+        for name, fn in queries.items():
+            if name in _EXECUTING_GATES:
+                continue
+            _strip_builder_confs(spark)
+            try:
+                df = fn(spark, sf_dir)
+                _ = df.schema  # force analysis/resolution
+            except Exception as e:  # noqa: BLE001
+                pytest.fail(f"gate {name!r} failed on a vanilla session: {e}")
+    finally:
+        # restore the builder confs for the rest of the suite
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_entry_builds(spark):
+    df = entry_mod.entry(spark)
+    assert len(df.schema.fields) >= 2
