@@ -123,6 +123,68 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", ws.alias("ws_tokens"), bpe.cast("int").alias("bpe_pieces"))
 
 
+def _floor6(c: Column) -> Column:
+    # floor-truncation: deterministic across engines where round()'s
+    # half-tie rule is not (dyadic rationals land exactly on .5 ties)
+    return F.floor(c * 1000000.0) / 1000000.0
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition filters in the Gopher/MassiveText style: per doc, the
+    fraction of non-empty lines that repeat an earlier line, and the
+    fraction of all word bigrams occupied by the single most frequent
+    bigram. High values on either flag boilerplate/spam for removal.
+
+    dup_line_frac is a pure map-side expression. top_bigram_frac needs a
+    per-(doc, bigram) count, so bigrams explode and aggregate keyed by
+    (doc_id, bigram) then doc_id — the module's standard per-doc
+    aggregate shape: both shuffles are on the natural doc_id-prefixed
+    key, balanced at any corpus size. Docs with < 2 tokens get 0.0."""
+    d = docs.select(
+        "doc_id", F.col(text_col).alias("_text"), tokens_expr(text_col).alias("_toks")
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col("_text"), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    nl = F.size(lines)
+    toks = F.col("_toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        nl.alias("n_lines"),
+        _floor6(
+            F.when(
+                nl > 0, 1.0 - F.size(F.array_distinct(lines)) / nl.cast("double")
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_line_frac"),
+        bigrams.alias("_big"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_big").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("_tb"))
+    )
+    return (
+        base.drop("_big")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            _floor6(F.coalesce(F.col("_tb"), F.lit(0.0))).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over k-token
     shingles (a deterministic 1-permutation MinHash), plus the shingle

@@ -471,6 +471,35 @@ def text_token_counts(spark, sf_dir):
 
 
 @register(
+    "text_repetition",
+    f"""WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id,
+  list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)), s -> s <> '') AS ls,
+  CASE WHEN len(toks) >= 2
+       THEN list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+       ELSE [] END AS big
+  FROM t),
+tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS tbf FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(big) AS g FROM base) GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(ls) AS INT) AS n_lines,
+  floor((CASE WHEN len(ls) > 0
+         THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)/len(ls)
+         ELSE 0.0 END)*1000000)/1000000 AS dup_line_frac,
+  floor(coalesce(tbf, 0.0)*1000000)/1000000 AS top_bigram_frac
+FROM base b LEFT JOIN tb USING (doc_id) ORDER BY doc_id
+""",
+    shelved=True,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-line fraction +
+    most-frequent-bigram fraction (boilerplate/spam gate)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.repetition_signals(docs)
+
+
+@register(
     "text_fingerprint",
     f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, list_distinct({_SH5}) AS shl FROM t)

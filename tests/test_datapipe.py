@@ -200,6 +200,25 @@ class TestText:
         r = text.token_counts(docs).collect()[0]
         assert r["ws_tokens"] == 3 and r["bpe_pieces"] == 5
 
+    def test_repetition_signals(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "x y\nz w\nx y\n \nq r"),  # lines: [x y, z w, x y, q r] -> 1 dup of 4
+                (2, "one"),  # < 2 tokens -> top_bigram_frac 0.0
+                (3, ""),  # empty -> 0 lines, both 0.0
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in text.repetition_signals(docs).collect()}
+        assert out[1]["n_lines"] == 4
+        assert out[1]["dup_line_frac"] == 0.25
+        # doc 1 tokens: x y z w x y q r -> bigrams: x y, y z, z w, w x,
+        # x y, y q, q r (7 total, "x y" twice) -> 2/7 floor6 = 0.285714
+        assert out[1]["top_bigram_frac"] == 0.285714
+        assert out[2]["n_lines"] == 1 and out[2]["top_bigram_frac"] == 0.0
+        assert out[3]["n_lines"] == 0
+        assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_bigram_frac"] == 0.0
+
     def test_fingerprint_equal_for_equal_docs(self, spark):
         docs = spark.createDataFrame(
             [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],
