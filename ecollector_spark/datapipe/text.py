@@ -185,6 +185,32 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Redaction patterns chosen RE2-safe (no lookaround/backrefs) so the
+#: Java-regex Spark side and the RE2 DuckDB oracle match byte for byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/link redaction pass: replace emails then URLs with fixed
+    placeholder tokens, reporting per-doc hit counts. Map-side only — at
+    100 TB this is one codegen'd scan with zero shuffle, the cheapest
+    possible pre-tokenization scrub. Emails are redacted first so an
+    address inside a URL query string counts once, as an email."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_urls = F.regexp_count(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), F.lit(URL_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_emails.cast("int").alias("n_emails"),
+        n_urls.cast("int").alias("n_urls"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over k-token
     shingles (a deterministic 1-permutation MinHash), plus the shingle

@@ -500,6 +500,26 @@ def text_repetition(spark, sf_dir):
 
 
 @register(
+    "text_pii_scrub",
+    f"""SELECT doc_id,
+  regexp_replace(regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{text.URL_RE}', '<URL>', 'g') AS scrubbed,
+  CAST(len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(
+      regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+      '{text.URL_RE}')) AS INT) AS n_urls
+FROM documents ORDER BY doc_id
+""",
+    shelved=True,
+)
+def text_pii_scrub(spark, sf_dir):
+    """Email/URL redaction with hit counts (map-side pre-tokenization
+    scrub; RE2-safe patterns identical on both engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.pii_scrub(docs)
+
+
+@register(
     "text_fingerprint",
     f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, list_distinct({_SH5}) AS shl FROM t)

@@ -219,6 +219,22 @@ class TestText:
         assert out[3]["n_lines"] == 0
         assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_bigram_frac"] == 0.0
 
+    def test_pii_scrub(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "mail me at a.b+c@ex-ample.co.uk or see https://x.io/p?q=1 now"),
+                (2, "no pii here"),
+                (3, "http://plain.example and ftp://not-matched"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+        assert out[1]["scrubbed"] == "mail me at <EMAIL> or see <URL> now"
+        assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
+        assert out[2] and out[2]["n_emails"] == 0 and out[2]["n_urls"] == 0
+        assert out[3]["scrubbed"] == "<URL> and ftp://not-matched"
+        assert out[3]["n_urls"] == 1
+
     def test_fingerprint_equal_for_equal_docs(self, spark):
         docs = spark.createDataFrame(
             [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],
