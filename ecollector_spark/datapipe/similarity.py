@@ -13,7 +13,11 @@
   probing is partition pruning.
 - IVF: seeded-sample centroids refined by a fixed number of Lloyd
   iterations (means in exact decimal so any engine reproduces them
-  bit-identically), then nprobe nearest inverted lists.
+  bit-identically), then nprobe nearest inverted lists. Split into a
+  train-once ``ivf_build`` (persists cid-partitioned inverted lists +
+  an O(n_centroids) centroid sidecar) and ``ivf_topk_indexed`` (probe =
+  partition-pruned scan of nprobe lists — never a corpus scan);
+  ``ivf_topk`` remains the self-contained train+search convenience.
 
 Everything is expression-only; a Pandas-UDF variant would move Arrow
 batches for no gain since the fold is already JVM-side.
@@ -22,8 +26,10 @@ batches for no gain since the fold is already JVM-side.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LSH_SEED = "ecollector-lsh"
@@ -278,6 +284,107 @@ def ivf_assignments(
     return _assign_to_centroids(e, ivf_centroids(e, n_centroids, n_iter))
 
 
+def ivf_index_exists(index_path: str) -> bool:
+    """True when a completed index lives at ``index_path`` (the centroid
+    sidecar only appears after the atomic publish rename)."""
+    return os.path.isdir(os.path.join(index_path, "centroids"))
+
+
+def ivf_build(
+    emb: DataFrame,
+    index_path: str,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    overwrite: bool = False,
+) -> str:
+    """Train-once IVF index build — the expensive half of IVF, paid once
+    per corpus instead of per query.
+
+    Trains centroids (:func:`ivf_centroids`), assigns every vector, and
+    persists:
+
+    - ``<index_path>/assignments/cid=<c>/...`` — the inverted lists,
+      parquet ``partitionBy("cid")`` so a probe is *partition pruning*:
+      searching nprobe lists reads nprobe directories, never the corpus.
+    - ``<index_path>/centroids/`` — the O(n_centroids) sidecar the probe
+      planner reads to pick lists (tiny; safe to read on the driver).
+
+    The build lands in a scratch directory and is published with one
+    ``os.rename`` so concurrent readers either see the old complete index
+    or the new one, never a torn write. At 100 TB this runs as a periodic
+    batch job; queries go through :func:`ivf_topk_indexed` and touch only
+    ``nprobe / n_centroids`` of the data.
+    """
+    if ivf_index_exists(index_path) and not overwrite:
+        return index_path
+    e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    cents = ivf_centroids(e, n_centroids, n_iter)
+    tmp = f"{index_path}.building.{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    _assign_to_centroids(e, cents).write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(tmp, "assignments")
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    if os.path.isdir(index_path):
+        shutil.rmtree(index_path)
+    os.rename(tmp, index_path)
+    return index_path
+
+
+def ivf_probe_cids(
+    spark: SparkSession, index_path: str, query_vec: list[float], nprobe: int = 2
+) -> list[int]:
+    """The ``nprobe`` nearest inverted lists for a query vector.
+
+    Reads only the O(n_centroids) sidecar; the squared-L2 fold runs on
+    the driver in the same sequential order as :func:`_l2sq`, so the
+    probed lists are bit-identical to the in-plan variant (ties to the
+    lowest cid)."""
+    rows = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+
+    def d2(cvec) -> float:
+        acc = 0.0
+        for x, y in zip(cvec, query_vec):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    ranked = sorted((d2(r["cvec"]), r["cid"]) for r in rows)
+    return [cid for _, cid in ranked[:nprobe]]
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF search against a materialized index: NO training, no corpus
+    scan — pick ``nprobe`` lists from the centroid sidecar, partition-
+    prune the assignment table to those ``cid=`` directories, exact
+    cosine inside them, top-k. The query vector enters the plan as a
+    literal array, so the whole probe is one pruned scan + project +
+    TakeOrdered (asserted in tools/explain_audit.py). Output
+    (vec_id, cosine) ordered desc, ties by vec_id — same contract as
+    :func:`ivf_topk`."""
+    probes = ivf_probe_cids(spark, index_path, query_vec, nprobe)
+    scan = spark.read.parquet(os.path.join(index_path, "assignments")).where(
+        F.col("cid").isin([int(c) for c in probes])
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(q, q)))
+    if exclude_vec_id is not None:
+        scan = scan.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        scan.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -287,10 +394,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_iter: int = 2,
 ) -> DataFrame:
-    """IVF search: probe the query's ``nprobe`` nearest centroid lists,
-    exact cosine inside them, top-k. The inverted lists cut the scan to
-    ~nprobe/n_centroids of the corpus; recall < 1 by design (the ANN
-    trade). Output (vec_id, cosine) ordered desc, ties by vec_id."""
+    """One-shot IVF search (train + probe in a single plan): probe the
+    query's ``nprobe`` nearest centroid lists, exact cosine inside them,
+    top-k. Recall < 1 by design (the ANN trade). Output (vec_id, cosine)
+    ordered desc, ties by vec_id.
+
+    This retrains per call — fine for ad-hoc exploration, wrong as a
+    serving path. For repeated searches build the index once with
+    :func:`ivf_build` and probe it with :func:`ivf_topk_indexed`."""
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
     cents = ivf_centroids(e, n_centroids, n_iter)
     q = e.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))

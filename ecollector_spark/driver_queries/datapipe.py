@@ -11,6 +11,8 @@ value-hash checkable end to end.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ecollector_spark.datapipe import curation, dedup, similarity, text
@@ -396,14 +398,43 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
     )
 
 
+def _ivf_index_dir(sf_dir: str, n_centroids: int, n_iter: int) -> str:
+    """Deterministic per-corpus index location: keyed on the corpus path,
+    quantizer params, and the parquet mtime so a regenerated corpus
+    triggers a rebuild instead of serving a stale index."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mt = str(int(os.path.getmtime(src)))
+    except OSError:
+        mt = "0"
+    key = _hl.md5(
+        f"{os.path.abspath(sf_dir)}|{n_centroids}|{n_iter}|{mt}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(_tf.gettempdir(), f"ecollector_ivf_{key}")
+
+
 @register("ann_ivf_topk", _ivf_sql())
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-10 vs vec_id=0: seeded coarse centroids (8)
-    refined by 2 exact-decimal Lloyd iterations, nearest-centroid
-    inverted lists, probe the 2 closest lists, exact cosine within — the
-    partition-pruning ANN scale path."""
+    """IVF approximate top-10 vs vec_id=0: train-once index (seeded
+    coarse centroids (8) refined by 2 exact-decimal Lloyd iterations,
+    inverted lists persisted partitionBy(cid)), then a probe that
+    partition-prunes to the 2 nearest lists — exact cosine within. The
+    build is idempotent per corpus (skipped when the index exists), so
+    repeated searches pay only the pruned probe scan."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ivf_topk(emb, query_id=0, k=10, n_centroids=8, nprobe=2, n_iter=2)
+    idx = _ivf_index_dir(sf_dir, n_centroids=8, n_iter=2)
+    similarity.ivf_build(emb, idx, n_centroids=8, n_iter=2)
+    row = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    return similarity.ivf_topk_indexed(
+        spark, idx, list(row["v"]), k=10, nprobe=2, exclude_vec_id=0
+    )
 
 
 # ---------------------------------------------------------------------------

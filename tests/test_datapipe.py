@@ -179,6 +179,74 @@ class TestSimilarity:
                   similarity.ivf_topk(emb, 0, k=5, n_centroids=2, nprobe=1).collect()}
         assert probed <= {1, 2, 3, 4}
 
+    def test_ivf_index_build_probe_matches_oneshot(self, corpus_emb, tmp_path_factory):
+        """The materialized index (build once, probe many) must return the
+        SAME rows as the self-contained train+search form — the split is
+        a cost optimization, not a semantics change."""
+        idx = str(tmp_path_factory.mktemp("ivf") / "index")
+        similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        indexed = similarity.ivf_topk_indexed(
+            corpus_emb.sparkSession, idx, qv, k=10, nprobe=2, exclude_vec_id=0
+        ).collect()
+        oneshot = similarity.ivf_topk(
+            corpus_emb, 0, k=10, n_centroids=8, nprobe=2
+        ).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in indexed] == [
+            (r["vec_id"], r["cosine"]) for r in oneshot
+        ]
+        # rebuild is skipped when the index exists (idempotent build)
+        marker = idx + "/centroids"
+        import os
+
+        before = os.stat(marker).st_mtime_ns
+        similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
+        assert os.stat(marker).st_mtime_ns == before
+
+    def test_ivf_indexed_probe_prunes_partitions(self, corpus_emb, tmp_path_factory):
+        """The probe must READ only the nprobe cid= directories — the
+        whole point of materializing the index (partition pruning, not a
+        corpus scan)."""
+        idx = str(tmp_path_factory.mktemp("ivf") / "index")
+        similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
+        spark = corpus_emb.sparkSession
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        probes = set(similarity.ivf_probe_cids(spark, idx, qv, nprobe=2))
+        assert len(probes) == 2
+        df = similarity.ivf_topk_indexed(spark, idx, qv, k=10, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([-\d,]+)\)\]", plan)
+        assert m, f"probe scan is not partition-pruned:\n{plan}"
+        assert {int(c) for c in m.group(1).split(",")} == probes
+
+    def test_ivf_indexed_recall_vs_bruteforce(self, corpus_emb, tmp_path_factory):
+        idx = str(tmp_path_factory.mktemp("ivf") / "index")
+        similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        exact = {r["vec_id"] for r in
+                 similarity.brute_force_topk(corpus_emb, 0, k=10).collect()}
+        probed = {r["vec_id"] for r in
+                  similarity.ivf_topk_indexed(
+                      corpus_emb.sparkSession, idx, qv, k=10, nprobe=4,
+                      exclude_vec_id=0,
+                  ).collect()}
+        recall = len(exact & probed) / 10
+        assert recall >= 0.5, f"recall@10 {recall} too low for nprobe=half the lists"
+
 
 class TestText:
     def test_langid_markers(self, spark):

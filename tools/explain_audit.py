@@ -49,8 +49,16 @@ CHECKS = {
     "text_quality": ["^((?!Exchange hashpartitioning).)*$"],
     # ANN brute force: the query vector is a broadcast, the scan is pruned
     "ann_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastHashJoin", "TakeOrderedAndProject"],
-    # IVF: centroid/probe tables broadcast, top-k stays a TakeOrdered
-    "ann_ivf_topk": ["BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    # IVF probe against the materialized index: the scan must be
+    # partition-pruned to the nprobe cid= lists (never a corpus scan,
+    # never a join — the query vector is a literal), top-k a TakeOrdered
+    "ann_ivf_topk": [
+        "PartitionFilters: \\[cid#\\d+ IN \\(",
+        "TakeOrderedAndProject",
+        "!CartesianProduct",
+        "!BroadcastHashJoin",
+        "!Exchange hashpartitioning",
+    ],
     # embedding near-dup: bucket-equality pairing must be a hash join on
     # the bucket key, never a cartesian pair enumeration
     "_raw_embedding_near_dup": [
