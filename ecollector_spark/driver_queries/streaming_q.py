@@ -10,10 +10,18 @@ agreggator.go:134). Suppress-vs-last-EMITTED equals suppress-vs-previous-
 aggregate because equal runs collapse: whenever suppression fires, the
 previous aggregate equals the last emitted value by induction.
 
-The counter-difference operator (A6-A10) is registered rows-only: its
-seed carry-over makes each bucket's outlier fence depend on the previous
-bucket's filtered tail — a sequential recurrence with no tractable SQL
-twin (the golden streaming tests pin its values instead).
+The counter-difference operator (A6-A10) is a sequential recurrence —
+each bucket's outlier fence depends on the previous bucket's filtered
+tail via the carried seed — so its oracle is a DuckDB *recursive CTE*
+that steps the per-series state machine bucket by bucket
+(``_COUNTER_DIFF_SQL``): the recursion carries the exact state tuple of
+``make_counter_difference_fn`` (seed, has_seed, last_emitted, last_ts)
+and replays staleness eviction, the Tukey/zero filter, positive-delta
+sum, the 100 kWh cap, and change suppression per step with the same
+IEEE double operation order, so values hash-match bit for bit. The
+ordering contract that makes this deterministic: event timestamps are
+unique within a series at the oracle SF, so the stable-by-ts sort in
+the pandas state function and ``list(... ORDER BY e)`` agree.
 """
 
 from __future__ import annotations
@@ -132,10 +140,125 @@ def streaming_preagg_replay(spark, sf_dir):
     )
 
 
-@register("streaming_counter_diff_replay")  # rows-only: sequential seed recurrence
+#: Recursive-CTE twin of ``make_counter_difference_fn`` (agreggator.go
+#: semantics, see streaming/stateful.py). Layer map, innermost out:
+#:   join     — step N state + step N+1 bucket (vals/epochs in ts order)
+#:   ib       — index of the last staleness break (gap > 120 min between
+#:              consecutive reports; the incoming last_ts fences event 1)
+#:   buf      — seed-prefixed values, truncated at the break (A8)
+#:   q1/q3    — exact linear-interpolation quartiles (n >= 4 only)
+#:   filtered — hourly: untouched; else drop zeros + Tukey fence=3 (A7)
+#:   result   — sum of positive consecutive deltas (meter reset skips, A6)
+#:   do_emit  — 100 kWh cap (A10), zero/unchanged suppression (A5-style),
+#:              hourly series compare only against zero
+#:   emit_t   — bucket end; hourly re-attributed to prev hour :59 (A9)
+_COUNTER_DIFF_SQL = """
+WITH RECURSIVE src AS (
+  SELECT 'meter;' || CAST(user_id % 13 AS VARCHAR) AS series_id,
+         epoch(ts) AS e, abs(value) AS v, (user_id % 26 = 0) AS hourly
+  FROM events
+  WHERE user_id % 11 = 0 AND value IS NOT NULL
+),
+bkt AS (
+  SELECT series_id,
+         CAST(floor(e/600) AS BIGINT)*600 AS bucket,
+         list(v ORDER BY e) AS vals,
+         list(e ORDER BY e) AS epochs,
+         arg_max(hourly, e) AS hourly,
+         row_number() OVER (PARTITION BY series_id ORDER BY CAST(floor(e/600) AS BIGINT)*600) AS step
+  FROM src
+  GROUP BY series_id, CAST(floor(e/600) AS BIGINT)*600
+),
+rec AS (
+  SELECT series_id, 0 AS step,
+         CAST(0.0 AS DOUBLE) AS seed, false AS has_seed,
+         CAST(0.0 AS DOUBLE) AS last_emitted, CAST(-1e18 AS DOUBLE) AS last_ts,
+         CAST(NULL AS BIGINT) AS emit_time, CAST(NULL AS DOUBLE) AS emit_value
+  FROM (SELECT DISTINCT series_id FROM bkt)
+  UNION ALL
+  SELECT series_id, step,
+         CASE WHEN fn > 0 THEN filtered[-1] ELSE seed0 END AS seed,
+         fn > 0 AS has_seed,
+         CASE WHEN do_emit THEN result ELSE le0 END AS last_emitted,
+         new_last_ts AS last_ts,
+         CASE WHEN do_emit THEN emit_t END AS emit_time,
+         CASE WHEN do_emit THEN result END AS emit_value
+  FROM (
+    SELECT *,
+           (fn > 0 AND result <= 100.0 AND result <> 0.0
+            AND (hourly OR result <> le0)) AS do_emit,
+           CASE WHEN hourly
+                THEN CAST(floor((bucket + 600 - 3600)/3600.0) AS BIGINT)*3600 + 3540
+                ELSE bucket + 600 END AS emit_t
+    FROM (
+      SELECT *,
+             CASE WHEN fn <= 1 THEN 0.0
+                  ELSE list_reduce(
+                         list_transform(generate_series(2, fn),
+                           i -> CASE WHEN filtered[i] >= filtered[i-1]
+                                     THEN filtered[i] - filtered[i-1] ELSE 0.0 END),
+                         (a, b) -> a + b)
+             END AS result
+      FROM (
+        SELECT *, len(filtered) AS fn
+        FROM (
+          SELECT *,
+                 CASE WHEN hourly THEN buf
+                      WHEN n >= 4 THEN list_filter(buf, x -> x <> 0.0 AND x >= q1 - 3.0*(q3 - q1) AND x <= q3 + 3.0*(q3 - q1))
+                      ELSE list_filter(buf, x -> x <> 0.0)
+                 END AS filtered
+          FROM (
+            SELECT *,
+                   CASE WHEN n >= 4 THEN s[CAST(floor((n-1)*0.25) AS INT) + 1]
+                        + (s[least(CAST(floor((n-1)*0.25) AS INT) + 2, n)]
+                           - s[CAST(floor((n-1)*0.25) AS INT) + 1])
+                          * ((n-1)*0.25 - floor((n-1)*0.25)) END AS q1,
+                   CASE WHEN n >= 4 THEN s[CAST(floor((n-1)*0.75) AS INT) + 1]
+                        + (s[least(CAST(floor((n-1)*0.75) AS INT) + 2, n)]
+                           - s[CAST(floor((n-1)*0.75) AS INT) + 1])
+                          * ((n-1)*0.75 - floor((n-1)*0.75)) END AS q3
+            FROM (
+              SELECT *, len(buf) AS n, list_sort(buf) AS s
+              FROM (
+                SELECT *,
+                       CASE WHEN ib = 0
+                            THEN (CASE WHEN hs0 THEN [seed0] ELSE CAST([] AS DOUBLE[]) END) || vals
+                            ELSE vals[ib:] END AS buf
+                FROM (
+                  SELECT *,
+                         coalesce(list_max(list_filter(
+                           list_transform(generate_series(1, len(epochs)),
+                             i -> CASE WHEN epochs[i] - (CASE WHEN i = 1 THEN lt0 ELSE epochs[i-1] END) > 7200.0
+                                  THEN i END),
+                           x -> x IS NOT NULL)), 0) AS ib,
+                         epochs[-1] AS new_last_ts
+                  FROM (
+                    SELECT b.series_id, b.step, b.bucket, b.vals, b.epochs, b.hourly,
+                           r.seed AS seed0, r.has_seed AS hs0,
+                           r.last_emitted AS le0, r.last_ts AS lt0
+                    FROM rec r JOIN bkt b ON b.series_id = r.series_id AND b.step = r.step + 1
+                  )
+                )
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+)
+SELECT series_id, emit_time AS time, round(emit_value, 6) AS value
+FROM rec WHERE emit_value IS NOT NULL
+ORDER BY series_id, time
+"""
+
+
+@register("streaming_counter_diff_replay", _COUNTER_DIFF_SQL)
 def streaming_counter_diff_replay(spark, sf_dir):
-    """A6-A10 through the real streaming path (rows-only check; values
-    are pinned by the golden streaming tests)."""
+    """A6-A10 through the real streaming path: file-source replay ->
+    applyInPandasWithState (counter difference with staleness eviction,
+    Tukey/zero filter, reset skip, 100 kWh cap, hour re-attribution) ->
+    parquet sink — value-matched against the recursive-CTE oracle."""
     ev = read_events(spark, sf_dir).where(F.col("user_id") % 11 == 0)
     rows = ev.select(
         F.concat(F.lit("meter;"), (F.col("user_id") % 13).cast("string")).alias("series_id"),
