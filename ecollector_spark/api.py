@@ -115,8 +115,24 @@ class EcollectorApi:
         (see ecollector_spark.influxql) so a reference user's saved
         queries run verbatim; anything else is executed as Spark SQL.
         Errors pass through as the error envelope, never raise."""
-        from ecollector_spark.influxql import InfluxQLParseError, parse_influxql
+        from ecollector_spark.influxql import (
+            InfluxQLParseError,
+            parse_influxql,
+            parse_show_statement,
+        )
 
+        # catalog statements arrive as query strings in the reference
+        # (influxdb_v1.go:376-413) — route them to the catalog methods
+        # instead of letting them die in the SQL parser
+        show = parse_show_statement(query)
+        if show == "measurements":
+            return self.get_measurements()
+        if show == "retention_policies":
+            return self.get_retention_policies()
+        if show == "databases":
+            return _report(
+                [{"name": "databases", "columns": ["name"], "values": [["ecollector"]]}]
+            )
         try:
             iq = parse_influxql(query)
         except InfluxQLParseError:

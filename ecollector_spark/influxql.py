@@ -61,6 +61,30 @@ class InfluxQLParseError(ValueError):
     """The string is not one of the supported InfluxQL shapes."""
 
 
+_SHOW_RE = re.compile(
+    r"""^\s*SHOW\s+
+    (?P<what>MEASUREMENTS|RETENTION\s+POLICIES|DATABASES)
+    (?:\s+ON\s+"?[\w.]+"?)?          # optional ON <database> (dropped:
+                                     # there is exactly one warehouse)
+    \s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def parse_show_statement(query: str) -> str | None:
+    """Route the InfluxQL catalog statements the reference issues as
+    query strings (storage/influxdb_v1.go:376-413 sends
+    ``SHOW MEASUREMENTS`` / ``SHOW RETENTION POLICIES`` through the same
+    query client, at ms precision — precision only affects time columns,
+    which these results don't have). Returns ``"measurements"`` /
+    ``"retention_policies"`` / ``"databases"``, or None when the string
+    is not a SHOW statement."""
+    m = _SHOW_RE.match(query)
+    if not m:
+        return None
+    return re.sub(r"\s+", "_", m.group("what").lower())
+
+
 @dataclass
 class InfluxQLQuery:
     request: DataPointsRequest

@@ -1,0 +1,207 @@
+"""MQTT command-bus dispatcher e2e: a recorded command session replayed
+through CommandDispatcher must produce the reference AdminApi's report
+envelopes on the right topics (admin.go:58-399)."""
+
+import json
+from datetime import datetime
+
+import pytest
+
+from ecollector_spark.api import EcollectorApi
+from ecollector_spark.command_bus import COMMAND_TOPIC, EVENT_TOPIC, CommandDispatcher
+from ecollector_spark.schema import DATAPOINT_SCHEMA
+from ecollector_spark.warehouse import Warehouse
+
+
+def _cmd(mtype, val, val_t="str_map", uid=None, resp_to=None):
+    env = {"type": mtype, "serv": "ecollector", "val_t": val_t, "val": val}
+    if uid:
+        env["uid"] = uid
+    if resp_to:
+        env["resp_to"] = resp_to
+    return (COMMAND_TOPIC, json.dumps(env))
+
+
+@pytest.fixture()
+def dispatcher(spark, tmp_path):
+    w = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [
+        {
+            "measurement": "electricity_meter_power",
+            "ts": datetime.fromisoformat(f"2024-01-01T00:0{i}:00"),
+            "series_id": f"electricity_meter_power;7;import",
+            "dev_id": "7",
+            "dev_type": "meter.main_elec",
+            "dir": "import",
+            "location_id": "1",
+            "service": "meter_elec",
+            "src": "t",
+            "topic": "t/7",
+            "domain": "site",
+            "value_f": 100.0 + i,
+            "value_b": None,
+            "value_s": None,
+            "unit": "W",
+            "agg_func": "mean",
+            "tier": None,
+        }
+        for i in range(3)
+    ]
+    w.write_points(spark.createDataFrame(rows, DATAPOINT_SCHEMA).drop("tier"))
+    return CommandDispatcher(EcollectorApi(spark, w))
+
+
+class TestDispatch:
+    def test_recorded_session_replay(self, dispatcher):
+        """The e2e contract: replay a session covering query, catalog,
+        DDL, and process control; assert every published report envelope
+        and its routing."""
+        session = [
+            _cmd("cmd.tsdb.get_measurements", {}, uid="u1", resp_to="pt:j1/mt:rsp/rt:cloud/rn:x/ad:1"),
+            _cmd("cmd.tsdb.get_retention_policies", {}, uid="u2"),
+            _cmd("cmd.tsdb.add_retention_policy", {"name": "custom", "duration": "1w"}, uid="u3"),
+            _cmd("cmd.tsdb.get_retention_policies", {}, uid="u4"),
+            _cmd("cmd.ecprocess.add", {}, val_t="object", uid="u5"),
+            _cmd("cmd.ecprocess.ctrl", {"proc_id": "1", "operation": "start"}, uid="u6"),
+            _cmd("cmd.ecprocess.get_list", {}, uid="u7"),
+            _cmd("cmd.ecprocess.ctrl", {"proc_id": "1", "operation": "stop"}, uid="u8"),
+            _cmd("cmd.tsdb.delete_object", {"object_type": "measurement", "name": "electricity_meter_power"}, uid="u9"),
+            _cmd("cmd.tsdb.get_measurements", {}, uid="u10"),
+        ]
+        reports = dispatcher.replay_session(session)
+        # silent add_retention_policy publishes nothing: 9 reports for 10 cmds
+        assert len(reports) == 9
+        topics = [t for t, _ in dispatcher.published]
+        # resp_to routing for the first, event address for the rest
+        assert topics[0] == "pt:j1/mt:rsp/rt:cloud/rn:x/ad:1"
+        assert set(topics[1:]) == {EVENT_TOPIC}
+
+        r = reports[0]
+        assert r["type"] == "evt.tsdb.measurements_report"
+        assert r["val_t"] == "str_array" and r["val"] == ["electricity_meter_power"]
+        assert r["corid"] == "u1" and r["serv"] == "ecollector"
+
+        rps_before = reports[1]["val"]
+        rps_after = reports[2]["val"]
+        assert reports[1]["type"] == "evt.tsdb.retention_policies"
+        assert "gen_raw" in rps_before and "custom" not in rps_before
+        assert "custom" in rps_after  # the silent DDL really landed
+
+        add, start, plist, stop = reports[3:7]
+        assert add["type"] == "evt.ecprocess.ctrl_report"
+        assert add["val"] == {"op": "add", "status": "ok", "error": ""}
+        assert start["val"] == {"op": "start", "status": "ok", "error": ""}
+        assert plist["type"] == "evt.ecprocess.proc_list_report"
+        assert plist["val"][0]["id"] == "1" and plist["val"][0]["state"] == "RUNNING"
+        assert stop["val"]["status"] == "ok"
+
+        assert reports[7]["type"] == "evt.tsdb.delete_object_report"
+        assert reports[7]["val"] == {"status": "ok", "error": ""}
+        assert reports[8]["val"] == []  # measurement really dropped
+
+    def test_query_command_envelope(self, dispatcher):
+        out = dispatcher.handle_message(
+            COMMAND_TOPIC,
+            json.dumps(
+                {
+                    "type": "cmd.tsdb.query",
+                    "serv": "ecollector",
+                    "val_t": "str_map",
+                    "uid": "q1",
+                    "val": {"proc_id": "1", "query": "SELECT 1 AS one"},
+                }
+            ),
+        )
+        assert out["type"] == "evt.tsdb.query_report" and out["corid"] == "q1"
+        assert out["val"]["Results"][0]["Series"][0]["values"] == [[1]]
+
+    def test_get_data_points_command(self, dispatcher):
+        out = dispatcher.handle_message(
+            COMMAND_TOPIC,
+            json.dumps(
+                {
+                    "type": "cmd.tsdb.get_data_points",
+                    "serv": "ecollector",
+                    "val_t": "object",
+                    "uid": "d1",
+                    "val": {
+                        "proc_id": "1",
+                        "measurement_name": "electricity_meter_power",
+                        "data_function": "mean",
+                        "group_by_time": "1m",
+                        "from_time": "2024-01-01T00:00:00Z",
+                        "to_time": "2024-01-01T01:00:00Z",
+                        "filters": {"devices": ["7"]},
+                    },
+                }
+            ),
+        )
+        assert out["type"] == "evt.tsdb.data_points_report"
+        series = out["val"]["Results"][0]["Series"]
+        assert series and series[0]["name"] == "electricity_meter_power"
+        assert len(series[0]["values"]) >= 3  # one bucket per sample minute
+
+    def test_write_data_points_is_silent_but_lands(self, dispatcher):
+        out = dispatcher.handle_message(
+            COMMAND_TOPIC,
+            json.dumps(
+                {
+                    "type": "cmd.tsdb.write_data_points",
+                    "serv": "ecollector",
+                    "val_t": "object",
+                    "val": {
+                        "proc_id": "1",
+                        "dp": [
+                            {
+                                "name": "sensor_temp.evt.sensor.report",
+                                "tags": {"dev_id": "9", "dev_type": "sensor.generic"},
+                                "fields": {"value": 21.5},
+                            }
+                        ],
+                    },
+                }
+            ),
+        )
+        assert out is None and dispatcher.published == []
+        assert "sensor_temp.evt.sensor.report" in dispatcher.api.warehouse.measurements()
+
+    def test_ignores_foreign_service_and_malformed(self, dispatcher):
+        assert (
+            dispatcher.handle_message(
+                COMMAND_TOPIC,
+                json.dumps({"type": "cmd.tsdb.query", "serv": "other", "val": {}}),
+            )
+            is None
+        )
+        assert dispatcher.handle_message(COMMAND_TOPIC, "{not json") is None
+        assert dispatcher.dropped == 1
+        assert dispatcher.published == []
+
+    def test_ctrl_unknown_process(self, dispatcher):
+        out = dispatcher.handle_message(
+            COMMAND_TOPIC,
+            json.dumps(
+                {
+                    "type": "cmd.ecprocess.ctrl",
+                    "serv": "ecollector",
+                    "val_t": "str_map",
+                    "val": {"proc_id": "42", "operation": "start"},
+                }
+            ),
+        )
+        assert out["val"] == {"op": "start", "status": "error", "error": "unknown process id"}
+
+    def test_command_error_becomes_error_envelope(self, dispatcher):
+        out = dispatcher.handle_message(
+            COMMAND_TOPIC,
+            json.dumps(
+                {
+                    "type": "cmd.tsdb.delete_object",
+                    "serv": "ecollector",
+                    "val_t": "str_map",
+                    "uid": "e1",
+                    "val": {"object_type": "nonsense", "name": "x"},
+                }
+            ),
+        )
+        assert out["val"]["status"] == "error" and out["corid"] == "e1"

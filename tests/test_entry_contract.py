@@ -67,8 +67,9 @@ def test_registry_shape(registry):
     queries, oracles = registry
     assert len(queries) == 50, "driver checks at most 50 queries"
     assert set(oracles) <= set(queries)
-    # only the documented sequential-recurrence gate may be rows-only
-    assert set(queries) - set(oracles) == {"streaming_counter_diff_replay"}
+    # every gate carries a full value oracle (the counter-diff recurrence
+    # got its recursive-CTE twin in round 3 — no rows-only gates remain)
+    assert set(queries) == set(oracles)
 
 
 def test_every_oracle_parses_in_duckdb(registry, sf_dir):

@@ -158,6 +158,46 @@ class TestRunQuery:
         # reference error shape: Results null, error at val level (docs/api:364-380)
         assert rsp["val"]["Results"] is None and rsp["val"]["error"]
 
+    def test_show_measurements_routes_to_catalog(self, spark, tmp_path):
+        """The reference sends SHOW MEASUREMENTS as a query string
+        (influxdb_v1.go:376-393) — it must hit the catalog, not the SQL
+        parser. Verbatim statement incl. trailing semicolon."""
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "100", 400.0),
+        ]))
+        api = EcollectorApi(spark, w)
+        for q in ("SHOW MEASUREMENTS", "show measurements;", "SHOW MEASUREMENTS ON ecollector"):
+            rsp = api.run_query(q)
+            series = rsp["val"]["Results"][0]["Series"]
+            assert series[0]["columns"] == ["name"]
+            assert ["electricity_meter_power"] in series[0]["values"]
+
+    def test_show_retention_policies_routes_to_catalog(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        api = EcollectorApi(spark, w)
+        api.add_retention_policy("custom", 3600)
+        for q in ("SHOW RETENTION POLICIES", 'SHOW RETENTION POLICIES ON "ecollector"'):
+            rsp = api.run_query(q)
+            series = rsp["val"]["Results"][0]["Series"]
+            names = [v[0] for v in series[0]["values"]]
+            assert "gen_raw" in names and "custom" in names
+
+    def test_show_databases(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        api = EcollectorApi(spark, w)
+        rsp = api.run_query("SHOW DATABASES")
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [["ecollector"]]
+
+    def test_show_like_sql_still_falls_through(self, spark, tmp_path):
+        """Only the catalog SHOW family is intercepted — other SHOW-ish
+        strings keep the Spark SQL path (e.g. SHOW TABLES works there)."""
+        from ecollector_spark.influxql import parse_show_statement
+
+        assert parse_show_statement("SHOW TABLES") is None
+        assert parse_show_statement("SHOW MEASUREMENTS WHERE x") is None
+        assert parse_show_statement("SELECT 1") is None
+
 
 # ---------------------------------------------------------------------------
 # property: any query assembled from the supported grammar parses back to

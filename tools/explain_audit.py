@@ -87,6 +87,52 @@ CHECKS = {
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
 
+#: Unpartitioned WindowExec allowlist: (order-spec regex, why the input is
+#: provably bounded). An unpartitioned window funnels its whole input
+#: through ONE task — only acceptable over inputs whose size is bounded by
+#: construction, never over raw data. Any unpartitioned window that is not
+#: enumerated here fails the audit, so the benign WindowExec warnings in
+#: the bench tail can't mask a real unbounded one creeping in.
+BOUNDED_WINDOWS = {
+    "ts_agg_mean_fill_linear": [
+        (
+            r"_ck#\d+L ASC",
+            "per-chunk boundary carry: one row per 1024-bucket chunk (|spine|/1024 rows)",
+        ),
+    ],
+}
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Order specs of every WindowExec with an empty partitionSpec.
+
+    WindowExec prints ``Window [exprs], [partitionSpec], [orderSpec]``;
+    with no partition columns the middle group is absent, leaving two
+    top-level bracket groups. Scan bracket depth to split the groups
+    (expressions nest brackets internally)."""
+    out = []
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        groups, depth, cur = [], 0, []
+        for ch in line[idx + len("Window ") :]:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        if len(groups) == 2:  # [exprs], [order] — no partition group
+            out.append(groups[1])
+    return out
+
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.001"
@@ -138,6 +184,18 @@ def main():
         for pat in FORBIDDEN_EVERYWHERE:
             if re.search(pat, plan):
                 print(f"FAIL {name}: plan contains forbidden {pat}")
+                failures += 1
+        allowed = BOUNDED_WINDOWS.get(name, [])
+        for spec in unpartitioned_windows(plan):
+            for pat, bound in allowed:
+                if re.search(pat, spec):
+                    print(f"  bounded-window {name}: ordered by [{spec}] — {bound}")
+                    break
+            else:
+                print(
+                    f"FAIL {name}: UNPARTITIONED window over [{spec}] with no "
+                    "declared bound (single-task funnel at scale)"
+                )
                 failures += 1
         if not failures:
             print(f"OK {name}")
