@@ -72,7 +72,12 @@ def run_cascade(tier_reader, tier_writer) -> None:
 
 
 def run_cascade_incremental(
-    tier_reader, tier_writer, high_water_mark, now_epoch: int | float | None = None
+    tier_reader,
+    tier_writer,
+    high_water_mark,
+    now_epoch: int | float | None = None,
+    reprocess_trailing_buckets: int = 0,
+    tier_rewriter=None,
 ) -> dict:
     """Incremental cascade: each step aggregates only source buckets
     STRICTLY AFTER the target tier's high-water mark — the property that
@@ -96,9 +101,23 @@ def run_cascade_incremental(
     bucket's remaining rows would be silently lost on every later run.
     Pass ``now_epoch=float("inf")`` only to explicitly opt out (e.g.
     replaying a closed historical dataset where every bucket is final).
+
+    ``reprocess_trailing_buckets=N`` (with a ``tier_rewriter``) absorbs
+    late data: instead of starting strictly after the HWM, each step
+    re-aggregates from the Nth-newest materialized bucket onward and
+    *replaces* the target's tail idempotently via
+    ``tier_rewriter(df, tier, from_epoch)`` (e.g.
+    :meth:`Warehouse.replace_points_from` — atomic tmp+rename rewrite).
+    Late rows landing inside the trailing window are incorporated on the
+    next run; rows older than the window remain out, by the same CQ
+    contract as before (``RESAMPLE FOR``-style bounded lateness). The
+    re-read is bounded to N buckets of source per step — the incremental
+    property survives.
     """
     if now_epoch is None:
         now_epoch = int(time.time())
+    if reprocess_trailing_buckets and tier_rewriter is None:
+        raise ValueError("reprocess_trailing_buckets requires a tier_rewriter")
     written: dict = {}
     for src_tier, dst_tier, step in CASCADE:
         src = tier_reader(src_tier)
@@ -106,15 +125,19 @@ def run_cascade_incremental(
             continue
         step_s = parse_relative_duration(step)
         hwm = high_water_mark(dst_tier)
+        from_epoch = None
         if hwm is not None:
-            # first source row of the next unmaterialized bucket
-            src = src.where(
-                F.col("ts") >= F.timestamp_seconds(F.lit(int(hwm) + step_s))
-            )
+            # first source row of the next unmaterialized bucket, pulled
+            # back N buckets when a trailing re-run is requested
+            from_epoch = int(hwm) + step_s - reprocess_trailing_buckets * step_s
+            src = src.where(F.col("ts") >= F.timestamp_seconds(F.lit(from_epoch)))
         if now_epoch != float("inf"):
             cur_bucket = (int(now_epoch) // step_s) * step_s
             src = src.where(F.col("ts") < F.timestamp_seconds(F.lit(cur_bucket)))
         out = downsample_step(src, step, target_tier=dst_tier)
-        tier_writer(out, dst_tier)
+        if reprocess_trailing_buckets and from_epoch is not None:
+            tier_rewriter(out, dst_tier, from_epoch)
+        else:
+            tier_writer(out, dst_tier)
         written[dst_tier] = out
     return written

@@ -148,6 +148,33 @@ class Warehouse:
         row = df.agg(F.max("ts").alias("m")).collect()[0]
         return None if row["m"] is None else int(row["m"].timestamp())
 
+    def replace_points_from(self, points: DataFrame, tier: str, from_epoch: int) -> None:
+        """Idempotently re-materialize a tier's tail: every existing row
+        with ``ts >= from_epoch`` is replaced by ``points`` (the
+        recomputed buckets). Used by the cascade's trailing-window re-run
+        (late-data absorption): rewrite-into-tmp + rename, same atomic
+        pattern as :meth:`compact`, so readers see either the old or the
+        new tier, never a mix. Only the affected (tier, measurement)
+        partitions are rewritten; at 100 TB a date subpartition makes the
+        kept-prefix rewrite a file move, not a scan."""
+        df = self.read_tier(tier)
+        new = points.drop("tier") if "tier" in points.columns else points
+        if df is not None:
+            keep = df.where(F.unix_timestamp("ts") < from_epoch).drop("tier")
+            merged = keep.unionByName(new, allowMissingColumns=True)
+        else:
+            merged = new
+        tmp = self.tier_path(tier) + ".rewriting"
+        (
+            merged.sortWithinPartitions("series_id", "ts")
+            .write.mode("overwrite")
+            .partitionBy("measurement")
+            .parquet(tmp)
+        )
+        if os.path.isdir(self.tier_path(tier)):
+            shutil.rmtree(self.tier_path(tier))
+        os.rename(tmp, self.tier_path(tier))
+
     def record_high_water_mark(self, tier: str, epoch_s: int) -> None:
         """Persist the tier's max materialized bucket ts so later
         incremental runs skip the fallback scan. Written atomically

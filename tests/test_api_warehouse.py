@@ -379,6 +379,87 @@ class TestIncrementalCascade:
         day = w.read_tier("gen_day")
         assert day is None or day.where(F.col("dev_id") == "7").count() == 0
 
+    def test_trailing_reprocess_absorbs_late_rows(self, spark, tmp_path):
+        """reprocess_trailing_buckets=N re-materializes the last N target
+        buckets idempotently: a late row landing inside the trailing
+        window is absorbed on the next run, tier contents stay
+        duplicate-free and stable under re-runs."""
+        from ecollector_spark.downsample import run_cascade_incremental
+
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:01:10", "7", 500.0),
+        ]))
+
+        def writer(df, tier):
+            w.write_points(df)
+
+        now = int(datetime(2024, 1, 1, 0, 2, 30, tzinfo=timezone.utc).timestamp())
+        run_cascade_incremental(w.read_tier, writer, w.high_water_mark, now_epoch=now)
+        day = {r["ts"].isoformat(): r["value_f"]
+               for r in w.read_tier("gen_day").where(F.col("dev_id") == "7").collect()}
+        assert day == {"2024-01-01T00:00:00": 100.0, "2024-01-01T00:01:00": 500.0}
+
+        # a LATE row lands inside the newest materialized bucket (00:01)
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:40", "7", 700.0),
+        ]))
+        run_cascade_incremental(
+            w.read_tier, writer, w.high_water_mark, now_epoch=now,
+            reprocess_trailing_buckets=1, tier_rewriter=w.replace_points_from,
+        )
+        rows = w.read_tier("gen_day").where(F.col("dev_id") == "7").collect()
+        day2 = {r["ts"].isoformat(): r["value_f"] for r in rows}
+        # 00:01 re-meaned with the late row; 00:00 untouched; no duplicates
+        assert day2 == {"2024-01-01T00:00:00": 100.0, "2024-01-01T00:01:00": 600.0}
+        assert len(rows) == 2
+
+        # idempotent: a second trailing re-run with no new data leaves the
+        # tier contents identical (hash-stable)
+        run_cascade_incremental(
+            w.read_tier, writer, w.high_water_mark, now_epoch=now,
+            reprocess_trailing_buckets=1, tier_rewriter=w.replace_points_from,
+        )
+        rows3 = sorted(
+            (r["ts"].isoformat(), r["value_f"])
+            for r in w.read_tier("gen_day").where(F.col("dev_id") == "7").collect()
+        )
+        assert rows3 == sorted((k, v) for k, v in day2.items())
+
+        # a row OLDER than the trailing window stays out (documented CQ
+        # bounded-lateness contract)
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:50", "7", 900.0),
+        ]))
+        run_cascade_incremental(
+            w.read_tier, writer, w.high_water_mark, now_epoch=now,
+            reprocess_trailing_buckets=1, tier_rewriter=w.replace_points_from,
+        )
+        day4 = {r["ts"].isoformat(): r["value_f"]
+                for r in w.read_tier("gen_day").where(F.col("dev_id") == "7").collect()}
+        assert day4["2024-01-01T00:00:00"] == 100.0  # untouched: outside window
+        assert day4["2024-01-01T00:01:00"] == 600.0
+
+        # widening the window absorbs it too
+        run_cascade_incremental(
+            w.read_tier, writer, w.high_water_mark, now_epoch=now,
+            reprocess_trailing_buckets=2, tier_rewriter=w.replace_points_from,
+        )
+        day5 = {r["ts"].isoformat(): r["value_f"]
+                for r in w.read_tier("gen_day").where(F.col("dev_id") == "7").collect()}
+        assert day5["2024-01-01T00:00:00"] == 500.0  # mean(100, 900)
+
+    def test_trailing_requires_rewriter(self, spark, tmp_path):
+        from ecollector_spark.downsample import run_cascade_incremental
+
+        w = Warehouse(spark, str(tmp_path / "w"))
+        with pytest.raises(ValueError, match="tier_rewriter"):
+            run_cascade_incremental(
+                w.read_tier, lambda df, t: None, w.high_water_mark,
+                reprocess_trailing_buckets=2,
+            )
+
     def test_hwm_sidecar_preferred_over_scan(self, spark, tmp_path):
         w = Warehouse(spark, str(tmp_path / "w"))
         w.write_points(_mk_points(spark, [
