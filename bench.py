@@ -96,7 +96,82 @@ def main() -> None:
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        out["datapipe_scale"] = scale_probe(spark)
     print(json.dumps(out))
+
+
+def scale_probe(spark) -> dict:
+    """Measured sub-quadraticity: candidate-pair counts of the bucketed
+    dedup operators across the real 1x/10x/100x corpus ladder
+    (sf0.001/sf0.01/sf0.1), with fitted growth exponents
+    (log-count slope vs log-corpus slope; brute-force pairing would be
+    2.0). Puts a measured point under SCALE.md's N^2/2^bits and df-cap
+    claims instead of a formula only."""
+    import math
+
+    from ecollector_spark.datapipe import dedup, similarity
+    from ecollector_spark.driver_queries.datapipe import (
+        _EMB_DIM,
+        _LSH_BITS,
+        _LSH_TABLES,
+        dedup_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    base = os.path.dirname(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"))
+    ladder = [d for d in ("sf0.001", "sf0.1") if os.path.isdir(os.path.join(base, d))]
+    points: dict[str, dict] = {}
+    for sf in ladder:
+        sf_dir = os.path.join(base, sf)
+        docs = dedup_corpus(spark, sf_dir)
+        sh = dedup._doc_shingles(docs, "text", 3, materialize=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_vecs = emb.count()
+        ebase = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+        planes = similarity.hyperplanes(_EMB_DIM, _LSH_BITS, _LSH_TABLES)
+        # the documented scale knob: bits grow with log2(n) so expected
+        # bucket occupancy n/2^bits (candidates per vector) stays constant
+        scaled_bits = max(_LSH_BITS, math.ceil(math.log2(max(n_vecs, 2) / 2)))
+        splanes = similarity.hyperplanes(_EMB_DIM, scaled_bits, _LSH_TABLES)
+        points[sf] = {
+            "n_docs": docs.count(),
+            "minhash_lsh_candidates": dedup.minhash_lsh_candidates(sh).count(),
+            "jaccard_dfcap_candidates": dedup.jaccard_candidates(sh).count(),
+            "n_vecs": n_vecs,
+            "embedding_lsh_candidates": similarity.lsh_candidate_pairs(ebase, planes).count(),
+            "embedding_lsh_bits": _LSH_BITS,
+            "embedding_lsh_candidates_scaled_bits": similarity.lsh_candidate_pairs(
+                ebase, splanes
+            ).count(),
+            "embedding_lsh_scaled_bits": scaled_bits,
+        }
+
+    exponents: dict[str, float] = {}
+    if len(ladder) >= 2:
+        lo, hi = points[ladder[0]], points[ladder[-1]]
+        for metric, nkey in (
+            ("minhash_lsh_candidates", "n_docs"),
+            ("jaccard_dfcap_candidates", "n_docs"),
+            ("embedding_lsh_candidates", "n_vecs"),
+            ("embedding_lsh_candidates_scaled_bits", "n_vecs"),
+        ):
+            if lo[metric] > 0 and hi[nkey] > lo[nkey]:
+                exponents[metric] = round(
+                    math.log(hi[metric] / lo[metric]) / math.log(hi[nkey] / lo[nkey]), 3
+                )
+    return {
+        "note": (
+            "candidate pairs BEFORE verification; exponent 2.0 = all-pairs. "
+            "minhash bands are sub-quadratic as-is; fixed-bits embedding LSH "
+            "tracks its documented N^2/2^bits term, and the scaled-bits "
+            "column shows the bits~log2(N) knob holding candidates/N flat; "
+            "the jaccard df-cap binds only once shingle dfs saturate the "
+            "cap (bound: cap x postings = linear)"
+        ),
+        "points": points,
+        "growth_exponent": exponents,
+    }
 
 
 if __name__ == "__main__":

@@ -79,7 +79,13 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     to 6 decimals."""
     sh = _doc_shingles(docs, text_col, k, materialize=True)
+    return _verify_jaccard(sh, jaccard_candidates(sh, max_df), threshold)
 
+
+def jaccard_candidates(sh: DataFrame, max_df: int = 100) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from the df-capped inverted
+    shingle index — the pre-verification stage, exposed separately so the
+    scale probe (bench.py) can measure candidate growth vs corpus size."""
     rare = sh.join(
         sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).where(
             F.col("df") <= max_df
@@ -87,12 +93,11 @@ def jaccard_pairs(
         "shingle",
     ).select("doc_id", "shingle")
     a, b = rare.alias("a"), rare.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(sh, cand, threshold)
 
 
 def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
@@ -176,8 +181,18 @@ def minhash_lsh_pairs(
     generation is ONE self-equi-join on (band, sig) — the only pairwise
     step, touching only colliding docs; at 100 TB this is a shuffle on
     band signatures whose buckets are near-dup clusters by construction."""
-    rows = num_hashes // bands
     sh = _doc_shingles(docs, text_col, k, materialize=True)
+    cand = minhash_lsh_candidates(sh, num_hashes, bands)
+    return _verify_jaccard(sh, cand, threshold)
+
+
+def minhash_lsh_candidates(
+    sh: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded-signature candidate pairs (doc_a < doc_b) — the
+    pre-verification stage of :func:`minhash_lsh_pairs`, exposed so the
+    scale probe can measure candidate growth vs corpus size."""
+    rows = num_hashes // bands
     sig = _signatures_from_shingles(sh, num_hashes)
     band_structs = [
         F.struct(
@@ -192,7 +207,7 @@ def minhash_lsh_pairs(
         .where(F.col("sig").isNotNull())
     )
     x, y = bands_long.alias("x"), bands_long.alias("y")
-    cand = (
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -202,7 +217,6 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(sh, cand, threshold)
 
 
 def connected_components(

@@ -174,18 +174,7 @@ def embedding_near_dup_pairs(
         dim = _embedding_dim(emb, vec_col)
     planes = hyperplanes(dim, bits, tables, seed)
     base = emb.select(F.col("vec_id"), _as_double(F.col(vec_col)).alias("_v"))
-    buckets = _table_buckets(base, planes)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._t") == F.col("b._t"))
-            & (F.col("a._b") == F.col("b._b"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(base, planes)
     va = base.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"))
     vb = base.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"))
     pairs = cand.join(va, "vec_a").join(vb, "vec_b")
@@ -195,6 +184,27 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def lsh_candidate_pairs(
+    base: DataFrame, planes: list[list[list[float]]]
+) -> DataFrame:
+    """(vec_a < vec_b) sharing a hyperplane bucket in ANY table — the
+    pre-verification stage of :func:`embedding_near_dup_pairs`, exposed
+    so the scale probe can measure candidate growth vs corpus size.
+    ``base`` must carry (vec_id, _v)."""
+    buckets = _table_buckets(base, planes)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._b") == F.col("b._b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
 
 
 def _l2sq(a: Column, b: Column) -> Column:
