@@ -140,34 +140,49 @@ def streaming_preagg_replay(spark, sf_dir):
     )
 
 
-#: Recursive-CTE twin of ``make_counter_difference_fn`` (agreggator.go
-#: semantics, see streaming/stateful.py). Layer map, innermost out:
-#:   join     — step N state + step N+1 bucket (vals/epochs in ts order)
-#:   ib       — index of the last staleness break (gap > 120 min between
-#:              consecutive reports; the incoming last_ts fences event 1)
-#:   buf      — seed-prefixed values, truncated at the break (A8)
-#:   q1/q3    — exact linear-interpolation quartiles (n >= 4 only)
-#:   filtered — hourly: untouched; else drop zeros + Tukey fence=3 (A7)
-#:   result   — sum of positive consecutive deltas (meter reset skips, A6)
-#:   do_emit  — 100 kWh cap (A10), zero/unchanged suppression (A5-style),
-#:              hourly series compare only against zero
-#:   emit_t   — bucket end; hourly re-attributed to prev hour :59 (A9)
-_COUNTER_DIFF_SQL = """
+def counter_diff_oracle_sql(
+    src_sql: str,
+    interval: int = 600,
+    staleness: int = 7200,
+    max_diff: float = 100.0,
+    round6: bool = True,
+) -> str:
+    """Recursive-CTE twin of ``make_counter_difference_fn`` (agreggator.go
+    semantics, see streaming/stateful.py), parameterized over a source
+    relation ``src(series_id, e, v, hourly)`` (epoch seconds as DOUBLE,
+    event order = ascending unique ``e`` per series). Layer map,
+    innermost out:
+
+    - join     — step N state + step N+1 bucket (vals/epochs in ts order)
+    - ib       — index of the last staleness break (gap > ``staleness``
+      between consecutive reports; the incoming last_ts fences event 1)
+    - buf      — seed-prefixed values, truncated at the break (A8)
+    - q1/q3    — exact linear-interpolation quartiles (n >= 4 only)
+    - filtered — hourly: untouched; else drop zeros + Tukey fence=3 (A7)
+    - result   — sum of positive consecutive deltas (meter resets skip, A6)
+    - do_emit  — ``max_diff`` cap (A10), zero/unchanged suppression
+      (hourly series compare only against zero)
+    - emit_t   — bucket end; hourly re-attributed to prev hour :59 (A9)
+
+    Every double operation replays the pandas state function's IEEE
+    order, so the recursion is bit-identical to the streaming path; the
+    property test (tests/test_counter_diff_oracle.py) pins that
+    equivalence on random inputs, not just the driver corpus.
+    """
+    value_sel = "round(emit_value, 6)" if round6 else "emit_value"
+    return f"""
 WITH RECURSIVE src AS (
-  SELECT 'meter;' || CAST(user_id % 13 AS VARCHAR) AS series_id,
-         epoch(ts) AS e, abs(value) AS v, (user_id % 26 = 0) AS hourly
-  FROM events
-  WHERE user_id % 11 = 0 AND value IS NOT NULL
+{src_sql}
 ),
 bkt AS (
   SELECT series_id,
-         CAST(floor(e/600) AS BIGINT)*600 AS bucket,
+         CAST(floor(e/{interval}) AS BIGINT)*{interval} AS bucket,
          list(v ORDER BY e) AS vals,
          list(e ORDER BY e) AS epochs,
          arg_max(hourly, e) AS hourly,
-         row_number() OVER (PARTITION BY series_id ORDER BY CAST(floor(e/600) AS BIGINT)*600) AS step
+         row_number() OVER (PARTITION BY series_id ORDER BY CAST(floor(e/{interval}) AS BIGINT)*{interval}) AS step
   FROM src
-  GROUP BY series_id, CAST(floor(e/600) AS BIGINT)*600
+  GROUP BY series_id, CAST(floor(e/{interval}) AS BIGINT)*{interval}
 ),
 rec AS (
   SELECT series_id, 0 AS step,
@@ -185,11 +200,11 @@ rec AS (
          CASE WHEN do_emit THEN result END AS emit_value
   FROM (
     SELECT *,
-           (fn > 0 AND result <= 100.0 AND result <> 0.0
+           (fn > 0 AND result <= {max_diff} AND result <> 0.0
             AND (hourly OR result <> le0)) AS do_emit,
            CASE WHEN hourly
-                THEN CAST(floor((bucket + 600 - 3600)/3600.0) AS BIGINT)*3600 + 3540
-                ELSE bucket + 600 END AS emit_t
+                THEN CAST(floor((bucket + {interval} - 3600)/3600.0) AS BIGINT)*3600 + 3540
+                ELSE bucket + {interval} END AS emit_t
     FROM (
       SELECT *,
              CASE WHEN fn <= 1 THEN 0.0
@@ -228,7 +243,7 @@ rec AS (
                   SELECT *,
                          coalesce(list_max(list_filter(
                            list_transform(generate_series(1, len(epochs)),
-                             i -> CASE WHEN epochs[i] - (CASE WHEN i = 1 THEN lt0 ELSE epochs[i-1] END) > 7200.0
+                             i -> CASE WHEN epochs[i] - (CASE WHEN i = 1 THEN lt0 ELSE epochs[i-1] END) > {staleness}.0
                                   THEN i END),
                            x -> x IS NOT NULL)), 0) AS ib,
                          epochs[-1] AS new_last_ts
@@ -247,10 +262,18 @@ rec AS (
     )
   )
 )
-SELECT series_id, emit_time AS time, round(emit_value, 6) AS value
+SELECT series_id, emit_time AS time, {value_sel} AS value
 FROM rec WHERE emit_value IS NOT NULL
 ORDER BY series_id, time
 """
+
+
+_COUNTER_DIFF_SQL = counter_diff_oracle_sql(
+    """  SELECT 'meter;' || CAST(user_id % 13 AS VARCHAR) AS series_id,
+         epoch(ts) AS e, abs(value) AS v, (user_id % 26 = 0) AS hourly
+  FROM events
+  WHERE user_id % 11 = 0 AND value IS NOT NULL"""
+)
 
 
 @register("streaming_counter_diff_replay", _COUNTER_DIFF_SQL)
