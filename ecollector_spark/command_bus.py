@@ -295,6 +295,15 @@ class CommandDispatcher:
         except Exception as e:  # noqa: BLE001
             return self._ctrl_report("update_config", "error", str(e))
 
+    def _cmd_proc_reset_to_default(self, val):
+        # silent: the reference reloads default configs and exits the
+        # process (admin.go:151-154); here we stop+drop every pipeline
+        # and clear RP TTL overrides — the host supervisor owns restart
+        for p in self.pm.get_list():
+            self.pm.remove(p["id"])
+        self.api.ttl_overrides.clear()
+        return None
+
     # -- cmd.log.* ---------------------------------------------------------
     def _cmd_set_log_level(self, val):
         # silent command (admin.go:374-388 publishes nothing)
@@ -316,6 +325,7 @@ class CommandDispatcher:
         "cmd.ecprocess.add": _cmd_proc_add,
         "cmd.ecprocess.ctrl": _cmd_proc_ctrl,
         "cmd.ecprocess.update_config": _cmd_proc_update_config,
+        "cmd.ecprocess.reset_to_default": _cmd_proc_reset_to_default,
         "cmd.log.set_level": _cmd_set_log_level,
     }
 

@@ -177,6 +177,23 @@ class TestDispatch:
         assert dispatcher.dropped == 1
         assert dispatcher.published == []
 
+    def test_reset_to_default_drops_processes_silently(self, dispatcher):
+        for mtype, val in [
+            ("cmd.ecprocess.add", {}),
+            ("cmd.tsdb.add_retention_policy", {"name": "c1", "duration": "1w"}),
+        ]:
+            dispatcher.handle_message(
+                COMMAND_TOPIC,
+                json.dumps({"type": mtype, "serv": "ecollector", "val_t": "object", "val": val}),
+            )
+        assert dispatcher.pm.get_list() and dispatcher.api.ttl_overrides
+        out = dispatcher.handle_message(
+            COMMAND_TOPIC,
+            json.dumps({"type": "cmd.ecprocess.reset_to_default", "serv": "ecollector", "val": None}),
+        )
+        assert out is None  # silent, like the reference (it exits)
+        assert dispatcher.pm.get_list() == [] and dispatcher.api.ttl_overrides == {}
+
     def test_ctrl_unknown_process(self, dispatcher):
         out = dispatcher.handle_message(
             COMMAND_TOPIC,
