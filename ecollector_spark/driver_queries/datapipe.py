@@ -16,7 +16,11 @@ import os
 from pyspark.sql import functions as F
 
 from ecollector_spark.datapipe import curation, dedup, similarity, text
-from ecollector_spark.datapipe.multimodal import attach_fake_media, extract_features
+from ecollector_spark.datapipe.multimodal import (
+    attach_fake_media,
+    extract_features,
+    sample_frames,
+)
 from ecollector_spark.driver_queries import register
 
 # ---------------------------------------------------------------------------
@@ -646,6 +650,30 @@ def mm_feature_hist(spark, sf_dir):
         for j in range(8)
     ]
     return feats.select("doc_id", *cols)
+
+
+@register(
+    "mm_frame_sampling",
+    """WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents)
+SELECT doc_id, media_type, CAST(f AS INT) AS frame_idx, CAST(f * 64 AS INT) AS byte_offset
+FROM (SELECT doc_id, media_type,
+             unnest(generate_series(0, CAST(floor(n_bytes/64.0) AS BIGINT))) AS f
+      FROM m)
+ORDER BY doc_id, frame_idx
+""",
+    shelved=True,
+)
+def mm_frame_sampling(spark, sf_dir):
+    """Frame-sampling stage (1->N explode per every_n_bytes offset) —
+    the video-frame extraction shape with the stub payload; offset
+    arithmetic is exact so the SQL twin value-matches the explode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(attach_fake_media(docs))
 
 
 @register("mm_feature_extract", shelved=True)  # rows-only: Arrow/pandas stage kept as the raw-vector form
