@@ -435,6 +435,110 @@ def ivf_topk(
     )
 
 
+def lsh_build(
+    emb: DataFrame,
+    index_path: str,
+    bits: int = 8,
+    tables: int = 2,
+    dim: int | None = None,
+    seed: str = DEFAULT_LSH_SEED,
+    vec_col: str = "embedding",
+    overwrite: bool = False,
+) -> str:
+    """Materialize the hyperplane-LSH index: vectors stored once per
+    table under ``<index_path>/buckets/_t=<t>/_b=<b>/`` so a probe is
+    partition pruning of the query's (table, bucket) pairs — the "at
+    100 TB (table, bucket) becomes a partition column" design stated in
+    the module docstring, made real. A ``params.json`` sidecar pins
+    (bits, tables, dim, seed) so the probe derives the identical
+    hyperplanes. Atomic publish via rename, same pattern as
+    :func:`ivf_build`. Storage cost: ``tables`` copies of the vectors —
+    the standard multi-table LSH trade (each table is an independent
+    recall chance)."""
+    import json
+
+    if os.path.isfile(os.path.join(index_path, "params.json")) and not overwrite:
+        return index_path
+    if dim is None:
+        dim = _embedding_dim(emb, vec_col)
+    planes = hyperplanes(dim, bits, tables, seed)
+    base = emb.select(F.col("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    structs = [
+        F.struct(F.lit(t).alias("t"), hyperplane_bucket(F.col("v"), tp).alias("b"))
+        for t, tp in enumerate(planes)
+    ]
+    rows = base.select(
+        "vec_id", "v", F.explode(F.array(*structs)).alias("_tb")
+    ).select("vec_id", "v", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    tmp = f"{index_path}.building.{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    rows.write.mode("overwrite").partitionBy("_t", "_b").parquet(
+        os.path.join(tmp, "buckets")
+    )
+    with open(os.path.join(tmp, "params.json"), "w") as f:
+        json.dump({"bits": bits, "tables": tables, "dim": dim, "seed": seed}, f)
+    if os.path.isdir(index_path):
+        shutil.rmtree(index_path)
+    os.rename(tmp, index_path)
+    return index_path
+
+
+def lsh_query_buckets(query_vec: list[float], planes: list[list[list[float]]]) -> list[int]:
+    """The query's bucket id in each table, computed driver-side with
+    the same sequential-fold dot product as :func:`hyperplane_bucket`
+    (bit j set iff dot >= 0) — O(tables x bits x dim), no scan."""
+    out = []
+    for tp in planes:
+        b = 0
+        for j, ws in enumerate(tp):
+            acc = 0.0
+            for x, w in zip(query_vec, ws):
+                acc = acc + x * float(w)
+            if acc >= 0:
+                b |= 1 << j
+        out.append(b)
+    return out
+
+
+def lsh_search_indexed(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    threshold: float,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate search against a materialized LSH index: read the
+    params sidecar, compute the query's (table, bucket) pairs on the
+    driver, partition-prune the bucket store to those directories,
+    dedup candidate ids (a vector can collide in several tables), exact
+    cosine. Same output contract as :func:`lsh_bucketed_search`
+    (vec_id, cosine >= threshold, rounded to 6), but the scan touches
+    ``tables`` directories instead of the corpus."""
+    import json
+
+    with open(os.path.join(index_path, "params.json")) as f:
+        p = json.load(f)
+    planes = hyperplanes(p["dim"], p["bits"], p["tables"], p["seed"])
+    qb = lsh_query_buckets(query_vec, planes)
+    pred = None
+    for t, b in enumerate(qb):
+        c = (F.col("_t") == t) & (F.col("_b") == int(b))
+        pred = c if pred is None else (pred | c)
+    scan = spark.read.parquet(os.path.join(index_path, "buckets")).where(pred)
+    # a vector colliding in several tables appears once per collision:
+    # keep one copy before scoring
+    cand = scan.groupBy("vec_id").agg(F.first("v").alias("v"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(q, q)))
+    if exclude_vec_id is not None:
+        cand = cand.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        cand.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_search(
     emb: DataFrame,
     query_id: int,

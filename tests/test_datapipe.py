@@ -229,6 +229,50 @@ class TestSimilarity:
         assert m, f"probe scan is not partition-pruned:\n{plan}"
         assert {int(c) for c in m.group(1).split(",")} == probes
 
+    def test_lsh_index_build_search_matches_inplan(self, corpus_emb, tmp_path_factory):
+        """The materialized LSH index must return the SAME rows as the
+        in-plan bucketed search (same hyperplanes via the params
+        sidecar), and the probe scan must be pruned to the query's
+        (table, bucket) partitions."""
+        idx = str(tmp_path_factory.mktemp("lsh") / "index")
+        similarity.lsh_build(corpus_emb, idx, bits=6, tables=2, dim=16)
+        spark = corpus_emb.sparkSession
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        indexed = {
+            (r["vec_id"], r["cosine"])
+            for r in similarity.lsh_search_indexed(
+                spark, idx, qv, threshold=0.2, exclude_vec_id=0
+            ).collect()
+        }
+        inplan = {
+            (r["vec_id"], r["cosine"])
+            for r in similarity.lsh_bucketed_search(
+                corpus_emb, 0, 0.2, bits=6, tables=2, dim=16
+            ).collect()
+        }
+        assert indexed == inplan and indexed
+        # probe plan prunes to exactly the query's (t, b) pairs
+        planes = similarity.hyperplanes(16, 6, 2)
+        qb = similarity.lsh_query_buckets(qv, planes)
+        df = similarity.lsh_search_indexed(spark, idx, qv, threshold=-1.0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m, f"LSH probe not partition-pruned:\n{plan}"
+        for t, b in enumerate(qb):
+            assert f"(_t#" in m.group(1) and str(b) in m.group(1)
+        # idempotent rebuild: params sidecar short-circuits
+        import os
+
+        before = os.stat(idx + "/params.json").st_mtime_ns
+        similarity.lsh_build(corpus_emb, idx, bits=6, tables=2, dim=16)
+        assert os.stat(idx + "/params.json").st_mtime_ns == before
+
     def test_ivf_indexed_recall_vs_bruteforce(self, corpus_emb, tmp_path_factory):
         idx = str(tmp_path_factory.mktemp("ivf") / "index")
         similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
