@@ -90,6 +90,46 @@ def main() -> None:
     print(json.dumps(sql_report, indent=2, default=str))
 
     print("\nmeasurements:", wh.measurements())
+
+    # -- 6. the MQTT command bus (what a reference client actually speaks):
+    # feed recorded FIMP command envelopes through the dispatcher; with a
+    # broker, `CommandDispatcher(api).connect(host).loop_start()` instead
+    from ecollector_spark.command_bus import COMMAND_TOPIC, CommandDispatcher
+
+    bus = CommandDispatcher(api)
+    replies = bus.replay_session(
+        [
+            (
+                COMMAND_TOPIC,
+                json.dumps(
+                    {
+                        "type": "cmd.tsdb.query",
+                        "serv": "ecollector",
+                        "val_t": "str_map",
+                        "uid": "q-1",
+                        "resp_to": "pt:j1/mt:rsp/rt:cloud/rn:backend/ad:1",
+                        "val": {"proc_id": "1", "query": "SHOW MEASUREMENTS"},
+                    }
+                ),
+            ),
+            (
+                COMMAND_TOPIC,
+                json.dumps(
+                    {
+                        "type": "cmd.tsdb.get_retention_policies",
+                        "serv": "ecollector",
+                        "val_t": "str_map",
+                        "uid": "q-2",
+                        "val": {"proc_id": "1"},
+                    }
+                ),
+            ),
+        ]
+    )
+    print("\ncommand bus replies:")
+    for (topic, env), _ in zip(bus.published, replies):
+        print(f"  -> {topic}: {env['type']} corid={env['corid']} val={str(env['val'])[:90]}")
+
     print("workdir:", workdir)
 
 
