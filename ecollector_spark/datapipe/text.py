@@ -211,6 +211,48 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: rolling-hash parameters: base > alphabet, Mersenne modulus keeps every
+#: Horner step < 2^40 — exact in int64 on any engine (no float rounding)
+ROLL_BASE = 257
+ROLL_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(
+    docs: DataFrame, text_col: str = "text", k: int = 16
+) -> DataFrame:
+    """Character-level rolling-hash fingerprint (Rabin-Karp / winnowing
+    family): polynomial hash ``h_i = sum(code_j * B^(k-1-j)) mod M`` of
+    every k-char gram, fingerprint = the minimum gram hash (deterministic
+    1-permutation MinHash over positions), plus the gram count. The
+    byte-level complement of the token-shingle :func:`fingerprint` —
+    robust to tokenization differences, the standard blocking key for
+    near-identical file/doc detection.
+
+    Each gram hash is a sequential Horner fold over an integer slice —
+    exact int64 arithmetic, bit-identical on any engine (the SQL twin
+    replays the same fold). Cost O(len·k) per doc, map-side only."""
+    codes = F.filter(
+        F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c)),
+        lambda x: x > 0,
+    )
+    n_grams = F.greatest(F.size(F.col("_codes")) - (k - 1), F.lit(0))
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(F.col("_codes"), i, k),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
+    hashes = F.transform(F.sequence(F.lit(1), F.col("_n")), gram_hash)
+    return (
+        docs.select("doc_id", codes.alias("_codes"))
+        .select("doc_id", "_codes", n_grams.alias("_n"))
+        .select(
+            "doc_id",
+            F.when(F.col("_n") > 0, F.array_min(hashes)).alias("rolling_fp"),
+            F.col("_n").cast("int").alias("n_grams"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over k-token
     shingles (a deterministic 1-permutation MinHash), plus the shingle

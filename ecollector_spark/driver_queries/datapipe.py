@@ -555,6 +555,31 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @register(
+    "text_rolling_fingerprint",
+    f"""WITH c AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ''), ch -> ch <> ''),
+                        ch -> CAST(ord(ch) AS BIGINT)) AS codes
+  FROM documents),
+n AS (SELECT doc_id, codes, greatest(len(codes) - 15, 0) AS n FROM c)
+SELECT doc_id,
+       CASE WHEN n > 0 THEN list_min(list_transform(generate_series(1, n),
+            i -> list_reduce(codes[i:i+15], (acc, x) -> (acc * {text.ROLL_BASE} + x) % {text.ROLL_MOD})))
+       END AS rolling_fp,
+       CAST(n AS INT) AS n_grams
+FROM n ORDER BY doc_id
+""",
+    shelved=True,
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Character-level Rabin-Karp rolling-hash fingerprint (min 16-char
+    gram hash, exact int64 Horner fold — the byte-level complement of
+    the token-shingle fingerprint)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.rolling_fingerprint(docs, k=16)
+
+
+@register(
     "text_fingerprint",
     f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, list_distinct({_SH5}) AS shl FROM t)

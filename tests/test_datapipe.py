@@ -293,6 +293,33 @@ class TestSimilarity:
 
 
 class TestText:
+    def test_rolling_fingerprint(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over it"),
+                (2, "the quick brown fox jumps over it"),   # identical
+                (3, "a completely different sentence here"),  # disjoint grams
+                (4, "shorty"),                              # < k chars
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["rolling_fp"], r["n_grams"])
+               for r in text.rolling_fingerprint(docs, k=16).collect()}
+        assert out[1] == out[2]                     # identical docs match
+        assert out[1][0] != out[3][0]               # disjoint gram sets differ
+        assert out[4] == (None, 0)                  # too short: no grams
+        assert out[1][1] == len("the quick brown fox jumps over it") - 15
+        # hash is the exact Horner fold mod 2^31-1 (pinned independently)
+        b, m = text.ROLL_BASE, text.ROLL_MOD
+        s = "the quick brown fox jumps over it"
+        grams = [s[i:i + 16] for i in range(len(s) - 15)]
+        def h(g):
+            acc = 0
+            for ch in g:
+                acc = (acc * b + ord(ch)) % m
+            return acc
+        assert out[1][0] == min(h(g) for g in grams)
+
     def test_langid_markers(self, spark):
         docs = spark.createDataFrame(
             [(1, "the cat and the hat"), (2, "der hund ist nicht da"), (3, "xyzzy plugh")],
