@@ -11,7 +11,7 @@ twin in driver_queries.datapipe so results are value-hash checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: small stopword/marker sets for the language-ID heuristic. Order of
@@ -208,6 +208,42 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         scrubbed.alias("scrubbed"),
         n_emails.cast("int").alias("n_emails"),
         n_urls.cast("int").alias("n_urls"),
+    )
+
+
+def top_terms(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document top-``n`` salient terms by tf x N/df — tf-idf with a
+    *linear* idf (N/df instead of ln(N/df)): the ranking rationale is
+    the same (frequent-in-doc, rare-in-corpus), and the score stays an
+    exact rational (one correctly-rounded int/int division), so any
+    engine reproduces rankings bit-identically — a log-based idf would
+    hinge on libm ulp agreement across engines. Output (doc_id, rank,
+    term, tf, doc_freq, salience floor-6), ties broken by term asc.
+
+    Scale shape: one explode + (doc, term) count (map-side partial),
+    one term-keyed df aggregate (vocabulary-sized — broadcastable), the
+    corpus count as a broadcast 1-row frame, and a per-doc ranking
+    window on the already-aggregated (doc, term) rows."""
+    toks = docs.select("doc_id", F.explode(tokens_expr(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.select(F.count_distinct("doc_id").alias("nd"))
+    score = F.col("tf") * F.col("nd") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            F.col("df").alias("doc_freq"),
+            (F.floor(F.col("_score") * 1000000.0) / 1000000.0).alias("salience"),
+        )
     )
 
 

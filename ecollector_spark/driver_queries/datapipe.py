@@ -555,6 +555,28 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @register(
+    "text_top_terms",
+    f"""WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+s AS (SELECT doc_id, term, tf, df, tf * nd / df AS sc
+      FROM tf JOIN dfq USING (term), nd)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df AS doc_freq,
+       floor(sc * 1000000) / 1000000 AS salience
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, term) AS rank FROM s)
+WHERE rank <= 3 ORDER BY doc_id, rank
+""",
+    shelved=True,
+)
+def text_top_terms(spark, sf_dir):
+    """Per-doc top-3 salient terms by tf x N/df (linear-idf tf-idf —
+    exact-rational scoring so rankings are engine-reproducible)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.top_terms(docs, n=3)
+
+
+@register(
     "text_rolling_fingerprint",
     f"""WITH c AS (
   SELECT doc_id,

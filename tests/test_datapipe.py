@@ -293,6 +293,25 @@ class TestSimilarity:
 
 
 class TestText:
+    def test_top_terms_salience(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "spark spark spark shuffle"),
+                (2, "shuffle shuffle partition"),
+                (3, "partition pruning spark"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["doc_freq"], r["salience"])
+               for r in text.top_terms(docs, n=2).collect()}
+        # doc 1: 'spark' tf=3 df=2 -> 3*3/2=4.5 beats 'shuffle' 1*3/2=1.5
+        assert out[(1, 1)] == ("spark", 3, 2, 4.5)
+        assert out[(1, 2)] == ("shuffle", 1, 2, 1.5)
+        # doc 3: all tf=1 -> rarest wins; 'pruning' df=1 (salience 3.0)
+        assert out[(3, 1)] == ("pruning", 1, 1, 3.0)
+        # tie at same salience broken by term asc: partition < spark
+        assert out[(3, 2)][0] == "partition"
+
     def test_rolling_fingerprint(self, spark):
         docs = spark.createDataFrame(
             [
