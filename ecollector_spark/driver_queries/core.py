@@ -669,3 +669,37 @@ def events_top3_users_per_type(spark, sf_dir):
         .select("event_type", "user_id", "n_events", F.col("rnk").cast("int").alias("rnk"))
         
     )
+
+
+@register(
+    "scale_salted_aggregate",
+    """SELECT event_type,
+       count(value) AS n, max(value) AS max_v, min(value) AS min_v,
+       sum(user_id) AS sum_uid
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    shelved=True,  # scale-helper variant of the plain groupBy (same values)
+)
+def scale_salted_aggregate(spark, sf_dir):
+    """Two-stage salted aggregation (functions/skew.py) value-matched
+    against the plain one-stage groupBy: count/min/max and an exact
+    integer sum are associative+commutative, so the salt fan-out changes
+    the physical plan (hot keys spread over salt_buckets reducers), not
+    the result — which is exactly the property that makes salting safe
+    to deploy against a skewed key at 100 TB."""
+    from ecollector_spark.functions.skew import salted_aggregate
+    from ecollector_spark.sources.events_adapter import read_events
+
+    ev = read_events(spark, sf_dir)
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "value"),
+            "max_v": ("max", "value"),
+            "min_v": ("min", "value"),
+            "sum_uid": ("sum", "user_id"),
+        },
+        salt_buckets=8,
+    )
+    return out.orderBy("event_type")
