@@ -436,3 +436,70 @@ class TestStreamDedup:
             [("m1", 1.0), ("m1", 1.0), ("m2", 2.0)], "uid string, v double"
         )
         assert dedup_stream(df).count() == 2
+
+
+class TestStreamingSessionWindows:
+    def test_session_window_streaming_matches_batch(self, spark, tmp_path):
+        """F.session_window under a real streaming query (file source,
+        watermark, append mode) must close and emit the same sessions the
+        batch form produces — the merging-session-state capability
+        SURVEY §2.8 claims beyond the reference's tumbling windows.
+
+        Append mode only emits sessions the watermark has closed, so a
+        far-future sentinel event on a different user advances the final
+        watermark past every real session."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            # user a: two sessions separated by a 45-min gap
+            {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+            {"user_id": 1, "ts": "2024-01-01T00:10:00", "value": 2.0},
+            {"user_id": 1, "ts": "2024-01-01T00:55:00", "value": 4.0},
+            # user b: one session
+            {"user_id": 2, "ts": "2024-01-01T00:05:00", "value": 8.0},
+            # sentinel: pushes the watermark far past everything above
+            {"user_id": 99, "ts": "2024-01-10T00:00:00", "value": 0.0},
+        ]
+        schema = "user_id long, ts timestamp, value double"
+
+        def build(stream):
+            return (
+                stream.withWatermark("ts", "1 minute")
+                .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+                .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+                .select(
+                    "user_id",
+                    F.unix_timestamp("w.start").alias("session_start"),
+                    "n_events",
+                    "sum_value",
+                )
+            )
+
+        out = _run_stateful(spark, str(tmp_path), build, schema, rows, "sessions")
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+            for r in out.collect()
+            if r["user_id"] != 99
+        }
+        batch = spark.createDataFrame(
+            [(r["user_id"], r["ts"], r["value"]) for r in rows if r["user_id"] != 99],
+            "user_id long, ts string, value double",
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+        expected = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+            for r in batch.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .select(
+                "user_id",
+                F.unix_timestamp("w.start").alias("session_start"),
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        }
+        assert got == expected
+        # the 45-min gap really split user 1 into two sessions
+        assert len([k for k in got if k[0] == 1]) == 2
+        assert got[(1, 1704067200)] == (2, 3.0)
