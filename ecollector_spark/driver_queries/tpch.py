@@ -639,3 +639,83 @@ def tpch_q8_market_share(spark, sf_dir):
         )
         
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13 (adapted): customer order-count distribution — left join with
+# zero-preserving double aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+    shelved=True,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Q13 shape: how many customers placed k orders, zero included —
+    the LEFT join keeps orderless customers (count(o_orderkey) ignores
+    the null rows), then a second aggregation over the first's output
+    (tiny: one row per customer, then one per distinct count)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 (adapted): top supplier by quarter revenue — scalar-max subquery as
+# a broadcast 1-row frame (never a driver collect)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-07-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+    shelved=True,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape: revenue view + scalar-max filter. The max is a
+    broadcast 1-row frame joined back (the q22 pattern); revenue sums in
+    exact DECIMAL so the equality filter is parallelism-invariant —
+    comparing floats for the top spot would be engine-dependent."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= "1996-07-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dbl(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(F.col("total_revenue") == F.col("_mx"))
+    return (
+        t["supplier"]
+        .join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
