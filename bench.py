@@ -5,9 +5,13 @@
 Each query is materialized with the noop sink (full execution, no
 driver-side collect cost), timed end-to-end including planning, and run
 $SPARK_GRAFT_BENCH_RUNS times (default 3): "queries" holds the per-query
-MEDIAN, "value" the sum of medians, and "spread" the per-query
-[min, max] so round-over-round regressions are distinguishable from
-run-to-run noise.
+MEDIAN, "value" the sum of medians.
+
+The final stdout line is deliberately COMPACT (totals + per-query
+medians only) so it fits the driver's bounded tail capture; everything
+else — per-query [min, max] spreads and the datapipe candidate-growth
+scale probe — goes to the side artifact $SPARK_GRAFT_BENCH_DETAIL
+(default ./BENCH_DETAIL.json next to this file).
 """
 
 from __future__ import annotations
@@ -93,11 +97,20 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    detail = {**out, "spread": spread, "n_runs": n_runs, "sf_dir": sf_dir}
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        out["datapipe_scale"] = scale_probe(spark)
+        detail["datapipe_scale"] = scale_probe(spark)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    # ONE compact line, last on stdout: the driver's tail capture is
+    # bounded (~2000 chars; round 3's line overflowed it), so spreads and
+    # scale-probe points live in the side file above, never here.
     print(json.dumps(out))
 
 
@@ -120,7 +133,7 @@ def scale_probe(spark) -> dict:
     from pyspark.sql import functions as F
 
     base = os.path.dirname(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"))
-    ladder = [d for d in ("sf0.001", "sf0.1") if os.path.isdir(os.path.join(base, d))]
+    ladder = [d for d in ("sf0.001", "sf0.01", "sf0.1") if os.path.isdir(os.path.join(base, d))]
     points: dict[str, dict] = {}
     for sf in ladder:
         sf_dir = os.path.join(base, sf)
@@ -147,6 +160,8 @@ def scale_probe(spark) -> dict:
             "embedding_lsh_scaled_bits": scaled_bits,
         }
 
+    # exponent is fit between the ladder ENDPOINTS (1x and 100x);
+    # intermediate points are reported for shape but not in the fit
     exponents: dict[str, float] = {}
     if len(ladder) >= 2:
         lo, hi = points[ladder[0]], points[ladder[-1]]
