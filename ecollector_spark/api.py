@@ -26,7 +26,7 @@ from ecollector_spark.functions.timeutil import parse_relative_duration, time_bu
 from ecollector_spark.gapfill import gap_fill
 from ecollector_spark.query import DataPointsRequest, QueryPlanner
 from ecollector_spark.schema import DATAPOINT_SCHEMA
-from ecollector_spark.tiers import TIER_TTL_SECONDS
+from ecollector_spark.tiers import CQ_STAGES, TIER_TTL_SECONDS
 from ecollector_spark.warehouse import Warehouse
 
 #: energy rollup validation (influxdb_v1.go:36): 1-2 digits + m/h/d/w,
@@ -107,6 +107,10 @@ class EcollectorApi:
         self.planner = QueryPlanner(reader, profile=profile)
         #: custom / altered RP TTLs (add/update_retention_policy)
         self.ttl_overrides: dict[str, int] = {}
+        #: live continuous-query set (influxdb_v1.go:72-78);
+        #: delete_object("cq", name) removes a stage, and cascade runs
+        #: wired through :meth:`cascade_stages` stop executing it
+        self.cq_stages: dict[str, tuple] = dict(CQ_STAGES)
 
     # -- Q1: cmd.tsdb.query ------------------------------------------------
     def run_query(self, query: str, now: datetime | None = None) -> dict:
@@ -306,15 +310,43 @@ class EcollectorApi:
         now = now or datetime.now(timezone.utc)
         return self.warehouse.enforce_retention(int(now.timestamp()), self.ttl_overrides)
 
+    def cascade_stages(self) -> tuple:
+        """The live cascade, minus any CQs removed via delete_object —
+        pass to :func:`ecollector_spark.downsample.run_cascade[_incremental]`
+        as ``stages``."""
+        return tuple(self.cq_stages.values())
+
     def delete_object(self, object_type: str, name: str) -> dict:
-        """cmd.tsdb.delete_object (admin.go:334-369)."""
+        """cmd.tsdb.delete_object (admin.go:334-369). All four reference
+        object types:
+
+        - ``measurement`` -> DeleteMeasurement (drop partition dirs)
+        - ``retention_policy`` -> DeleteRetentionPolicy (drop the tier;
+          the reference wraps this in proc stop/start — the dispatcher
+          mirrors that, admin.go:356-358)
+        - ``database`` -> DropDB (admin.go:359-362): drop every tier +
+          warehouse sidecars and clear the DDL overrides
+        - ``cq`` -> DeleteCQ (admin.go:363-364): remove the named stage
+          from the live cascade (raw_to_day .. month_to_year,
+          influxdb_v1.go:72-78); no proc stop/start, like the reference
+        """
         try:
             if object_type == "measurement":
                 n = self.warehouse.drop_measurement(name)
                 return {"status": "ok", "dropped": n}
             if object_type == "retention_policy":
                 ok = self.warehouse.drop_tier(name)
+                self.ttl_overrides.pop(name, None)
                 return {"status": "ok" if ok else "not_found"}
+            if object_type == "database":
+                n = self.warehouse.drop_db()
+                self.ttl_overrides.clear()
+                self.cq_stages = dict(CQ_STAGES)
+                return {"status": "ok", "dropped": n}
+            if object_type == "cq":
+                if self.cq_stages.pop(name, None) is None:
+                    return {"status": "not_found"}
+                return {"status": "ok"}
             return {"status": "error", "error": f"unknown object type {object_type!r}"}
         except Exception as e:  # noqa: BLE001
             return {"status": "error", "error": str(e)}

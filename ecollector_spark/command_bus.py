@@ -118,12 +118,25 @@ class CommandDispatcher:
                 return None
             report = handler(self, val if val is not None else {})
         except Exception as e:  # noqa: BLE001 — a command must never kill the loop
-            report = self._envelope(
-                "evt.tsdb.query_report",
-                "object",
-                {"Results": None, "error": str(e)},
-                corid,
-            )
+            # error envelope per command family: cmd.ecprocess.* answers
+            # with its own ctrl_report shape (admin.go:239-281), commands
+            # the reference answers silently stay silent even on failure
+            # (set_log_level / write_data_points / RP DDL publish nothing,
+            # pass or fail), and the tsdb query surface keeps the
+            # query_report error shape (admin.go:177, 391-399)
+            if mtype in self._SILENT_COMMANDS:
+                self.dropped += 1
+                return None
+            if mtype.startswith("cmd.ecprocess."):
+                report = self._ctrl_report(mtype.rsplit(".", 1)[-1], "error", str(e))
+            else:
+                report = self._envelope(
+                    "evt.tsdb.query_report",
+                    "object",
+                    {"Results": None, "error": str(e)},
+                    corid,
+                )
+            report["corid"] = corid
             return self._reply(env, report)
         if report is None:
             return None
@@ -228,7 +241,21 @@ class CommandDispatcher:
         return None
 
     def _cmd_delete_object(self, val: dict) -> dict:
-        res = self.api.delete_object(val.get("object_type", ""), val.get("name", ""))
+        # retention_policy and database deletes pause ingest around the
+        # storage op (admin.go:355-362 proc.Stop() .. proc.Start(); cq
+        # and measurement deletes run live, admin.go:363-366)
+        otype = val.get("object_type", "")
+        paused: list[str] = []
+        if otype in ("retention_policy", "database"):
+            for p in self.pm.get_list():
+                if p["state"] == "RUNNING":
+                    self.pm.stop(p["id"])
+                    paused.append(p["id"])
+        try:
+            res = self.api.delete_object(otype, val.get("name", ""))
+        finally:
+            for pid in paused:
+                self.pm.start(pid, self._start_fn)
         status = "ok" if res.get("status") == "ok" else "error"
         return self._envelope(
             "evt.tsdb.delete_object_report",
@@ -310,6 +337,19 @@ class CommandDispatcher:
         if isinstance(val, str):
             self.api.set_log_level(val)
         return None
+
+    #: commands the reference answers with no message, success OR failure
+    #: (admin.go: write_data_points 179-204, add/update_retention_policy
+    #: 293-332, set_log_level 374-388, reset_to_default 151-154)
+    _SILENT_COMMANDS = frozenset(
+        {
+            "cmd.tsdb.write_data_points",
+            "cmd.tsdb.add_retention_policy",
+            "cmd.tsdb.update_retention_policy",
+            "cmd.log.set_level",
+            "cmd.ecprocess.reset_to_default",
+        }
+    )
 
     _HANDLERS = {
         "cmd.tsdb.query": _cmd_query,

@@ -55,16 +55,19 @@ def downsample_step(
     return out
 
 
-def run_cascade(tier_reader, tier_writer) -> None:
+def run_cascade(tier_reader, tier_writer, stages: Sequence[tuple] = CASCADE) -> None:
     """Run all cascade steps (gen_raw->gen_day->...->gen_year).
 
     ``tier_reader(tier) -> DataFrame``; ``tier_writer(df, tier)`` appends.
     In production this is a scheduled job per step (the CQ cadence); steps
     are independent given their source tier. For append-only sources use
     ``run_cascade_incremental`` — this full variant recomputes every
-    bucket (idempotent only with an overwrite writer).
+    bucket (idempotent only with an overwrite writer). ``stages``
+    defaults to the full reference cascade; pass the API's live CQ set
+    (``EcollectorApi.cq_stages``) so deleted CQs stop running
+    (admin.go:363-364).
     """
-    for src_tier, dst_tier, step in CASCADE:
+    for src_tier, dst_tier, step in stages:
         src = tier_reader(src_tier)
         if src is None:
             continue
@@ -78,6 +81,7 @@ def run_cascade_incremental(
     now_epoch: int | float | None = None,
     reprocess_trailing_buckets: int = 0,
     tier_rewriter=None,
+    stages: Sequence[tuple] = CASCADE,
 ) -> dict:
     """Incremental cascade: each step aggregates only source buckets
     STRICTLY AFTER the target tier's high-water mark — the property that
@@ -119,7 +123,7 @@ def run_cascade_incremental(
     if reprocess_trailing_buckets and tier_rewriter is None:
         raise ValueError("reprocess_trailing_buckets requires a tier_rewriter")
     written: dict = {}
-    for src_tier, dst_tier, step in CASCADE:
+    for src_tier, dst_tier, step in stages:
         src = tier_reader(src_tier)
         if src is None:
             continue

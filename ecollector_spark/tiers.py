@@ -64,13 +64,18 @@ TIER_GRANULARITY_SECONDS = {
     "gen_default": 0,
 }
 
+#: named continuous-query stages (influxdb_v1.go:72-78 registers each
+#: cascade step as a named CQ; cmd.tsdb.delete_object object_type=cq
+#: removes one by this name, admin.go:363-364)
+CQ_STAGES = {
+    "raw_to_day": ("gen_raw", "gen_day", "1m"),
+    "day_to_week": ("gen_day", "gen_week", "10m"),
+    "week_to_month": ("gen_week", "gen_month", "1h"),
+    "month_to_year": ("gen_month", "gen_year", "1d"),
+}
+
 #: downsampling cascade (influxdb_v1.go:72-78): (source, target, step)
-CASCADE = (
-    ("gen_raw", "gen_day", "1m"),
-    ("gen_day", "gen_week", "10m"),
-    ("gen_week", "gen_month", "1h"),
-    ("gen_month", "gen_year", "1d"),
-)
+CASCADE = tuple(CQ_STAGES.values())
 
 
 def is_high_frequency(measurement: str) -> bool:

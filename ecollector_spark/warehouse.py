@@ -61,6 +61,28 @@ class Warehouse:
             f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
         )
 
+    def _swap_in(self, tmp: str, dst: str) -> None:
+        """Publish a rewritten directory via rename-aside: the live copy
+        is renamed out of the way, the replacement renamed in, and only
+        then is the old copy deleted — the not-there window is two cheap
+        renames instead of a full ``rmtree`` of the live data. (Single
+        local filesystem; on an object store this becomes a manifest
+        pointer flip.)"""
+        old = dst + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(tmp, dst)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _read_hwm_sidecar(self, tier: str) -> int | None:
+        try:
+            with open(os.path.join(self.tier_path(tier), "_hwm")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
     # -- write -------------------------------------------------------------
     def write_points(self, points: DataFrame, mode: str = "append", sort: bool = True) -> None:
         """S4: append datapoints into their tier partitions. ``tier`` is
@@ -152,11 +174,20 @@ class Warehouse:
         """Idempotently re-materialize a tier's tail: every existing row
         with ``ts >= from_epoch`` is replaced by ``points`` (the
         recomputed buckets). Used by the cascade's trailing-window re-run
-        (late-data absorption): rewrite-into-tmp + rename, same atomic
-        pattern as :meth:`compact`, so readers see either the old or the
-        new tier, never a mix. Only the affected (tier, measurement)
-        partitions are rewritten; at 100 TB a date subpartition makes the
-        kept-prefix rewrite a file move, not a scan."""
+        (late-data absorption). Publishes via the rename-aside swap
+        (:meth:`_swap_in`) — the no-directory window is two renames, and
+        the old data is deleted only after the new tier is live. Only the
+        affected (tier, measurement) partitions are rewritten; at 100 TB
+        a date subpartition makes the kept-prefix rewrite a file move,
+        not a scan.
+
+        The tier's ``_hwm`` sidecar is re-recorded after the swap (the
+        rewrite replaces the directory that held it): the new high-water
+        mark is read back from the rewritten tail only — a
+        rowgroup-pruned ``ts >= from_epoch`` scan of the fresh files,
+        never a full-tier scan — falling back to the old sidecar value
+        when it predates the rewritten range."""
+        old_hwm = self._read_hwm_sidecar(tier)
         df = self.read_tier(tier)
         new = points.drop("tier") if "tier" in points.columns else points
         if df is not None:
@@ -171,9 +202,17 @@ class Warehouse:
             .partitionBy("measurement")
             .parquet(tmp)
         )
-        if os.path.isdir(self.tier_path(tier)):
-            shutil.rmtree(self.tier_path(tier))
-        os.rename(tmp, self.tier_path(tier))
+        tail_max = (
+            self.spark.read.parquet(tmp)
+            .where(F.unix_timestamp("ts") >= from_epoch)
+            .agg(F.max("ts").alias("m"))
+            .collect()[0]["m"]
+        )
+        self._swap_in(tmp, self.tier_path(tier))
+        if tail_max is not None:
+            self.record_high_water_mark(tier, int(tail_max.timestamp()))
+        elif old_hwm is not None and old_hwm < from_epoch:
+            self.record_high_water_mark(tier, old_hwm)
 
     def record_high_water_mark(self, tier: str, epoch_s: int) -> None:
         """Persist the tier's max materialized bucket ts so later
@@ -227,6 +266,22 @@ class Warehouse:
             return True
         return False
 
+    def drop_db(self) -> int:
+        """DROP DATABASE (delete_object object_type=database,
+        admin.go:359-362 -> influxdb_v1.go:281-290): remove every tier,
+        bucketed table, and sidecar under the warehouse root — the
+        single-database engine's equivalent of InfluxDB v1's
+        ``DROP DATABASE <name>``. Returns the number of tiers dropped."""
+        dropped = sum(1 for t in TIERS if self.drop_tier(t))
+        if os.path.isdir(self.root):
+            for d in os.listdir(self.root):
+                p = os.path.join(self.root, d)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
+        return dropped
+
     def register_views(self, name: str = "datapoints") -> list[str]:
         """Register SQL views: one per tier (``<name>_<tier>``) plus a
         union view ``<name>`` over every populated tier — the table
@@ -257,6 +312,7 @@ class Warehouse:
         df = self.read_tier(tier)
         if df is None:
             return False
+        hwm = self._read_hwm_sidecar(tier)
         tmp = self.tier_path(tier) + ".compacting"
         (
             df.drop("tier")
@@ -265,8 +321,9 @@ class Warehouse:
             .partitionBy("measurement")
             .parquet(tmp)
         )
-        shutil.rmtree(self.tier_path(tier))
-        os.rename(tmp, self.tier_path(tier))
+        self._swap_in(tmp, self.tier_path(tier))
+        if hwm is not None:  # compaction moves bytes, not rows: HWM unchanged
+            self.record_high_water_mark(tier, hwm)
         return True
 
     # -- retention TTL (the RP enforcement job) ----------------------------
@@ -289,11 +346,15 @@ class Warehouse:
             n = expired.count()
             if n == 0:
                 continue
+            hwm = self._read_hwm_sidecar(tier)
             keep = df.where(F.unix_timestamp("ts") > cutoff).drop("tier")
             tmp = self.tier_path(tier) + ".compacting"
             keep.write.mode("overwrite").partitionBy("measurement").parquet(tmp)
-            shutil.rmtree(self.tier_path(tier))
-            os.rename(tmp, self.tier_path(tier))
+            self._swap_in(tmp, self.tier_path(tier))
+            if hwm is not None and hwm > cutoff:
+                # TTL drops old rows only; the max materialized bucket
+                # survives unless the whole tier expired
+                self.record_high_water_mark(tier, hwm)
             deleted[tier] = n
         return deleted
 

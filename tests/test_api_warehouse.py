@@ -248,6 +248,35 @@ class TestApi:
         assert api.delete_object("measurement", "sensor_temp.evt.sensor.report")["status"] == "ok"
         assert api.delete_object("nonsense", "x")["status"] == "error"
 
+    def test_delete_object_retention_policy(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        assert api.delete_object("retention_policy", "gen_raw")["status"] == "ok"
+        assert wh.read_tier("gen_raw") is None
+        assert api.delete_object("retention_policy", "gen_raw")["status"] == "not_found"
+
+    def test_delete_object_database_drops_everything(self, wh):
+        api = EcollectorApi(wh.spark, wh)
+        api.add_retention_policy("custom", 3600)
+        res = api.delete_object("database", "ecollector")
+        assert res["status"] == "ok" and res["dropped"] >= 1
+        assert wh.measurements() == []
+        for t in ("gen_raw", "gen_default"):
+            assert wh.read_tier(t) is None
+        assert api.ttl_overrides == {}
+
+    def test_delete_object_cq_removes_cascade_stage(self, wh):
+        from ecollector_spark.downsample import run_cascade
+        from ecollector_spark.tiers import CQ_STAGES
+
+        api = EcollectorApi(wh.spark, wh)
+        assert api.delete_object("cq", "raw_to_day")["status"] == "ok"
+        assert api.delete_object("cq", "raw_to_day")["status"] == "not_found"
+        assert "raw_to_day" not in api.cq_stages
+        assert len(api.cascade_stages()) == len(CQ_STAGES) - 1
+        # a cascade wired through the live stage set skips the deleted CQ
+        run_cascade(wh.read_tier, lambda df, tier: wh.write_points(df), api.cascade_stages())
+        assert wh.read_tier("gen_day") is None  # raw_to_day no longer runs
+
 
 class TestProcessManager:
     def test_lifecycle(self):

@@ -222,3 +222,90 @@ class TestDispatch:
             ),
         )
         assert out["val"]["status"] == "error" and out["corid"] == "e1"
+
+    def test_delete_object_database_and_cq_via_bus(self, dispatcher):
+        out = dispatcher.handle_message(
+            *_cmd("cmd.tsdb.delete_object", {"object_type": "cq", "name": "month_to_year"})
+        )
+        assert out["type"] == "evt.tsdb.delete_object_report"
+        assert out["val"] == {"status": "ok", "error": ""}
+        assert "month_to_year" not in dispatcher.api.cq_stages
+        out = dispatcher.handle_message(
+            *_cmd("cmd.tsdb.delete_object", {"object_type": "database", "name": "ecollector"})
+        )
+        assert out["val"] == {"status": "ok", "error": ""}
+        assert dispatcher.api.warehouse.measurements() == []
+        # a database delete resets the CQ set too (fresh DB = full cascade)
+        assert "month_to_year" in dispatcher.api.cq_stages
+
+    def test_delete_object_pauses_running_processes(self, dispatcher):
+        # admin.go:355-362: RP/database deletes wrap in proc.Stop()/Start()
+        events = []
+
+        def start_fn(config):
+            events.append("start")
+            return []
+
+        dispatcher._start_fn = start_fn
+        dispatcher.pm.add("1", {})
+        dispatcher.pm.start("1", start_fn)
+        real_stop = dispatcher.pm.stop
+        dispatcher.pm.stop = lambda pid: (events.append("stop"), real_stop(pid))[-1]
+        events.clear()
+        dispatcher.handle_message(
+            *_cmd("cmd.tsdb.delete_object", {"object_type": "retention_policy", "name": "gen_raw"})
+        )
+        assert events == ["stop", "start"]
+        assert dispatcher.pm.get_list()[0]["state"] == "RUNNING"
+        # measurement/cq deletes run live — no pause
+        events.clear()
+        dispatcher.handle_message(
+            *_cmd("cmd.tsdb.delete_object", {"object_type": "cq", "name": "raw_to_day"})
+        )
+        assert events == []
+
+    def test_ecprocess_error_gets_ctrl_report_envelope(self, dispatcher):
+        # a handler exception inside cmd.ecprocess.* must answer with the
+        # family's own ctrl_report shape, not a tsdb query_report
+        # (reference replies to ecprocess failures via ctrl_report)
+        out = dispatcher.handle_message(
+            COMMAND_TOPIC,
+            json.dumps(
+                {
+                    "type": "cmd.ecprocess.add",
+                    "serv": "ecollector",
+                    "val_t": "str_map",
+                    "uid": "e2",
+                    "val": {"id": "not-a-number"},
+                }
+            ),
+        )
+        # _cmd_proc_add handles its own ValueError; force a deeper failure
+        dispatcher.pm.get_list = None  # type: ignore[assignment]
+        out = dispatcher.handle_message(
+            COMMAND_TOPIC,
+            json.dumps(
+                {
+                    "type": "cmd.ecprocess.get_list",
+                    "serv": "ecollector",
+                    "val_t": "null",
+                    "uid": "e3",
+                    "val": None,
+                }
+            ),
+        )
+        assert out["type"] == "evt.ecprocess.ctrl_report"
+        assert out["val"]["op"] == "get_list" and out["val"]["status"] == "error"
+        assert out["corid"] == "e3"
+
+    def test_silent_command_failure_stays_silent(self, dispatcher):
+        # the reference publishes nothing for set_log_level, success or
+        # failure (admin.go:374-388) — a failure must not leak a
+        # tsdb-typed error envelope to a client that expects silence
+        dispatcher.api.set_log_level = None  # type: ignore[assignment]
+        before = len(dispatcher.published)
+        out = dispatcher.handle_message(
+            *_cmd("cmd.log.set_level", "debug", val_t="string")
+        )
+        assert out is None
+        assert len(dispatcher.published) == before
