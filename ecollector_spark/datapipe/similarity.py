@@ -207,6 +207,23 @@ def lsh_candidate_pairs(
     )
 
 
+def _publish_dir(tmp: str, dst: str) -> None:
+    """Publish a freshly built index directory with a rename-aside swap:
+    the live index is renamed out of the way, the replacement renamed in,
+    and only then is the old copy deleted. The index-missing window is
+    two renames — there is never a half-deleted live index, and a reader
+    that grabbed the old path keeps a complete (stale) index. Single-host
+    filesystem semantics; on an object store this becomes a manifest
+    pointer flip."""
+    old = dst + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(dst):
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Sequential-fold squared L2 distance (deterministic order)."""
     return F.aggregate(
@@ -215,8 +232,8 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, v, cid): nearest centroid by squared L2, ties to the
-    lowest cid.
+    """(vec_id, v, cid, d2): nearest centroid by squared L2 (d2 = the
+    distance to it, kept for drift accounting), ties to the lowest cid.
 
     The argmin happens WITHIN each row: the centroid table collapses to
     a one-row array that is broadcast-cross-joined, and the nearest cid
@@ -236,7 +253,7 @@ def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
         )
     )
     return e.crossJoin(F.broadcast(carr)).select(
-        "vec_id", "v", best["cid"].alias("cid")
+        "vec_id", "v", best["cid"].alias("cid"), best["d2"].alias("d2")
     )
 
 
@@ -319,13 +336,21 @@ def ivf_build(
       searching nprobe lists reads nprobe directories, never the corpus.
     - ``<index_path>/centroids/`` — the O(n_centroids) sidecar the probe
       planner reads to pick lists (tiny; safe to read on the driver).
+    - ``<index_path>/stats.json`` — train-time assignment statistics
+      (vector count, mean squared distance to the assigned centroid);
+      :func:`ivf_append` compares incoming batches against it to decide
+      when the centroids have drifted enough to warrant a retrain.
 
-    The build lands in a scratch directory and is published with one
-    ``os.rename`` so concurrent readers either see the old complete index
-    or the new one, never a torn write. At 100 TB this runs as a periodic
+    The build lands in a scratch directory and is published with a
+    rename-aside swap (:func:`_publish_dir`): the live index is renamed
+    aside, the replacement renamed in, the old copy deleted last — no
+    window with a half-deleted index. At 100 TB this runs as a periodic
     batch job; queries go through :func:`ivf_topk_indexed` and touch only
-    ``nprobe / n_centroids`` of the data.
+    ``nprobe / n_centroids`` of the data; corpus growth goes through
+    :func:`ivf_append` (assign-only) until drift forces a retrain.
     """
+    import json
+
     if ivf_index_exists(index_path) and not overwrite:
         return index_path
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
@@ -337,10 +362,109 @@ def ivf_build(
         os.path.join(tmp, "assignments")
     )
     cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-    if os.path.isdir(index_path):
-        shutil.rmtree(index_path)
-    os.rename(tmp, index_path)
+    # stats from the files just written (reads only the d2 column)
+    st = (
+        emb.sparkSession.read.parquet(os.path.join(tmp, "assignments"))
+        .agg(F.count("*").alias("n"), F.avg("d2").alias("mean_d2"))
+        .collect()[0]
+    )
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "n": st["n"],
+                "mean_d2": st["mean_d2"],
+                "n_centroids": n_centroids,
+                "n_iter": n_iter,
+            },
+            f,
+        )
+    _publish_dir(tmp, index_path)
     return index_path
+
+
+def ivf_append(
+    emb_new: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    drift_factor: float = 4.0,
+) -> dict:
+    """Incremental IVF maintenance: fold a batch of new vectors into an
+    existing index WITHOUT retraining — the operation that keeps IVF
+    viable at 100 TB, where a full rebuild per corpus growth step would
+    dwarf the query cost.
+
+    New vectors are assigned to the EXISTING centroids (one broadcast
+    map-only pass over the batch) and appended to the ``cid=`` inverted
+    lists; the centroid sidecar is untouched, so an appended index is
+    definitionally identical to one whose assignment pass had included
+    the batch from the start (parity-tested). ``stats.json`` is updated
+    with the running count/mean atomically (tmp + ``os.replace``).
+
+    Drift guard: when the batch's mean squared assignment distance
+    exceeds ``drift_factor ×`` the index's running mean, the centroids no
+    longer represent the data and the whole corpus (existing lists + the
+    batch) is retrained via :func:`ivf_build` — the rebuild publishes
+    with the same rename-aside swap. Returns
+    ``{"appended": n, "rebuilt": bool, "batch_mean_d2": ..., "index_mean_d2": ...}``.
+
+    Concurrency note: an append adds parquet files to live partitions;
+    a concurrent probe sees each file atomically but may observe a
+    prefix of the batch (monotone recall, never a torn file). Rebuilds
+    republish atomically. ``vec_id`` uniqueness across appends is the
+    caller's contract, as in any vector store.
+    """
+    import json
+
+    spark = emb_new.sparkSession
+    if not ivf_index_exists(index_path):
+        raise FileNotFoundError(f"no IVF index at {index_path!r}")
+    with open(os.path.join(index_path, "stats.json")) as f:
+        stats = json.load(f)
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    e = emb_new.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    assigned = _assign_to_centroids(e, cents)
+    b = assigned.agg(F.count("*").alias("n"), F.avg("d2").alias("mean_d2")).collect()[0]
+    n_new, batch_mean = b["n"], b["mean_d2"]
+    out = {
+        "appended": n_new,
+        "rebuilt": False,
+        "batch_mean_d2": batch_mean,
+        "index_mean_d2": stats["mean_d2"],
+    }
+    if n_new == 0:
+        return out
+    if (
+        stats["mean_d2"] is not None
+        and stats["mean_d2"] > 0
+        and batch_mean is not None
+        and batch_mean > drift_factor * stats["mean_d2"]
+    ):
+        full = (
+            spark.read.parquet(os.path.join(index_path, "assignments"))
+            .select("vec_id", F.col("v").alias("embedding"))
+            .unionByName(e.select("vec_id", F.col("v").alias("embedding")))
+        )
+        ivf_build(
+            full,
+            index_path,
+            n_centroids=stats["n_centroids"],
+            n_iter=stats["n_iter"],
+            overwrite=True,
+        )
+        out["rebuilt"] = True
+        return out
+    assigned.write.mode("append").partitionBy("cid").parquet(
+        os.path.join(index_path, "assignments")
+    )
+    total = stats["n"] + n_new
+    new_mean = (
+        (stats["mean_d2"] or 0.0) * stats["n"] + (batch_mean or 0.0) * n_new
+    ) / total
+    tmp = os.path.join(index_path, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({**stats, "n": total, "mean_d2": new_mean}, f)
+    os.replace(tmp, os.path.join(index_path, "stats.json"))
+    return out
 
 
 def ivf_probe_cids(
@@ -451,10 +575,12 @@ def lsh_build(
     100 TB (table, bucket) becomes a partition column" design stated in
     the module docstring, made real. A ``params.json`` sidecar pins
     (bits, tables, dim, seed) so the probe derives the identical
-    hyperplanes. Atomic publish via rename, same pattern as
-    :func:`ivf_build`. Storage cost: ``tables`` copies of the vectors —
-    the standard multi-table LSH trade (each table is an independent
-    recall chance)."""
+    hyperplanes. Published with the same rename-aside swap as
+    :func:`ivf_build` (no half-deleted-index window); corpus growth goes
+    through :func:`lsh_append`, which is always exact (hyperplanes are
+    data-independent, so there is no drift case). Storage cost:
+    ``tables`` copies of the vectors — the standard multi-table LSH
+    trade (each table is an independent recall chance)."""
     import json
 
     if os.path.isfile(os.path.join(index_path, "params.json")) and not overwrite:
@@ -478,10 +604,37 @@ def lsh_build(
     )
     with open(os.path.join(tmp, "params.json"), "w") as f:
         json.dump({"bits": bits, "tables": tables, "dim": dim, "seed": seed}, f)
-    if os.path.isdir(index_path):
-        shutil.rmtree(index_path)
-    os.rename(tmp, index_path)
+    _publish_dir(tmp, index_path)
     return index_path
+
+
+def lsh_append(emb_new: DataFrame, index_path: str, vec_col: str = "embedding") -> dict:
+    """Incremental LSH maintenance: bucket a batch of new vectors with
+    the index's pinned hyperplanes (params.json) and append them to the
+    ``(_t, _b)`` partitions. Because the hyperplanes are data-independent
+    (derived only from (dim, bits, tables, seed)), an appended index is
+    bit-identical to a full rebuild over the grown corpus — there is no
+    drift case and no retrain path (parity-tested). Same concurrency
+    contract as :func:`ivf_append`: files land atomically, a concurrent
+    probe may see a prefix of the batch. Returns ``{"appended": n}``."""
+    import json
+
+    with open(os.path.join(index_path, "params.json")) as f:
+        p = json.load(f)
+    planes = hyperplanes(p["dim"], p["bits"], p["tables"], p["seed"])
+    base = emb_new.select(F.col("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    structs = [
+        F.struct(F.lit(t).alias("t"), hyperplane_bucket(F.col("v"), tp).alias("b"))
+        for t, tp in enumerate(planes)
+    ]
+    rows = base.select(
+        "vec_id", "v", F.explode(F.array(*structs)).alias("_tb")
+    ).select("vec_id", "v", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    n = rows.count() // max(p["tables"], 1)
+    rows.write.mode("append").partitionBy("_t", "_b").parquet(
+        os.path.join(index_path, "buckets")
+    )
+    return {"appended": n}
 
 
 def lsh_query_buckets(query_vec: list[float], planes: list[list[list[float]]]) -> list[int]:

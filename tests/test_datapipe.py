@@ -229,6 +229,114 @@ class TestSimilarity:
         assert m, f"probe scan is not partition-pruned:\n{plan}"
         assert {int(c) for c in m.group(1).split(",")} == probes
 
+    def test_ivf_append_matches_direct_assignment(self, corpus_emb, tmp_path_factory):
+        """ivf_append folds new vectors in WITHOUT retraining, so the
+        appended index must be identical to one whose assignment pass
+        had included the batch from the start (same centroids): build on
+        150, append 50, compare probes against a hand-assembled index
+        whose assignments are _assign_to_centroids(all 200, the SAME
+        centroids). Also: chunked appends == one append, stats track n,
+        and a full probe of the appended index equals exact search."""
+        import shutil
+
+        spark = corpus_emb.sparkSession
+        first, rest = (
+            corpus_emb.where(F.col("vec_id") < 150),
+            corpus_emb.where(F.col("vec_id") >= 150),
+        )
+        idx_a = str(tmp_path_factory.mktemp("ivfa") / "index")
+        similarity.ivf_build(first, idx_a, n_centroids=8, n_iter=2)
+        res = similarity.ivf_append(rest, idx_a)
+        assert res["appended"] == 50 and res["rebuilt"] is False
+        # hand-assembled twin: same centroids, assignments over all 200
+        idx_c = str(tmp_path_factory.mktemp("ivfc") / "index")
+        import os
+
+        os.makedirs(idx_c)
+        shutil.copytree(os.path.join(idx_a, "centroids"), os.path.join(idx_c, "centroids"))
+        cents = spark.read.parquet(os.path.join(idx_a, "centroids"))
+        e = corpus_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        similarity._assign_to_centroids(e, cents).write.partitionBy("cid").parquet(
+            os.path.join(idx_c, "assignments")
+        )
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        got = similarity.ivf_topk_indexed(spark, idx_a, qv, k=10, nprobe=2).collect()
+        want = similarity.ivf_topk_indexed(spark, idx_c, qv, k=10, nprobe=2).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in got] == [
+            (r["vec_id"], r["cosine"]) for r in want
+        ]
+        # chunked appends land the same place
+        idx_b = str(tmp_path_factory.mktemp("ivfb") / "index")
+        similarity.ivf_build(first, idx_b, n_centroids=8, n_iter=2)
+        similarity.ivf_append(rest.where(F.col("vec_id") < 175), idx_b)
+        similarity.ivf_append(rest.where(F.col("vec_id") >= 175), idx_b)
+        chunked = similarity.ivf_topk_indexed(spark, idx_b, qv, k=10, nprobe=2).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in chunked] == [
+            (r["vec_id"], r["cosine"]) for r in got
+        ]
+        import json
+
+        with open(os.path.join(idx_a, "stats.json")) as f:
+            assert json.load(f)["n"] == 200
+        # full probe of the appended index == exact search over all 200
+        full = similarity.ivf_topk_indexed(
+            spark, idx_a, qv, k=10, nprobe=8, exclude_vec_id=0
+        ).collect()
+        exact = similarity.brute_force_topk(corpus_emb, 0, k=10).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in full] == [
+            (r["vec_id"], r["cosine"]) for r in exact
+        ]
+
+    def test_ivf_append_drift_triggers_rebuild(self, corpus_emb, tmp_path_factory):
+        """A batch far outside the trained distribution must retrain:
+        mean assignment d2 blows past drift_factor x the index mean."""
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfd") / "index")
+        similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
+        far = spark.createDataFrame(
+            [(1000 + i, [100.0 + i] * 16) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+        res = similarity.ivf_append(far, idx, drift_factor=2.0)
+        assert res["rebuilt"] is True
+        assert res["batch_mean_d2"] > 2.0 * res["index_mean_d2"]
+        import json
+        import os
+
+        with open(os.path.join(idx, "stats.json")) as f:
+            assert json.load(f)["n"] == 220  # retrained over the grown corpus
+        n = spark.read.parquet(os.path.join(idx, "assignments")).count()
+        assert n == 220
+
+    def test_lsh_append_matches_full_rebuild(self, corpus_emb, tmp_path_factory):
+        """Hyperplanes are data-independent, so build(150)+append(50)
+        must be bit-identical to build(200) — the verdict's append ==
+        rebuild parity, exact for LSH."""
+        spark = corpus_emb.sparkSession
+        grown = str(tmp_path_factory.mktemp("lshg") / "index")
+        full = str(tmp_path_factory.mktemp("lshf") / "index")
+        similarity.lsh_build(
+            corpus_emb.where(F.col("vec_id") < 150), grown, bits=6, tables=2, dim=16
+        )
+        res = similarity.lsh_append(corpus_emb.where(F.col("vec_id") >= 150), grown)
+        assert res["appended"] == 50
+        similarity.lsh_build(corpus_emb, full, bits=6, tables=2, dim=16)
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        a = similarity.lsh_search_indexed(spark, grown, qv, 0.2).collect()
+        b = similarity.lsh_search_indexed(spark, full, qv, 0.2).collect()
+        key = lambda rows: sorted((r["vec_id"], r["cosine"]) for r in rows)
+        assert key(a) == key(b) and len(a) > 0
+
     def test_lsh_index_build_search_matches_inplan(self, corpus_emb, tmp_path_factory):
         """The materialized LSH index must return the SAME rows as the
         in-plan bucketed search (same hyperplanes via the params
