@@ -94,12 +94,15 @@ _PRIORITY = [
     # SQL surface + grouped top-n
     "raw_sql_query",
     "events_top3_users_per_type",
-    # §2.6 relational surface (window fn, anti-join, and 4 TPC-H spans)
-    "tpch_latest_order_per_customer",
-    "tpch_customers_without_recent_orders",
+    # storage boundary (S3/S4/S7 — sink outputs + replay parse as value gates)
+    "sink_parquet_roundtrip",
+    "sink_csv_canonical",
+    "replay_tai64n_load",
+    # flagship composed LLM-pipeline flow
+    "datapipe_curation",
+    # §2.6 relational surface (q1 + q18 span scan-agg and semi-join-agg;
+    # the other TPC-H shapes are shelved, still checked via --shelved)
     "tpch_q1_pricing_summary",
-    "tpch_q3_order_revenue",
-    "tpch_q7_nation_volume",
     "tpch_q18_large_volume_customers",
 ]
 
@@ -123,6 +126,7 @@ def load_all() -> None:
         core,
         planner_extra,
         sessionize,
+        sinks_q,
         sketches_q,
         streaming_q,
         transform_q,

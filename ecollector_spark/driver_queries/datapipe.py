@@ -757,7 +757,6 @@ lang AS (SELECT doc_id, CASE WHEN {_BEST} = 0 THEN 'und'
 SELECT q.doc_id, pred_lang, n_tokens, quality
 FROM q JOIN lang USING (doc_id) WHERE quality >= 0.65 ORDER BY doc_id
 """,
-    shelved=True,  # composition of already-gated operators; no extra gate budget
 )
 def datapipe_curation(spark, sf_dir):
     """Composed curation manifest: exact-dedup keep-list -> quality gate

@@ -92,6 +92,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
+    shelved=True,  # §2.6 already represented by q1/q18; slot freed for sink/curation gates
 )
 def tpch_q3_order_revenue(spark, sf_dir):
     """Q3: fact-fact join (orders x lineitem) shuffles on orderkey; the
@@ -255,6 +256,7 @@ FROM (
 ) WHERE rn = 1 AND c_custkey % 100 = 0
 ORDER BY c_custkey
 """,
+    shelved=True,  # §2.6 already represented by q1/q18; slot freed for sink/curation gates
 )
 def tpch_latest_order_per_customer(spark, sf_dir):
     """Analytic-window surface: row_number over (customer, recency) —
@@ -292,6 +294,7 @@ WHERE c_custkey % 50 = 0 AND c_custkey NOT IN (
 )
 ORDER BY c_custkey
 """,
+    shelved=True,  # §2.6 already represented by q1/q18; slot freed for sink/curation gates
 )
 def tpch_customers_without_recent_orders(spark, sf_dir):
     """Anti-join (NOT IN with non-null keys) — a set-op the reference
@@ -541,6 +544,7 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """,
+    shelved=True,  # §2.6 already represented by q1/q18; slot freed for sink/curation gates
 )
 def tpch_q7_nation_volume(spark, sf_dir):
     """Q7 shape: two broadcast nation joins pre-filter both fact sides to

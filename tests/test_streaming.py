@@ -385,6 +385,89 @@ class TestEndToEndPipeline:
         ]
 
 
+class TestKafkaRecordedSegment:
+    def test_kafka_segment_matches_mqtt_twin(self, spark, tmp_path):
+        """e2e twin-corpus parity (r3 verdict item #5): the SAME recorded
+        broker session, once through the MQTT bridge path (landing dir ->
+        read_fimp_stream) and once as a recorded Kafka segment (records
+        in Kafka's wire schema -> file stream -> parse_kafka_records),
+        both through build_points — the sink rows must be identical.
+        No broker in the sandbox, so the segment is replayed from files,
+        exactly like the MQTT recorded-session replay; the parse +
+        transform path IS the code a real Kafka readStream feeds
+        [reference subscribe path process.go:455-463]."""
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.sources.kafka_source import parse_kafka_records
+        from ecollector_spark.sources.mqtt_bridge import MqttBridge
+        from ecollector_spark.streaming.pipeline import build_points, read_fimp_stream
+        from tests.test_mqtt_bridge import SESSION
+
+        # --- MQTT twin ---------------------------------------------------
+        landing = str(tmp_path / "landing")
+        MqttBridge(landing).replay_session(SESSION)
+        mq = (
+            build_points(
+                read_fimp_stream(spark, landing).withColumn("ts", F.col("ctime"))
+            )
+            .writeStream.format("memory")
+            .queryName("t_kafka_twin_mqtt")
+            .option("checkpointLocation", str(tmp_path / "ckpt_m"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert mq.awaitTermination(120)
+        mq.stop()
+
+        # --- recorded Kafka segment --------------------------------------
+        # (key, value, timestamp) as the MQTT->Kafka bridge lands them:
+        # key = MQTT topic, value = raw payload (including the line-noise
+        # record, which the parse stage must shed, not crash on)
+        seg = [
+            (topic.encode(), payload, i, datetime(2024, 1, 1, 0, 0, i + 1))
+            for i, (topic, payload) in enumerate(SESSION)
+        ]
+        segdir = str(tmp_path / "segment")
+        spark.createDataFrame(
+            [
+                {
+                    "key": k,
+                    "value": v,
+                    "topic": "fimp-bridge",
+                    "partition": 0,
+                    "offset": off,
+                    "timestamp": ts,
+                }
+                for k, v, off, ts in seg
+            ],
+            "key binary, value binary, topic string, partition int, offset long, timestamp timestamp",
+        ).write.mode("overwrite").parquet(segdir)
+        records = spark.readStream.schema(
+            "key binary, value binary, topic string, partition int, offset long, timestamp timestamp"
+        ).parquet(segdir)
+        kq = (
+            build_points(parse_kafka_records(records))
+            .writeStream.format("memory")
+            .queryName("t_kafka_twin_kafka")
+            .option("checkpointLocation", str(tmp_path / "ckpt_k"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert kq.awaitTermination(120)
+        kq.stop()
+
+        cols = "measurement, series_id, value_f, value_b, value_s, unit"
+        a = spark.sql(
+            f"SELECT {cols} FROM t_kafka_twin_mqtt ORDER BY measurement, series_id"
+        ).collect()
+        b = spark.sql(
+            f"SELECT {cols} FROM t_kafka_twin_kafka ORDER BY measurement, series_id"
+        ).collect()
+        assert len(a) > 0 and a == b
+
+
 class TestStreamDedup:
     def test_qos1_redelivery_dropped(self, spark, tmp_path):
         """Duplicate uids (broker redelivery) collapse to one event in
