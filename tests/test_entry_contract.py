@@ -72,6 +72,35 @@ def test_registry_shape(registry):
     assert set(queries) == set(oracles)
 
 
+def test_operators_doc_covers_registry(registry):
+    """docs/OPERATORS.md claims to be checked against the gate registry —
+    make that literally true: every main-gate name must appear in the
+    doc, so a new gate without documentation (or a doc referencing a
+    renamed/removed gate) fails here."""
+    import os
+    import re
+
+    queries, _ = registry
+    doc_path = os.path.join(os.path.dirname(__file__), "..", "docs", "OPERATORS.md")
+    with open(doc_path) as f:
+        doc = f.read()
+    missing = [n for n in queries if n not in doc]
+    assert not missing, f"gates undocumented in docs/OPERATORS.md: {missing}"
+    # and every `gate:`-annotated name in the doc must exist somewhere in
+    # the registry (main or shelved)
+    from ecollector_spark import driver_queries as dq
+
+    known = set(queries) | set(dq.SHELVED_QUERIES)
+    # names the doc explicitly labels as gates ("gate: `x`" / "gates: `x`,
+    # `y`") must all resolve in the registry
+    stale = []
+    for m in re.finditer(r"gates?:\s*((?:`[a-z0-9_]+`[,\s]*)+)", doc):
+        for n in re.findall(r"`([a-z0-9_]+)`", m.group(1)):
+            if n not in known:
+                stale.append(n)
+    assert not stale, f"doc references unknown gates: {stale}"
+
+
 def test_every_oracle_parses_in_duckdb(registry, sf_dir):
     """Parse+bind each oracle against the real table schemas (EXPLAIN
     runs DuckDB's binder without executing)."""
