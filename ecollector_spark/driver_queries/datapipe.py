@@ -356,27 +356,43 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs.localCheckpoint(eager=False)
 
 
-def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, n_iter: int = 2, k: int = 10) -> str:
+def _ivf_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    k: int = 10,
+    train_max_id: int | None = None,
+) -> str:
     """DuckDB twin of similarity.ivf_topk: the same seed centroids and the
     same ``n_iter`` Lloyd steps unrolled as chained CTEs. Means are
     exact-decimal sum / count cast to double on both engines, so centroid
     coordinates (and therefore assignments and the probed lists) are
-    bit-identical."""
+    bit-identical.
 
-    def assign(c: str) -> str:
+    ``train_max_id`` models the incremental-index path
+    (``ivf_build`` on ``vec_id < train_max_id`` + ``ivf_append`` of the
+    rest): Lloyd runs over the training prefix only, while the final
+    assignment — which is what an append IS — covers the whole corpus."""
+
+    def assign(c: str, src: str = "e") -> str:
         return (
-            f"SELECT vec_id, v, cid FROM (SELECT e.vec_id, e.v, {c}.cid, "
-            f"{_L2SQ.format(a='e.v', b=f'{c}.cvec')} AS d2 FROM e, {c} {c}) "
+            f"SELECT vec_id, v, cid FROM (SELECT {src}.vec_id, {src}.v, {c}.cid, "
+            f"{_L2SQ.format(a=f'{src}.v', b=f'{c}.cvec')} AS d2 FROM {src}, {c} {c}) "
             f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1"
         )
 
+    train = "et" if train_max_id is not None else "e"
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {n_centroids})",
     ]
+    if train_max_id is not None:
+        parts.append(f"et AS (SELECT * FROM e WHERE vec_id < {train_max_id})")
+    parts.append(
+        f"c0 AS (SELECT vec_id AS cid, v AS cvec FROM {train} WHERE vec_id < {n_centroids})"
+    )
     for i in range(n_iter):
         parts += [
-            f"a{i} AS ({assign(f'c{i}')})",
+            f"a{i} AS ({assign(f'c{i}', train)})",
             f"m{i} AS (SELECT cid, i, CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)"
             f" / count(*) AS m FROM a{i}, generate_series(1, {_EMB_DIM}) AS g(i)"
             f" GROUP BY cid, i)",
@@ -431,6 +447,39 @@ def ann_ivf_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     idx = _ivf_index_dir(sf_dir, n_centroids=8, n_iter=2)
     similarity.ivf_build(emb, idx, n_centroids=8, n_iter=2)
+    row = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    return similarity.ivf_topk_indexed(
+        spark, idx, list(row["v"]), k=10, nprobe=2, exclude_vec_id=0
+    )
+
+
+_IVF_APPEND_TRAIN = 250  # < the smallest SF's corpus (sf0.001 has 500 vecs)
+
+
+@register(
+    "ann_ivf_append_topk",
+    _ivf_sql(train_max_id=_IVF_APPEND_TRAIN),
+    shelved=True,  # same operator family as ann_ivf_topk; append variant
+)
+def ann_ivf_append_topk(spark, sf_dir):
+    """The incremental-index path on the value signal: build the IVF
+    index over the first 250 vectors only, ``ivf_append`` the rest, then
+    probe. The oracle replays exactly that — Lloyd over the training
+    prefix, assignment (which is what an append is) over the whole
+    corpus — so a drifting append implementation hash-mismatches.
+    [reference intent: BASELINE.json 100 TB north star — index
+    maintenance without retrain]"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _ivf_index_dir(sf_dir, n_centroids=8, n_iter=2) + "_append"
+    if not similarity.ivf_index_exists(idx):
+        similarity.ivf_build(
+            emb.where(F.col("vec_id") < _IVF_APPEND_TRAIN), idx, n_centroids=8, n_iter=2
+        )
+        similarity.ivf_append(emb.where(F.col("vec_id") >= _IVF_APPEND_TRAIN), idx)
     row = (
         emb.where(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("v"))
