@@ -723,3 +723,93 @@ def tpch_q15_top_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q17 (adapted): small-quantity-order revenue — correlated scalar
+# subquery as a broadcast per-group threshold join
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE) / count(*) * 0.2 AS lim
+  FROM lineitem GROUP BY 1)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa ON pa.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < lim
+""",
+    shelved=True,
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """Q17 shape (no p_container in the synthetic part table, brand
+    filter only): the classic correlated scalar subquery — "below 20 %
+    of this part's average quantity" — decorrelated into a per-part
+    threshold aggregate joined back to the fact. The threshold is
+    exact-DECIMAL mean x 0.2 on both engines (identical double ops), so
+    the `<` cut selects identical rows at any parallelism; the per-part
+    aggregate shuffles once on the join key it is then joined on."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    pa = li.groupBy("l_partkey").agg(
+        (
+            _dbl(F.sum(F.col("l_quantity").cast("decimal(28,12)"))) / F.count("*") * 0.2
+        ).alias("lim")
+    )
+    brand = F.broadcast(t["part"].where(F.col("p_brand") == "Brand#1"))
+    j = (
+        li.join(brand, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa.withColumnRenamed("l_partkey", "_pk"), F.col("_pk") == li["l_partkey"])
+        .where(F.col("l_quantity") < F.col("lim"))
+    )
+    return j.agg(
+        (_dbl(F.sum(_dec(F.col("l_extendedprice")))) / 7.0).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted): profit by nation and year — five-way join + two-level
+# rollup (no partsupp table in the synthetic schema, so profit = revenue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q9_profit_by_nation",
+    """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+    shelved=True,
+)
+def tpch_q9_profit_by_nation(spark, sf_dir):
+    """Q9 shape: the widest join tree in the suite — two fact-fact
+    shuffles (lineitem x orders on orderkey) with part/supplier/nation
+    broadcast (part is filtered before the join, so the broadcast ships
+    only matching keys and the LIKE prunes the probe side at the scan),
+    then a low-cardinality (nation, year) rollup in exact DECIMAL."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier", "nation", "part"))
+    widgets = F.broadcast(t["part"].where(F.col("p_name").like("%widget%")))
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(widgets, F.col("p_partkey") == F.col("l_partkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dbl(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
