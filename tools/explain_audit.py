@@ -59,6 +59,21 @@ CHECKS = {
         "!BroadcastHashJoin",
         "!Exchange hashpartitioning",
     ],
+    # IVF probe against an APPENDED index (build prefix + ivf_append):
+    # identical pruning contract — the appended files must land inside
+    # the cid= partitions, never beside them
+    "ann_ivf_append_topk": [
+        "PartitionFilters: \\[cid#\\d+ IN \\(",
+        "TakeOrderedAndProject",
+        "!CartesianProduct",
+        "!BroadcastHashJoin",
+        "!Exchange hashpartitioning",
+    ],
+    # q9: widest join tree — dims broadcast, rollup has a partial phase
+    "tpch_q9_profit_by_nation": ["BroadcastHashJoin", "partial_sum"],
+    # q17: decorrelated scalar subquery — the brand dim broadcasts and
+    # the per-part threshold aggregate is partial before its shuffle
+    "tpch_q17_small_quantity": ["BroadcastHashJoin", "partial_"],
     # embedding near-dup: bucket-equality pairing must be a hash join on
     # the bucket key, never a cartesian pair enumeration
     "_raw_embedding_near_dup": [
