@@ -367,6 +367,14 @@ def default_transform(events: DataFrame) -> DataFrame:
     all_points = F.concat(
         F.array_compact(F.array(*candidates)), F.coalesce(price_arr, _empty_pts)
     )
+    # The candidate array is deliberately INLINE in the generator:
+    # staging it as its own projection (select(..., all_points.alias)
+    # then explode the column) was measured 2× SLOWER at 1M rows
+    # (43–47 s vs 21.9 s) even though it puts Generate back into
+    # whole-stage codegen — the staged Project must materialize every
+    # 16-field candidate struct into UnsafeRow format per input row,
+    # and that copy dwarfs what interpreted-vs-codegen evaluation of
+    # the when-array saves. Don't re-try.
     combined = (
         e.where((serv != "ecollector") & ~event_error)  # F2 + error drop
         .select(*e.columns, F.explode(all_points).alias("_point"))
