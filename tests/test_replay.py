@@ -42,3 +42,38 @@ class TestReplayLoader:
         assert ("electricity_meter_power", 4000.0) in got
         branches = route_points(points)
         assert branches["preagg"].count() == 2
+
+    def test_tai64n_roundtrip_random_labels(self, spark, tmp_path):
+        """Property pin (one Spark pass over 500 seeded-random labels):
+        format(secs, nanos) -> parse recovers the instant to Spark's
+        microsecond timestamp resolution across the whole epoch range,
+        including zero / sub-microsecond / max-nanos cases."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.sources.replay import read_tai64n_log
+
+        rng = random.Random(42)
+        cases = [(0, 0), (0, 999), (1704067200, 999_999_999), (2**31 - 1, 1)]
+        cases += [
+            (rng.randrange(0, 2**33), rng.randrange(0, 10**9)) for _ in range(500)
+        ]
+        env = '{"topic":"t","type":"evt.meter.report","serv":"meter_elec","val_t":"int","val":"%d"}'
+        log = tmp_path / "rand.log"
+        log.write_text(
+            "".join(
+                _tai64n(s, n) + " " + (env % i) + "\n"
+                for i, (s, n) in enumerate(cases)
+            )
+        )
+        got = {
+            int(r["i"]): r["us"]
+            for r in read_tai64n_log(spark, str(log))
+            .select(F.col("val").alias("i"), F.unix_micros("ts").alias("us"))
+            .collect()
+        }
+        assert len(got) == len(cases)
+        for i, (s, n) in enumerate(cases):
+            want_us = s * 1_000_000 + n // 1000  # truncation to micros
+            assert abs(got[i] - want_us) <= 1, (i, s, n, got[i], want_us)
