@@ -228,3 +228,57 @@ def replay_tai64n_load(spark, sf_dir):
         F.unix_micros("ts").alias("time_us"),
         "uid",
     )
+
+
+# ---------------------------------------------------------------------------
+# A11 routing split as a value gate (mapping.go:156-168 + process.go:154-178)
+# ---------------------------------------------------------------------------
+
+_HF_SQL = """(m IN ('electricity_meter_power', 'electricity_meter_energy',
+             'electricity_meter_ext', 'electricity_meter_energy_sampled')
+       OR (m LIKE '%sensor\\_%' ESCAPE '\\'
+           AND m NOT LIKE '%sensor\\_presence%' ESCAPE '\\'
+           AND m NOT LIKE '%sensor\\_contact%' ESCAPE '\\'))"""
+
+
+@register(
+    "routing_branches",
+    _POINTS_CTE.format(m=_MEAS_SQL, mod=5)
+    + f"""
+SELECT m AS measurement,
+       m || ';' || CAST(user_id AS VARCHAR) || ';import' AS series_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS time,
+       value AS value_f,
+       CASE WHEN user_id % 2 = 0 THEN 'difference' ELSE 'mean' END AS agg_func,
+       CASE WHEN NOT {_HF_SQL} THEN 'raw'
+            WHEN user_id % 2 = 0 THEN 'diff' ELSE 'preagg' END AS branch
+FROM p""",
+    shelved=True,  # same §2 component family as the streaming e2e (A11)
+)
+def routing_branches(spark, sf_dir):
+    """A11 high/low-frequency routing on the value signal: points routed
+    through the REAL ``route_points`` split (raw = low-frequency direct
+    write, preagg = high-frequency non-difference, diff = difference
+    directives), re-unioned with their branch label; the oracle
+    recomputes the classification (mapping.go:156-168) and the
+    directive split (process.go:154-178) in SQL. Branches must be
+    disjoint and total or the row count itself mismatches."""
+    from ecollector_spark.streaming.pipeline import route_points
+
+    pts = _sink_points(spark, sf_dir, 5).withColumn(
+        "agg_func",
+        F.when(F.col("dev_id").cast("long") % 2 == 0, "difference").otherwise("mean"),
+    )
+    branches = route_points(pts)
+    out = None
+    for name in ("raw", "preagg", "diff"):
+        b = branches[name].select(
+            "measurement",
+            "series_id",
+            F.unix_timestamp("ts").alias("time"),
+            "value_f",
+            "agg_func",
+            F.lit(name).alias("branch"),
+        )
+        out = b if out is None else out.unionByName(b)
+    return out
