@@ -502,6 +502,45 @@ class TestIncrementalCascade:
         # files are hidden to Spark's file index)
         assert w.read_tier("gen_raw").count() == 1
 
+    def test_hwm_survives_compact_and_tail_rewrite(self, spark, tmp_path):
+        """The r3-advice fix: directory rewrites must not silently demote
+        the next high_water_mark call to a full column scan. compact()
+        preserves the sidecar value (bytes moved, rows unchanged);
+        replace_points_from() re-records it from the rewritten tail."""
+        import os
+
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T01:00:10", "7", 200.0),
+        ]))
+        t1 = int(datetime.fromisoformat("2024-01-01T01:00:10+00:00").timestamp())
+        w.record_high_water_mark("gen_raw", t1)
+        assert w.compact("gen_raw")
+        assert os.path.isfile(os.path.join(w.tier_path("gen_raw"), "_hwm"))
+        assert w.high_water_mark("gen_raw") == t1
+
+        # tail rewrite from 00:30 replaces the 01:00 row; the sidecar must
+        # follow the new tail max, not keep the stale value
+        t_new = int(datetime.fromisoformat("2024-01-01T00:45:00+00:00").timestamp())
+        newpts = _mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:45:00", "7", 150.0),
+        ])
+        from_epoch = int(datetime.fromisoformat("2024-01-01T00:30:00+00:00").timestamp())
+        w.replace_points_from(newpts, "gen_raw", from_epoch)
+        assert os.path.isfile(os.path.join(w.tier_path("gen_raw"), "_hwm"))
+        assert w.high_water_mark("gen_raw") == t_new
+        rows = {int(r["ts"].timestamp()) for r in w.read_tier("gen_raw").collect()}
+        assert max(rows) == t_new
+
+        # retention that drops only old rows keeps the sidecar too
+        deleted = w.enforce_retention(
+            now_epoch=t_new + 14 * 24 * 3600 - 600, ttl_overrides={"gen_raw": 14 * 24 * 3600}
+        )
+        assert deleted.get("gen_raw", 0) >= 1
+        assert os.path.isfile(os.path.join(w.tier_path("gen_raw"), "_hwm"))
+        assert w.high_water_mark("gen_raw") == t_new
+
 
 class TestBucketedWarehouse:
     def test_bucketed_agg_and_join_have_no_shuffle(self, spark, tmp_path):
