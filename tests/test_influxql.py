@@ -282,3 +282,69 @@ class TestParserProperty:
         assert r.filters.locations == [v for v in locs if v]
         assert r.filters.dev_types == [v for v in dts if v]
         assert r.filters.tags == expected_tags
+
+
+class TestParseProperties:
+    """Hypothesis fuzz over the documented grammar: every generated query
+    must parse with its fields recovered exactly; near-miss mutations
+    must raise InfluxQLParseError (never another exception type)."""
+
+    def test_grammar_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        ident = st.from_regex(r"[a-z][a-z0-9_.]{0,20}", fullmatch=True)
+        dur = st.from_regex(r"[1-9][0-9]{0,2}[smhdw]", fullmatch=True)
+        funcs = st.sampled_from(
+            ["mean", "sum", "min", "max", "count", "median", "last", "first"]
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            meas=ident,
+            fn=funcs,
+            d=dur,
+            g=dur,
+            tagv=st.from_regex(r"[a-z0-9_:/-]{1,12}", fullmatch=True),
+            fill=st.sampled_from(["null", "previous", "0", "none", "linear"]),
+            alias=ident,
+        )
+        def check(meas, fn, d, g, tagv, fill, alias):
+            from ecollector_spark.influxql import parse_influxql
+
+            q = (
+                f'SELECT {fn}("value") AS "{alias}" FROM "{meas}" '
+                f"WHERE time > now()-{d} AND \"dev_id\"='{tagv}' "
+                f"AND \"domain\"='{tagv}' GROUP BY time({g}) FILL({fill})"
+            )
+            iq = parse_influxql(q)
+            assert iq.measurement == meas
+            assert iq.request.data_function == fn
+            assert iq.request.relative_time == d
+            assert iq.request.group_by_time == g
+            assert iq.request.fill_type == fill
+            assert iq.alias == alias
+            # dev_id routes to the device filter list; generic tags to tags
+            assert iq.request.filters.devices == [tagv]
+            assert iq.request.filters.tags.get("domain") == tagv
+
+        check()
+
+    def test_near_misses_raise_parse_error_only(self):
+        from ecollector_spark.influxql import InfluxQLParseError, parse_influxql
+
+        bad = [
+            "SELECT FROM x",
+            "SELECT mean(value FROM m",
+            'SELECT frobnicate("value") FROM "m"',  # unknown function
+            'SELECT mean("value") FROM',
+            "DELETE FROM m",
+            'SELECT mean("value") FROM "m" GROUP BY time()',
+            'SELECT mean("value") FROM "m" WHERE time >',
+            "",
+            "   ",
+            'SELECT a, b FROM "m"',  # multi-select not in the grammar
+        ]
+        for q in bad:
+            with pytest.raises(InfluxQLParseError):
+                parse_influxql(q)
