@@ -46,11 +46,29 @@ CSV_COLUMNS = (
 
 
 class Warehouse:
-    """Filesystem-backed tiered warehouse over parquet."""
+    """Filesystem-backed tiered warehouse over parquet.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``date_partition=True`` enables the 100 TB layout documented in
+    SCALE.md: a ``dt=yyyy-MM-dd`` subpartition under
+    ``tier=<t>/measurement=<m>/``, stamped from event time at write.
+    Retention then drops whole expired day directories (a metadata
+    operation — no rewrite of surviving rows, TTL lag bounded by one
+    day), and time-ranged reads prune to the covered days
+    (:meth:`read_tier` with ``from_epoch``/``to_epoch``). Off by
+    default: the flat layout stays row-exact for small deployments and
+    every existing test/oracle."""
+
+    def __init__(self, spark: SparkSession, root: str, date_partition: bool = False):
         self.spark = spark
         self.root = root
+        self.date_partition = date_partition
+        #: partition columns under the root (tier first, then measurement
+        #: and, in the dated layout, the day)
+        self._pcols = (
+            (*WAREHOUSE_PARTITION_COLUMNS, "dt")
+            if date_partition
+            else WAREHOUSE_PARTITION_COLUMNS
+        )
 
     # -- paths -------------------------------------------------------------
     def tier_path(self, tier: str) -> str:
@@ -76,6 +94,11 @@ class Warehouse:
         os.rename(tmp, dst)
         shutil.rmtree(old, ignore_errors=True)
 
+    def _stamp_dt(self, df: DataFrame) -> DataFrame:
+        if self.date_partition and "dt" not in df.columns:
+            df = df.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        return df
+
     def _read_hwm_sidecar(self, tier: str) -> int | None:
         try:
             with open(os.path.join(self.tier_path(tier), "_hwm")) as f:
@@ -96,24 +119,50 @@ class Warehouse:
         out = points
         if "tier" not in out.columns:
             out = out.withColumn("tier", write_retention_col(F.col("measurement")))
+        if self.date_partition and "dt" not in out.columns:
+            out = out.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
         if sort:
             out = out.sortWithinPartitions("series_id", "ts")
         (
             out.write.mode(mode)
-            .partitionBy(*WAREHOUSE_PARTITION_COLUMNS)
+            .partitionBy(*self._pcols)
             .parquet(self.root)
         )
 
     # -- read --------------------------------------------------------------
-    def read_tier(self, tier: str) -> DataFrame | None:
+    def read_tier(
+        self,
+        tier: str,
+        from_epoch: int | None = None,
+        to_epoch: int | None = None,
+    ) -> DataFrame | None:
         """Partition-pruned scan of one tier; None when empty (the planner
-        treats a missing tier as no data, like a missing RP)."""
+        treats a missing tier as no data, like a missing RP).
+
+        In the dated layout, ``from_epoch``/``to_epoch`` additionally
+        prune the ``dt`` day partitions covering the range (the ``ts``
+        row predicate itself cannot prune directories — the day bounds
+        can), then the row-exact ``ts`` filter applies as usual."""
         path = self.tier_path(tier)
         if not self._has_data(path):
             return None
         # read via the root with basePath so partition columns survive,
         # and pin the tier -> Catalyst prunes to the one subdirectory
         df = self.spark.read.option("basePath", self.root).parquet(path)
+        if self.date_partition and "dt" in df.columns:
+            if from_epoch is not None:
+                df = df.where(
+                    F.col("dt") >= F.date_format(F.timestamp_seconds(F.lit(int(from_epoch))), "yyyy-MM-dd")
+                )
+            if to_epoch is not None:
+                df = df.where(
+                    F.col("dt") <= F.date_format(F.timestamp_seconds(F.lit(int(to_epoch))), "yyyy-MM-dd")
+                )
+            df = df.drop("dt")
+        if from_epoch is not None:
+            df = df.where(F.unix_timestamp("ts") >= int(from_epoch))
+        if to_epoch is not None:
+            df = df.where(F.unix_timestamp("ts") <= int(to_epoch))
         return df.withColumn("tier", F.lit(tier))
 
     def tier_reader(self):
@@ -197,9 +246,10 @@ class Warehouse:
             merged = new
         tmp = self.tier_path(tier) + ".rewriting"
         (
-            merged.sortWithinPartitions("series_id", "ts")
+            self._stamp_dt(merged)
+            .sortWithinPartitions("series_id", "ts")
             .write.mode("overwrite")
-            .partitionBy("measurement")
+            .partitionBy(*self._pcols[1:])
             .parquet(tmp)
         )
         tail_max = (
@@ -315,10 +365,10 @@ class Warehouse:
         hwm = self._read_hwm_sidecar(tier)
         tmp = self.tier_path(tier) + ".compacting"
         (
-            df.drop("tier")
+            self._stamp_dt(df.drop("tier"))
             .repartition(target_files_per_measurement, "measurement")
             .write.mode("overwrite")
-            .partitionBy("measurement")
+            .partitionBy(*self._pcols[1:])
             .parquet(tmp)
         )
         self._swap_in(tmp, self.tier_path(tier))
@@ -336,6 +386,8 @@ class Warehouse:
         Returns {tier: rows_deleted}.
         """
         ttls = {**TIER_TTL_SECONDS, **(ttl_overrides or {})}
+        if self.date_partition:
+            return self._enforce_retention_by_partition_drop(now_epoch, ttls)
         deleted: dict[str, int] = {}
         for tier in TIERS:
             df = self.read_tier(tier)
@@ -356,6 +408,43 @@ class Warehouse:
                 # survives unless the whole tier expired
                 self.record_high_water_mark(tier, hwm)
             deleted[tier] = n
+        return deleted
+
+    def _enforce_retention_by_partition_drop(self, now_epoch: int, ttls: dict) -> dict:
+        """Dated-layout TTL: delete every ``dt=`` day directory whose
+        whole day precedes the cutoff day — a directory removal, no scan
+        or rewrite of surviving data (the property that makes retention
+        affordable at 100 TB). Rows inside the cutoff's own partial day
+        outlive their TTL by at most one day — the standard
+        day-granularity retention trade, explicit here. Returns
+        {tier: rows_deleted} (row counts come from parquet metadata of
+        the dropped directories only)."""
+        from datetime import datetime, timezone
+
+        deleted: dict[str, int] = {}
+        for tier in TIERS:
+            tp = self.tier_path(tier)
+            if not os.path.isdir(tp):
+                continue
+            cutoff_day = datetime.fromtimestamp(
+                now_epoch - ttls[tier], tz=timezone.utc
+            ).strftime("%Y-%m-%d")
+            doomed = []
+            for mdir in os.listdir(tp):
+                mp = os.path.join(tp, mdir)
+                if not (mdir.startswith("measurement=") and os.path.isdir(mp)):
+                    continue
+                for ddir in os.listdir(mp):
+                    if ddir.startswith("dt=") and ddir.split("=", 1)[1] < cutoff_day:
+                        doomed.append(os.path.join(mp, ddir))
+            if not doomed:
+                continue
+            # metadata-only count (parquet footers), then the drop
+            n = self.spark.read.parquet(*doomed).count()
+            for d in doomed:
+                shutil.rmtree(d)
+            if n:
+                deleted[tier] = n
         return deleted
 
 

@@ -542,6 +542,83 @@ class TestIncrementalCascade:
         assert w.high_water_mark("gen_raw") == t_new
 
 
+class TestDatedWarehouse:
+    """The opt-in dt=yyyy-MM-dd subpartition layout (SCALE.md's 100 TB
+    retention design): partition-drop TTL, pruned ranged reads, and full
+    row-equivalence with the flat layout."""
+
+    def _pts(self, spark):
+        return _mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T05:00:00", "7", 1.0),
+            ("electricity_meter_power", "2024-01-02T05:00:00", "7", 2.0),
+            ("electricity_meter_power", "2024-01-03T05:00:00", "7", 3.0),
+            ("sensor_presence.evt.presence.report", "2024-01-01T06:00:00", "9", 1.0),
+        ])
+
+    def test_layout_and_roundtrip_equivalence(self, spark, tmp_path):
+        import os
+
+        flat = Warehouse(spark, str(tmp_path / "flat"))
+        dated = Warehouse(spark, str(tmp_path / "dated"), date_partition=True)
+        flat.write_points(self._pts(spark))
+        dated.write_points(self._pts(spark))
+        mdir = os.path.join(
+            dated.tier_path("gen_raw"), "measurement=electricity_meter_power"
+        )
+        assert sorted(os.listdir(mdir)) == ["dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03"]
+        key = lambda df: sorted(
+            (r["measurement"], int(r["ts"].timestamp()), r["value_f"])
+            for r in df.collect()
+        )
+        assert key(dated.read_tier("gen_raw")) == key(flat.read_tier("gen_raw"))
+        assert dated.read_tier("gen_raw").columns == flat.read_tier("gen_raw").columns
+
+    def test_ranged_read_prunes_day_partitions(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"), date_partition=True)
+        w.write_points(self._pts(spark))
+        t0 = int(datetime.fromisoformat("2024-01-02T00:00:00+00:00").timestamp())
+        t1 = int(datetime.fromisoformat("2024-01-02T23:59:59+00:00").timestamp())
+        df = w.read_tier("gen_raw", from_epoch=t0, to_epoch=t1)
+        assert [r["value_f"] for r in df.collect()] == [2.0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200]
+
+    def test_retention_is_partition_drop(self, spark, tmp_path):
+        import os
+
+        w = Warehouse(spark, str(tmp_path / "w"), date_partition=True)
+        w.write_points(self._pts(spark))
+        # cutoff inside Jan 3: days 1 and 2 fully expired -> dropped;
+        # Jan 3's partial day survives (day-granularity TTL lag)
+        now = int(datetime.fromisoformat("2024-01-03T12:00:00+00:00").timestamp())
+        deleted = w.enforce_retention(now, ttl_overrides={t: 6 * 3600 for t in (
+            "gen_raw", "gen_day", "gen_week", "gen_month", "gen_year", "gen_default")})
+        assert deleted.get("gen_raw") == 2 and deleted.get("gen_default") == 1
+        mdir = os.path.join(
+            w.tier_path("gen_raw"), "measurement=electricity_meter_power"
+        )
+        assert sorted(os.listdir(mdir)) == ["dt=2024-01-03"]
+        assert [r["value_f"] for r in w.read_tier("gen_raw").collect()] == [3.0]
+
+    def test_tail_rewrite_and_compact_keep_dated_layout(self, spark, tmp_path):
+        import os
+
+        w = Warehouse(spark, str(tmp_path / "w"), date_partition=True)
+        w.write_points(self._pts(spark))
+        new = _mk_points(spark, [
+            ("electricity_meter_power", "2024-01-03T07:00:00", "7", 9.0),
+        ])
+        from_epoch = int(datetime.fromisoformat("2024-01-03T00:00:00+00:00").timestamp())
+        w.replace_points_from(new, "gen_raw", from_epoch)
+        assert w.compact("gen_raw")
+        mdir = os.path.join(
+            w.tier_path("gen_raw"), "measurement=electricity_meter_power"
+        )
+        assert sorted(os.listdir(mdir)) == ["dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03"]
+        vals = sorted(r["value_f"] for r in w.read_tier("gen_raw").collect())
+        assert vals == [1.0, 2.0, 9.0]
+
+
 class TestBucketedWarehouse:
     def test_bucketed_agg_and_join_have_no_shuffle(self, spark, tmp_path):
         """The bucket spec (CLUSTERED BY series_id) lets Catalyst plan
