@@ -98,10 +98,12 @@ class EcollectorApi:
         self.spark = spark
         self.warehouse = warehouse
 
-        def reader(tier: str) -> DataFrame:
+        def reader(tier: str, from_epoch=None, to_epoch=None) -> DataFrame:
             # a tier with no data behaves like an empty retention policy
-            # (the reference queries it and gets zero series back)
-            df = warehouse.read_tier(tier)
+            # (the reference queries it and gets zero series back); the
+            # planner's resolved time bounds flow through so a dated
+            # warehouse prunes day partitions before the ts row filter
+            df = warehouse.read_tier(tier, from_epoch, to_epoch)
             return df if df is not None else spark.createDataFrame([], DATAPOINT_SCHEMA)
 
         self.planner = QueryPlanner(reader, profile=profile)

@@ -88,11 +88,23 @@ class QueryPlanner:
     ``tier_reader(tier) -> DataFrame`` abstracts the warehouse: the real
     warehouse returns the tier's partition (pruned scan); tests and the
     driver's single-table datasets return one DataFrame for every tier.
+    A reader accepting ``(tier, from_epoch, to_epoch)`` (e.g.
+    ``Warehouse.read_tier`` over a dated layout) additionally receives
+    the query's resolved time bounds so day partitions prune before the
+    row-exact ``ts`` predicate applies.
     """
 
     def __init__(self, tier_reader, profile: str = tiers.PROFILE_OPTIMIZED):
         self.tier_reader = tier_reader
         self.profile = profile
+        import inspect
+
+        try:
+            self._reader_takes_bounds = (
+                len(inspect.signature(tier_reader).parameters) >= 3
+            )
+        except (TypeError, ValueError):
+            self._reader_takes_bounds = False
 
     # -- planning ----------------------------------------------------------
     def plan(self, req: DataPointsRequest, now: datetime | None = None) -> DataFrame:
@@ -127,7 +139,10 @@ class QueryPlanner:
                 profile=self.profile,
             )
 
-        df = self.tier_reader(choice.tier)
+        if self._reader_takes_bounds:
+            df = self.tier_reader(choice.tier, from_epoch, to_epoch)
+        else:
+            df = self.tier_reader(choice.tier)
         df = df.where(F.col("measurement") == req.measurement_name)
         ts_epoch = F.unix_timestamp("ts")
         if req.from_time and req.to_time:

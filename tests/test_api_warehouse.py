@@ -583,6 +583,30 @@ class TestDatedWarehouse:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200]
 
+    def test_query_path_prunes_days_through_planner(self, spark, tmp_path):
+        """The planner hands its resolved time bounds to a bounds-aware
+        tier reader, so a structured query over a dated warehouse prunes
+        day partitions — asserted at the plan level through the full
+        EcollectorApi -> QueryPlanner -> read_tier path."""
+        w = Warehouse(spark, str(tmp_path / "w"), date_partition=True)
+        w.write_points(self._pts(spark))
+        api = EcollectorApi(spark, w)
+        req = DataPointsRequest(
+            measurement_name="electricity_meter_power",
+            from_time="2024-01-02T00:00:00Z",
+            to_time="2024-01-02T23:59:59Z",
+        )
+        # pin `now` next to the data so elapsed-time tier routing picks
+        # gen_raw (a year-later now would route to an empty coarse tier)
+        now = datetime(2024, 1, 2, 23, 59, 59, tzinfo=timezone.utc)
+        df = api.planner.plan(req, now=now)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters")[1][:250]
+        assert "dt" in pf, plan
+        rep = api.get_data_points(req, now=now)
+        vals = [v for s in rep["val"]["Results"][0]["Series"] for _, v in s["values"]]
+        assert vals == [2.0]
+
     def test_retention_is_partition_drop(self, spark, tmp_path):
         import os
 
