@@ -179,22 +179,30 @@ def write_warehouse_stream(
     trigger_seconds: int | None = 5,
     available_now: bool = False,
     query_name: str = "ecollector_raw",
+    date_partition: bool = False,
 ):
     """S4/S5: append the raw branch to the tiered parquet warehouse.
 
     Retention tier is stamped per measurement (mapping.go:146-154); the
     partition layout (tier, measurement) makes query-side tier routing
-    pure partition pruning. The processing-time trigger replaces the
-    reference's SaveInterval flush loop; checkpointing replaces its
-    retry/drop logic with exactly-once.
+    pure partition pruning. ``date_partition=True`` matches a
+    ``Warehouse(date_partition=True)`` reader: a ``dt=`` day
+    subpartition stamped from event time (partition-drop retention at
+    scale). The processing-time trigger replaces the reference's
+    SaveInterval flush loop; checkpointing replaces its retry/drop
+    logic with exactly-once.
     """
     out = points.withColumn("tier", write_retention_col(F.col("measurement")))
+    pcols = WAREHOUSE_PARTITION_COLUMNS
+    if date_partition:
+        out = out.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        pcols = (*pcols, "dt")
     writer = (
         out.writeStream.format("parquet")
         .outputMode("append")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
-        .partitionBy(*WAREHOUSE_PARTITION_COLUMNS)
+        .partitionBy(*pcols)
         .queryName(query_name)
     )
     if available_now:

@@ -385,6 +385,44 @@ class TestEndToEndPipeline:
         ]
 
 
+class TestDatedStreamSink:
+    def test_stream_sink_matches_dated_warehouse_layout(self, spark, tmp_path):
+        """A date-partitioned stream sink must land files where a
+        Warehouse(date_partition=True) reader expects them."""
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.streaming.pipeline import write_warehouse_stream
+        from ecollector_spark.warehouse import Warehouse
+
+        rows = [
+            {"measurement": "electricity_meter_power", "ts": "2024-01-01T05:00:00",
+             "series_id": "s;7;import", "value_f": 1.0},
+            {"measurement": "electricity_meter_power", "ts": "2024-01-02T05:00:00",
+             "series_id": "s;7;import", "value_f": 2.0},
+        ]
+        src = str(tmp_path / "src")
+        _write_json(f"{src}/in.json", rows)
+        schema = "measurement string, ts string, series_id string, value_f double"
+        stream = (
+            spark.readStream.schema(schema).json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        root = str(tmp_path / "wh")
+        q = write_warehouse_stream(
+            stream, root, str(tmp_path / "ckpt"),
+            available_now=True, date_partition=True,
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        w = Warehouse(spark, root, date_partition=True)
+        assert sorted(os.listdir(os.path.join(
+            w.tier_path("gen_raw"), "measurement=electricity_meter_power"
+        ))) == ["dt=2024-01-01", "dt=2024-01-02"]
+        t0 = 1704171600  # 2024-01-02T05:00:00Z
+        got = w.read_tier("gen_raw", from_epoch=t0, to_epoch=t0)
+        assert [r["value_f"] for r in got.collect()] == [2.0]
+
+
 class TestKafkaRecordedSegment:
     def test_kafka_segment_matches_mqtt_twin(self, spark, tmp_path):
         """e2e twin-corpus parity (r3 verdict item #5): the SAME recorded
