@@ -457,6 +457,40 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _cluster_assign_sql(n_centroids: int = 8, n_iter: int = 2) -> str:
+    """Assignment-only twin of _ivf_sql: every vector labeled with its
+    Lloyd-trained cluster — the semantic-clustering surface (corpus
+    domain balancing), not a search."""
+    full = _ivf_sql(n_centroids=n_centroids, n_iter=n_iter)
+    head, _, _ = full.partition("q AS (")
+    return (
+        head.rstrip().rstrip(",")
+        + """
+SELECT vec_id, cid AS cluster_id FROM assign ORDER BY vec_id
+"""
+    )
+
+
+@register(
+    "datapipe_cluster_assign",
+    _cluster_assign_sql(),
+    shelved=True,  # same Lloyd machinery as ann_ivf_topk; clustering surface
+)
+def datapipe_cluster_assign(spark, sf_dir):
+    """Semantic clustering for corpus balancing: every embedding labeled
+    with its k-means cluster (the coarse quantizer reused as the
+    clustering operator — one broadcast-argmin scan per Lloyd step, no
+    shuffle wider than (cid, dim)). The oracle replays the identical
+    exact-decimal Lloyd unrolling, so labels are bit-equal. A training
+    pipeline samples per-cluster from this table to balance domains."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        similarity.ivf_assignments(emb, n_centroids=8, n_iter=2)
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
 _IVF_APPEND_TRAIN = 250  # < the smallest SF's corpus (sf0.001 has 500 vecs)
 
 
