@@ -38,3 +38,30 @@ def curate(
         .join(lang, "doc_id")
         .select("doc_id", "pred_lang", "n_tokens", "quality")
     )
+
+def balance_by_cluster(
+    assignments: "DataFrame", per_cluster_n: int, key_col: str = "vec_id"
+) -> "DataFrame":
+    """Cluster-balanced sampling — the domain-balancing step of a
+    training-data mix: keep at most ``per_cluster_n`` members of every
+    cluster, chosen by smallest deterministic hash (``hash_unit``), so
+    the sample is reproducible on any engine/partitioning and no cluster
+    dominates the mix. Input: (key, cluster_id) from
+    ``similarity.ivf_assignments`` (or any clustering). Output:
+    (key, cluster_id), the balanced keep-list.
+
+    The rank window partitions by ``cluster_id`` — per-cluster input is
+    bounded by the cluster's size, and the hash order makes the pick a
+    uniform per-cluster subsample rather than an id-ordered prefix."""
+    from pyspark.sql import Window
+
+    from ecollector_spark.functions.sketches import hash_unit
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        hash_unit(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        assignments.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_cluster_n)
+        .select(key_col, "cluster_id")
+    )

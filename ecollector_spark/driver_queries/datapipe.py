@@ -491,6 +491,42 @@ def datapipe_cluster_assign(spark, sf_dir):
     )
 
 
+_HU_VEC = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0"
+
+
+def _balanced_sample_sql(per_cluster_n: int = 20) -> str:
+    full = _cluster_assign_sql()
+    head, _, _ = full.partition("SELECT vec_id, cid AS cluster_id")
+    return (
+        head
+        + f"""SELECT vec_id, cluster_id FROM (
+  SELECT vec_id, cid AS cluster_id,
+         row_number() OVER (PARTITION BY cid ORDER BY {_HU_VEC}, vec_id) AS rn
+  FROM assign)
+WHERE rn <= {per_cluster_n} ORDER BY cluster_id, vec_id
+"""
+    )
+
+
+@register(
+    "datapipe_balanced_sample",
+    _balanced_sample_sql(),
+    shelved=True,  # composition of cluster_assign + hash_unit ranking
+)
+def datapipe_balanced_sample(spark, sf_dir):
+    """Cluster-balanced corpus sampling: k-means assignment then at most
+    20 members per cluster picked by smallest deterministic hash — the
+    domain-balancing step of a training mix, reproducible bit-for-bit
+    on any engine (hash_unit ordering, no rand())."""
+    from ecollector_spark.datapipe.curation import balance_by_cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = similarity.ivf_assignments(emb, n_centroids=8, n_iter=2).select(
+        "vec_id", F.col("cid").alias("cluster_id")
+    )
+    return balance_by_cluster(assign, 20).orderBy("cluster_id", "vec_id")
+
+
 _IVF_APPEND_TRAIN = 250  # < the smallest SF's corpus (sf0.001 has 500 vecs)
 
 
