@@ -36,6 +36,7 @@ HEADLINE = [
     "fimp_transform_pipeline",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "datapipe_curation",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "sketch_kmv_distinct_users",
