@@ -111,7 +111,7 @@ def run_cascade_incremental(
     re-aggregates from the Nth-newest materialized bucket onward and
     *replaces* the target's tail idempotently via
     ``tier_rewriter(df, tier, from_epoch)`` (e.g.
-    :meth:`Warehouse.replace_points_from` — atomic tmp+rename rewrite).
+    :meth:`Warehouse.replace_points_from` — rename-aside rewrite).
     Late rows landing inside the trailing window are incorporated on the
     next run; rows older than the window remain out, by the same CQ
     contract as before (``RESAMPLE FOR``-style bounded lateness). The
