@@ -277,6 +277,31 @@ def ts_agg_min(spark, sf_dir):
 
 
 @register(
+    "ts_agg_first",
+    f"""{_DP},
+src AS ({_src_sql('signup')}),
+agg AS (SELECT {_bucket(43200)} AS time, min_by(value_f, ts) AS value FROM src GROUP BY 1),
+spine AS ({_spine(43200)})
+SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
+""",
+    shelved=True,
+)
+def ts_agg_first(spark, sf_dir):
+    """SURVEY A14: first() per 12h bucket (earliest point wins) — the
+    selector twin of ts_agg_last (min_by on both engines)."""
+    return _plan(
+        spark,
+        sf_dir,
+        measurement_name="signup",
+        from_time=FROM_T,
+        to_time=TO_T,
+        group_by_time="12h",
+        data_function="first",
+        fill_type="null",
+    )
+
+
+@register(
     "ts_agg_max",
     f"""{_DP},
 src AS ({_src_sql('click')}),
