@@ -123,6 +123,7 @@ class EcollectorApi:
         Errors pass through as the error envelope, never raise."""
         from ecollector_spark.influxql import (
             InfluxQLParseError,
+            apply_result_shape,
             parse_influxql,
             parse_show_statement,
         )
@@ -145,14 +146,27 @@ class EcollectorApi:
             iq = None
         try:
             if iq is not None:
-                df = self.planner.plan(iq.request, now=now)
-                if iq.alias and iq.alias != "value":
-                    df = df.withColumnRenamed("value", iq.alias)
-                series = to_series_shape(
-                    df,
-                    iq.measurement,
-                    [iq.request.group_by_tag] if iq.request.group_by_tag else [],
-                )
+                import re as _re
+                from dataclasses import replace as _dc_replace
+
+                if iq.measurement_regex is not None:
+                    # FROM /re/: expand against the catalog (a directory
+                    # listing) — one planner run + result series per
+                    # matching measurement, like InfluxDB's regex FROM
+                    pat = _re.compile(iq.measurement_regex)
+                    names = [
+                        m for m in self.warehouse.measurements() if pat.search(m)
+                    ]
+                else:
+                    names = [iq.measurement]
+                tags = [iq.request.group_by_tag] if iq.request.group_by_tag else []
+                series = []
+                for name in names:
+                    req = _dc_replace(iq.request, measurement_name=name)
+                    df = apply_result_shape(self.planner.plan(req, now=now), iq)
+                    if iq.alias and iq.alias != "value":
+                        df = df.withColumnRenamed("value", iq.alias)
+                    series.extend(to_series_shape(df, name, tags))
                 return _report(series)
             df = self.spark.sql(query)
             cols = df.columns

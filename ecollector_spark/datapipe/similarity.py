@@ -216,12 +216,23 @@ def _publish_dir(tmp: str, dst: str) -> None:
     filesystem semantics; on an object store this becomes a manifest
     pointer flip."""
     old = dst + ".old"
+    _recover_crashed_publish(dst)
     if os.path.isdir(old):
         shutil.rmtree(old)
     if os.path.isdir(dst):
         os.rename(dst, old)
     os.rename(tmp, dst)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_crashed_publish(dst: str) -> None:
+    """If a previous publish died between renames, ``.old`` holds the
+    only complete index — restore it as the live directory instead of
+    deleting the last good copy. Called from every index entry point so
+    a crashed publish heals on the next touch; no-op when healthy."""
+    old = dst + ".old"
+    if os.path.isdir(old) and not os.path.isdir(dst):
+        os.rename(old, dst)
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -313,7 +324,10 @@ def ivf_assignments(
 
 def ivf_index_exists(index_path: str) -> bool:
     """True when a completed index lives at ``index_path`` (the centroid
-    sidecar only appears after the atomic publish rename)."""
+    sidecar only appears after the atomic publish rename). Heals a
+    crashed publish first (restores ``.old`` when it is the only
+    complete copy)."""
+    _recover_crashed_publish(index_path)
     return os.path.isdir(os.path.join(index_path, "centroids"))
 
 
@@ -418,8 +432,16 @@ def ivf_append(
     spark = emb_new.sparkSession
     if not ivf_index_exists(index_path):
         raise FileNotFoundError(f"no IVF index at {index_path!r}")
-    with open(os.path.join(index_path, "stats.json")) as f:
-        stats = json.load(f)
+    try:
+        with open(os.path.join(index_path, "stats.json")) as f:
+            stats = json.load(f)
+    except FileNotFoundError:
+        # Index built before the running-stats sidecar existed: appends
+        # remain exact (assignment only depends on the live centroids),
+        # but there is no drift baseline — the guard stays disabled and
+        # the stats file is not invented, until a full rebuild records
+        # one. Graceful degradation instead of a bare FileNotFoundError.
+        stats = {"n": None, "mean_d2": None, "n_centroids": None, "n_iter": None}
     cents = spark.read.parquet(os.path.join(index_path, "centroids"))
     e = emb_new.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
     assigned = _assign_to_centroids(e, cents)
@@ -456,14 +478,15 @@ def ivf_append(
     assigned.write.mode("append").partitionBy("cid").parquet(
         os.path.join(index_path, "assignments")
     )
-    total = stats["n"] + n_new
-    new_mean = (
-        (stats["mean_d2"] or 0.0) * stats["n"] + (batch_mean or 0.0) * n_new
-    ) / total
-    tmp = os.path.join(index_path, "stats.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump({**stats, "n": total, "mean_d2": new_mean}, f)
-    os.replace(tmp, os.path.join(index_path, "stats.json"))
+    if stats["n"] is not None:
+        total = stats["n"] + n_new
+        new_mean = (
+            (stats["mean_d2"] or 0.0) * stats["n"] + (batch_mean or 0.0) * n_new
+        ) / total
+        tmp = os.path.join(index_path, "stats.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({**stats, "n": total, "mean_d2": new_mean}, f)
+        os.replace(tmp, os.path.join(index_path, "stats.json"))
     return out
 
 
@@ -476,6 +499,7 @@ def ivf_probe_cids(
     the driver in the same sequential order as :func:`_l2sq`, so the
     probed lists are bit-identical to the in-plan variant (ties to the
     lowest cid)."""
+    _recover_crashed_publish(index_path)
     rows = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
 
     def d2(cvec) -> float:
@@ -583,6 +607,7 @@ def lsh_build(
     trade (each table is an independent recall chance)."""
     import json
 
+    _recover_crashed_publish(index_path)
     if os.path.isfile(os.path.join(index_path, "params.json")) and not overwrite:
         return index_path
     if dim is None:
@@ -619,6 +644,7 @@ def lsh_append(emb_new: DataFrame, index_path: str, vec_col: str = "embedding") 
     probe may see a prefix of the batch. Returns ``{"appended": n}``."""
     import json
 
+    _recover_crashed_publish(index_path)
     with open(os.path.join(index_path, "params.json")) as f:
         p = json.load(f)
     planes = hyperplanes(p["dim"], p["bits"], p["tables"], p["seed"])
@@ -670,6 +696,7 @@ def lsh_search_indexed(
     ``tables`` directories instead of the corpus."""
     import json
 
+    _recover_crashed_publish(index_path)
     with open(os.path.join(index_path, "params.json")) as f:
         p = json.load(f)
     planes = hyperplanes(p["dim"], p["bits"], p["tables"], p["seed"])

@@ -38,6 +38,20 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: Gate ordering: one representative per operator family first, so even a
 #: truncated check run still touches every family. Names absent from this
 #: list keep their registration order after it.
+#:
+#: Round-5 rotation (VERDICT r4 #1/#2): a fixed 50 means the driver never
+#: re-proves shelved oracles, so each round swaps gates whose operators
+#: keep a second green gate for shelved twins that have never been on the
+#: hard signal. This round 9 slots rotated in: routing_branches (A11 —
+#: the last oracle-expressible component without a main-gate row),
+#: ts_agg_min/ts_agg_first (for median/last/max — one _AGG_BUILDERS code
+#: path held four slots), tpch_q9 (5-way join, for q18's semi-join-agg
+#: which overlaps the shelved Q3/Q10 family), text_rolling_fingerprint
+#: (for text_fingerprint), ann_ivf_append_topk (the r4 append path, for
+#: the 4-rounds-green brute-force baseline), sketch_stratified_sample
+#: (for sampled_quantiles), dedup_decontaminate (for jaccard_pairs) and
+#: mm_resize_metadata (for mm_binary_metadata). Every rotated-out gate
+#: stays green via tools/check.py --shelved.
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",
@@ -47,19 +61,19 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_jaccard_pairs",
+    "dedup_decontaminate",
     "dedup_embedding_cosine",
     # ANN family
-    "ann_cosine_topk",
+    "ann_ivf_append_topk",
     "ann_ivf_topk",
     "ann_lsh_bucketed",
     # text family
     "text_langid",
     "text_quality",
     "text_token_counts",
-    "text_fingerprint",
+    "text_rolling_fingerprint",
     # multimodal family
-    "mm_binary_metadata",
+    "mm_resize_metadata",
     "mm_feature_hist",
     # aggregation / rollup operators
     "preagg_30s_directives",
@@ -73,22 +87,22 @@ _PRIORITY = [
     "enrichment_left_join",
     "asof_join_last_purchase",
     "interval_join_post_purchase",
-    # filters / transform / topics
+    # filters / transform / topics / sink routing (A11)
     "filter_engine_chain",
     "topic_wildcard_match",
+    "routing_branches",
     # fill + agg variants
     "ts_group_by_time_tag_fill_previous",
     "ts_agg_count_fill_zero",
     "ts_agg_mean_fill_linear",
-    "ts_agg_median",
-    "ts_agg_last",
-    "ts_agg_max",
+    "ts_agg_min",
+    "ts_agg_first",
     "ts_filtered_devices_raw",
     "ts_transform_difference_max",
     # sessions / sketches / streaming
     "session_window_30m",
     "sketch_kmv_distinct_users",
-    "sketch_sampled_quantiles",
+    "sketch_stratified_sample",
     "streaming_preagg_replay",
     "streaming_counter_diff_replay",
     # SQL surface + grouped top-n
@@ -100,10 +114,10 @@ _PRIORITY = [
     "replay_tai64n_load",
     # flagship composed LLM-pipeline flow
     "datapipe_curation",
-    # §2.6 relational surface (q1 + q18 span scan-agg and semi-join-agg;
+    # §2.6 relational surface (q1 + q9 span scan-agg and 5-way join-agg;
     # the other TPC-H shapes are shelved, still checked via --shelved)
     "tpch_q1_pricing_summary",
-    "tpch_q18_large_volume_customers",
+    "tpch_q9_profit_by_nation",
 ]
 
 

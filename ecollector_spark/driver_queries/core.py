@@ -185,6 +185,7 @@ agg AS (SELECT {_bucket(43200)} AS time, max_by(value_f, ts) AS value FROM src G
 spine AS ({_spine(43200)})
 SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
+    shelved=True,
 )
 def ts_agg_last(spark, sf_dir):
     """SURVEY A4/A14: last() per 12h bucket (most recent point wins)."""
@@ -236,6 +237,7 @@ agg AS (SELECT {_bucket(86400)} AS time, round(quantile_cont(value_f, 0.5), 6) A
 spine AS ({_spine(86400)})
 SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
+    shelved=True,
 )
 def ts_agg_median(spark, sf_dir):
     """SURVEY A14: median per 1d bucket (exact interpolated percentile)."""
@@ -260,7 +262,6 @@ agg AS (SELECT {_bucket(86400)} AS time, min(value_f) AS value FROM src GROUP BY
 spine AS ({_spine(86400)})
 SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
-    shelved=True,
 )
 def ts_agg_min(spark, sf_dir):
     """SURVEY A2/A14: MIN per 1d bucket."""
@@ -284,7 +285,6 @@ agg AS (SELECT {_bucket(43200)} AS time, min_by(value_f, ts) AS value FROM src G
 spine AS ({_spine(43200)})
 SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
-    shelved=True,
 )
 def ts_agg_first(spark, sf_dir):
     """SURVEY A14: first() per 12h bucket (earliest point wins) — the
@@ -309,6 +309,7 @@ agg AS (SELECT {_bucket(86400)} AS time, max(value_f) AS value FROM src GROUP BY
 spine AS ({_spine(86400)})
 SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
+    shelved=True,
 )
 def ts_agg_max(spark, sf_dir):
     """SURVEY A2/A14: MAX per 1d bucket."""

@@ -102,6 +102,7 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
 {_JACCARD_VERIFY.replace('{thr}', '0.5')}
 """,
+    shelved=True,
 )
 def dedup_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (inverted-index candidates,
@@ -231,6 +232,7 @@ SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
 FROM e, q WHERE vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 10
 """,
+    shelved=True,
 )
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 vs vec_id=0 (the ANN baseline)."""
@@ -533,7 +535,6 @@ _IVF_APPEND_TRAIN = 250  # < the smallest SF's corpus (sf0.001 has 500 vecs)
 @register(
     "ann_ivf_append_topk",
     _ivf_sql(train_max_id=_IVF_APPEND_TRAIN),
-    shelved=True,  # same operator family as ann_ivf_topk; append variant
 )
 def ann_ivf_append_topk(spark, sf_dir):
     """The incremental-index path on the value signal: build the IVF
@@ -543,9 +544,28 @@ def ann_ivf_append_topk(spark, sf_dir):
     corpus — so a drifting append implementation hash-mismatches.
     [reference intent: BASELINE.json 100 TB north star — index
     maintenance without retrain]"""
+    import json
+    import shutil
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     idx = _ivf_index_dir(sf_dir, n_centroids=8, n_iter=2) + "_append"
-    if not similarity.ivf_index_exists(idx):
+    n_total = emb.count()
+
+    def _complete() -> bool:
+        # The build+append pair is not atomic: an interruption between
+        # the two leaves a prefix-only index that ivf_index_exists alone
+        # would trust forever. stats.json carries the running count
+        # (ivf_append folds the batch into it), so n == corpus size is
+        # the completeness sentinel.
+        try:
+            with open(os.path.join(idx, "stats.json")) as f:
+                return json.load(f).get("n") == n_total
+        except (OSError, ValueError):
+            return False
+
+    if not (similarity.ivf_index_exists(idx) and _complete()):
+        if os.path.isdir(idx):
+            shutil.rmtree(idx)
         similarity.ivf_build(
             emb.where(F.col("vec_id") < _IVF_APPEND_TRAIN), idx, n_centroids=8, n_iter=2
         )
@@ -710,7 +730,6 @@ SELECT doc_id,
        CAST(n AS INT) AS n_grams
 FROM n ORDER BY doc_id
 """,
-    shelved=True,
 )
 def text_rolling_fingerprint(spark, sf_dir):
     """Character-level Rabin-Karp rolling-hash fingerprint (min 16-char
@@ -728,6 +747,7 @@ SELECT doc_id, list_min([md5(x) FOR x IN shl]) AS fingerprint,
        CAST(len(shl) AS INT) AS n_shingles
 FROM s ORDER BY doc_id
 """,
+    shelved=True,
 )
 def text_fingerprint(spark, sf_dir):
     """Winnowing-style min-md5 fingerprint over 5-token shingles."""
@@ -749,6 +769,7 @@ def text_fingerprint(spark, sf_dir):
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents ORDER BY doc_id
 """,
+    shelved=True,
 )
 def mm_binary_metadata(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + typed metadata schema
@@ -774,7 +795,6 @@ SELECT doc_id, media_type,
        n_bytes
 FROM s ORDER BY doc_id
 """,
-    shelved=True,
 )
 def mm_resize_metadata(spark, sf_dir):
     """mapInPandas resize stage (fit-within-224x224, aspect preserved,
@@ -896,7 +916,6 @@ bsh AS (SELECT DISTINCT shingle FROM tsh WHERE doc_id % 20 = 0)
 SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) AS n_hits
 FROM tsh JOIN bsh USING (shingle) GROUP BY doc_id ORDER BY doc_id
 """,
-    shelved=True,  # composition over the gated shingle machinery
 )
 def dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 5-gram with

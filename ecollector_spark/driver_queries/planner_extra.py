@@ -93,3 +93,44 @@ def ts_agg_mean_fill_linear(spark, sf_dir):
     return filled.select(
         F.col("time").cast("long").alias("time"), F.round("value", 6).alias("value")
     )
+
+
+@register(
+    "influxql_desc_limit",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+agg AS (SELECT {_bucket(86400)} AS time, location_id, round(avg(value_f), 3) AS value
+        FROM src GROUP BY 1, 2),
+r AS (SELECT time, location_id, value,
+             row_number() OVER (PARTITION BY location_id ORDER BY time DESC) AS rn
+      FROM agg)
+SELECT time, location_id, value FROM r WHERE rn > 1 AND rn <= 4
+ORDER BY location_id, time DESC
+""",
+    shelved=True,
+)
+def influxql_desc_limit(spark, sf_dir):
+    """The round-5 hand-written InfluxQL surface on the value signal:
+    ``ORDER BY time DESC LIMIT 3 OFFSET 1`` (per-series bounds under a
+    tag group, InfluxDB public-docs semantics) parsed from a raw query
+    string and applied by influxql.apply_result_shape on top of the
+    structured planner. [influxdb_v1.go:97-200 is the generated-string
+    surface; this covers the ad-hoc drop-in queries beyond it]"""
+    from ecollector_spark.influxql import apply_result_shape, parse_influxql
+    from ecollector_spark.driver_queries.core import _planner
+
+    q = (
+        'SELECT mean("value") FROM "purchase" '
+        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}' "
+        "GROUP BY time(1d), location_id FILL(none) "
+        "ORDER BY time DESC LIMIT 3 OFFSET 1"
+    )
+    iq = parse_influxql(q)
+    df = _planner(spark, sf_dir).plan(iq.request, now=NOW)
+    df = df.withColumn("value", F.round("value", 3))
+    df = apply_result_shape(df, iq)
+    return df.select(
+        F.col("time").cast("long").alias("time"),
+        "location_id",
+        F.col("value").cast("double").alias("value"),
+    )

@@ -253,7 +253,6 @@ SELECT m AS measurement,
        CASE WHEN NOT {_HF_SQL} THEN 'raw'
             WHEN user_id % 2 = 0 THEN 'diff' ELSE 'preagg' END AS branch
 FROM p""",
-    shelved=True,  # same §2 component family as the streaming e2e (A11)
 )
 def routing_branches(spark, sf_dir):
     """A11 high/low-frequency routing on the value signal: points routed

@@ -65,6 +65,7 @@ ex AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact
 SELECT event_type, p50_sample, p95_sample, p50_exact
 FROM q JOIN ex USING (event_type) ORDER BY event_type
 """,
+    shelved=True,
 )
 def sketch_sampled_quantiles(spark, sf_dir):
     """Quantiles over a deterministic 50% hash sample of users (the
@@ -92,7 +93,6 @@ SELECT CAST(stratum AS BIGINT) AS stratum, doc_id FROM h
 QUALIFY row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id) <= 5
 ORDER BY stratum, doc_id
 """,
-    shelved=True,  # sampling-family variant; hash sampling already gated
 )
 def sketch_stratified_sample(spark, sf_dir):
     """Deterministic stratified sample: 5 docs per (doc_id % 7) stratum

@@ -442,6 +442,7 @@ FROM big JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
+    shelved=True,
 )
 def tpch_q18_large_volume_customers(spark, sf_dir):
     """Q18: pre-aggregate lineitem per order (map-side partials on the
@@ -787,7 +788,6 @@ JOIN part ON p_partkey = l_partkey
 WHERE p_name LIKE '%widget%'
 GROUP BY 1, 2 ORDER BY nation, o_year DESC
 """,
-    shelved=True,
 )
 def tpch_q9_profit_by_nation(spark, sf_dir):
     """Q9 shape: the widest join tree in the suite — two fact-fact

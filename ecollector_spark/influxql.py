@@ -5,10 +5,11 @@ docs/api:181-248 shows the documented query shapes). This engine's native
 raw-query surface is Spark SQL, but a migrating user's saved queries
 follow a small documented grammar:
 
-    SELECT sel [AS "alias"] FROM [["db".]"rp".]"measurement"
+    SELECT sel [AS "alias"] FROM [["db".]"rp".]"measurement" | /regex/
       [WHERE time > now()-10m [AND "tag"='v' ...]]
       [GROUP BY time(30m)[, "tag"] | "tag"]
       [FILL(null|previous|0|none|linear)]
+      [ORDER BY time [ASC|DESC]] [LIMIT n] [OFFSET n]
 
     where ``sel`` is any selector the reference itself generates
     (influxdb_v1.go:159-188): a bare field (``"value"`` — raw points),
@@ -20,6 +21,13 @@ docs/README examples run verbatim through ``EcollectorApi.run_query`` on
 the structured planner path (predicate pushdown, tier choice, gap fill —
 not a string rewrite). Anything outside the recognized grammar raises
 :class:`InfluxQLParseError`, and ``run_query`` falls back to Spark SQL.
+
+Beyond the shapes the reference generates itself, the hand-written
+surface from InfluxDB's public docs is accepted too (a drop-in user's
+ad-hoc queries): ``ORDER BY time DESC``, ``LIMIT``/``OFFSET`` (InfluxQL
+semantics: per-series when the query groups by a tag), and
+regex-measurement ``FROM /re/`` (expanded against the catalog by
+``run_query`` — one result series per matching measurement).
 """
 
 from __future__ import annotations
@@ -43,13 +51,18 @@ _STMT_RE = re.compile(
       | "?(?P<rawfield>[\w.]+)"?
     )
     (?:\s+AS\s+"?(?P<alias>[\w.]+)"?)?
-    \s+FROM\s+(?P<from>"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+)
+    \s+FROM\s+(?P<from>/(?:[^/\\]|\\.)+/|"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+)
     (?:\s+WHERE\s+(?P<where>.*?))?
     (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
     (?:\s+FILL\(\s*(?P<fill>\w+)\s*\))?
+    (?:\s+ORDER\s+BY\s+(?P<order>[^;]*?))?
+    (?:\s+LIMIT\s+(?P<limit>\d+))?
+    (?:\s+OFFSET\s+(?P<offset>\d+))?
     \s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+_ORDER_RE = re.compile(r'^"?time"?(?:\s+(?P<dir>ASC|DESC))?$', re.IGNORECASE)
 
 _TIME_RE = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*(?P<rhs>.+)$", re.IGNORECASE)
 _NOW_RE = re.compile(r"^now\(\)\s*-\s*(?P<dur>\w+)$", re.IGNORECASE)
@@ -91,6 +104,15 @@ class InfluxQLQuery:
     measurement: str
     retention_policy: str | None  # advisory: the planner re-derives the tier
     alias: str | None
+    #: FROM /re/ — pattern to expand against the measurement catalog
+    #: (``measurement`` holds the raw pattern text); None for plain FROM
+    measurement_regex: str | None = None
+    #: ORDER BY time DESC (InfluxQL only orders by time)
+    order_desc: bool = False
+    #: LIMIT / OFFSET — per series when group_by_tag is set (InfluxQL
+    #: applies them per GROUP BY group), plain row bounds otherwise
+    limit: int | None = None
+    offset: int | None = None
 
 
 def _parse_from(frm: str) -> tuple[str | None, str]:
@@ -134,7 +156,17 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             raise InfluxQLParseError(f"not a raw-field selector: {fld!r}")
     if fn and fn not in _FUNCS:
         raise InfluxQLParseError(f"unsupported function: {fn}")
-    rp, measurement = _parse_from(m.group("from"))
+    frm = m.group("from")
+    measurement_regex = None
+    if frm.startswith("/") and frm.endswith("/"):
+        rp, measurement = None, frm[1:-1]
+        measurement_regex = frm[1:-1]
+        try:
+            re.compile(measurement_regex)
+        except re.error as e:
+            raise InfluxQLParseError(f"bad measurement regex: {e}") from None
+    else:
+        rp, measurement = _parse_from(frm)
 
     flt = DataPointsFilter()
     relative_time = from_time = to_time = ""
@@ -186,6 +218,16 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             else:
                 raise InfluxQLParseError(f"unsupported GROUP BY item: {item!r}")
 
+    order = (m.group("order") or "").strip()
+    order_desc = False
+    if order:
+        om = _ORDER_RE.match(order)
+        if not om:
+            raise InfluxQLParseError(f"unsupported ORDER BY: {order!r}")
+        order_desc = (om.group("dir") or "").upper() == "DESC"
+    limit = int(m.group("limit")) if m.group("limit") else None
+    offset = int(m.group("offset")) if m.group("offset") else None
+
     fill = (m.group("fill") or "").lower()
     req = DataPointsRequest(
         measurement_name=measurement,
@@ -201,5 +243,44 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         filters=flt,
     )
     return InfluxQLQuery(
-        request=req, measurement=measurement, retention_policy=rp, alias=m.group("alias")
+        request=req,
+        measurement=measurement,
+        retention_policy=rp,
+        alias=m.group("alias"),
+        measurement_regex=measurement_regex,
+        order_desc=order_desc,
+        limit=limit,
+        offset=offset,
     )
+
+
+def apply_result_shape(df, iq: InfluxQLQuery):
+    """Apply the post-planner result clauses: ORDER BY time DESC and
+    LIMIT/OFFSET. InfluxQL bounds points *per series* when the query
+    groups by a tag (its LIMIT applies to each GROUP BY group), so the
+    tagged shape uses a tag-partitioned row_number window — partitioned,
+    and over an already-bucketed result (bounded by the bucket spine),
+    never over raw points. The untagged shape is a plain
+    sort + offset + limit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not (iq.order_desc or iq.limit is not None or iq.offset is not None):
+        return df
+    tag = iq.request.group_by_tag
+    order = F.col("time").desc() if iq.order_desc else F.col("time").asc()
+    if iq.limit is None and iq.offset is None:
+        return df.orderBy(*([tag] if tag else []), order)
+    lo = iq.offset or 0
+    if tag:
+        rn = F.row_number().over(Window.partitionBy(tag).orderBy(order))
+        df = df.withColumn("_rn", rn).where(F.col("_rn") > lo)
+        if iq.limit is not None:
+            df = df.where(F.col("_rn") <= lo + iq.limit)
+        return df.drop("_rn").orderBy(tag, order)
+    df = df.orderBy(order)
+    if lo:
+        df = df.offset(lo)
+    if iq.limit is not None:
+        df = df.limit(iq.limit)
+    return df

@@ -140,7 +140,13 @@ class QueryPlanner:
             )
 
         if self._reader_takes_bounds:
-            df = self.tier_reader(choice.tier, from_epoch, to_epoch)
+            # Only pass bounds the planner's own row predicate applies:
+            # the relative-time shape is `time > now()-rel` with NO upper
+            # bound (influxdb_v1.go:138), so a bounds-aware reader must
+            # not add ts <= now — future-stamped points (clock skew,
+            # replay) would silently differ between reader kinds.
+            upper = to_epoch if (req.from_time and req.to_time) else None
+            df = self.tier_reader(choice.tier, from_epoch, upper)
         else:
             df = self.tier_reader(choice.tier)
         df = df.where(F.col("measurement") == req.measurement_name)

@@ -45,6 +45,18 @@ CSV_COLUMNS = (
 )
 
 
+def _recover_crashed_swap(dst: str) -> None:
+    """Crash recovery for the rename-aside publish: if a previous swap
+    died between ``rename(dst, old)`` and ``rename(tmp, dst)``, the
+    ``.old`` directory holds the only complete copy of the data. Restore
+    it as the live directory instead of letting the next swap (or a
+    rewrite that reads the now-missing ``dst``) delete the last good
+    copy. No-op in every healthy state."""
+    old = dst + ".old"
+    if os.path.isdir(old) and not os.path.isdir(dst):
+        os.rename(old, dst)
+
+
 class Warehouse:
     """Filesystem-backed tiered warehouse over parquet.
 
@@ -87,6 +99,7 @@ class Warehouse:
         local filesystem; on an object store this becomes a manifest
         pointer flip.)"""
         old = dst + ".old"
+        _recover_crashed_swap(dst)
         if os.path.isdir(old):
             shutil.rmtree(old)
         if os.path.isdir(dst):
@@ -144,6 +157,7 @@ class Warehouse:
         row predicate itself cannot prune directories — the day bounds
         can), then the row-exact ``ts`` filter applies as usual."""
         path = self.tier_path(tier)
+        _recover_crashed_swap(path)
         if not self._has_data(path):
             return None
         # read via the root with basePath so partition columns survive,
@@ -418,17 +432,32 @@ class Warehouse:
         outlive their TTL by at most one day — the standard
         day-granularity retention trade, explicit here. Returns
         {tier: rows_deleted} (row counts come from parquet metadata of
-        the dropped directories only)."""
-        from datetime import datetime, timezone
+        the dropped directories only).
 
+        The cutoff day is derived through the same ``date_format`` the
+        writer stamps ``dt`` with — i.e. in the Spark session timezone,
+        not hardcoded UTC — so a non-UTC session never drops a day
+        directory before its TTL actually expires."""
+        # one 1-row job stamps every tier's cutoff day with the session tz
+        cutoff_row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.date_format(
+                        F.timestamp_seconds(F.lit(int(now_epoch - ttls[t]))),
+                        "yyyy-MM-dd",
+                    ).alias(t)
+                    for t in TIERS
+                ]
+            )
+            .collect()[0]
+        )
         deleted: dict[str, int] = {}
         for tier in TIERS:
             tp = self.tier_path(tier)
             if not os.path.isdir(tp):
                 continue
-            cutoff_day = datetime.fromtimestamp(
-                now_epoch - ttls[tier], tz=timezone.utc
-            ).strftime("%Y-%m-%d")
+            cutoff_day = cutoff_row[tier]
             doomed = []
             for mdir in os.listdir(tp):
                 mp = os.path.join(tp, mdir)

@@ -1,6 +1,7 @@
 """Warehouse layout / retention / catalog + API surface tests
 (reference §2.10 admin commands, S4/S7 sinks, RP TTL enforcement)."""
 
+import os
 from datetime import datetime, timezone
 
 import pytest
@@ -674,3 +675,96 @@ class TestBucketedWarehouse:
             assert "Exchange hashpartitioning" not in jplan
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestAdviceR4Fixes:
+    """Regression pins for the round-4 ADVICE items: relative-time upper
+    bound, session-timezone retention cutoff, and rename-aside crash
+    recovery."""
+
+    def test_relative_query_keeps_future_stamped_points(self, spark, tmp_path):
+        """The reference's relative-time shape is `time > now()-rel` with
+        NO upper bound (influxdb_v1.go:138). A bounds-aware reader must
+        not sneak in ts <= now: future-stamped points (clock skew,
+        replay) have to survive, and the same request must return the
+        same rows through a bounds-aware and a plain reader."""
+        w = Warehouse(spark, str(tmp_path / "w"), date_partition=True)
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-02T10:00:00+00:00", "7", 1.0),
+            # stamped one hour in the query's future
+            ("electricity_meter_power", "2024-01-02T13:00:00+00:00", "7", 2.0),
+        ]))
+        api = EcollectorApi(spark, w)
+        req = DataPointsRequest(
+            measurement_name="electricity_meter_power", relative_time="6h"
+        )
+        now = datetime(2024, 1, 2, 12, 0, 0, tzinfo=timezone.utc)
+        vals = sorted(
+            r["value"] for r in api.planner.plan(req, now=now).collect()
+        )
+        assert vals == [1.0, 2.0], "future-stamped point dropped by reader bound"
+
+    def test_dated_retention_cutoff_in_session_timezone(self, spark, tmp_path):
+        """dt= partitions are stamped via date_format (session timezone);
+        the TTL cutoff day must be derived the same way. With a UTC-8
+        session, a UTC-derived cutoff day would drop a directory up to
+        8 hours before its TTL expires (early data deletion)."""
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        try:
+            w = Warehouse(spark, str(tmp_path / "w"), date_partition=True)
+            # 2024-01-02T04:00 UTC == 2024-01-01T20:00 LA -> dt=2024-01-01
+            w.write_points(_mk_points(spark, [
+                ("electricity_meter_power", "2024-01-02T04:00:00+00:00", "7", 1.0),
+            ]))
+            mdir = os.path.join(
+                w.tier_path("gen_raw"), "measurement=electricity_meter_power"
+            )
+            assert sorted(os.listdir(mdir)) == ["dt=2024-01-01"]
+            # TTL 24h, now 2024-01-03T02:00 UTC: the point is 22h old ->
+            # NOT expired. UTC cutoff day would be 2024-01-02 and drop
+            # dt=2024-01-01 early; the session-tz cutoff day (2024-01-01
+            # 18:00 LA -> "2024-01-01") keeps it.
+            now = int(datetime(2024, 1, 3, 2, 0, 0, tzinfo=timezone.utc).timestamp())
+            deleted = w.enforce_retention(
+                now, ttl_overrides={t: 86400 for t in (
+                    "gen_raw", "gen_day", "gen_week", "gen_month",
+                    "gen_year", "gen_default")}
+            )
+            assert deleted == {}
+            assert [r["value_f"] for r in w.read_tier("gen_raw").collect()] == [1.0]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+    def test_read_tier_recovers_crashed_swap(self, spark, tmp_path):
+        """A crash between the two renames of the rename-aside swap
+        leaves `.old` as the only complete copy; the next read must
+        restore it, not let a later swap delete it."""
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+        ]))
+        tp = w.tier_path("gen_raw")
+        os.rename(tp, tp + ".old")  # simulate the crash window
+        df = w.read_tier("gen_raw")
+        assert df is not None and [r["value_f"] for r in df.collect()] == [100.0]
+        assert os.path.isdir(tp) and not os.path.isdir(tp + ".old")
+
+    def test_tail_rewrite_after_crashed_swap_keeps_history(self, spark, tmp_path):
+        """replace_points_from reads the live tier before swapping; after
+        a crashed swap the read-side recovery is what stops it from
+        rewriting the tier from the new tail only."""
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+            ("electricity_meter_power", "2024-01-02T00:00:10", "7", 200.0),
+        ]))
+        tp = w.tier_path("gen_raw")
+        os.rename(tp, tp + ".old")  # simulate the crash window
+        new_tail = _mk_points(spark, [
+            ("electricity_meter_power", "2024-01-02T00:00:10", "7", 250.0),
+        ])
+        from_epoch = int(datetime(2024, 1, 2, tzinfo=timezone.utc).timestamp())
+        w.replace_points_from(new_tail, "gen_raw", from_epoch)
+        vals = sorted(r["value_f"] for r in w.read_tier("gen_raw").collect())
+        assert vals == [100.0, 250.0], "pre-rewrite history lost after crash"

@@ -314,6 +314,48 @@ class TestSimilarity:
         n = spark.read.parquet(os.path.join(idx, "assignments")).count()
         assert n == 220
 
+    def test_ivf_append_tolerates_missing_stats_sidecar(
+        self, corpus_emb, tmp_path_factory
+    ):
+        """An index built before the running-stats sidecar existed (no
+        stats.json) must still accept appends — assignment only depends
+        on the live centroids — with the drift guard disabled, not a
+        bare FileNotFoundError (round-4 ADVICE)."""
+        import os
+
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfn") / "index")
+        similarity.ivf_build(
+            corpus_emb.where(F.col("vec_id") < 150), idx, n_centroids=8, n_iter=2
+        )
+        os.remove(os.path.join(idx, "stats.json"))  # legacy index shape
+        res = similarity.ivf_append(corpus_emb.where(F.col("vec_id") >= 150), idx)
+        assert res["appended"] == 50 and res["rebuilt"] is False
+        assert res["index_mean_d2"] is None  # no baseline, guard disabled
+        assert not os.path.exists(os.path.join(idx, "stats.json"))
+        n = spark.read.parquet(os.path.join(idx, "assignments")).count()
+        assert n == 200  # the batch landed in the inverted lists
+
+    def test_index_publish_recovers_crashed_swap(self, corpus_emb, tmp_path_factory):
+        """A crash between the publish renames leaves `.old` as the only
+        complete index; the next touch must restore it instead of
+        deleting the last good copy (round-4 ADVICE)."""
+        import os
+
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfc") / "index")
+        similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
+        os.rename(idx, idx + ".old")  # simulate the crash window
+        assert similarity.ivf_index_exists(idx)  # heals on touch
+        assert os.path.isdir(idx) and not os.path.isdir(idx + ".old")
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        got = similarity.ivf_topk_indexed(spark, idx, qv, k=5, nprobe=8).collect()
+        assert len(got) == 5
+
     def test_lsh_append_matches_full_rebuild(self, corpus_emb, tmp_path_factory):
         """Hyperplanes are data-independent, so build(150)+append(50)
         must be bit-identical to build(200) — the verdict's append ==

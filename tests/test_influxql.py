@@ -109,6 +109,28 @@ class TestParse:
         assert iq.retention_policy == "gen_year"
         assert iq.measurement == "electricity_meter_energy_sampled"
 
+    def test_order_by_desc_limit_offset(self):
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-1h GROUP BY time(10m) FILL(null) "
+            "ORDER BY time DESC LIMIT 5 OFFSET 2"
+        )
+        assert iq.order_desc is True
+        assert iq.limit == 5 and iq.offset == 2
+        assert iq.request.group_by_time == "10m"
+
+    def test_order_by_time_asc_default(self):
+        iq = parse_influxql('SELECT mean("value") FROM "m" ORDER BY time')
+        assert iq.order_desc is False and iq.limit is None and iq.offset is None
+        iq = parse_influxql('SELECT mean("value") FROM "m" ORDER BY time ASC LIMIT 3')
+        assert iq.order_desc is False and iq.limit == 3
+
+    def test_regex_from(self):
+        iq = parse_influxql('SELECT last("value") FROM /^electricity_meter_/')
+        assert iq.measurement_regex == "^electricity_meter_"
+        assert iq.retention_policy is None
+        assert iq.request.data_function == "last"
+
     def test_bare_non_value_field_rejected(self):
         with pytest.raises(InfluxQLParseError):
             parse_influxql("SELECT something FROM events")
@@ -144,6 +166,68 @@ class TestRunQuery:
         col = series[0]["columns"].index("mean_value")
         got = [v[col] for v in vals]
         assert got == [600.0]
+
+    def test_order_desc_limit_offset_end_to_end(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", f"2024-01-01T00:0{i}:00", "7", float(i))
+            for i in range(6)
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 0, 6, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT "value" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-10m ORDER BY time DESC LIMIT 3 OFFSET 1",
+            now=now,
+        )
+        s = rsp["val"]["Results"][0]["Series"][0]
+        col = s["columns"].index("value")
+        # desc order, skip the newest (5.0), take the next three
+        assert [v[col] for v in s["values"]] == [4.0, 3.0, 2.0]
+
+    def test_limit_applies_per_series_with_tag(self, spark, tmp_path):
+        """InfluxQL LIMIT bounds points per GROUP BY group — with a tag
+        group, each tag's series keeps its own newest N."""
+        w = Warehouse(spark, str(tmp_path / "w"))
+        rows = []
+        for dev in ("7", "8"):
+            for i in range(4):
+                rows.append(
+                    ("electricity_meter_power", f"2024-01-01T0{i}:00:00", dev,
+                     float(i) + (100.0 if dev == "8" else 0.0))
+                )
+        w.write_points(_mk_points(spark, rows))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 4, 0, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT last("value") FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-6h GROUP BY time(1h), dev_id FILL(none) "
+            "ORDER BY time DESC LIMIT 2",
+            now=now,
+        )
+        series = rsp["val"]["Results"][0]["Series"]
+        got = {s["tags"]["dev_id"]: [v[-1] for v in s["values"]] for s in series}
+        assert got == {"7": [3.0, 2.0], "8": [103.0, 102.0]}
+
+    def test_regex_from_expands_measurements(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:00", "7", 10.0),
+            ("electricity_meter_energy", "2024-01-01T00:02:00", "7", 20.0),
+            ("sensor_temp.evt.sensor.report", "2024-01-01T00:03:00", "7", 21.5),
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 0, 5, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT "value" FROM /^electricity_meter_/ WHERE time > now()-1h',
+            now=now,
+        )
+        series = rsp["val"]["Results"][0]["Series"]
+        names = sorted(s["name"] for s in series)
+        assert names == ["electricity_meter_energy", "electricity_meter_power"]
+        vals = {s["name"]: [v[-1] for v in s["values"]] for s in series}
+        assert vals["electricity_meter_power"] == [10.0]
+        assert vals["electricity_meter_energy"] == [20.0]
 
     def test_spark_sql_fallback_still_works(self, spark, tmp_path):
         w = Warehouse(spark, str(tmp_path / "w"))
@@ -226,9 +310,16 @@ def influxql_queries(draw):
         f'{tf}({fn}("value"))' if tf else f'{fn}("value")'
     )
     alias = draw(st.one_of(st.none(), _ident))
-    rp = draw(st.one_of(st.none(), st.sampled_from(sorted(_tiers.TIERS))))
-    meas = draw(_ident)
-    frm = f'"{rp}"."{meas}"' if rp else f'"{meas}"'
+    regex = None
+    if draw(st.booleans()) and draw(st.booleans()):
+        # FROM /re/ (quarter of cases): a safe always-compiling pattern
+        # (every `*` is preceded by a literal/dot, so no "multiple repeat")
+        regex = draw(st.from_regex(r"[a-z](?:[a-z0-9_.]\*?){0,6}", fullmatch=True))
+        rp, meas, frm = None, regex, f"/{regex}/"
+    else:
+        rp = draw(st.one_of(st.none(), st.sampled_from(sorted(_tiers.TIERS))))
+        meas = draw(_ident)
+        frm = f'"{rp}"."{meas}"' if rp else f'"{meas}"'
     conds, exp_where = [], {}
     if draw(st.booleans()):
         dur = draw(_durs)
@@ -241,6 +332,9 @@ def influxql_queries(draw):
     gb_tag = draw(st.one_of(st.none(), st.sampled_from(["dev_id", "location_id"])))
     group_items = ([f"time({gb_time})"] if gb_time else []) + ([gb_tag] if gb_tag else [])
     fill = draw(st.one_of(st.none(), _fills))
+    order = draw(st.one_of(st.none(), st.sampled_from(["", " ASC", " DESC"])))
+    limit = draw(st.one_of(st.none(), st.integers(1, 500)))
+    offset = draw(st.one_of(st.none(), st.integers(1, 100)))
     q = f"SELECT {sel}"
     if alias:
         q += f' AS "{alias}"'
@@ -251,10 +345,17 @@ def influxql_queries(draw):
         q += " GROUP BY " + ", ".join(group_items)
     if fill:
         q += f" FILL({fill})"
+    if order is not None:
+        q += " ORDER BY time" + order
+    if limit is not None:
+        q += f" LIMIT {limit}"
+    if offset is not None:
+        q += f" OFFSET {offset}"
     return q, {
         "fn": fn or "", "tf": tf, "alias": alias, "rp": rp, "meas": meas,
         "where": exp_where, "tags": tags, "gb_time": gb_time or "",
-        "gb_tag": gb_tag or "", "fill": fill or "",
+        "gb_tag": gb_tag or "", "fill": fill or "", "regex": regex,
+        "desc": order == " DESC", "limit": limit, "offset": offset,
     }
 
 
@@ -274,6 +375,10 @@ class TestParserProperty:
         assert r.group_by_time == exp["gb_time"]
         assert r.group_by_tag == exp["gb_tag"]
         assert r.fill_type == exp["fill"]
+        assert iq.measurement_regex == exp["regex"]
+        assert iq.order_desc == exp["desc"]
+        assert iq.limit == exp["limit"]
+        assert iq.offset == exp["offset"]
         expected_tags = dict(exp["tags"])
         devs = [expected_tags.pop("dev_id", None)]
         locs = [expected_tags.pop("location_id", None)]
@@ -344,6 +449,10 @@ class TestParseProperties:
             "",
             "   ",
             'SELECT a, b FROM "m"',  # multi-select not in the grammar
+            'SELECT mean("value") FROM "m" ORDER BY value',  # only time
+            'SELECT mean("value") FROM "m" ORDER BY time SIDEWAYS',
+            'SELECT mean("value") FROM /ab[/',  # regex does not compile
+            'SELECT mean("value") FROM "m" LIMIT many',
         ]
         for q in bad:
             with pytest.raises(InfluxQLParseError):
