@@ -99,8 +99,9 @@ _PRIORITY = [
     "ts_agg_first",
     "ts_filtered_devices_raw",
     "ts_transform_difference_max",
-    # sessions / sketches / streaming
-    "session_window_30m",
+    # sessions / sketches / streaming (r5: the session-window slot moved
+    # from the batch shape to the real streaming replay of the same op)
+    "streaming_session_replay",
     "sketch_kmv_distinct_users",
     "sketch_stratified_sample",
     "streaming_preagg_replay",
