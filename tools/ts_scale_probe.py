@@ -12,6 +12,7 @@ cardinality, not per-series density, is the axis that stresses the
 groupBy/state/gap-fill paths.
 
 Usage: python tools/ts_scale_probe.py [--runs N] [--out TS_SCALE.json]
+       python tools/ts_scale_probe.py --headline   (r5 verdict item #3)
 Writes per-query wall times at sf0.1 (1x), 10x, and 100x plus the
 time-growth exponent (1.0 = linear in rows) fitted over the TOP decade
 (10x -> 100x): the first run of this probe showed every ts query is
@@ -19,6 +20,14 @@ fixed-overhead-dominated below ~1M rows (10x of 100k rows was
 measurably no slower than 1x - plan/launch cost swamps data cost), so
 an exponent that includes the 1x point reads artificially flat. The
 1x and 10x medians are still reported for the floor they document.
+
+``--headline`` measures bench.py's FULL headline set instead (TPC-H,
+dedup, ANN, text, curation included): the fact tables each query reads
+(events, documents, embeddings, lineitem, orders) are replicated under
+offset key ranges, dimensions shared. Output HEADLINE_SCALE.json is
+folded into BENCH_DETAIL.json by the next bench.py run. Key-offset
+bands: doc_id steps by 100M per replica so dedup_corpus's derived
++10M/+20M ids never cross replica bands.
 """
 
 from __future__ import annotations
@@ -49,37 +58,147 @@ TS_QUERIES = [
 
 USER_OFFSET = 1_000_000
 EVENT_OFFSET = 1_000_000_000
+DOC_OFFSET = 100_000_000  # > dedup_corpus's +20M derived-id band
+VEC_OFFSET = 10_000_000
+ORDER_OFFSET = 1_000_000_000
 
 
-def build_scaled(spark, base_dir: str, out_dir: str, replicas: int) -> None:
-    """events x replicas under offset (user_id, event_id); dims symlinked."""
+def build_scaled(
+    spark,
+    base_dir: str,
+    out_dir: str,
+    replicas: int,
+    tables: set[str] | None = None,
+    salt_docs: bool = False,
+) -> None:
+    """Fact tables x replicas under offset key ranges; dims symlinked.
+
+    ``tables`` limits which facts are replicated (default: events only —
+    the original ts-family ladder); the headline set also replicates
+    documents (doc_id), embeddings (vec_id) and lineitem/orders
+    (orderkey, so per-order joins scale linearly while custkey/suppkey
+    still hit the shared dimensions)."""
     from pyspark.sql import functions as F
 
     from ecollector_spark.sources.events_adapter import read_events
 
+    tables = tables or {"events"}
     os.makedirs(out_dir, exist_ok=True)
+    replicated = {f"{t}.parquet" for t in tables}
     for name in os.listdir(base_dir):
         src, dst = os.path.join(base_dir, name), os.path.join(out_dir, name)
-        if name != "events.parquet" and not os.path.exists(dst):
+        if name not in replicated and not os.path.exists(dst):
             os.symlink(src, dst)
-    ev = read_events(spark, base_dir)
     rep = spark.range(replicas).select(F.col("id").alias("_k"))
-    scaled = ev.crossJoin(rep).select(
-        (F.col("event_id") + EVENT_OFFSET * F.col("_k")).alias("event_id"),
-        "ts",
-        (F.col("user_id") + USER_OFFSET * F.col("_k")).alias("user_id"),
-        "event_type",
-        "value",
-        "props",
-    )
-    scaled.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    def write(df, name):
+        dst = os.path.join(out_dir, name)
+        if os.path.isdir(dst) and os.path.isfile(os.path.join(dst, "_SUCCESS")):
+            return  # already replicated (ladder dirs are content-stable)
+        df.write.mode("overwrite").parquet(dst)
+
+    if "events" in tables:
+        ev = read_events(spark, base_dir)
+        write(
+            ev.crossJoin(rep).select(
+                (F.col("event_id") + EVENT_OFFSET * F.col("_k")).alias("event_id"),
+                "ts",
+                (F.col("user_id") + USER_OFFSET * F.col("_k")).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            ),
+            "events.parquet",
+        )
+    if "documents" in tables:
+        d = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+        text_col = (
+            # replica-salt EVERY token so replicas are NOT mutual
+            # near-duplicates: an unsalted replication makes every base
+            # doc an r-member true-duplicate group, so the CORRECT pair
+            # output (and any pair-emitting dedup's cost) grows as
+            # C(r,2) — an artifact of the ladder, not the operator
+            # (measured: 1x->10x input x10 but emitted pairs x312).
+            # A single prefix token is not enough (cross-replica Jaccard
+            # stays ~0.9); prefixing every token with "<k>z" drives
+            # cross-replica shingle overlap to zero while each replica
+            # keeps its own planted dup structure (dedup_corpus derives
+            # near/exact dups from the replica's text), so true pairs
+            # grow linearly — what a real 100x corpus does.
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.col("_k").cast("string"), F.lit("z$1")),
+            )
+            if salt_docs
+            else F.col("text")
+        ).alias("text")
+        write(
+            d.crossJoin(rep).select(
+                (F.col("doc_id") + DOC_OFFSET * F.col("_k")).alias("doc_id"),
+                text_col,
+                *[c for c in d.columns if c not in ("doc_id", "text")],
+            ),
+            "documents.parquet",
+        )
+    if "embeddings" in tables:
+        e = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+        write(
+            e.crossJoin(rep).select(
+                (F.col("vec_id") + VEC_OFFSET * F.col("_k")).alias("vec_id"),
+                *[c for c in e.columns if c != "vec_id"],
+            ),
+            "embeddings.parquet",
+        )
+    if "lineitem" in tables:
+        li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+        write(
+            li.crossJoin(rep).select(
+                (F.col("l_orderkey") + ORDER_OFFSET * F.col("_k")).alias("l_orderkey"),
+                *[c for c in li.columns if c != "l_orderkey"],
+            ),
+            "lineitem.parquet",
+        )
+    if "orders" in tables:
+        o = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
+        write(
+            o.crossJoin(rep).select(
+                (F.col("o_orderkey") + ORDER_OFFSET * F.col("_k")).alias("o_orderkey"),
+                *[c for c in o.columns if c != "o_orderkey"],
+            ),
+            "orders.parquet",
+        )
+
+
+#: headline queries that build an on-disk cache (ANN index) on first
+#: touch: run once untimed per ladder rung so the measurement is the
+#: steady-state probe, not the one-time build
+WARM_ONCE = {"ann_ivf_topk"}
+
+#: which fact tables the headline set reads (everything else symlinks)
+HEADLINE_TABLES = {"events", "documents", "embeddings", "lineitem", "orders"}
 
 
 def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "TS_SCALE.json"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--headline",
+        action="store_true",
+        help="measure bench.py's full headline set (r5 verdict #3) "
+        "instead of the ts family; writes HEADLINE_SCALE.json",
+    )
+    ap.add_argument("--queries", nargs="*", help="subset override")
+    ap.add_argument(
+        "--salt-docs",
+        action="store_true",
+        help="replica-salt document text (dedicated ladder dirs): measures "
+        "pair-emitting dedup operators without the C(replicas,2) "
+        "true-duplicate output blowup of plain replication",
+    )
     args = ap.parse_args()
 
     from ecollector_spark import driver_queries
@@ -89,33 +208,49 @@ def main() -> None:
     spark = get_spark("ts_scale")
     registry = {**driver_queries.QUERIES, **driver_queries.SHELVED_QUERIES}
 
+    if args.headline:
+        from bench import HEADLINE
+
+        names = [n for n in HEADLINE if n in registry]
+        tables, tag = HEADLINE_TABLES, "headline"
+        out_path = args.out or os.path.join(repo, "HEADLINE_SCALE.json")
+    else:
+        names, tables, tag = TS_QUERIES, {"events"}, "ts"
+        out_path = args.out or os.path.join(repo, "TS_SCALE.json")
+    if args.queries:
+        names = [n for n in args.queries if n in registry]
+    if args.salt_docs:
+        tag, tables = tag + "_salted", {"documents"}
+
     ladder = [("1x", args.base)]
     for mult in (10, 100):
-        d = os.path.join(tempfile.gettempdir(), f"ec_ts_scale_x{mult}")
-        build_scaled(spark, args.base, d, mult)
+        d = os.path.join(tempfile.gettempdir(), f"ec_{tag}_scale_x{mult}")
+        build_scaled(spark, args.base, d, mult, tables, salt_docs=args.salt_docs)
         ladder.append((f"{mult}x", d))
 
-    def rows(d):
-        return spark.read.parquet(os.path.join(d, "events.parquet")).count()
+    def rows(d, t="events"):
+        return spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
 
     counts = {label: rows(d) for label, d in ladder}
     out = {
         "note": (
-            "wall-time growth of the ts family across a 1x/10x/100x events "
-            "ladder (replicas of sf0.1 under offset series ids, shared "
-            "dims); exponent = log-slope over the TOP decade (10x -> 100x), "
-            "1.0 = linear — the 1x->10x step sits on the fixed plan/launch "
-            "overhead floor (~0.4-3 s regardless of data) and would read "
-            "artificially flat; medians of --runs runs, noop sink, local[32]"
+            f"wall-time growth of the {tag} query set across a 1x/10x/100x "
+            "fact-table ladder (replicas of sf0.1 under offset key ranges, "
+            "shared dims); exponent = log-slope over the TOP decade "
+            "(10x -> 100x), 1.0 = linear — the 1x->10x step sits on the "
+            "fixed plan/launch overhead floor and would read artificially "
+            "flat; medians of --runs runs, noop sink, local[32]"
         ),
         "rows": counts,
         "queries": {},
     }
     hi_ratio = counts["100x"] / counts["10x"]
-    for name in TS_QUERIES:
+    for name in names:
         fn = registry[name]
         rec = {}
         for label, d in ladder:
+            if name in WARM_ONCE:
+                fn(spark, d).write.format("noop").mode("overwrite").save()
             ts = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
@@ -130,9 +265,9 @@ def main() -> None:
         out["queries"][name] = rec
         print(name, rec, flush=True)
 
-    with open(args.out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote", args.out)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
