@@ -330,6 +330,42 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+@register(
+    "ann_lsh_indexed",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_SB_CTE},
+qb AS (SELECT * FROM b WHERE vec_id = 0),
+cand AS (SELECT DISTINCT a.vec_id FROM b a, qb y WHERE {_S_ANY_EQ}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
+FROM cand JOIN e USING (vec_id), q
+WHERE vec_id <> 0 AND round({_cos_sql('v', 'qv')}, 6) >= 0.2
+""",
+    shelved=True,  # same operator family as ann_lsh_bucketed (index twin)
+)
+def ann_lsh_indexed(spark, sf_dir):
+    """The MATERIALIZED LSH index path on the value signal (previously
+    pytest-only): build once into a (_t, _b)-partitioned bucket store,
+    compute the query's buckets driver-side, probe = pruned scan of the
+    query's (table, bucket) directories. Same hyperplanes, threshold and
+    output contract as the in-plan ``ann_lsh_bucketed`` — and the same
+    oracle, which is exactly the claim: materializing the index changes
+    the cost, never the rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _ivf_index_dir(sf_dir, n_centroids=0, n_iter=0) + "_lsh"
+    similarity.lsh_build(
+        emb, idx, bits=_SEARCH_BITS, tables=_SEARCH_TABLES, dim=_EMB_DIM
+    )
+    row = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    return similarity.lsh_search_indexed(
+        spark, idx, list(row["v"]), threshold=0.2, exclude_vec_id=0
+    )
+
+
 _L2SQ = (
     "list_reduce(list_transform(generate_series(1, len({a})), "
     "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"

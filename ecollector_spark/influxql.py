@@ -58,6 +58,8 @@ _STMT_RE = re.compile(
     (?:\s+ORDER\s+BY\s+(?P<order>[^;]*?))?
     (?:\s+LIMIT\s+(?P<limit>\d+))?
     (?:\s+OFFSET\s+(?P<offset>\d+))?
+    (?:\s+SLIMIT\s+(?P<slimit>\d+))?
+    (?:\s+SOFFSET\s+(?P<soffset>\d+))?
     \s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
@@ -113,6 +115,11 @@ class InfluxQLQuery:
     #: applies them per GROUP BY group), plain row bounds otherwise
     limit: int | None = None
     offset: int | None = None
+    #: SLIMIT / SOFFSET — bound the number of SERIES returned (tag
+    #: values, in tag order), InfluxDB's series-paging pair; only
+    #: meaningful with a tag group
+    slimit: int | None = None
+    soffset: int | None = None
 
 
 def _parse_from(frm: str) -> tuple[str | None, str]:
@@ -227,6 +234,8 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         order_desc = (om.group("dir") or "").upper() == "DESC"
     limit = int(m.group("limit")) if m.group("limit") else None
     offset = int(m.group("offset")) if m.group("offset") else None
+    slimit = int(m.group("slimit")) if m.group("slimit") else None
+    soffset = int(m.group("soffset")) if m.group("soffset") else None
 
     fill = (m.group("fill") or "").lower()
     req = DataPointsRequest(
@@ -251,23 +260,40 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         order_desc=order_desc,
         limit=limit,
         offset=offset,
+        slimit=slimit,
+        soffset=soffset,
     )
 
 
 def apply_result_shape(df, iq: InfluxQLQuery):
-    """Apply the post-planner result clauses: ORDER BY time DESC and
-    LIMIT/OFFSET. InfluxQL bounds points *per series* when the query
-    groups by a tag (its LIMIT applies to each GROUP BY group), so the
-    tagged shape uses a tag-partitioned row_number window — partitioned,
-    and over an already-bucketed result (bounded by the bucket spine),
-    never over raw points. The untagged shape is a plain
-    sort + offset + limit."""
+    """Apply the post-planner result clauses: ORDER BY time DESC,
+    LIMIT/OFFSET and SLIMIT/SOFFSET. InfluxQL bounds points *per series*
+    when the query groups by a tag (its LIMIT applies to each GROUP BY
+    group), so the tagged shape uses a tag-partitioned row_number window
+    — partitioned, and over an already-bucketed result (bounded by the
+    bucket spine), never over raw points. The untagged shape is a plain
+    sort + offset + limit. SLIMIT/SOFFSET page the SERIES dimension:
+    distinct tag values in tag order, applied as a broadcast semi-join
+    (the tag frame is tiny by construction)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if not (iq.order_desc or iq.limit is not None or iq.offset is not None):
+    if not (
+        iq.order_desc
+        or iq.limit is not None
+        or iq.offset is not None
+        or iq.slimit is not None
+        or iq.soffset is not None
+    ):
         return df
     tag = iq.request.group_by_tag
+    if tag and (iq.slimit is not None or iq.soffset is not None):
+        keep = df.select(tag).distinct().orderBy(tag)
+        if iq.soffset:
+            keep = keep.offset(iq.soffset)
+        if iq.slimit is not None:
+            keep = keep.limit(iq.slimit)
+        df = df.join(F.broadcast(keep), tag, "left_semi")
     order = F.col("time").desc() if iq.order_desc else F.col("time").asc()
     if iq.limit is None and iq.offset is None:
         return df.orderBy(*([tag] if tag else []), order)

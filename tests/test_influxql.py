@@ -125,6 +125,14 @@ class TestParse:
         iq = parse_influxql('SELECT mean("value") FROM "m" ORDER BY time ASC LIMIT 3')
         assert iq.order_desc is False and iq.limit == 3
 
+    def test_slimit_soffset(self):
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" GROUP BY time(1h), dev_id '
+            "ORDER BY time DESC LIMIT 4 SLIMIT 2 SOFFSET 1"
+        )
+        assert iq.limit == 4 and iq.slimit == 2 and iq.soffset == 1
+        assert iq.order_desc is True
+
     def test_regex_from(self):
         iq = parse_influxql('SELECT last("value") FROM /^electricity_meter_/')
         assert iq.measurement_regex == "^electricity_meter_"
@@ -208,6 +216,28 @@ class TestRunQuery:
         series = rsp["val"]["Results"][0]["Series"]
         got = {s["tags"]["dev_id"]: [v[-1] for v in s["values"]] for s in series}
         assert got == {"7": [3.0, 2.0], "8": [103.0, 102.0]}
+
+    def test_slimit_pages_series(self, spark, tmp_path):
+        """SLIMIT/SOFFSET bound the SERIES dimension: tag values in tag
+        order, independent of the per-series point bounds."""
+        w = Warehouse(spark, str(tmp_path / "w"))
+        rows = [
+            ("electricity_meter_power", f"2024-01-01T0{i}:00:00", dev, float(i))
+            for dev in ("5", "6", "7") for i in range(3)
+        ]
+        w.write_points(_mk_points(spark, rows))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 3, 0, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT last("value") FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-6h GROUP BY time(1h), dev_id FILL(none) "
+            "LIMIT 2 SLIMIT 1 SOFFSET 1",
+            now=now,
+        )
+        series = rsp["val"]["Results"][0]["Series"]
+        # series page: skip dev 5, keep one series (dev 6); points: first 2
+        assert [s["tags"]["dev_id"] for s in series] == ["6"]
+        assert [v[-1] for v in series[0]["values"]] == [0.0, 1.0]
 
     def test_regex_from_expands_measurements(self, spark, tmp_path):
         w = Warehouse(spark, str(tmp_path / "w"))
@@ -335,6 +365,8 @@ def influxql_queries(draw):
     order = draw(st.one_of(st.none(), st.sampled_from(["", " ASC", " DESC"])))
     limit = draw(st.one_of(st.none(), st.integers(1, 500)))
     offset = draw(st.one_of(st.none(), st.integers(1, 100)))
+    slimit = draw(st.one_of(st.none(), st.integers(1, 20)))
+    soffset = draw(st.one_of(st.none(), st.integers(1, 20)))
     q = f"SELECT {sel}"
     if alias:
         q += f' AS "{alias}"'
@@ -351,11 +383,16 @@ def influxql_queries(draw):
         q += f" LIMIT {limit}"
     if offset is not None:
         q += f" OFFSET {offset}"
+    if slimit is not None:
+        q += f" SLIMIT {slimit}"
+    if soffset is not None:
+        q += f" SOFFSET {soffset}"
     return q, {
         "fn": fn or "", "tf": tf, "alias": alias, "rp": rp, "meas": meas,
         "where": exp_where, "tags": tags, "gb_time": gb_time or "",
         "gb_tag": gb_tag or "", "fill": fill or "", "regex": regex,
         "desc": order == " DESC", "limit": limit, "offset": offset,
+        "slimit": slimit, "soffset": soffset,
     }
 
 
@@ -379,6 +416,8 @@ class TestParserProperty:
         assert iq.order_desc == exp["desc"]
         assert iq.limit == exp["limit"]
         assert iq.offset == exp["offset"]
+        assert iq.slimit == exp["slimit"]
+        assert iq.soffset == exp["soffset"]
         expected_tags = dict(exp["tags"])
         devs = [expected_tags.pop("dev_id", None)]
         locs = [expected_tags.pop("location_id", None)]
