@@ -813,3 +813,195 @@ def tpch_q9_profit_by_nation(spark, sf_dir):
         )
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q19 (adapted): disjunctive join predicates — the synthetic schema has
+# no p_container/l_shipmode, so the OR-of-ANDs mixes brand, size and
+# quantity bands; the SHAPE under test is the disjunction evaluated
+# inside the join (one pass, no union of three joins)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q19_disjunctive_predicates",
+    """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+    shelved=True,
+)
+def tpch_q19_disjunctive_predicates(spark, sf_dir):
+    """Q19 shape: a disjunction of conjunctive bands evaluated as ONE
+    hash join + residual filter (never three joins unioned). Part is
+    pre-filtered to the union of brand/size bands before broadcasting,
+    so the build side ships only plausible rows; the per-branch quantity
+    bands stay as the residual join predicate."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li, p = t["lineitem"], t["part"]
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    pre = F.broadcast(
+        p.where(
+            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25))
+            | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35))
+        )
+    )
+    j = li.join(pre, F.col("p_partkey") == F.col("l_partkey")).where(b1 | b2 | b3)
+    return j.agg(
+        _dbl(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        ).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted): correlated-aggregate semi-join chain — no partsupp, so
+# "excess stock" becomes suppliers whose 1997 shipped quantity of
+# widget parts exceeds half their all-time average yearly quantity
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q20_part_promotion",
+    """
+WITH widget_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+shipped AS (
+  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty97
+  FROM lineitem JOIN widget_parts ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey),
+alltime AS (
+  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+  FROM lineitem JOIN widget_parts ON p_partkey = l_partkey
+  GROUP BY l_suppkey)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT shipped.l_suppkey FROM shipped JOIN alltime ON shipped.l_suppkey = alltime.l_suppkey
+  WHERE qty97 > 0.5 * avg_yearly)
+ORDER BY s_name
+""",
+    shelved=True,
+)
+def tpch_q20_part_promotion(spark, sf_dir):
+    """Q20 shape: a semi-join driven by a correlated aggregate threshold
+    (supplier's recent shipments vs their own historical average) — the
+    nested-subquery chain decorrelated into two aggregates joined on the
+    correlation key, then a broadcast semi-join into the dimension."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    widgets = F.broadcast(
+        t["part"].where(F.col("p_name").like("%widget%")).select("p_partkey")
+    )
+    wli = t["lineitem"].join(widgets, F.col("p_partkey") == F.col("l_partkey"))
+    shipped = (
+        wli.where(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(_dbl(F.sum(_dec(F.col("l_quantity")))).alias("qty97"))
+    )
+    alltime = wli.groupBy("l_suppkey").agg(
+        (_dbl(F.sum(_dec(F.col("l_quantity")))) / 7.0).alias("avg_yearly")
+    )
+    keys = (
+        shipped.join(alltime, "l_suppkey")
+        .where(F.col("qty97") > 0.5 * F.col("avg_yearly"))
+        .select("l_suppkey")
+    )
+    out = (
+        t["supplier"]
+        .join(F.broadcast(keys), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted): EXISTS + NOT EXISTS double correlation on the same fact
+# table — no l_receiptdate/l_commitdate, so "late" = shipped more than
+# 60 days after the order date; the shape is: multi-supplier order,
+# this supplier late, NO other supplier in the order also late
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, count(*) AS numwait
+FROM li l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    shelved=True,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape: the hardest correlation pattern in the suite — an
+    EXISTS and a NOT EXISTS against the same fact table, correlated on
+    the join key. Decorrelated into per-order aggregates (supplier
+    count, late-supplier count) computed in ONE pass over the fact,
+    then a broadcast join back — no per-row subquery execution, and the
+    two EXISTS become two columns of the same groupBy."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    cand = (
+        li.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        # another supplier exists; no OTHER supplier is late (if this
+        # supplier is the only late one, n_late_supp == 1)
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    out = (
+        cand.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+    return out
