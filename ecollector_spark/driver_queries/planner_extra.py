@@ -134,3 +134,42 @@ def influxql_desc_limit(spark, sf_dir):
         "location_id",
         F.col("value").cast("double").alias("value"),
     )
+
+
+@register(
+    "influxql_tag_regex",
+    f"""{_DP},
+src AS ({_src_sql('click')}),
+f AS (SELECT * FROM src
+      WHERE regexp_matches(location_id, '^[12]$') AND dev_id <> '3'),
+agg AS (SELECT {_bucket(86400)} AS time, location_id,
+               round(avg(value_f), 3) AS value
+        FROM f GROUP BY 1, 2)
+SELECT time, location_id, value FROM agg ORDER BY time, location_id
+""",
+    shelved=True,
+)
+def influxql_tag_regex(spark, sf_dir):
+    """The r5 hand-written WHERE surface on the value signal: negated
+    (``!=``) and regex (``=~ /re/``) tag predicates parsed from a raw
+    InfluxQL string and pushed through the structured planner as
+    ``<>`` / ``rlike`` filters. [public InfluxDB docs surface — beyond
+    the equality-only strings the reference generates,
+    influxdb_v1.go:145-156]"""
+    from ecollector_spark.influxql import parse_influxql
+
+    q = (
+        'SELECT mean("value") FROM "click" '
+        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}' "
+        "AND \"location_id\"=~/^[12]$/ AND \"dev_id\"!='3' "
+        "GROUP BY time(1d), location_id FILL(none)"
+    )
+    iq = parse_influxql(q)
+    from ecollector_spark.driver_queries.core import _planner
+
+    df = _planner(spark, sf_dir).plan(iq.request, now=NOW)
+    return df.select(
+        F.col("time").cast("long").alias("time"),
+        "location_id",
+        F.round("value", 3).alias("value"),
+    )

@@ -6,10 +6,12 @@ raw-query surface is Spark SQL, but a migrating user's saved queries
 follow a small documented grammar:
 
     SELECT sel [AS "alias"] FROM [["db".]"rp".]"measurement" | /regex/
-      [WHERE time > now()-10m [AND "tag"='v' ...]]
+      [WHERE time > now()-10m [AND "tag"='v' | "tag"!='v'
+                               | "tag"=~/re/ | "tag"!~/re/ ...]]
       [GROUP BY time(30m)[, "tag"] | "tag"]
       [FILL(null|previous|0|none|linear)]
       [ORDER BY time [ASC|DESC]] [LIMIT n] [OFFSET n]
+      [SLIMIT n] [SOFFSET n]
 
     where ``sel`` is any selector the reference itself generates
     (influxdb_v1.go:159-188): a bare field (``"value"`` — raw points),
@@ -25,8 +27,11 @@ not a string rewrite). Anything outside the recognized grammar raises
 Beyond the shapes the reference generates itself, the hand-written
 surface from InfluxDB's public docs is accepted too (a drop-in user's
 ad-hoc queries): ``ORDER BY time DESC``, ``LIMIT``/``OFFSET`` (InfluxQL
-semantics: per-series when the query groups by a tag), and
-regex-measurement ``FROM /re/`` (expanded against the catalog by
+semantics: per-series when the query groups by a tag),
+``SLIMIT``/``SOFFSET`` (series paging), negated/regex tag predicates
+(``!=``, ``=~ /re/``, ``!~ /re/`` — regexes run as Java regex via
+``rlike``, a superset of InfluxDB's RE2 for the patterns users write),
+and regex-measurement ``FROM /re/`` (expanded against the catalog by
 ``run_query`` — one result series per matching measurement).
 """
 
@@ -68,7 +73,12 @@ _ORDER_RE = re.compile(r'^"?time"?(?:\s+(?P<dir>ASC|DESC))?$', re.IGNORECASE)
 
 _TIME_RE = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*(?P<rhs>.+)$", re.IGNORECASE)
 _NOW_RE = re.compile(r"^now\(\)\s*-\s*(?P<dur>\w+)$", re.IGNORECASE)
-_TAG_RE = re.compile(r"""^"?(?P<key>[\w.]+)"?\s*=\s*'(?P<val>[^']*)'$""")
+_TAG_RE = re.compile(
+    r"""^"?(?P<key>[\w.]+)"?\s*(?P<op>!=|<>|=)\s*'(?P<val>[^']*)'$"""
+)
+_TAG_REGEX_RE = re.compile(
+    r"""^"?(?P<key>[\w.]+)"?\s*(?P<op>=~|!~)\s*/(?P<val>(?:[^/\\]|\\.)+)/$"""
+)
 _GROUP_TIME_RE = re.compile(r"^time\(\s*(?P<dur>\w+)\s*\)$", re.IGNORECASE)
 
 
@@ -199,7 +209,9 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         tg = _TAG_RE.match(cond)
         if tg:
             key, val = tg.group("key"), tg.group("val")
-            if key == "dev_id":
+            if tg.group("op") in ("!=", "<>"):
+                flt.neg_tags[key] = val
+            elif key == "dev_id":
                 flt.devices.append(val)
             elif key == "location_id":
                 flt.locations.append(val)
@@ -207,6 +219,18 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                 flt.dev_types.append(val)
             else:
                 flt.tags[key] = val
+            continue
+        tr = _TAG_REGEX_RE.match(cond)
+        if tr:
+            key, val = tr.group("key"), tr.group("val")
+            try:
+                re.compile(val)
+            except re.error as e:
+                raise InfluxQLParseError(f"bad tag regex: {e}") from None
+            if tr.group("op") == "=~":
+                flt.regex_tags[key] = val
+            else:
+                flt.neg_regex_tags[key] = val
             continue
         raise InfluxQLParseError(f"unsupported WHERE condition: {cond!r}")
 

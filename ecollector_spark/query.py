@@ -46,6 +46,12 @@ class DataPointsFilter:
     devices: list = field(default_factory=list)
     locations: list = field(default_factory=list)
     dev_types: list = field(default_factory=list)
+    #: hand-written InfluxQL surface beyond the reference's generated
+    #: equality predicates (public InfluxDB docs): ``tag != 'v'`` and
+    #: ``tag =~ /re/`` / ``tag !~ /re/``
+    neg_tags: dict = field(default_factory=dict)
+    regex_tags: dict = field(default_factory=dict)
+    neg_regex_tags: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -160,6 +166,15 @@ class QueryPlanner:
         flt = req.filters
         for k, v in flt.tags.items():
             df = df.where(F.col(k) == v)
+        for k, v in flt.neg_tags.items():
+            # InfluxDB's != matches series where the tag exists and
+            # differs; NULL (tag absent) does not match — Spark's <>
+            # null-propagation already gives that semantics
+            df = df.where(F.col(k) != v)
+        for k, v in flt.regex_tags.items():
+            df = df.where(F.col(k).rlike(v))
+        for k, v in flt.neg_regex_tags.items():
+            df = df.where(~F.col(k).rlike(v))
         if flt.devices:
             df = df.where(F.col("dev_id").isin(flt.devices))
         if flt.locations:

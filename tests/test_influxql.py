@@ -125,6 +125,18 @@ class TestParse:
         iq = parse_influxql('SELECT mean("value") FROM "m" ORDER BY time ASC LIMIT 3')
         assert iq.order_desc is False and iq.limit == 3
 
+    def test_neg_and_regex_tag_predicates(self):
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" WHERE "dir"!=\'export\' '
+            "AND \"location_id\"=~/^1[0-9]$/ AND \"dev_type\"!~/meter/ "
+            "AND \"domain\"='site'"
+        )
+        f = iq.request.filters
+        assert f.neg_tags == {"dir": "export"}
+        assert f.regex_tags == {"location_id": "^1[0-9]$"}
+        assert f.neg_regex_tags == {"dev_type": "meter"}
+        assert f.tags == {"domain": "site"}
+
     def test_slimit_soffset(self):
         iq = parse_influxql(
             'SELECT mean("value") FROM "m" GROUP BY time(1h), dev_id '
@@ -258,6 +270,22 @@ class TestRunQuery:
         vals = {s["name"]: [v[-1] for v in s["values"]] for s in series}
         assert vals["electricity_meter_power"] == [10.0]
         assert vals["electricity_meter_energy"] == [20.0]
+
+    def test_neg_tag_predicate_end_to_end(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:00", "7", 10.0),
+            ("electricity_meter_power", "2024-01-01T00:02:00", "8", 20.0),
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 0, 5, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT "value" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-1h AND \"dev_id\"!='7'",
+            now=now,
+        )
+        s = rsp["val"]["Results"][0]["Series"][0]
+        assert [v[-1] for v in s["values"]] == [20.0]
 
     def test_spark_sql_fallback_still_works(self, spark, tmp_path):
         w = Warehouse(spark, str(tmp_path / "w"))
@@ -492,6 +520,8 @@ class TestParseProperties:
             'SELECT mean("value") FROM "m" ORDER BY time SIDEWAYS',
             'SELECT mean("value") FROM /ab[/',  # regex does not compile
             'SELECT mean("value") FROM "m" LIMIT many',
+            "SELECT mean(\"value\") FROM \"m\" WHERE \"t\"=~/ab[/",  # bad tag regex
+            "SELECT mean(\"value\") FROM \"m\" WHERE \"t\">='x'",  # no tag ranges
         ]
         for q in bad:
             with pytest.raises(InfluxQLParseError):
