@@ -91,6 +91,22 @@ def main() -> None:
 
     print("\nmeasurements:", wh.measurements())
 
+    # -- 5b. InfluxQL: a reference user's saved queries run verbatim —
+    # including the hand-written public-docs surface (ORDER BY time DESC,
+    # LIMIT/OFFSET, SLIMIT, regex FROM, !=/=~ tag predicates); all of it
+    # compiles onto the structured planner, not a string rewrite
+    import datetime as _dt
+
+    now = _dt.datetime(2024, 1, 1, 1, tzinfo=_dt.timezone.utc)
+    influx_report = api.run_query(
+        'SELECT mean("value") FROM /^electricity_meter_/ '
+        "WHERE time > now()-1d AND \"dev_id\"!='999' "
+        "GROUP BY time(10m) FILL(none) ORDER BY time DESC LIMIT 3",
+        now=now,
+    )
+    print("\nInfluxQL (regex FROM + DESC LIMIT):")
+    print(json.dumps(influx_report, indent=2, default=str)[:600])
+
     # -- 6. the MQTT command bus (what a reference client actually speaks):
     # feed recorded FIMP command envelopes through the dispatcher; with a
     # broker, `CommandDispatcher(api).connect(host).loop_start()` instead

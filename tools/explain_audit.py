@@ -85,6 +85,21 @@ CHECKS = {
     "_raw_transform": ["!Union", "Generate explode"],
     # q16: anti-join + dim join broadcast; distinct agg has partial phase
     "tpch_q16_parts_supplier_counts": ["BroadcastHashJoin", "LeftAnti", "partial_"],
+    # q19 (adapted): OR-of-ANDs evaluated inside ONE join — no union of
+    # per-branch joins, part pre-filtered and broadcast
+    "tpch_q19_disjunctive_predicates": [
+        "BroadcastHashJoin",
+        "!Union",
+        "partial_sum",
+    ],
+    # q20 (adapted): correlated-aggregate threshold feeds a broadcast
+    # LEFT SEMI into the supplier dim — never a row-per-key subquery
+    "tpch_q20_part_promotion": ["BroadcastHashJoin.*LeftSemi|LeftSemi", "partial_sum"],
+    # q21 (adapted): the EXISTS/NOT-EXISTS pair is decorrelated into ONE
+    # per-order aggregate pass (two count(distinct) columns), so the fact
+    # table is scanned at most twice (base + per-order agg), with partial
+    # phases — and never a cartesian correlation
+    "tpch_q21_waiting_suppliers": ["partial_", "!CartesianProduct", "TakeOrderedAndProject"],
     # q18: lineitem pre-aggregates map-side before any join; final top-k
     "tpch_q18_large_volume_customers": ["partial_sum", "TakeOrderedAndProject"],
     # gap fill: the spine-sized window must be chunk-partitioned ([_ck]);
