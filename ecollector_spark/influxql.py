@@ -86,6 +86,29 @@ class InfluxQLParseError(ValueError):
     """The string is not one of the supported InfluxQL shapes."""
 
 
+_EPOCH_RE = re.compile(r"^(?P<n>\d{6,19})(?P<unit>ns|u|µ|ms|s)?$")
+_EPOCH_DIV = {"ns": 10**9, "u": 10**6, "µ": 10**6, "ms": 10**3, "s": 1}
+
+
+def _time_literal_to_rfc3339(lit: str) -> str:
+    """Absolute time literals: RFC3339 strings pass through; InfluxQL's
+    epoch forms — a bare integer (nanoseconds, the InfluxQL default
+    precision) or an integer with an s/ms/u/ns suffix — convert to the
+    RFC3339 string the request struct carries. Sub-second remainders are
+    floored (the planner's row predicate is epoch-second anyway)."""
+    from datetime import datetime, timezone
+
+    m = _EPOCH_RE.match(lit)
+    if not m:
+        return lit  # RFC3339 (or invalid: the planner's parser reports it)
+    unit = m.group("unit") or "ns"
+    secs = int(m.group("n")) // _EPOCH_DIV[unit]
+    return (
+        datetime.fromtimestamp(secs, tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
+
+
 _SHOW_RE = re.compile(
     r"""^\s*SHOW\s+
     (?P<what>MEASUREMENTS|RETENTION\s+POLICIES|DATABASES)
@@ -200,7 +223,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                     raise InfluxQLParseError(f"unsupported time bound: {cond!r}")
                 relative_time = now_m.group("dur")
             else:
-                lit = rhs.strip("'\"")
+                lit = _time_literal_to_rfc3339(rhs.strip("'\""))
                 if tm.group("op") in (">", ">="):
                     from_time = lit
                 else:

@@ -125,6 +125,20 @@ class TestParse:
         iq = parse_influxql('SELECT mean("value") FROM "m" ORDER BY time ASC LIMIT 3')
         assert iq.order_desc is False and iq.limit == 3
 
+    def test_epoch_time_literals(self):
+        """InfluxQL epoch time literals: bare integers are nanoseconds
+        (the InfluxQL default precision); s/ms/u/ns suffixes convert."""
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" '
+            "WHERE time >= 1704067200s AND time <= 1706745600000ms"
+        )
+        assert iq.request.from_time == "2024-01-01T00:00:00Z"
+        assert iq.request.to_time == "2024-02-01T00:00:00Z"
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" WHERE time >= 1704067200000000000'
+        )
+        assert iq.request.from_time == "2024-01-01T00:00:00Z"
+
     def test_neg_and_regex_tag_predicates(self):
         iq = parse_influxql(
             'SELECT mean("value") FROM "m" WHERE "dir"!=\'export\' '
