@@ -6,8 +6,9 @@ raw-query surface is Spark SQL, but a migrating user's saved queries
 follow a small documented grammar:
 
     SELECT sel [AS "alias"] FROM [["db".]"rp".]"measurement" | /regex/
-      [WHERE time > now()-10m [AND "tag"='v' | "tag"!='v'
-                               | "tag"=~/re/ | "tag"!~/re/ ...]]
+      [WHERE time > now()-10m [AND time < now()-1m]
+             [AND "tag"='v' | "tag"!='v'
+              | "tag"=~/re/ | "tag"!~/re/ ...]]
       [GROUP BY time(30m)[, "tag"] | "tag"]
       [FILL(null|previous|0|none|linear)]
       [ORDER BY time [ASC|DESC]] [LIMIT n] [OFFSET n]
@@ -209,7 +210,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         rp, measurement = _parse_from(frm)
 
     flt = DataPointsFilter()
-    relative_time = from_time = to_time = ""
+    relative_time = relative_to_time = from_time = to_time = ""
     for cond in re.split(r"\s+AND\s+", m.group("where") or "", flags=re.IGNORECASE):
         cond = cond.strip()
         if not cond:
@@ -219,9 +220,13 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             rhs = tm.group("rhs").strip()
             now_m = _NOW_RE.match(rhs)
             if now_m:
-                if tm.group("op") not in (">", ">="):
-                    raise InfluxQLParseError(f"unsupported time bound: {cond!r}")
-                relative_time = now_m.group("dur")
+                if tm.group("op") in (">", ">="):
+                    relative_time = now_m.group("dur")
+                else:
+                    # windowed relative range: time < now()-B (public
+                    # InfluxDB docs; the reference only generates the
+                    # open-ended form)
+                    relative_to_time = now_m.group("dur")
             else:
                 lit = _time_literal_to_rfc3339(rhs.strip("'\""))
                 if tm.group("op") in (">", ">="):
@@ -291,6 +296,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         data_function=fn,
         transform_function=tf,
         relative_time=relative_time,
+        relative_to_time=relative_to_time,
         from_time=from_time,
         to_time=to_time,
         group_by_time=group_by_time,

@@ -63,6 +63,10 @@ class DataPointsRequest:
     data_function: str = ""
     transform_function: str = ""
     relative_time: str = ""
+    #: optional relative UPPER bound (hand-written InfluxQL windowed
+    #: relative ranges: ``time > now()-24h AND time < now()-1h``); the
+    #: reference struct has no such field, so "" keeps full parity
+    relative_to_time: str = ""
     from_time: str = ""  # RFC3339
     to_time: str = ""  # RFC3339
     group_by_time: str = ""  # e.g. "30m"
@@ -144,15 +148,33 @@ class QueryPlanner:
                 data_function=data_function,
                 profile=self.profile,
             )
+        # windowed relative range (time > now()-A AND time < now()-B):
+        # resolved against the same `now`; exclusive upper, like InfluxQL
+        rel_to_epoch = (
+            now_epoch - parse_relative_duration(req.relative_to_time)
+            if req.relative_to_time
+            else None
+        )
+        if rel_to_epoch is not None:
+            # the fill spine ends where the data can: the last bucket
+            # starting strictly before the relative upper bound
+            to_epoch = rel_to_epoch - 1
 
         if self._reader_takes_bounds:
             # Only pass bounds the planner's own row predicate applies:
-            # the relative-time shape is `time > now()-rel` with NO upper
-            # bound (influxdb_v1.go:138), so a bounds-aware reader must
-            # not add ts <= now — future-stamped points (clock skew,
-            # replay) would silently differ between reader kinds.
-            upper = to_epoch if (req.from_time and req.to_time) else None
-            df = self.tier_reader(choice.tier, from_epoch, upper)
+            # the plain relative-time shape is `time > now()-rel` with NO
+            # upper bound (influxdb_v1.go:138), so a bounds-aware reader
+            # must not add ts <= now — future-stamped points (clock skew,
+            # replay) would silently differ between reader kinds. A
+            # windowed relative range DOES have an upper row predicate,
+            # so its bound flows through for day pruning.
+            if req.from_time and req.to_time:
+                lower, upper = from_epoch, to_epoch
+            else:
+                # a lone `time < now()-B` has no lower row predicate
+                lower = from_epoch if (req.relative_time or rel_to_epoch is None) else None
+                upper = rel_to_epoch  # None for the open-ended shape
+            df = self.tier_reader(choice.tier, lower, upper)
         else:
             df = self.tier_reader(choice.tier)
         df = df.where(F.col("measurement") == req.measurement_name)
@@ -160,7 +182,10 @@ class QueryPlanner:
         if req.from_time and req.to_time:
             df = df.where((ts_epoch >= from_epoch) & (ts_epoch <= to_epoch))
         else:
-            df = df.where(ts_epoch > from_epoch)
+            if req.relative_time or rel_to_epoch is None:
+                df = df.where(ts_epoch > from_epoch)
+            if rel_to_epoch is not None:
+                df = df.where(ts_epoch < rel_to_epoch)
 
         # tag predicates (influxdb_v1.go:145-156; list bug fixed to IN)
         flt = req.filters

@@ -125,6 +125,17 @@ class TestParse:
         iq = parse_influxql('SELECT mean("value") FROM "m" ORDER BY time ASC LIMIT 3')
         assert iq.order_desc is False and iq.limit == 3
 
+    def test_windowed_relative_range(self):
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" '
+            "WHERE time > now()-24h AND time < now()-1h"
+        )
+        assert iq.request.relative_time == "24h"
+        assert iq.request.relative_to_time == "1h"
+        # lone upper bound
+        iq = parse_influxql('SELECT mean("value") FROM "m" WHERE time < now()-1h')
+        assert iq.request.relative_time == "" and iq.request.relative_to_time == "1h"
+
     def test_epoch_time_literals(self):
         """InfluxQL epoch time literals: bare integers are nanoseconds
         (the InfluxQL default precision); s/ms/u/ns suffixes convert."""
@@ -284,6 +295,26 @@ class TestRunQuery:
         vals = {s["name"]: [v[-1] for v in s["values"]] for s in series}
         assert vals["electricity_meter_power"] == [10.0]
         assert vals["electricity_meter_energy"] == [20.0]
+
+    def test_windowed_relative_range_end_to_end(self, spark, tmp_path):
+        """time > now()-3h AND time < now()-1h keeps only the middle
+        point: the lower bound is strict-greater, the upper strict-less
+        (InfluxQL semantics), both resolved against the same now."""
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:30:00", "7", 1.0),  # too old
+            ("electricity_meter_power", "2024-01-01T02:00:00", "7", 2.0),  # in window
+            ("electricity_meter_power", "2024-01-01T03:30:00", "7", 3.0),  # too new
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 4, 0, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT "value" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-3h AND time < now()-1h",
+            now=now,
+        )
+        s = rsp["val"]["Results"][0]["Series"][0]
+        assert [v[-1] for v in s["values"]] == [2.0]
 
     def test_neg_tag_predicate_end_to_end(self, spark, tmp_path):
         w = Warehouse(spark, str(tmp_path / "w"))
