@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ecollector_spark.functions.timeutil import parse_relative_duration, time_bucket
 from ecollector_spark.gapfill import gap_fill
-from ecollector_spark.query import DataPointsRequest, QueryPlanner
+from ecollector_spark.query import DataPointsRequest, QueryPlanner, split_group_tags
 from ecollector_spark.schema import DATAPOINT_SCHEMA
 from ecollector_spark.tiers import CQ_STAGES, TIER_TTL_SECONDS
 from ecollector_spark.warehouse import Warehouse
@@ -159,7 +159,7 @@ class EcollectorApi:
                     ]
                 else:
                     names = [iq.measurement]
-                tags = [iq.request.group_by_tag] if iq.request.group_by_tag else []
+                tags = split_group_tags(iq.request.group_by_tag)
                 series = []
                 for name in names:
                     req = _dc_replace(iq.request, measurement_name=name)
@@ -189,7 +189,7 @@ class EcollectorApi:
             series = to_series_shape(
                 df,
                 req.measurement_name,
-                [req.group_by_tag] if req.group_by_tag else [],
+                split_group_tags(req.group_by_tag),
             )
             return _report(series)
         except Exception as e:  # noqa: BLE001
@@ -222,7 +222,7 @@ class EcollectorApi:
                 & (ts_epoch >= from_e)
                 & (ts_epoch <= to_e)
             )
-            groups = [group_by_tag] if group_by_tag else []
+            groups = split_group_tags(group_by_tag)
             agg = base.groupBy(time_bucket("ts", step).alias("time"), *groups).agg(
                 F.sum("value_f").alias("value")
             )

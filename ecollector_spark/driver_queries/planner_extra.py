@@ -173,3 +173,40 @@ def influxql_tag_regex(spark, sf_dir):
         "location_id",
         F.round("value", 3).alias("value"),
     )
+
+
+@register(
+    "influxql_two_tag_group",
+    f"""{_DP},
+src AS ({_src_sql('view')}),
+agg AS (SELECT {_bucket(86400)} AS time, location_id, dev_id,
+               arg_max(value_f, ts) AS value
+        FROM src GROUP BY 1, 2, 3)
+SELECT time, location_id, dev_id, value FROM agg
+ORDER BY time, location_id, dev_id
+""",
+    shelved=True,
+)
+def influxql_two_tag_group(spark, sf_dir):
+    """Multi-tag GROUP BY on the value signal: ``GROUP BY time(1d),
+    location_id, dev_id`` parsed from a raw InfluxQL string — the
+    comma-joined tag list rides the single ``group_by_tag`` field
+    (reference-struct parity, types.go:8-21) and fans out through
+    split_group_tags in the planner, serializer, and result-shape
+    clauses. last() keeps the query on the raw tier."""
+    from ecollector_spark.influxql import parse_influxql
+    from ecollector_spark.driver_queries.core import _planner
+
+    q = (
+        'SELECT last("value") FROM "view" '
+        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}' "
+        "GROUP BY time(1d), location_id, dev_id FILL(none)"
+    )
+    iq = parse_influxql(q)
+    df = _planner(spark, sf_dir).plan(iq.request, now=NOW)
+    return df.select(
+        F.col("time").cast("long").alias("time"),
+        "location_id",
+        "dev_id",
+        F.col("value").cast("double").alias("value"),
+    )

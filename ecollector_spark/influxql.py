@@ -262,7 +262,8 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             continue
         raise InfluxQLParseError(f"unsupported WHERE condition: {cond!r}")
 
-    group_by_time = group_by_tag = ""
+    group_by_time = ""
+    group_tags: list[str] = []
     group = (m.group("group") or "").strip()
     if group:
         for item in group.split(","):
@@ -271,11 +272,12 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             if gt:
                 group_by_time = gt.group("dur")
             elif re.fullmatch(r'"?[\w.]+"?', item):
-                if group_by_tag:
-                    raise InfluxQLParseError("multiple GROUP BY tags unsupported")
-                group_by_tag = item.strip('"')
+                group_tags.append(item.strip('"'))
             else:
                 raise InfluxQLParseError(f"unsupported GROUP BY item: {item!r}")
+    # single tag keeps reference-struct parity; a hand-written multi-tag
+    # group rides the same field comma-joined (query.split_group_tags)
+    group_by_tag = ",".join(group_tags)
 
     order = (m.group("order") or "").strip()
     order_desc = False
@@ -331,6 +333,8 @@ def apply_result_shape(df, iq: InfluxQLQuery):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ecollector_spark.query import split_group_tags
+
     if not (
         iq.order_desc
         or iq.limit is not None
@@ -339,24 +343,24 @@ def apply_result_shape(df, iq: InfluxQLQuery):
         or iq.soffset is not None
     ):
         return df
-    tag = iq.request.group_by_tag
-    if tag and (iq.slimit is not None or iq.soffset is not None):
-        keep = df.select(tag).distinct().orderBy(tag)
+    tags = split_group_tags(iq.request.group_by_tag)
+    if tags and (iq.slimit is not None or iq.soffset is not None):
+        keep = df.select(*tags).distinct().orderBy(*tags)
         if iq.soffset:
             keep = keep.offset(iq.soffset)
         if iq.slimit is not None:
             keep = keep.limit(iq.slimit)
-        df = df.join(F.broadcast(keep), tag, "left_semi")
+        df = df.join(F.broadcast(keep), tags, "left_semi")
     order = F.col("time").desc() if iq.order_desc else F.col("time").asc()
     if iq.limit is None and iq.offset is None:
-        return df.orderBy(*([tag] if tag else []), order)
+        return df.orderBy(*tags, order)
     lo = iq.offset or 0
-    if tag:
-        rn = F.row_number().over(Window.partitionBy(tag).orderBy(order))
+    if tags:
+        rn = F.row_number().over(Window.partitionBy(*tags).orderBy(order))
         df = df.withColumn("_rn", rn).where(F.col("_rn") > lo)
         if iq.limit is not None:
             df = df.where(F.col("_rn") <= lo + iq.limit)
-        return df.drop("_rn").orderBy(tag, order)
+        return df.drop("_rn").orderBy(*tags, order)
     df = df.orderBy(order)
     if lo:
         df = df.offset(lo)

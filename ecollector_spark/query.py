@@ -92,6 +92,14 @@ def _parse_rfc3339(s: str) -> datetime:
     return datetime.fromisoformat(s.replace("Z", "+00:00"))
 
 
+def split_group_tags(group_by_tag: str) -> list[str]:
+    """``group_by_tag`` holds one tag (the reference struct,
+    types.go:8-21) or a comma-separated list (hand-written InfluxQL
+    ``GROUP BY time(1h), tag1, tag2``). One splitter everywhere so the
+    planner, serializer and result-shape clauses agree."""
+    return [t.strip().strip('"') for t in group_by_tag.split(",") if t.strip()]
+
+
 class QueryPlanner:
     """Compiles DataPointsRequest -> DataFrame.
 
@@ -209,6 +217,7 @@ class QueryPlanner:
 
         value_col = {"value": "value_f"}.get(field_name, field_name)
         tag = req.group_by_tag
+        tag_cols = split_group_tags(tag)
         step = parse_relative_duration(group_by_time)
 
         # selector shapes (influxdb_v1.go:159-188). NB the reference's
@@ -220,12 +229,12 @@ class QueryPlanner:
         if not step and not req.data_function:
             out = df.select(
                 ts_epoch.alias("time"),
-                *([F.col(tag)] if tag else []),
+                *[F.col(t) for t in tag_cols],
                 F.col(value_col).alias("value"),
             )
-            return out.orderBy("time", *([tag] if tag else []))
+            return out.orderBy("time", *tag_cols)
 
-        group_cols = [tag] if tag else []
+        group_cols = tag_cols
         agg_builder = _AGG_BUILDERS.get(data_function or "mean")
         if agg_builder is None and data_function != "difference":
             raise ValueError(f"unsupported data_function: {data_function!r}")

@@ -125,6 +125,13 @@ class TestParse:
         iq = parse_influxql('SELECT mean("value") FROM "m" ORDER BY time ASC LIMIT 3')
         assert iq.order_desc is False and iq.limit == 3
 
+    def test_multi_tag_group(self):
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" GROUP BY time(1h), "location_id", dev_id'
+        )
+        assert iq.request.group_by_tag == "location_id,dev_id"
+        assert iq.request.group_by_time == "1h"
+
     def test_windowed_relative_range(self):
         iq = parse_influxql(
             'SELECT mean("value") FROM "m" '
@@ -295,6 +302,32 @@ class TestRunQuery:
         vals = {s["name"]: [v[-1] for v in s["values"]] for s in series}
         assert vals["electricity_meter_power"] == [10.0]
         assert vals["electricity_meter_energy"] == [20.0]
+
+    def test_multi_tag_group_end_to_end(self, spark, tmp_path):
+        """GROUP BY time, tag1, tag2: one series per tag-value pair."""
+        from pyspark.sql import functions as F
+
+        w = Warehouse(spark, str(tmp_path / "w"))
+        pts = _mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:10:00", "7", 10.0),
+            ("electricity_meter_power", "2024-01-01T00:20:00", "8", 20.0),
+        ])
+        w.write_points(pts.withColumn(
+            "location_id", F.when(F.col("dev_id") == "7", "L1").otherwise("L2")
+        ))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 1, 0, 0, tzinfo=timezone.utc)
+        # last() stays on the raw tier (a bucketed mean would route to an
+        # empty downsampled tier — mapping.go:86-103 tier upgrade)
+        rsp = api.run_query(
+            'SELECT last("value") FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-2h GROUP BY time(10m), location_id, dev_id FILL(none)",
+            now=now,
+        )
+        series = rsp["val"]["Results"][0]["Series"]
+        got = {(s["tags"]["location_id"], s["tags"]["dev_id"]): [v[-1] for v in s["values"]]
+               for s in series}
+        assert got == {("L1", "7"): [10.0], ("L2", "8"): [20.0]}
 
     def test_windowed_relative_range_end_to_end(self, spark, tmp_path):
         """time > now()-3h AND time < now()-1h keeps only the middle
