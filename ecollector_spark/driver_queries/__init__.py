@@ -139,6 +139,7 @@ def load_all() -> None:
         asof_q,
         cascade,
         core,
+        influx_funcs,
         planner_extra,
         sessionize,
         sinks_q,

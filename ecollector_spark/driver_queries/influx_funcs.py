@@ -1,0 +1,246 @@
+"""Oracle gates for the extended InfluxQL function surface (round 5+).
+
+The reference's API only *generates* the A14/A15 set (influxdb_v1.go:
+159-188), but a drop-in user's hand-written queries draw on InfluxDB's
+full public function list. Each gate here parses a raw InfluxQL string
+(``parse_influxql``) and runs it through the structured planner, so the
+parser and the planner path are pinned together against a DuckDB oracle.
+
+Determinism notes: percentile/mode/spread/count_distinct/derivative/
+elapsed are exact (selector values or IEEE-identical expressions on both
+engines); stddev/integral/cumulative_sum/moving_average round to 6
+decimals because their summation order is engine-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecollector_spark.driver_queries import register
+from ecollector_spark.driver_queries.core import (
+    FROM_T,
+    NOW,
+    TO_T,
+    _bucket,
+    _DP,
+    _planner,
+    _src_sql,
+)
+
+
+def _run(spark, sf_dir, q: str):
+    from ecollector_spark.influxql import parse_influxql
+
+    iq = parse_influxql(q)
+    return _planner(spark, sf_dir).plan(iq.request, now=NOW)
+
+
+_RANGE = f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}'"
+
+
+@register(
+    "ts_agg_percentile95",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+b AS (SELECT {_bucket(86400)} AS time, list_sort(list(value_f)) AS arr, count(*) AS n
+      FROM src GROUP BY 1),
+i AS (SELECT time, arr, n, CAST(floor(n * 95.0 / 100.0 + 0.5) AS INT) AS idx FROM b)
+SELECT time, CASE WHEN idx BETWEEN 1 AND n THEN arr[idx] END AS value
+FROM i ORDER BY time
+""",
+    shelved=True,
+)
+def ts_agg_percentile95(spark, sf_dir):
+    """InfluxQL ``percentile(field, 95)``: nearest-rank (an actual field
+    value at 1-based index floor(n*95/100+0.5)), never an interpolation —
+    matching InfluxDB's PercentileReduceSlice. [public-docs surface
+    beyond influxdb_v1.go:159-188]"""
+    q = f'SELECT percentile("value", 95) FROM "purchase" {_RANGE} GROUP BY time(1d) FILL(none)'
+    return _run(spark, sf_dir, q)
+
+
+@register(
+    "ts_agg_stddev_by_tag",
+    f"""{_DP},
+src AS ({_src_sql('click')}),
+agg AS (SELECT {_bucket(86400)} AS time, location_id,
+               round(stddev_samp(value_f), 6) AS value
+        FROM src GROUP BY 1, 2)
+SELECT time, location_id, value FROM agg ORDER BY time, location_id
+""",
+    shelved=True,
+)
+def ts_agg_stddev_by_tag(spark, sf_dir):
+    """InfluxQL ``stddev()`` (sample stddev) under a tag group. Rounded
+    to 6 decimals on both sides — Welford vs two-pass accumulation order
+    differs across engines."""
+    q = (
+        f'SELECT stddev("value") FROM "click" {_RANGE} '
+        "GROUP BY time(1d), location_id FILL(none)"
+    )
+    df = _run(spark, sf_dir, q)
+    return df.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "ts_agg_spread",
+    f"""{_DP},
+src AS ({_src_sql('view')}),
+agg AS (SELECT {_bucket(86400)} AS time, max(value_f) - min(value_f) AS value
+        FROM src GROUP BY 1)
+SELECT time, value FROM agg ORDER BY time
+""",
+    shelved=True,
+)
+def ts_agg_spread(spark, sf_dir):
+    """InfluxQL ``spread()`` = max - min per bucket. Exact: both sides
+    subtract the same two field values."""
+    q = f'SELECT spread("value") FROM "view" {_RANGE} GROUP BY time(1d) FILL(none)'
+    return _run(spark, sf_dir, q)
+
+
+@register(
+    "ts_agg_mode",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+c AS (SELECT {_bucket(21600)} AS time, value_f AS value, count(*) AS n,
+             min(epoch(ts)) AS ft
+      FROM src GROUP BY 1, 2),
+r AS (SELECT time, value,
+             row_number() OVER (PARTITION BY time ORDER BY n DESC, ft ASC, value ASC) AS rn
+      FROM c)
+SELECT time, value FROM r WHERE rn = 1 ORDER BY time
+""",
+    shelved=True,
+)
+def ts_agg_mode(spark, sf_dir):
+    """InfluxQL ``mode()``: most frequent value per bucket, deterministic
+    tie-break (count desc, earliest first-appearance, smallest value) —
+    query._mode_agg's two-stage aggregation vs a window-ranked oracle."""
+    q = f'SELECT mode("value") FROM "purchase" {_RANGE} GROUP BY time(6h) FILL(none)'
+    return _run(spark, sf_dir, q)
+
+
+@register(
+    "ts_agg_integral_1h",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+-- t truncated to whole seconds: the planner's unix_timestamp() floors
+-- sub-second timestamps, and the pair order must match its (t, v) sort
+p AS (SELECT {_bucket(86400)} AS time, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             value_f AS v FROM src),
+d AS (SELECT time, (v + lag(v) OVER w) / 2 * CAST(t - lag(t) OVER w AS DOUBLE) AS a
+      FROM p WINDOW w AS (PARTITION BY time ORDER BY t, v)),
+s AS (SELECT time, round(coalesce(sum(a), 0) / 3600, 6) AS value FROM d GROUP BY time)
+SELECT time, value FROM s ORDER BY time
+""",
+    shelved=True,
+)
+def ts_agg_integral_1h(spark, sf_dir):
+    """InfluxQL ``integral(field, 1h)``: trapezoidal area under the
+    time-ordered curve per bucket in watt-hour-style units — the energy
+    domain's W->Wh shape. Expression-only pairwise fold (query
+    _trapezoid_expr) vs a lag-window oracle; rounded (sum order)."""
+    q = f'SELECT integral("value", 1h) FROM "purchase" {_RANGE} GROUP BY time(1d) FILL(none)'
+    df = _run(spark, sf_dir, q)
+    return df.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "ts_agg_count_distinct",
+    f"""{_DP},
+src AS ({_src_sql('click')}),
+agg AS (SELECT {_bucket(86400)} AS time,
+               CAST(count(DISTINCT value_f) AS DOUBLE) AS value
+        FROM src GROUP BY 1)
+SELECT time, value FROM agg ORDER BY time
+""",
+    shelved=True,
+)
+def ts_agg_count_distinct(spark, sf_dir):
+    """InfluxQL ``count(distinct(field))`` parsed as the nested shape."""
+    q = f'SELECT count(distinct("value")) FROM "click" {_RANGE} GROUP BY time(1d) FILL(none)'
+    return _run(spark, sf_dir, q)
+
+
+@register(
+    "ts_transform_cumulative_sum",
+    f"""{_DP},
+src AS ({_src_sql('signup')}),
+agg AS (SELECT {_bucket(86400)} AS time, arg_max(value_f, ts) AS value FROM src GROUP BY 1)
+SELECT time, round(sum(value) OVER (ORDER BY time
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM agg ORDER BY time
+""",
+    shelved=True,
+)
+def ts_transform_cumulative_sum(spark, sf_dir):
+    """``cumulative_sum(last(field))``: running sum over the bucketed
+    series (tag-partitioned window over the bounded bucket spine)."""
+    q = f'SELECT cumulative_sum(last("value")) FROM "signup" {_RANGE} GROUP BY time(1d) FILL(none)'
+    df = _run(spark, sf_dir, q)
+    return df.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "ts_transform_nn_derivative",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+agg AS (SELECT {_bucket(86400)} AS time, arg_max(value_f, ts) AS value FROM src GROUP BY 1),
+d AS (SELECT time, (value - lag(value) OVER (ORDER BY time))
+                   / ((time - lag(time) OVER (ORDER BY time)) / 3600.0) AS value
+      FROM agg)
+SELECT time, value FROM d WHERE value IS NOT NULL AND value >= 0 ORDER BY time
+""",
+    shelved=True,
+)
+def ts_transform_nn_derivative(spark, sf_dir):
+    """``non_negative_derivative(last(field), 1h)``: per-hour rate of
+    change between consecutive buckets; negative results dropped
+    (InfluxQL emission rule). Exact — identical IEEE expression shape on
+    both engines."""
+    q = (
+        f'SELECT non_negative_derivative(last("value"), 1h) FROM "purchase" {_RANGE} '
+        "GROUP BY time(1d) FILL(none)"
+    )
+    return _run(spark, sf_dir, q)
+
+
+@register(
+    "ts_transform_moving_average",
+    f"""{_DP},
+src AS ({_src_sql('click')}),
+agg AS (SELECT {_bucket(86400)} AS time, max(value_f) AS value FROM src GROUP BY 1),
+r AS (SELECT time,
+             round(avg(value) OVER (ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value,
+             row_number() OVER (ORDER BY time) AS rn
+      FROM agg)
+SELECT time, value FROM r WHERE rn >= 3 ORDER BY time
+""",
+    shelved=True,
+)
+def ts_transform_moving_average(spark, sf_dir):
+    """``moving_average(max(field), 3)``: rolling mean over a 3-bucket
+    window, emitted only once the window is full (InfluxQL starts at the
+    Nth point)."""
+    q = f'SELECT moving_average(max("value"), 3) FROM "click" {_RANGE} GROUP BY time(1d) FILL(none)'
+    df = _run(spark, sf_dir, q)
+    return df.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "ts_transform_elapsed",
+    f"""{_DP},
+src AS ({_src_sql('view')}),
+agg AS (SELECT {_bucket(86400)} AS time, arg_max(value_f, ts) AS value FROM src GROUP BY 1),
+d AS (SELECT time, CAST(floor((time - lag(time) OVER (ORDER BY time)) / 60) AS DOUBLE) AS value
+      FROM agg)
+SELECT time, value FROM d WHERE value IS NOT NULL ORDER BY time
+""",
+    shelved=True,
+)
+def ts_transform_elapsed(spark, sf_dir):
+    """``elapsed(last(field), 1m)``: minutes between consecutive emitted
+    buckets — the gap detector over a sparse series."""
+    q = f'SELECT elapsed(last("value"), 1m) FROM "view" {_RANGE} GROUP BY time(1d) FILL(none)'
+    return _run(spark, sf_dir, q)

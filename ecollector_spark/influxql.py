@@ -44,16 +44,31 @@ from dataclasses import dataclass
 from ecollector_spark import tiers
 from ecollector_spark.query import DataPointsFilter, DataPointsRequest
 
-#: documented aggregate functions (influxdb_v1.go selector surface)
-_FUNCS = {"mean", "sum", "min", "max", "count", "median", "last", "first", "difference"}
-#: transform wraps the planner's A15 surface accepts (query.py:190-198)
-_TRANSFORMS = {"abs", "difference"}
+from ecollector_spark.query import _WINDOW_TRANSFORMS
+
+#: documented aggregate functions: the reference's generated selector
+#: surface (influxdb_v1.go:159-188) plus the hand-written public-docs set
+#: (stddev/spread/mode/percentile/integral; count(distinct(..)) parses to
+#: count_distinct)
+_FUNCS = {
+    "mean", "sum", "min", "max", "count", "median", "last", "first",
+    "difference", "stddev", "spread", "mode", "percentile", "integral",
+}
+#: transform wraps the planner's A15 surface accepts: abs + the window
+#: family (query._WINDOW_TRANSFORMS)
+_TRANSFORMS = {"abs"} | _WINDOW_TRANSFORMS
+
+#: function parameters: a bare number (percentile N, moving_average N)
+#: or an InfluxQL duration (derivative/integral/elapsed unit)
+_DURATION_PARAM_RE = re.compile(r"^\d+[smhdw]$")
+_NUMBER_PARAM_RE = re.compile(r"^\d+(\.\d+)?$")
 
 _STMT_RE = re.compile(
     r"""^\s*SELECT\s+
     (?:
-        (?P<tf>\w+)\(\s*(?P<fn2>\w+)\(\s*"?(?P<field2>[\w.]+)"?\s*\)\s*\)
-      | (?P<fn>\w+)\(\s*"?(?P<field>[\w.]+)"?\s*\)
+        (?P<cd>count)\(\s*distinct\(\s*"?(?P<fieldcd>[\w.]+)"?\s*\)\s*\)
+      | (?P<tf>\w+)\(\s*(?P<fn2>\w+)\(\s*"?(?P<field2>[\w.]+)"?\s*\)\s*(?:,\s*(?P<tfparam>[\w.]+)\s*)?\)
+      | (?P<fn>\w+)\(\s*"?(?P<field>[\w.]+)"?\s*(?:,\s*(?P<fnparam>[\w.]+)\s*)?\)
       | "?(?P<rawfield>[\w.]+)"?
     )
     (?:\s+AS\s+"?(?P<alias>[\w.]+)"?)?
@@ -183,20 +198,43 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     if not m:
         raise InfluxQLParseError(f"unrecognized InfluxQL shape: {query!r}")
     tf = (m.group("tf") or "").lower()
-    if tf:  # transform-wrapped aggregate: tf(fn("field"))
+    fn_param = tf_param = ""
+    if m.group("cd"):  # count(distinct("field"))
+        fn, fld = "count_distinct", m.group("fieldcd")
+    elif tf:  # transform-wrapped aggregate: tf(fn("field")[, param])
         fn, fld = m.group("fn2").lower(), m.group("field2")
+        tf_param = m.group("tfparam") or ""
         if tf not in _TRANSFORMS:
             raise InfluxQLParseError(f"unsupported transform: {tf}")
+        if tf == "moving_average":
+            if not re.fullmatch(r"\d+", tf_param) or int(tf_param) < 2:
+                raise InfluxQLParseError(
+                    f"moving_average needs an integer window >= 2: {tf_param!r}"
+                )
+        elif tf in ("derivative", "non_negative_derivative", "elapsed"):
+            if tf_param and not _DURATION_PARAM_RE.match(tf_param):
+                raise InfluxQLParseError(f"bad {tf} unit: {tf_param!r}")
+        elif tf_param:
+            raise InfluxQLParseError(f"{tf} takes no parameter: {tf_param!r}")
     elif m.group("fn"):
         fn, fld = m.group("fn").lower(), m.group("field")
+        fn_param = m.group("fnparam") or ""
     else:  # bare field -> raw points (influxdb_v1.go:163,180)
         fn, fld = "", m.group("rawfield")
         # SELECT is statement-shaped but bare-SELECT of a non-"value"
         # word is far more likely Spark SQL: only accept known fields
         if fld.lower() not in ("value",):
             raise InfluxQLParseError(f"not a raw-field selector: {fld!r}")
-    if fn and fn not in _FUNCS:
+    if fn and fn not in _FUNCS and fn != "count_distinct":
         raise InfluxQLParseError(f"unsupported function: {fn}")
+    if fn == "percentile":
+        if not _NUMBER_PARAM_RE.match(fn_param) or not (0 < float(fn_param) <= 100):
+            raise InfluxQLParseError(f"percentile needs N in (0, 100]: {fn_param!r}")
+    elif fn == "integral":
+        if fn_param and not _DURATION_PARAM_RE.match(fn_param):
+            raise InfluxQLParseError(f"bad integral unit: {fn_param!r}")
+    elif fn_param:
+        raise InfluxQLParseError(f"{fn} takes no parameter: {fn_param!r}")
     frm = m.group("from")
     measurement_regex = None
     if frm.startswith("/") and frm.endswith("/"):
@@ -296,7 +334,9 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         measurement_name=measurement,
         field_name=fld,
         data_function=fn,
+        function_param=fn_param,
         transform_function=tf,
+        transform_param=tf_param,
         relative_time=relative_time,
         relative_to_time=relative_to_time,
         from_time=from_time,

@@ -61,7 +61,13 @@ class DataPointsRequest:
     measurement_name: str
     field_name: str = "value"
     data_function: str = ""
+    #: parameter of a parameterized aggregate — percentile N ("95"),
+    #: integral unit ("1h"); "" for the reference's parameterless surface
+    function_param: str = ""
     transform_function: str = ""
+    #: parameter of a parameterized transform — derivative/elapsed unit
+    #: ("10s"), moving_average window ("5"); "" = the InfluxQL default
+    transform_param: str = ""
     relative_time: str = ""
     #: optional relative UPPER bound (hand-written InfluxQL windowed
     #: relative ranges: ``time > now()-24h AND time < now()-1h``); the
@@ -85,7 +91,155 @@ _AGG_BUILDERS = {
     # InfluxQL last() = value of the most recent point in the bucket
     "last": lambda v, ts: F.max_by(v, ts),
     "first": lambda v, ts: F.min_by(v, ts),
+    # hand-written InfluxQL surface (public docs) beyond the functions the
+    # reference's API generates (influxdb_v1.go:159-188):
+    "stddev": lambda v, ts: F.stddev_samp(v),  # InfluxQL stddev = sample
+    "spread": lambda v, ts: F.max(v) - F.min(v),
+    "count_distinct": lambda v, ts: F.count_distinct(v).cast("double"),
 }
+
+
+def _parse_param_duration(s: str) -> int:
+    """Duration parameter of derivative/integral/elapsed/moving windows:
+    ``Ns/Nm/Nh/Nd/Nw`` -> seconds. Unlike the reference's relative-time
+    format (timeutil.parse_relative_duration, mapping.go:106-122 — no
+    seconds unit), InfluxQL function parameters allow ``s``."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(s|m|h|d|w)", s.strip())
+    if not m:
+        raise ValueError(f"bad duration parameter: {s!r}")
+    return int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}[
+        m.group(2)
+    ]
+
+
+def _percentile_builder(param: str):
+    """InfluxQL ``percentile(field, N)``: nearest-rank — the sorted list's
+    element at index ``floor(len*N/100 + 0.5)`` (1-based; out-of-range ->
+    null), matching InfluxDB's PercentileReduceSlice. Returns an actual
+    field value, never an interpolation (unlike median/percentile_cont)."""
+    p = float(param)
+    if not (0.0 < p <= 100.0):
+        raise ValueError(f"percentile parameter out of range: {param!r}")
+
+    def build(v, ts):
+        arr = F.array_sort(F.collect_list(F.col(v).cast("double")))
+        idx = F.floor(F.size(arr) * F.lit(p) / 100.0 + 0.5).cast("int")
+        return F.when(
+            (idx >= 1) & (idx <= F.size(arr)), F.element_at(arr, idx)
+        )
+
+    return build
+
+
+def _trapezoid_expr(pts_col: str, unit_seconds: int):
+    """Trapezoidal integral over a sorted array<struct<t,v>> column:
+    sum of (v_i + v_{i+1})/2 * (t_{i+1} - t_i), divided by the unit.
+    Expression-only (fold over adjacent pairs) — no UDF, bucket-bounded."""
+    p = pts_col
+    return F.expr(
+        f"aggregate(zip_with(slice({p}, 1, size({p}) - 1),"
+        f" slice({p}, 2, size({p}) - 1),"
+        f" (a, b) -> (a.v + b.v) / 2 * CAST(b.t - a.t AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x) / {unit_seconds}"
+    )
+
+
+#: transforms computed as a window over the aggregated series (partitioned
+#: by the group tags, ordered by bucket time) — the f(g(x)) surface
+_WINDOW_TRANSFORMS = {
+    "difference",
+    "non_negative_difference",
+    "derivative",
+    "non_negative_derivative",
+    "cumulative_sum",
+    "moving_average",
+    "elapsed",
+}
+
+
+def _mode_agg(df, bucket_cols, group_cols, value_col, ts_epoch):
+    """InfluxQL ``mode()``: the most frequent value per bucket. Tie-break
+    is fully deterministic — most frequent, then earliest first-appearance
+    timestamp, then smallest value (InfluxDB breaks ties by earliest
+    timestamp; the final value tie-break covers same-timestamp inputs).
+    Two-stage aggregation: a (bucket, tags, value) count (map-side
+    combinable, one shuffle) then a tiny per-bucket max_by over a
+    lexicographic struct — never a per-bucket collect."""
+    counts = df.groupBy(
+        *bucket_cols, *group_cols, F.col(value_col).cast("double").alias("value")
+    ).agg(F.count("*").alias("_n"), F.min(ts_epoch).alias("_ft"))
+    key_cols = ([F.col("time")] if bucket_cols else []) + [F.col(c) for c in group_cols]
+    return counts.groupBy(*key_cols).agg(
+        F.max_by(
+            "value", F.struct(F.col("_n"), (-F.col("_ft")).alias("_nt"), (-F.col("value")).alias("_nv"))
+        ).alias("value")
+    )
+
+
+def _integral_agg(df, bucket_cols, group_cols, value_col, param: str):
+    """InfluxQL ``integral(field, unit)``: trapezoidal area under the
+    time-ordered curve per bucket, in units of ``unit`` (default 1s) —
+    the W->Wh shape for the reference's energy domain. Points collected
+    per bucket (bounded by bucket width), sorted once, folded with an
+    expression-only pairwise trapezoid — no UDF."""
+    unit = _parse_param_duration(param) if param else 1
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_timestamp("ts").alias("t"), F.col(value_col).cast("double").alias("v")
+            )
+        )
+    ).alias("_pts")
+    lst = df.groupBy(*bucket_cols, *group_cols).agg(pts)
+    keep = ([F.col("time")] if bucket_cols else []) + [F.col(c) for c in group_cols]
+    return lst.select(*keep, _trapezoid_expr("_pts", unit).alias("value"))
+
+
+def _apply_window_transform(agg, tf: str, param: str, group_cols, step: int):
+    """The window-transform family over the aggregated series. All run as
+    one tag-partitioned window over the already-bucketed result (bounded
+    by the bucket spine — never over raw points). Rows the function is
+    undefined for (the first point's lag; short moving-average prefixes;
+    negative values under the non_negative variants) are dropped, matching
+    InfluxQL's emission rules."""
+    w = Window.partitionBy(*group_cols).orderBy("time")
+    lag_v = F.lag("value").over(w)
+    lag_t = F.lag("time").over(w)
+    if tf == "cumulative_sum":
+        return agg.withColumn(
+            "value", F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    if tf == "moving_average":
+        n = int(param) if param else 0
+        if n < 2:
+            raise ValueError(f"moving_average window must be >= 2: {param!r}")
+        out = agg.withColumn("value", F.avg("value").over(w.rowsBetween(-(n - 1), 0)))
+        rn = F.row_number().over(w)
+        return out.withColumn("_rn", rn).where(F.col("_rn") >= n).drop("_rn")
+    if tf in ("difference", "non_negative_difference"):
+        out = agg.withColumn("value", F.col("value") - lag_v)
+    elif tf in ("derivative", "non_negative_derivative"):
+        # default unit: the group-by interval for bucketed series (the
+        # InfluxQL GROUP BY time() default), else 1s
+        unit = _parse_param_duration(param) if param else (step or 1)
+        out = agg.withColumn(
+            "value",
+            (F.col("value") - lag_v)
+            / ((F.col("time") - lag_t) / F.lit(float(unit))),
+        )
+    elif tf == "elapsed":
+        unit = _parse_param_duration(param) if param else 1
+        out = agg.withColumn(
+            "value", F.floor((F.col("time") - lag_t) / F.lit(unit)).cast("double")
+        )
+    else:  # pragma: no cover - guarded by _WINDOW_TRANSFORMS membership
+        raise ValueError(f"unsupported transform_function: {tf!r}")
+    out = out.where(F.col("value").isNotNull())
+    if tf.startswith("non_negative"):
+        out = out.where(F.col("value") >= 0)
+    return out
 
 
 def _parse_rfc3339(s: str) -> datetime:
@@ -235,16 +389,26 @@ class QueryPlanner:
             return out.orderBy("time", *tag_cols)
 
         group_cols = tag_cols
-        agg_builder = _AGG_BUILDERS.get(data_function or "mean")
-        if agg_builder is None and data_function != "difference":
+        if data_function == "percentile":
+            agg_builder = _percentile_builder(req.function_param)
+        else:
+            agg_builder = _AGG_BUILDERS.get(data_function or "mean")
+        if agg_builder is None and data_function not in ("difference", "mode", "integral"):
             raise ValueError(f"unsupported data_function: {data_function!r}")
 
         if step:
             bucket = time_bucket("ts", step).alias("time")
-            base_func = "last" if data_function == "difference" else (data_function or "mean")
-            agg = df.groupBy(bucket, *group_cols).agg(
-                _AGG_BUILDERS[base_func](value_col, "ts").alias("value")
-            )
+            if data_function == "mode":
+                agg = _mode_agg(df, [bucket], group_cols, value_col, ts_epoch)
+            elif data_function == "integral":
+                agg = _integral_agg(df, [bucket], group_cols, value_col, req.function_param)
+            else:
+                builder = (
+                    _AGG_BUILDERS["last"] if data_function == "difference" else agg_builder
+                )
+                agg = df.groupBy(bucket, *group_cols).agg(
+                    builder(value_col, "ts").alias("value")
+                )
             if data_function == "difference":
                 w = Window.partitionBy(*group_cols).orderBy("time")
                 agg = agg.withColumn("value", F.col("value") - F.lag("value").over(w)).where(
@@ -253,21 +417,27 @@ class QueryPlanner:
         else:
             # aggregate over the whole range (optionally per tag); like
             # InfluxQL, the result row is stamped with the range start
-            agg = df.groupBy(*group_cols).agg(agg_builder(value_col, "ts").alias("value"))
+            if data_function == "mode":
+                agg = _mode_agg(df, [], group_cols, value_col, ts_epoch)
+            elif data_function == "integral":
+                agg = _integral_agg(df, [], group_cols, value_col, req.function_param)
+            else:
+                agg = df.groupBy(*group_cols).agg(agg_builder(value_col, "ts").alias("value"))
             agg = agg.select(F.lit(from_epoch).cast("long").alias("time"), *group_cols, "value")
 
-        # transform wrap (influxdb_v1.go:184-186): f(g(field))
+        # transform wrap (influxdb_v1.go:184-186): f(g(field)). abs and
+        # difference are the reference's own surface; the rest of the
+        # window family is the hand-written InfluxQL set (public docs)
         if req.transform_function == "abs":
             agg = agg.withColumn("value", F.abs(F.col("value")))
-        elif req.transform_function == "difference":
-            w = Window.partitionBy(*group_cols).orderBy("time")
-            agg = agg.withColumn("value", F.col("value") - F.lag("value").over(w)).where(
-                F.col("value").isNotNull()
+        elif req.transform_function in _WINDOW_TRANSFORMS:
+            agg = _apply_window_transform(
+                agg, req.transform_function, req.transform_param, group_cols, step
             )
         elif req.transform_function:
             raise ValueError(f"unsupported transform_function: {req.transform_function!r}")
 
-        if step and req.transform_function != "difference" and data_function != "difference":
+        if step and req.transform_function not in _WINDOW_TRANSFORMS and data_function != "difference":
             agg = gap_fill(
                 agg,
                 fill_type,

@@ -430,8 +430,27 @@ from hypothesis import strategies as st  # noqa: E402
 from ecollector_spark import tiers as _tiers  # noqa: E402
 
 _ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}(\.[a-z][a-z0-9_]{0,8}){0,2}", fullmatch=True)
-_funcs = st.sampled_from(sorted({"mean", "sum", "min", "max", "count", "median", "last", "first"}))
-_transforms = st.sampled_from(["abs", "difference"])
+_funcs = st.sampled_from(sorted({
+    "mean", "sum", "min", "max", "count", "median", "last", "first",
+    "stddev", "spread", "mode",
+}))
+#: parameterized selector shapes: (fn, param) — percentile requires N,
+#: integral takes an optional duration, count(distinct()) is the nested form
+_param_funcs = st.one_of(
+    st.tuples(st.just("percentile"), st.integers(1, 100).map(str)),
+    st.tuples(st.just("integral"), st.one_of(st.just(""), st.sampled_from(["1s", "10m", "1h"]))),
+    st.tuples(st.just("count_distinct"), st.just("")),
+)
+_transforms = st.sampled_from(["abs", "difference", "non_negative_difference", "cumulative_sum"])
+#: parameterized transforms: moving_average requires an int >= 2;
+#: derivative/non_negative_derivative/elapsed take an optional duration
+_param_transforms = st.one_of(
+    st.tuples(st.just("moving_average"), st.integers(2, 20).map(str)),
+    st.tuples(
+        st.sampled_from(["derivative", "non_negative_derivative", "elapsed"]),
+        st.one_of(st.just(""), st.sampled_from(["10s", "1m", "1h"])),
+    ),
+)
 _durs = st.sampled_from(["30s", "10m", "1h", "2d", "1w"])
 _fills = st.sampled_from(["null", "previous", "0", "none", "linear"])
 _tagkeys = st.sampled_from(["dev_id", "location_id", "dev_type", "topic", "custom_tag"])
@@ -440,11 +459,31 @@ _tagvals = st.from_regex(r"[A-Za-z0-9:/_.-]{1,20}", fullmatch=True)
 
 @st.composite
 def influxql_queries(draw):
-    fn = draw(st.one_of(st.none(), _funcs))
-    tf = draw(_transforms) if fn and draw(st.booleans()) else ""
-    sel = '"value"' if fn is None else (
-        f'{tf}({fn}("value"))' if tf else f'{fn}("value")'
-    )
+    fn_param = tf_param = ""
+    if draw(st.booleans()) and draw(st.booleans()):
+        # parameterized aggregate (quarter of cases); no transform wrap —
+        # the grammar's wrapped inner aggregate is parameterless
+        fn, fn_param = draw(_param_funcs)
+        tf = ""
+        if fn == "percentile":
+            sel = f'percentile("value", {fn_param})'
+        elif fn == "count_distinct":
+            sel = 'count(distinct("value"))'
+        else:
+            sel = f'integral("value", {fn_param})' if fn_param else 'integral("value")'
+    else:
+        fn = draw(st.one_of(st.none(), _funcs))
+        tf = ""
+        if fn and draw(st.booleans()):
+            if draw(st.booleans()):
+                tf = draw(_transforms)
+            else:
+                tf, tf_param = draw(_param_transforms)
+        sel = '"value"' if fn is None else (
+            (f'{tf}({fn}("value"), {tf_param})' if tf_param else f'{tf}({fn}("value"))')
+            if tf
+            else f'{fn}("value")'
+        )
     alias = draw(st.one_of(st.none(), _ident))
     regex = None
     if draw(st.booleans()) and draw(st.booleans()):
@@ -494,7 +533,8 @@ def influxql_queries(draw):
     if soffset is not None:
         q += f" SOFFSET {soffset}"
     return q, {
-        "fn": fn or "", "tf": tf, "alias": alias, "rp": rp, "meas": meas,
+        "fn": fn or "", "fn_param": fn_param, "tf": tf, "tf_param": tf_param,
+        "alias": alias, "rp": rp, "meas": meas,
         "where": exp_where, "tags": tags, "gb_time": gb_time or "",
         "gb_tag": gb_tag or "", "fill": fill or "", "regex": regex,
         "desc": order == " DESC", "limit": limit, "offset": offset,
@@ -510,7 +550,9 @@ class TestParserProperty:
         iq = parse_influxql(q)
         r = iq.request
         assert r.data_function == exp["fn"]
+        assert r.function_param == exp["fn_param"]
         assert r.transform_function == exp["tf"]
+        assert r.transform_param == exp["tf_param"]
         assert iq.alias == exp["alias"]
         assert iq.retention_policy == exp["rp"]
         assert iq.measurement == exp["meas"]
@@ -600,6 +642,15 @@ class TestParseProperties:
             'SELECT mean("value") FROM "m" LIMIT many',
             "SELECT mean(\"value\") FROM \"m\" WHERE \"t\"=~/ab[/",  # bad tag regex
             "SELECT mean(\"value\") FROM \"m\" WHERE \"t\">='x'",  # no tag ranges
+            'SELECT percentile("value") FROM "m"',  # percentile needs N
+            'SELECT percentile("value", 0) FROM "m"',  # N must be in (0,100]
+            'SELECT percentile("value", 150) FROM "m"',
+            'SELECT moving_average(mean("value")) FROM "m"',  # needs window
+            'SELECT moving_average(mean("value"), 1) FROM "m"',  # window >= 2
+            'SELECT derivative(mean("value"), bogus) FROM "m"',  # bad unit
+            'SELECT integral("value", 5x) FROM "m"',  # bad unit suffix
+            'SELECT mean("value", 3) FROM "m"',  # mean takes no parameter
+            'SELECT abs(mean("value"), 2) FROM "m"',  # abs takes no parameter
         ]
         for q in bad:
             with pytest.raises(InfluxQLParseError):

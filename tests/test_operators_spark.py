@@ -2,7 +2,7 @@
 operators (counter difference, gap fill, filter engine chains, planner
 shapes, preaggregation)."""
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import pytest
 from pyspark.sql import functions as F
@@ -255,6 +255,130 @@ class TestPlannerShapes:
         assert len(rows) == 1
         assert rows[0]["value"] == 5.0
         assert rows[0]["time"] == 1704067200  # stamped range start
+
+
+class TestExtendedFunctions:
+    """The hand-written InfluxQL function surface (public docs, beyond
+    the selectors the reference generates — influxdb_v1.go:159-188):
+    hand-computed expectations on a tiny synthetic series."""
+
+    NOW = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    B0, B1, B3 = 1704067200, 1704067260, 1704067380
+
+    def _planner(self, spark):
+        base = datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+        rows = [
+            ("m1", base, "d1", 2.0),
+            ("m1", base + timedelta(seconds=20), "d1", 2.0),
+            ("m1", base + timedelta(seconds=40), "d1", 8.0),
+            ("m1", base + timedelta(seconds=60), "d1", 4.0),
+            ("m1", base + timedelta(seconds=80), "d1", 6.0),
+            ("m1", base + timedelta(seconds=180), "d1", 10.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "measurement string, ts timestamp, dev_id string, value_f double"
+        )
+        return QueryPlanner(lambda tier: df)
+
+    def _run(self, spark, **kw):
+        req = DataPointsRequest(
+            measurement_name="m1",
+            from_time="2024-01-01T00:00:00Z",
+            to_time="2024-01-01T00:04:00Z",
+            group_by_time="1m",
+            fill_type="none",
+            **kw,
+        )
+        return {
+            r["time"]: r["value"]
+            for r in self._planner(spark).plan(req, self.NOW).collect()
+        }
+
+    def test_spread(self, spark):
+        assert self._run(spark, data_function="spread") == {
+            self.B0: 6.0, self.B1: 2.0, self.B3: 0.0,
+        }
+
+    def test_stddev(self, spark):
+        out = self._run(spark, data_function="stddev")
+        assert out[self.B0] == pytest.approx(12 ** 0.5)
+        assert out[self.B1] == pytest.approx(2 ** 0.5)
+        assert out[self.B3] is None  # single sample -> sample stddev null
+
+    def test_mode_tie_breaks_to_earliest(self, spark):
+        # B0: 2.0 appears twice; B1: tie between 4 and 6 -> earliest ts
+        assert self._run(spark, data_function="mode") == {
+            self.B0: 2.0, self.B1: 4.0, self.B3: 10.0,
+        }
+
+    def test_percentile_nearest_rank(self, spark):
+        # sorted [2,2,8]: idx floor(3*0.5+0.5)=2 -> 2.0; p100 -> 8.0
+        assert self._run(spark, data_function="percentile", function_param="50")[self.B0] == 2.0
+        assert self._run(spark, data_function="percentile", function_param="100")[self.B0] == 8.0
+
+    def test_integral_trapezoid(self, spark):
+        out = self._run(spark, data_function="integral")  # unit 1s
+        assert out[self.B0] == pytest.approx(140.0)  # (2+2)/2*20 + (2+8)/2*20
+        assert out[self.B1] == pytest.approx(100.0)
+        assert out[self.B3] == 0.0  # single point -> no area
+
+    def test_count_distinct(self, spark):
+        assert self._run(spark, data_function="count_distinct") == {
+            self.B0: 2.0, self.B1: 2.0, self.B3: 1.0,
+        }
+
+    def test_cumulative_sum(self, spark):
+        out = self._run(spark, data_function="last", transform_function="cumulative_sum")
+        assert out == {self.B0: 8.0, self.B1: 14.0, self.B3: 24.0}
+
+    def test_derivative_per_minute(self, spark):
+        out = self._run(
+            spark, data_function="last",
+            transform_function="derivative", transform_param="1m",
+        )
+        # first bucket dropped (no lag); B1: (6-8)/1m; B3: (10-6)/2m
+        assert out == {self.B1: -2.0, self.B3: 2.0}
+
+    def test_non_negative_derivative_drops_negatives(self, spark):
+        out = self._run(
+            spark, data_function="last",
+            transform_function="non_negative_derivative", transform_param="1m",
+        )
+        assert out == {self.B3: 2.0}
+
+    def test_non_negative_difference(self, spark):
+        # sums 12, 10, 10 -> diffs -2 (dropped), 0 (kept)
+        out = self._run(
+            spark, data_function="sum", transform_function="non_negative_difference"
+        )
+        assert out == {self.B3: 0.0}
+
+    def test_moving_average_emits_after_full_window(self, spark):
+        out = self._run(
+            spark, data_function="mean",
+            transform_function="moving_average", transform_param="2",
+        )
+        assert out == {self.B1: 4.5, self.B3: 7.5}
+
+    def test_elapsed_minutes(self, spark):
+        out = self._run(
+            spark, data_function="last",
+            transform_function="elapsed", transform_param="1m",
+        )
+        assert out == {self.B1: 1.0, self.B3: 2.0}
+
+    def test_unknown_function_raises(self, spark):
+        with pytest.raises(ValueError):
+            self._run(spark, data_function="frobnicate")
+        with pytest.raises(ValueError):
+            self._run(spark, data_function="mean", transform_function="wat")
+        with pytest.raises(ValueError):
+            self._run(spark, data_function="percentile", function_param="150")
+        with pytest.raises(ValueError):
+            self._run(
+                spark, data_function="mean",
+                transform_function="moving_average", transform_param="1",
+            )
 
 
 class TestPreaggregate:
