@@ -154,6 +154,7 @@ def load_all() -> None:
         pass
     try:
         from ecollector_spark.driver_queries import datapipe  # noqa: F401
+        from ecollector_spark.driver_queries import packing_q  # noqa: F401
     except ImportError:
         pass
     _reorder()

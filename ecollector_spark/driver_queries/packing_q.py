@@ -1,0 +1,98 @@
+"""Oracle gates for the training-data assembly operators
+(datapipe/packing.py): concat-and-chunk sequence packing and
+deterministic domain mixing. The SQL twins recompute the same md5-derived
+order/probability, so every integer in the placement map is value-matched
+— including the equivalence of the Spark side's two-level distributed
+prefix sum with the oracle's single global running sum."""
+
+from __future__ import annotations
+
+from ecollector_spark.datapipe import packing
+from ecollector_spark.driver_queries import register
+from ecollector_spark.driver_queries.datapipe import _TOKS
+
+_SEQ = 512
+
+_PLACED = f"""t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           ('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+      FROM documents),
+nz AS (SELECT * FROM t WHERE n_tokens > 0),
+o AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS start_off
+      FROM nz),
+p AS (SELECT doc_id, n_tokens, start_off,
+             start_off // {_SEQ} AS first_seq,
+             (start_off + n_tokens - 1) // {_SEQ} AS last_seq
+      FROM o)"""
+
+
+@register(
+    "datapipe_pack_sequences",
+    f"""WITH {_PLACED}
+SELECT doc_id, n_tokens, start_off, first_seq, last_seq,
+       last_seq - first_seq + 1 AS n_seqs
+FROM p ORDER BY doc_id
+""",
+    shelved=True,
+)
+def datapipe_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing into 512-token context windows: the
+    doc-level placement map (global token offset + window span per doc).
+    The Spark plan is the distributed two-level prefix sum (chunked by a
+    monotone md5-range, per-chunk windows only); the oracle is the naive
+    single global running sum — bit-equal placement proves the
+    decomposition."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.pack_sequences(docs, _SEQ).orderBy("doc_id")
+
+
+@register(
+    "datapipe_pack_manifest",
+    f"""WITH {_PLACED},
+s AS (SELECT start_off, n_tokens,
+             unnest(generate_series(first_seq, last_seq)) AS seq_id
+      FROM p)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least(start_off + n_tokens, (seq_id + 1) * {_SEQ})
+                - greatest(start_off, seq_id * {_SEQ})) AS BIGINT) AS n_tokens
+FROM s GROUP BY seq_id ORDER BY seq_id
+""",
+    shelved=True,
+)
+def datapipe_pack_manifest(spark, sf_dir):
+    """Per-window roll-up of the packing map: every 512-token window
+    carries exactly 512 tokens except the final partial one, and doc
+    spans account for straddled boundaries."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    placed = packing.pack_sequences(docs, _SEQ)
+    return packing.sequence_manifest(placed, _SEQ)
+
+
+@register(
+    "datapipe_mix_weights",
+    """WITH t AS (SELECT doc_id, source,
+  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 0.0
+              ELSE 1.0 END AS w,
+  ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+    / 1152921504606846976.0 AS u
+  FROM documents),
+n AS (SELECT doc_id, source,
+             CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS nc
+      FROM t)
+SELECT doc_id, source, CAST(unnest(generate_series(1, nc)) AS INT) AS copy
+FROM n WHERE nc >= 1 ORDER BY doc_id, copy
+""",
+    shelved=True,
+)
+def datapipe_mix_weights(spark, sf_dir):
+    """Deterministic domain mixing: src0 upsampled to 2.5 epochs, src1
+    downsampled to a quarter, src2 dropped, the rest kept at 1.0 — each
+    doc's copy count a pure md5 function of its id, so the SQL twin
+    reproduces the exact emitted multiset."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = packing.mix_by_weight(
+        docs, {"src0": 2.5, "src1": 0.25, "src2": 0.0}, domain_col="source"
+    )
+    return out.orderBy("doc_id", "copy")

@@ -664,3 +664,104 @@ class TestDecontaminate:
         bench = spark.createDataFrame([(9, "one two three four five six")], "doc_id long, text string")
         train = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
         assert decontaminate(train, bench, k=5).count() == 0
+
+
+class TestPacking:
+    """Sequence packing (concat-and-chunk) and domain mixing invariants."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # 40 docs, 1..40 tokens each (doc k has k tokens)
+        rows = [(k, " ".join(f"w{i}" for i in range(k))) for k in range(0, 41)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_placement_is_a_contiguous_token_stream(self, docs, spark):
+        from ecollector_spark.datapipe.packing import pack_sequences
+
+        placed = pack_sequences(docs, seq_len=64).collect()
+        assert len(placed) == 40  # the 0-token doc is excluded
+        total = sum(r["n_tokens"] for r in placed)
+        assert total == sum(range(1, 41))
+        # offsets tile [0, total) exactly: sorted starts are the running sum
+        by_off = sorted(placed, key=lambda r: r["start_off"])
+        expect = 0
+        for r in by_off:
+            assert r["start_off"] == expect
+            expect += r["n_tokens"]
+        assert expect == total
+        # window span matches the offsets
+        for r in by_off:
+            assert r["first_seq"] == r["start_off"] // 64
+            assert r["last_seq"] == (r["start_off"] + r["n_tokens"] - 1) // 64
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+    def test_chunked_prefix_sum_matches_tiny_chunks(self, docs, spark):
+        # n_chunks=4 forces multi-doc chunks and exercises the chunk-offset
+        # broadcast; placement must be identical to the default
+        from ecollector_spark.datapipe.packing import pack_sequences
+
+        a = {r["doc_id"]: r["start_off"] for r in pack_sequences(docs, 64).collect()}
+        b = {
+            r["doc_id"]: r["start_off"]
+            for r in pack_sequences(docs, 64, n_chunks=4).collect()
+        }
+        assert a == b
+
+    def test_manifest_windows_are_full(self, docs, spark):
+        from ecollector_spark.datapipe.packing import pack_sequences, sequence_manifest
+
+        placed = pack_sequences(docs, seq_len=64)
+        man = sequence_manifest(placed, 64).collect()
+        total = sum(range(1, 41))
+        assert [r["seq_id"] for r in man] == list(range((total + 63) // 64))
+        assert sum(r["n_tokens"] for r in man) == total
+        for r in man[:-1]:
+            assert r["n_tokens"] == 64  # every window full except the last
+        assert man[-1]["n_tokens"] == total - 64 * (len(man) - 1)
+
+    def test_precomputed_token_counts(self, docs, spark):
+        from ecollector_spark.datapipe.packing import pack_sequences
+
+        with_counts = docs.withColumn("tc", F.size(F.split("text", " ")))
+        placed = pack_sequences(with_counts, 64, token_count_col="tc").collect()
+        # doc 0's split produces [""] -> size 1; all docs land with tc tokens
+        assert sum(r["n_tokens"] for r in placed) == sum(range(1, 41)) + 1
+
+    def test_mix_integer_weights_exact(self, spark):
+        from ecollector_spark.datapipe.packing import mix_by_weight
+
+        docs = spark.createDataFrame(
+            [(i, "a" if i < 10 else "b") for i in range(20)], "doc_id long, source string"
+        )
+        out = mix_by_weight(docs, {"a": 3.0, "b": 0.0}).collect()
+        assert len(out) == 30  # 10 docs x 3 copies, b dropped entirely
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+        assert all(sorted(v) == [1, 2, 3] for v in per_doc.values())
+
+    def test_mix_fractional_weight_bounds_and_determinism(self, spark):
+        from ecollector_spark.datapipe.packing import mix_by_weight
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(200)], "doc_id long, source string"
+        )
+        a = sorted((r["doc_id"], r["copy"]) for r in mix_by_weight(docs, {"x": 1.5}).collect())
+        b = sorted((r["doc_id"], r["copy"]) for r in mix_by_weight(docs, {"x": 1.5}).collect())
+        assert a == b  # pure function of the ids
+        n = {}
+        for d, _ in a:
+            n[d] = n.get(d, 0) + 1
+        assert set(n.values()) <= {1, 2}  # floor(w) or floor(w)+1 copies
+        # the md5-unit draw keeps the realized epoch count near w
+        assert 1.3 < len(a) / 200 < 1.7
+
+    def test_mix_default_weight_and_validation(self, spark):
+        from ecollector_spark.datapipe.packing import mix_by_weight
+
+        docs = spark.createDataFrame([(1, "q")], "doc_id long, source string")
+        assert mix_by_weight(docs, {}, default_weight=2.0).count() == 2
+        with pytest.raises(ValueError):
+            mix_by_weight(docs, {"q": -1.0})
+        with pytest.raises(ValueError):
+            mix_by_weight(docs, {}, default_weight=-0.5)
