@@ -163,9 +163,16 @@ class EcollectorApi:
                 series = []
                 for name in names:
                     req = _dc_replace(iq.request, measurement_name=name)
-                    df = apply_result_shape(self.planner.plan(req, now=now), iq)
-                    if iq.alias and iq.alias != "value":
-                        df = df.withColumnRenamed("value", iq.alias)
+                    if iq.selectors is not None:
+                        # multi-select: one groupBy computes every
+                        # aggregate; columns already carry their names
+                        df = apply_result_shape(
+                            self.planner.plan_multi(req, iq.selectors, now=now), iq
+                        )
+                    else:
+                        df = apply_result_shape(self.planner.plan(req, now=now), iq)
+                        if iq.alias and iq.alias != "value":
+                            df = df.withColumnRenamed("value", iq.alias)
                     series.extend(to_series_shape(df, name, tags))
                 return _report(series)
             df = self.spark.sql(query)

@@ -244,3 +244,33 @@ def ts_transform_elapsed(spark, sf_dir):
     buckets — the gap detector over a sparse series."""
     q = f'SELECT elapsed(last("value"), 1m) FROM "view" {_RANGE} GROUP BY time(1d) FILL(none)'
     return _run(spark, sf_dir, q)
+
+
+@register(
+    "influxql_multi_select",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+agg AS (SELECT {_bucket(86400)} AS time, location_id,
+               round(avg(value_f), 3) AS avg_v,
+               max(value_f) AS max,
+               CAST(count(value_f) AS DOUBLE) AS n
+        FROM src GROUP BY 1, 2)
+SELECT time, location_id, avg_v, max, n FROM agg ORDER BY time, location_id
+""",
+    shelved=True,
+)
+def influxql_multi_select(spark, sf_dir):
+    """Hand-written multi-selector query: ``SELECT mean(v), max(v),
+    count(v)`` computed by ONE bucketed groupBy (plan_multi — one scan,
+    one shuffle, never a per-selector re-plan), with InfluxDB-style
+    column naming (alias, else function name)."""
+    from pyspark.sql import functions as F
+    from ecollector_spark.influxql import parse_influxql
+
+    q = (
+        'SELECT mean("value") AS avg_v, max("value"), count("value") AS n '
+        f'FROM "purchase" {_RANGE} GROUP BY time(1d), location_id FILL(none)'
+    )
+    iq = parse_influxql(q)
+    df = _planner(spark, sf_dir).plan_multi(iq.request, iq.selectors, now=NOW)
+    return df.withColumn("avg_v", F.round("avg_v", 3))

@@ -5,7 +5,7 @@ docs/api:181-248 shows the documented query shapes). This engine's native
 raw-query surface is Spark SQL, but a migrating user's saved queries
 follow a small documented grammar:
 
-    SELECT sel [AS "alias"] FROM [["db".]"rp".]"measurement" | /regex/
+    SELECT sel [AS "alias"] [, sel ...] FROM [["db".]"rp".]"measurement" | /regex/
       [WHERE time > now()-10m [AND time < now()-1m]
              [AND "tag"='v' | "tag"!='v'
               | "tag"=~/re/ | "tag"!~/re/ ...]]
@@ -17,7 +17,14 @@ follow a small documented grammar:
     where ``sel`` is any selector the reference itself generates
     (influxdb_v1.go:159-188): a bare field (``"value"`` — raw points),
     an aggregate (``mean("value")``), or a transform-wrapped aggregate
-    (``difference(max("value"))`` — the A15 f(g(x)) surface).
+    (``difference(max("value"))`` — the A15 f(g(x)) surface); plus the
+    public-docs extensions — parameterized aggregates
+    (``percentile("value", 95)``, ``integral("value", 1h)``,
+    ``count(distinct("value"))``), the window-transform family
+    (``derivative``/``moving_average``/``cumulative_sum``/...), and a
+    multi-selector list (``mean(v) AS a, max(v), count(v)`` — all
+    single-stage aggregates, computed by ONE groupBy via
+    ``QueryPlanner.plan_multi``, FILL(none) only).
 
 ``parse_influxql`` compiles that into a :class:`DataPointsRequest`, so the
 docs/README examples run verbatim through ``EcollectorApi.run_query`` on
@@ -42,7 +49,7 @@ import re
 from dataclasses import dataclass
 
 from ecollector_spark import tiers
-from ecollector_spark.query import DataPointsFilter, DataPointsRequest
+from ecollector_spark.query import DataPointsFilter, DataPointsRequest, Selector
 
 from ecollector_spark.query import _WINDOW_TRANSFORMS
 
@@ -63,8 +70,10 @@ _TRANSFORMS = {"abs"} | _WINDOW_TRANSFORMS
 _DURATION_PARAM_RE = re.compile(r"^\d+[smhdw]$")
 _NUMBER_PARAM_RE = re.compile(r"^\d+(\.\d+)?$")
 
-_STMT_RE = re.compile(
-    r"""^\s*SELECT\s+
+#: one select-list entry; the statement regex captures the whole list
+#: and parse_influxql splits it on top-level commas
+_SEL_RE = re.compile(
+    r"""^\s*
     (?:
         (?P<cd>count)\(\s*distinct\(\s*"?(?P<fieldcd>[\w.]+)"?\s*\)\s*\)
       | (?P<tf>\w+)\(\s*(?P<fn2>\w+)\(\s*"?(?P<field2>[\w.]+)"?\s*\)\s*(?:,\s*(?P<tfparam>[\w.]+)\s*)?\)
@@ -72,6 +81,12 @@ _STMT_RE = re.compile(
       | "?(?P<rawfield>[\w.]+)"?
     )
     (?:\s+AS\s+"?(?P<alias>[\w.]+)"?)?
+    \s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_STMT_RE = re.compile(
+    r"""^\s*SELECT\s+(?P<sel>.+?)
     \s+FROM\s+(?P<from>/(?:[^/\\]|\\.)+/|"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+)
     (?:\s+WHERE\s+(?P<where>.*?))?
     (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
@@ -169,6 +184,10 @@ class InfluxQLQuery:
     #: meaningful with a tag group
     slimit: int | None = None
     soffset: int | None = None
+    #: multi-selector query (SELECT mean(v), max(v), ...): the full
+    #: select list for QueryPlanner.plan_multi; None for the
+    #: reference-parity single-selector shape (request carries it)
+    selectors: list[Selector] | None = None
 
 
 def _parse_from(frm: str) -> tuple[str | None, str]:
@@ -193,17 +212,17 @@ def _parse_from(frm: str) -> tuple[str | None, str]:
     return None, frm
 
 
-def parse_influxql(query: str) -> InfluxQLQuery:
-    m = _STMT_RE.match(query)
-    if not m:
-        raise InfluxQLParseError(f"unrecognized InfluxQL shape: {query!r}")
-    tf = (m.group("tf") or "").lower()
+def _parse_selector(sm: "re.Match") -> tuple[str, str, str, str, str, str]:
+    """One select-list entry -> (fn, fn_param, tf, tf_param, field,
+    alias), with parameter validation."""
+    tf = (sm.group("tf") or "").lower()
     fn_param = tf_param = ""
-    if m.group("cd"):  # count(distinct("field"))
-        fn, fld = "count_distinct", m.group("fieldcd")
+    alias = sm.group("alias") or ""
+    if sm.group("cd"):  # count(distinct("field"))
+        fn, fld = "count_distinct", sm.group("fieldcd")
     elif tf:  # transform-wrapped aggregate: tf(fn("field")[, param])
-        fn, fld = m.group("fn2").lower(), m.group("field2")
-        tf_param = m.group("tfparam") or ""
+        fn, fld = sm.group("fn2").lower(), sm.group("field2")
+        tf_param = sm.group("tfparam") or ""
         if tf not in _TRANSFORMS:
             raise InfluxQLParseError(f"unsupported transform: {tf}")
         if tf == "moving_average":
@@ -216,11 +235,11 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                 raise InfluxQLParseError(f"bad {tf} unit: {tf_param!r}")
         elif tf_param:
             raise InfluxQLParseError(f"{tf} takes no parameter: {tf_param!r}")
-    elif m.group("fn"):
-        fn, fld = m.group("fn").lower(), m.group("field")
-        fn_param = m.group("fnparam") or ""
+    elif sm.group("fn"):
+        fn, fld = sm.group("fn").lower(), sm.group("field")
+        fn_param = sm.group("fnparam") or ""
     else:  # bare field -> raw points (influxdb_v1.go:163,180)
-        fn, fld = "", m.group("rawfield")
+        fn, fld = "", sm.group("rawfield")
         # SELECT is statement-shaped but bare-SELECT of a non-"value"
         # word is far more likely Spark SQL: only accept known fields
         if fld.lower() not in ("value",):
@@ -235,6 +254,37 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             raise InfluxQLParseError(f"bad integral unit: {fn_param!r}")
     elif fn_param:
         raise InfluxQLParseError(f"{fn} takes no parameter: {fn_param!r}")
+    return fn, fn_param, tf, tf_param, fld, alias
+
+
+def parse_influxql(query: str) -> InfluxQLQuery:
+    m = _STMT_RE.match(query)
+    if not m:
+        raise InfluxQLParseError(f"unrecognized InfluxQL shape: {query!r}")
+    # split the select list on top-level commas (commas inside function
+    # parens — percentile("v", 95) — don't separate selectors)
+    pieces = re.split(r",(?![^()]*\))", m.group("sel"))
+    sel_ms = []
+    for piece in pieces:
+        sm = _SEL_RE.match(piece)
+        if not sm:
+            raise InfluxQLParseError(f"unrecognized selector: {piece.strip()!r}")
+        sel_ms.append(sm)
+    fn, fn_param, tf, tf_param, fld, alias = _parse_selector(sel_ms[0])
+    selectors = None
+    if len(sel_ms) > 1:
+        # hand-written multi-select: every entry must be a single-stage
+        # aggregate (one groupBy computes them side by side; transforms,
+        # raw fields and two-stage shapes stay single-selector)
+        selectors = []
+        for sm in sel_ms:
+            s_fn, s_fp, s_tf, _, s_fld, s_alias = _parse_selector(sm)
+            if s_tf or not s_fn or s_fn in ("difference", "mode", "integral"):
+                raise InfluxQLParseError(
+                    "multi-select supports single-stage aggregates only: "
+                    f"{(s_tf or s_fn or s_fld)!r}"
+                )
+            selectors.append(Selector(s_fn, s_fp, s_alias))
     frm = m.group("from")
     measurement_regex = None
     if frm.startswith("/") and frm.endswith("/"):
@@ -330,6 +380,10 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     soffset = int(m.group("soffset")) if m.group("soffset") else None
 
     fill = (m.group("fill") or "").lower()
+    if selectors is not None and fill not in ("", "none"):
+        # one spine join per column is not implemented; FILL(none) is
+        # the multi-select contract (matches the window-transform rule)
+        raise InfluxQLParseError(f"multi-select supports FILL(none) only: {fill}")
     req = DataPointsRequest(
         measurement_name=measurement,
         field_name=fld,
@@ -350,13 +404,14 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         request=req,
         measurement=measurement,
         retention_policy=rp,
-        alias=m.group("alias"),
+        alias=alias or None,
         measurement_regex=measurement_regex,
         order_desc=order_desc,
         limit=limit,
         offset=offset,
         slimit=slimit,
         soffset=soffset,
+        selectors=selectors,
     )
 
 

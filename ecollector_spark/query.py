@@ -55,6 +55,17 @@ class DataPointsFilter:
 
 
 @dataclass
+class Selector:
+    """One select-list entry of a multi-selector InfluxQL query
+    (``SELECT mean(v) AS a, max(v), ...``). The reference struct is
+    single-selector (types.go:8-21); this is the hand-written surface."""
+
+    data_function: str
+    function_param: str = ""
+    alias: str = ""
+
+
+@dataclass
 class DataPointsRequest:
     """Mirror of GetDataPointsRequest (src/api/types.go:8-21)."""
 
@@ -279,7 +290,11 @@ class QueryPlanner:
             self._reader_takes_bounds = False
 
     # -- planning ----------------------------------------------------------
-    def plan(self, req: DataPointsRequest, now: datetime | None = None) -> DataFrame:
+    def _prepare(self, req: DataPointsRequest, now: datetime | None):
+        """Shared front half of every plan: defaults, time-range and tier
+        resolution, the (optionally bounds-pruned) scan, and the time/tag
+        predicates. Returns the filtered frame plus the resolved context
+        consumed by the aggregation stage."""
         now = now or datetime.now(timezone.utc)
         now_epoch = int(now.timestamp())
 
@@ -369,10 +384,27 @@ class QueryPlanner:
         if flt.dev_types:
             df = df.where(F.col("dev_type").isin(flt.dev_types))
 
-        value_col = {"value": "value_f"}.get(field_name, field_name)
-        tag = req.group_by_tag
-        tag_cols = split_group_tags(tag)
-        step = parse_relative_duration(group_by_time)
+        return df, {
+            "ts_epoch": ts_epoch,
+            "from_epoch": from_epoch,
+            "to_epoch": to_epoch,
+            "value_col": {"value": "value_f"}.get(field_name, field_name),
+            "tag_cols": split_group_tags(req.group_by_tag),
+            "step": parse_relative_duration(group_by_time),
+            "data_function": data_function,
+            "fill_type": fill_type,
+        }
+
+    def plan(self, req: DataPointsRequest, now: datetime | None = None) -> DataFrame:
+        df, ctx = self._prepare(req, now)
+        ts_epoch = ctx["ts_epoch"]
+        from_epoch, to_epoch = ctx["from_epoch"], ctx["to_epoch"]
+        value_col, tag_cols = ctx["value_col"], ctx["tag_cols"]
+        step, data_function, fill_type = (
+            ctx["step"],
+            ctx["data_function"],
+            ctx["fill_type"],
+        )
 
         # selector shapes (influxdb_v1.go:159-188). NB the reference's
         # tag-only shape selects the RAW field (series organized by tag,
@@ -451,3 +483,66 @@ class QueryPlanner:
             *group_cols,
             F.col("value").cast("double").alias("value"),
         ).orderBy("time", *group_cols)
+
+    def plan_multi(
+        self,
+        req: DataPointsRequest,
+        selectors: list["Selector"],
+        now: datetime | None = None,
+    ) -> DataFrame:
+        """Multi-selector query (hand-written InfluxQL
+        ``SELECT mean(v), max(v), ... FROM m``): ONE scan and ONE
+        bucketed groupBy computing every aggregate side by side — never
+        a per-selector re-plan. Output columns are named InfluxDB-style
+        (alias, else the function name, ``_1``/``_2``-suffixed on
+        repeats). Single-stage aggregates only (incl. percentile);
+        two-stage shapes (difference/mode/integral) and transforms stay
+        single-selector. Gap fill is not applied — FILL(none) semantics
+        (the parser rejects other fills for multi-select)."""
+        from dataclasses import replace as _dc_replace
+
+        # Tier routing upgrades to a coarser pre-aggregated tier only for
+        # mean (tiers.choose_query_tier — identical answer on stored
+        # means). That holds for a multi-select ONLY if every selector is
+        # mean; any count/max/... must read the native tier, so the
+        # request handed to routing carries a non-upgrading function.
+        if not all(s.data_function == "mean" for s in selectors):
+            req = _dc_replace(req, data_function="last")
+        df, ctx = self._prepare(req, now)
+        value_col, tag_cols = ctx["value_col"], ctx["tag_cols"]
+        step, from_epoch = ctx["step"], ctx["from_epoch"]
+
+        names: list[str] = []
+        aggs = []
+        for sel in selectors:
+            fn = sel.data_function
+            if fn == "percentile":
+                builder = _percentile_builder(sel.function_param)
+            else:
+                builder = _AGG_BUILDERS.get(fn)
+            if builder is None:
+                raise ValueError(
+                    f"multi-select supports single-stage aggregates only: {fn!r}"
+                )
+            base = sel.alias or fn
+            name = base
+            i = 0
+            while name in names:
+                i += 1
+                name = f"{base}_{i}"
+            names.append(name)
+            aggs.append(builder(value_col, "ts").alias(name))
+
+        if step:
+            bucket = time_bucket("ts", step).alias("time")
+            agg = df.groupBy(bucket, *tag_cols).agg(*aggs)
+        else:
+            agg = df.groupBy(*tag_cols).agg(*aggs)
+            agg = agg.select(
+                F.lit(from_epoch).cast("long").alias("time"), *tag_cols, *names
+            )
+        return agg.select(
+            F.col("time").cast("long").alias("time"),
+            *tag_cols,
+            *[F.col(n).cast("double").alias(n) for n in names],
+        ).orderBy("time", *tag_cols)

@@ -187,6 +187,32 @@ class TestParse:
         with pytest.raises(InfluxQLParseError):
             parse_influxql("SELECT something FROM events")
 
+    def test_multi_select_parses_selector_list(self):
+        iq = parse_influxql(
+            'SELECT mean("value") AS avg_v, max("value"), percentile("value", 95) AS p95 '
+            'FROM "m" GROUP BY time(1h), dev_id FILL(none)'
+        )
+        assert [(s.data_function, s.function_param, s.alias) for s in iq.selectors] == [
+            ("mean", "", "avg_v"), ("max", "", ""), ("percentile", "95", "p95"),
+        ]
+        # request carries the first selector (reference-struct parity)
+        assert iq.request.data_function == "mean"
+        assert iq.alias == "avg_v"
+        # single-select stays on the None path
+        assert parse_influxql('SELECT mean("value") FROM "m"').selectors is None
+
+    def test_multi_select_rejects_non_aggregates(self):
+        bad = [
+            'SELECT mean("value"), difference(max("value")) FROM "m"',  # transform
+            'SELECT "value", mean("value") FROM "m"',  # raw field
+            'SELECT mean("value"), mode("value") FROM "m"',  # two-stage agg
+            'SELECT mean("value"), integral("value") FROM "m"',
+            'SELECT mean("value"), max("value") FROM "m" FILL(previous)',  # fill
+        ]
+        for q in bad:
+            with pytest.raises(InfluxQLParseError):
+                parse_influxql(q)
+
     def test_spark_sql_rejected(self):
         for q in (
             "SELECT * FROM events",
@@ -218,6 +244,28 @@ class TestRunQuery:
         col = series[0]["columns"].index("mean_value")
         got = [v[col] for v in vals]
         assert got == [600.0]
+
+    def test_multi_select_end_to_end(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:01:10", "7", 300.0),
+            ("electricity_meter_power", "2024-01-01T00:05:30", "7", 50.0),
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 0, 9, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT mean("value") AS avg_v, max("value"), count("value") '
+            'FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-10m GROUP BY time(5m) FILL(none)",
+            now=now,
+        )
+        s = rsp["val"]["Results"][0]["Series"][0]
+        assert s["columns"] == ["time", "avg_v", "max", "count"]
+        assert s["values"] == [
+            [1704067200, 200.0, 300.0, 2.0],
+            [1704067500, 50.0, 50.0, 1.0],
+        ]
 
     def test_order_desc_limit_offset_end_to_end(self, spark, tmp_path):
         w = Warehouse(spark, str(tmp_path / "w"))
