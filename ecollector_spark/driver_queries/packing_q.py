@@ -96,3 +96,31 @@ def datapipe_mix_weights(spark, sf_dir):
         docs, {"src0": 2.5, "src1": 0.25, "src2": 0.0}, domain_col="source"
     )
     return out.orderBy("doc_id", "copy")
+
+
+@register(
+    "datapipe_export_shards",
+    """WITH h AS (SELECT
+  CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+      || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT AS rh
+FROM documents)
+SELECT shard, count(*) AS n_rows, bit_xor(rh) AS checksum
+FROM h GROUP BY shard ORDER BY shard
+""",
+    shelved=True,
+)
+def datapipe_export_shards(spark, sf_dir):
+    """Sharded export boundary as a value gate: documents -> 8
+    md5-sharded parquet shards -> manifest recomputed FROM THE WRITTEN
+    FILES (counts + order-insensitive bit-XOR row checksums). The oracle
+    derives the same manifest from the source table, so dropped rows,
+    duplicate partitions or column corruption in the write path is a
+    hash mismatch."""
+    import tempfile
+
+    from ecollector_spark.datapipe.export import export_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="ec_shards_")
+    return export_shards(docs, out, 8)

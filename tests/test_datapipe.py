@@ -765,3 +765,47 @@ class TestPacking:
             mix_by_weight(docs, {"q": -1.0})
         with pytest.raises(ValueError):
             mix_by_weight(docs, {}, default_weight=-0.5)
+
+
+class TestExportShards:
+    def test_roundtrip_manifest_and_validate(self, spark, tmp_path):
+        from ecollector_spark.datapipe.export import export_shards, validate_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", "en") for i in range(100)],
+            "doc_id long, text string, lang string",
+        )
+        man = export_shards(docs, str(tmp_path / "out"), 4).collect()
+        assert sorted(r["shard"] for r in man) == [0, 1, 2, 3]
+        assert sum(r["n_rows"] for r in man) == 100
+        assert validate_shards(spark, str(tmp_path / "out"))
+
+    def test_validate_detects_tampering(self, spark, tmp_path):
+        import glob
+        import os
+
+        from ecollector_spark.datapipe.export import export_shards, validate_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+        )
+        out = str(tmp_path / "out")
+        export_shards(docs, out, 2)
+        # drop one shard's files -> counts and checksums must mismatch
+        victim = glob.glob(os.path.join(out, "shard=0", "*.parquet"))
+        assert victim
+        for f in victim:
+            os.remove(f)
+        assert not validate_shards(spark, out)
+
+    def test_sharding_is_deterministic(self, spark, tmp_path):
+        from ecollector_spark.datapipe.export import export_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(64)], "doc_id long, text string"
+        )
+        a = {r["shard"]: r["checksum"]
+             for r in export_shards(docs, str(tmp_path / "a"), 4).collect()}
+        b = {r["shard"]: r["checksum"]
+             for r in export_shards(docs, str(tmp_path / "b"), 4).collect()}
+        assert a == b
