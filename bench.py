@@ -117,7 +117,8 @@ def main() -> None:
     # carries the measured exponents of the full headline set
     for key, fname in (("headline_scale", "HEADLINE_SCALE.json"),
                        ("streaming_scale", "STREAMING_SCALE.json"),
-                       ("ts_scale", "TS_SCALE.json")):
+                       ("ts_scale", "TS_SCALE.json"),
+                       ("newops_scale", "NEWOPS_SCALE.json")):
         p = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
         if os.path.isfile(p):
             try:
