@@ -67,6 +67,23 @@ def main() -> None:
     topk = similarity.ivf_topk_indexed(spark, idx, qv, k=5, nprobe=2, exclude_vec_id=0)
     print("top-5 neighbours of vec 0:", [(r["vec_id"], r["cosine"]) for r in topk.collect()])
 
+    # -- training-data assembly: mix -> pack -> sharded export ------------
+    from ecollector_spark.datapipe.export import export_shards, validate_shards
+    from ecollector_spark.datapipe.packing import (
+        mix_by_weight,
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    mixed = mix_by_weight(docs, {"src0": 2.0, "src1": 0.5}, domain_col="source")
+    print(f"mixed copies: {mixed.count()} (src0 doubled, src1 halved)")
+    placed = pack_sequences(docs, seq_len=512)
+    windows = sequence_manifest(placed, 512)
+    print(f"packed into {windows.count()} x 512-token context windows")
+    shard_dir = os.path.join(tempfile.mkdtemp(prefix="dp_qs_"), "shards")
+    export_shards(docs, shard_dir, n_shards=4)
+    print(f"exported 4 shards, manifest valid: {validate_shards(spark, shard_dir)}")
+
 
 if __name__ == "__main__":
     main()

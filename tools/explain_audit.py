@@ -113,6 +113,30 @@ CHECKS = {
     "ts_group_by_time_tag_fill_previous": [
         "!windowspecdefinition\\(time#\\d+L? ASC",
     ],
+    # sequence packing: the tiny chunk-offset frame must broadcast back
+    # into the per-doc join, the per-doc running offset must be a
+    # _chunk-partitioned window, and pairing never degenerates
+    "datapipe_pack_sequences": [
+        "BroadcastHashJoin",
+        "\\], \\[_chunk#\\d+L\\], \\[",
+        "!CartesianProduct",
+    ],
+    # domain mixing is expression-only: a generate/explode pass with no
+    # hash shuffle at all (the gate's cosmetic sort is range, not hash)
+    "datapipe_mix_weights": [
+        "Generate explode",
+        "!Exchange hashpartitioning",
+        "!CartesianProduct",
+    ],
+    # multi-select: every aggregate in ONE groupBy — a per-selector
+    # re-plan would surface as a union or a self-join
+    "influxql_multi_select": [
+        "partial_",
+        "!Union",
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+    ],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
@@ -128,6 +152,12 @@ BOUNDED_WINDOWS = {
         (
             r"_ck#\d+L ASC",
             "per-chunk boundary carry: one row per 1024-bucket chunk (|spine|/1024 rows)",
+        ),
+    ],
+    "datapipe_pack_sequences": [
+        (
+            r"_chunk#\d+L ASC",
+            "chunk-offset prefix sum: one row per md5-range chunk (<= 1024 rows)",
         ),
     ],
 }
