@@ -125,6 +125,7 @@ class EcollectorApi:
             InfluxQLParseError,
             apply_result_shape,
             parse_influxql,
+            parse_show_meta,
             parse_show_statement,
         )
 
@@ -140,6 +141,16 @@ class EcollectorApi:
             return _report(
                 [{"name": "databases", "columns": ["name"], "values": [["ecollector"]]}]
             )
+        try:
+            meta = parse_show_meta(query)
+        except InfluxQLParseError as e:
+            return _report(error=str(e))
+        if meta is not None:
+            if meta["what"] == "tag_keys":
+                return self.get_tag_keys(meta["measurement"])
+            if meta["what"] == "field_keys":
+                return self.get_field_keys(meta["measurement"])
+            return self.get_tag_values(meta["keys"], meta["measurement"])
         try:
             iq = parse_influxql(query)
         except InfluxQLParseError:
@@ -310,6 +321,92 @@ class EcollectorApi:
         return _report(
             [{"name": "measurements", "columns": ["name"], "values": [[m] for m in ms]}]
         )
+
+    def _datapoints_all_tiers(self, measurement: str | None = None):
+        """Union of every populated tier, optionally pruned to one
+        measurement (partition predicate). The schema-exploration SHOW
+        statements read through this; the distinct/count aggregates they
+        run are map-side partial over the pruned scan."""
+        from ecollector_spark.tiers import TIERS
+
+        out = None
+        for tier in TIERS:
+            df = self.warehouse.read_tier(tier)
+            if df is None:
+                continue
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        if out is not None and measurement:
+            out = out.where(F.col("measurement") == measurement)
+        return out
+
+    def get_tag_keys(self, measurement: str | None = None) -> dict:
+        """SHOW TAG KEYS [FROM m]: the tag columns that carry at least
+        one value for each measurement (InfluxDB's per-measurement tag
+        key listing; our tags are fixed schema columns, so presence =
+        any non-null). One grouped aggregate pass, never per-measurement
+        rescans."""
+        from ecollector_spark.schema import DATAPOINT_TAG_COLUMNS
+
+        df = self._datapoints_all_tiers(measurement)
+        if df is None:
+            return _report([])
+        cols = [c for c in DATAPOINT_TAG_COLUMNS if c in df.columns]
+        agg = df.groupBy("measurement").agg(*[F.count(c).alias(c) for c in cols])
+        series = []
+        for r in sorted(agg.collect(), key=lambda r: r["measurement"]):
+            keys = [c for c in cols if r[c] > 0]
+            if keys:
+                series.append(
+                    {"name": r["measurement"], "columns": ["tagKey"], "values": [[k] for k in keys]}
+                )
+        return _report(series)
+
+    def get_field_keys(self, measurement: str | None = None) -> dict:
+        """SHOW FIELD KEYS [FROM m]: which typed value columns are
+        populated per measurement — InfluxDB's (fieldKey, fieldType)
+        listing over our fixed value_f/value_b/value_s columns."""
+        df = self._datapoints_all_tiers(measurement)
+        if df is None:
+            return _report([])
+        fields = [("value_f", "float"), ("value_b", "boolean"), ("value_s", "string")]
+        fields = [(c, t) for c, t in fields if c in df.columns]
+        agg = df.groupBy("measurement").agg(*[F.count(c).alias(c) for c, _ in fields])
+        series = []
+        for r in sorted(agg.collect(), key=lambda r: r["measurement"]):
+            vals = [[c, t] for c, t in fields if r[c] > 0]
+            if vals:
+                series.append(
+                    {"name": r["measurement"], "columns": ["fieldKey", "fieldType"], "values": vals}
+                )
+        return _report(series)
+
+    def get_tag_values(self, keys: list[str], measurement: str | None = None) -> dict:
+        """SHOW TAG VALUES [FROM m] WITH KEY = k / IN (...): distinct
+        values per (measurement, key) — one distinct per requested key
+        over the pruned scan, unioned; results are catalog-sized."""
+        df = self._datapoints_all_tiers(measurement)
+        if df is None:
+            return _report([])
+        frames = [
+            df.where(F.col(k).isNotNull())
+            .select("measurement", F.lit(k).alias("key"), F.col(k).alias("value"))
+            .distinct()
+            for k in keys
+            if k in df.columns
+        ]
+        if not frames:
+            return _report([])
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        series: dict[str, dict] = {}
+        for r in u.orderBy("measurement", "key", "value").collect():
+            s = series.setdefault(
+                r["measurement"],
+                {"name": r["measurement"], "columns": ["key", "value"], "values": []},
+            )
+            s["values"].append([r["key"], r["value"]])
+        return _report(list(series.values()))
 
     def get_retention_policies(self) -> dict:
         rps = {r["name"]: r for r in self.warehouse.retention_policies()}

@@ -150,6 +150,47 @@ _SHOW_RE = re.compile(
 )
 
 
+_SHOW_META_RE = re.compile(
+    r"""^\s*SHOW\s+(?P<what>TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS)
+    (?:\s+ON\s+"?[\w.]+"?)?               # optional ON <database>
+    (?:\s+FROM\s+(?P<from>"[^"]+"|[\w.]+))?
+    (?:\s+WITH\s+KEY\s*(?:=\s*"?(?P<key>[\w.]+)"?
+        |\s+IN\s*\(\s*(?P<keys>[^)]*)\)))?
+    \s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def parse_show_meta(query: str) -> dict | None:
+    """The schema-exploration SHOW statements a dashboarding client
+    (Grafana-style) issues against an InfluxDB-compatible endpoint —
+    beyond the three the reference itself sends
+    (influxdb_v1.go:376-413): ``SHOW TAG KEYS [FROM m]``,
+    ``SHOW TAG VALUES [FROM m] WITH KEY = "k" | WITH KEY IN ("a","b")``
+    and ``SHOW FIELD KEYS [FROM m]``. Returns
+    ``{"what", "measurement", "keys"}`` or None when the string is not
+    one of these; raises :class:`InfluxQLParseError` for a TAG VALUES
+    without its mandatory WITH KEY."""
+    m = _SHOW_META_RE.match(query)
+    if not m:
+        return None
+    what = re.sub(r"\s+", "_", m.group("what").lower())
+    meas = m.group("from")
+    meas = meas.strip('"') if meas else None
+    keys = None
+    if m.group("key"):
+        keys = [m.group("key")]
+    elif m.group("keys") is not None:
+        keys = [
+            k.strip().strip('"').strip("'")
+            for k in m.group("keys").split(",")
+            if k.strip()
+        ]
+    if what == "tag_values" and not keys:
+        raise InfluxQLParseError("SHOW TAG VALUES requires WITH KEY = ... or WITH KEY IN (...)")
+    return {"what": what, "measurement": meas, "keys": keys}
+
+
 def parse_show_statement(query: str) -> str | None:
     """Route the InfluxQL catalog statements the reference issues as
     query strings (storage/influxdb_v1.go:376-413 sends

@@ -457,6 +457,50 @@ class TestRunQuery:
         rsp = api.run_query("SHOW DATABASES")
         assert rsp["val"]["Results"][0]["Series"][0]["values"] == [["ecollector"]]
 
+    def test_show_tag_keys_and_values_and_field_keys(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:00:10", "7", 1.0),
+            ("electricity_meter_power", "2024-01-01T00:01:10", "9", 2.0),
+            ("sensor_temp.evt.sensor.report", "2024-01-01T00:00:20", "5", 21.5),
+        ]))
+        api = EcollectorApi(spark, w)
+
+        rsp = api.run_query('SHOW TAG KEYS FROM "electricity_meter_power"')
+        s = rsp["val"]["Results"][0]["Series"]
+        assert len(s) == 1 and s[0]["name"] == "electricity_meter_power"
+        keys = [v[0] for v in s[0]["values"]]
+        assert s[0]["columns"] == ["tagKey"]
+        # every populated tag column shows; value_f/unit etc never do
+        assert "dev_id" in keys and "location_id" in keys and "topic" in keys
+        assert "value_f" not in keys and "unit" not in keys
+
+        rsp = api.run_query(
+            'SHOW TAG VALUES FROM "electricity_meter_power" WITH KEY = "dev_id"'
+        )
+        s = rsp["val"]["Results"][0]["Series"][0]
+        assert s["columns"] == ["key", "value"]
+        assert [v for v in s["values"]] == [["dev_id", "7"], ["dev_id", "9"]]
+
+        # WITH KEY IN over all measurements: series per measurement
+        rsp = api.run_query('SHOW TAG VALUES WITH KEY IN ("dev_id", "domain")')
+        by_name = {s["name"]: s["values"] for s in rsp["val"]["Results"][0]["Series"]}
+        assert by_name["electricity_meter_power"] == [
+            ["dev_id", "7"], ["dev_id", "9"], ["domain", "site"]
+        ]
+        assert by_name["sensor_temp.evt.sensor.report"] == [
+            ["dev_id", "5"], ["domain", "site"]
+        ]
+
+        rsp = api.run_query("SHOW FIELD KEYS")
+        by_name = {s["name"]: s["values"] for s in rsp["val"]["Results"][0]["Series"]}
+        # only value_f is populated by _mk_points
+        assert by_name["electricity_meter_power"] == [["value_f", "float"]]
+
+        # TAG VALUES without WITH KEY -> error envelope, never a raise
+        rsp = api.run_query('SHOW TAG VALUES FROM "electricity_meter_power"')
+        assert "WITH KEY" in rsp["val"]["error"]
+
     def test_show_like_sql_still_falls_through(self, spark, tmp_path):
         """Only the catalog SHOW family is intercepted — other SHOW-ish
         strings keep the Spark SQL path (e.g. SHOW TABLES works there)."""
