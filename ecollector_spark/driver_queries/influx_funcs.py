@@ -274,3 +274,66 @@ def influxql_multi_select(spark, sf_dir):
     iq = parse_influxql(q)
     df = _planner(spark, sf_dir).plan_multi(iq.request, iq.selectors, now=NOW)
     return df.withColumn("avg_v", F.round("avg_v", 3))
+
+
+@register(
+    "ts_raw_difference",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value_f AS v FROM src),
+d AS (SELECT t AS time, v - lag(v) OVER (ORDER BY t, v) AS value FROM p)
+SELECT time, value FROM d WHERE value IS NOT NULL ORDER BY time
+""",
+    shelved=True,
+)
+def ts_raw_difference(spark, sf_dir):
+    """``difference("value")`` over RAW points (no GROUP BY time): the
+    chunk-partitioned window with O(1) boundary seeds vs the oracle's
+    single global lag window — bit-equal output proves the chunked
+    decomposition."""
+    q = f'SELECT difference("value") FROM "purchase" {_RANGE}'
+    return _run(spark, sf_dir, q)
+
+
+@register(
+    "ts_raw_derivative_by_tag",
+    f"""{_DP},
+src AS ({_src_sql('view')}),
+p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, location_id, value_f AS v FROM src),
+d AS (SELECT t AS time, location_id,
+             (v - lag(v) OVER w) / ((t - lag(t) OVER w) / 60.0) AS value
+      FROM p WINDOW w AS (PARTITION BY location_id ORDER BY t, v))
+SELECT time, location_id, value FROM d WHERE value IS NOT NULL AND value >= 0
+ORDER BY time, location_id
+""",
+    shelved=True,
+)
+def ts_raw_derivative_by_tag(spark, sf_dir):
+    """``non_negative_derivative("value", 1m)`` per tag over raw points:
+    per-minute rate between consecutive raw samples of each
+    location_id series, negatives dropped."""
+    q = (
+        f'SELECT non_negative_derivative("value", 1m) FROM "view" {_RANGE} '
+        "GROUP BY location_id"
+    )
+    return _run(spark, sf_dir, q)
+
+
+@register(
+    "ts_raw_cumulative_sum",
+    f"""{_DP},
+src AS ({_src_sql('signup')}),
+p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value_f AS v FROM src)
+SELECT t AS time, round(sum(v) OVER (ORDER BY t, v
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM p ORDER BY time
+""",
+    shelved=True,
+)
+def ts_raw_cumulative_sum(spark, sf_dir):
+    """``cumulative_sum("value")`` over raw points: per-chunk running
+    sums + prefix-summed chunk offsets vs the oracle's global running
+    sum (rounded — chunked addition order differs at the ulp)."""
+    q = f'SELECT cumulative_sum("value") FROM "signup" {_RANGE}'
+    df = _run(spark, sf_dir, q)
+    return df.withColumn("value", F.round("value", 6))

@@ -276,6 +276,26 @@ def _parse_selector(sm: "re.Match") -> tuple[str, str, str, str, str, str]:
                 raise InfluxQLParseError(f"bad {tf} unit: {tf_param!r}")
         elif tf_param:
             raise InfluxQLParseError(f"{tf} takes no parameter: {tf_param!r}")
+    elif sm.group("fn") and sm.group("fn").lower() in _TRANSFORMS - _FUNCS:
+        # raw-series transform: tf("value"[, param]) with no aggregate —
+        # derivative/elapsed/cumulative_sum/... over raw points (the
+        # planner's chunk-partitioned window path). ``difference`` stays
+        # on the data_function route (it is in both sets).
+        fn, tf = "", sm.group("fn").lower()
+        fld = sm.group("field")
+        tf_param = sm.group("fnparam") or ""
+        if fld.lower() != "value":
+            raise InfluxQLParseError(f"not a raw-field selector: {fld!r}")
+        if tf == "moving_average":
+            raise InfluxQLParseError(
+                "moving_average needs an aggregate: moving_average(mean(\"value\"), N)"
+            )
+        if tf in ("derivative", "non_negative_derivative", "elapsed"):
+            if tf_param and not _DURATION_PARAM_RE.match(tf_param):
+                raise InfluxQLParseError(f"bad {tf} unit: {tf_param!r}")
+        elif tf_param:
+            raise InfluxQLParseError(f"{tf} takes no parameter: {tf_param!r}")
+        return fn, "", tf, tf_param, fld, alias
     elif sm.group("fn"):
         fn, fld = sm.group("fn").lower(), sm.group("field")
         fn_param = sm.group("fnparam") or ""

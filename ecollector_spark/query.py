@@ -208,6 +208,96 @@ def _integral_agg(df, bucket_cols, group_cols, value_col, param: str):
     return lst.select(*keep, _trapezoid_expr("_pts", unit).alias("value"))
 
 
+def _raw_window_transform(
+    df,
+    tf: str,
+    param: str,
+    tag_cols: list[str],
+    ts_epoch,
+    value_col: str,
+    from_epoch: int,
+    to_epoch: int,
+    n_chunks: int = 1024,
+):
+    """The lag-family transforms (difference / derivative / elapsed /
+    their non_negative variants) and cumulative_sum over RAW points —
+    the hand-written InfluxQL ``derivative("value")`` shape with no
+    GROUP BY time.
+
+    A raw series has no bucket spine to bound a window, and a single
+    unpartitioned window would funnel the whole range through one task.
+    Instead the range is cut into <= ``n_chunks`` time chunks and each
+    per-series window is chunk-partitioned; what crosses the boundary is
+    O(1) per (series, chunk): the previous non-empty chunk's last (t, v)
+    row seeds each chunk's first lag (lag family), or the per-chunk sums
+    are prefix-summed into chunk offsets (cumulative_sum) — the same
+    two-level decomposition as gapfill's chunked fill and
+    datapipe.packing's prefix sum. The boundary frame is bounded by
+    |series| x n_chunks, joined back on the window's own partition key.
+    """
+    span = max(1, (to_epoch - from_epoch) // n_chunks + 1)
+    base = df.select(
+        ts_epoch.alias("_t"), *tag_cols, F.col(value_col).cast("double").alias("_v")
+    ).withColumn("_ck", F.floor((F.col("_t") - F.lit(from_epoch)) / span).cast("long"))
+    w = (
+        Window.partitionBy(*tag_cols, "_ck")
+        .orderBy("_t", "_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lag = Window.partitionBy(*tag_cols, "_ck").orderBy("_t", "_v")
+    w_chunks = Window.partitionBy(*tag_cols).orderBy("_ck")
+
+    if tf == "cumulative_sum":
+        sums = base.groupBy(*tag_cols, "_ck").agg(F.sum("_v").alias("_s"))
+        offs = sums.select(
+            *tag_cols,
+            "_ck",
+            (
+                F.sum("_s").over(w_chunks.rowsBetween(Window.unboundedPreceding, 0))
+                - F.col("_s")
+            ).alias("_off"),
+        )
+        out = base.join(offs, [*tag_cols, "_ck"]).withColumn(
+            "value", F.col("_off") + F.sum("_v").over(w)
+        )
+    else:
+        lasts = base.groupBy(*tag_cols, "_ck").agg(
+            F.max_by(
+                F.struct(F.col("_t").alias("t"), F.col("_v").alias("v")),
+                F.struct("_t", "_v"),
+            ).alias("_last")
+        )
+        seeds = lasts.select(
+            *tag_cols, "_ck", F.lag("_last").over(w_chunks).alias("_seed")
+        )
+        j = base.join(seeds, [*tag_cols, "_ck"], "left")
+        lag_v = F.coalesce(F.lag("_v").over(w_lag), F.col("_seed.v"))
+        lag_t = F.coalesce(F.lag("_t").over(w_lag), F.col("_seed.t"))
+        if tf in ("difference", "non_negative_difference"):
+            out = j.withColumn("value", F.col("_v") - lag_v)
+        elif tf in ("derivative", "non_negative_derivative"):
+            unit = _parse_param_duration(param) if param else 1  # raw default 1s
+            out = j.withColumn(
+                "value",
+                (F.col("_v") - lag_v) / ((F.col("_t") - lag_t) / F.lit(float(unit))),
+            )
+        elif tf == "elapsed":
+            unit = _parse_param_duration(param) if param else 1
+            out = j.withColumn(
+                "value", F.floor((F.col("_t") - lag_t) / F.lit(unit)).cast("double")
+            )
+        else:
+            raise ValueError(f"unsupported raw-series transform: {tf!r}")
+        out = out.where(F.col("value").isNotNull())
+        if tf.startswith("non_negative"):
+            out = out.where(F.col("value") >= 0)
+    return out.select(
+        F.col("_t").cast("long").alias("time"),
+        *tag_cols,
+        F.col("value").cast("double").alias("value"),
+    ).orderBy("time", *tag_cols)
+
+
 def _apply_window_transform(agg, tf: str, param: str, group_cols, step: int):
     """The window-transform family over the aggregated series. All run as
     one tag-partitioned window over the already-bucketed result (bounded
@@ -412,7 +502,37 @@ class QueryPlanner:
         # default only applies to bucketed shapes. An *explicitly*
         # requested function with a tag (no buckets) is our extension:
         # whole-range aggregate per tag value.
-        if not step and not req.data_function:
+        if not step and (
+            not req.data_function
+            or (req.data_function == "difference" and not req.transform_function)
+        ):
+            # raw-series shape; hand-written transforms over raw points
+            # (``derivative("value")`` with no GROUP BY time) run the
+            # chunk-partitioned window form. ``difference("value")``
+            # without buckets is the raw adjacent difference.
+            tf = req.transform_function or (
+                "difference" if req.data_function == "difference" else ""
+            )
+            if tf == "abs":
+                out = df.select(
+                    ts_epoch.alias("time"),
+                    *[F.col(t) for t in tag_cols],
+                    F.abs(F.col(value_col)).cast("double").alias("value"),
+                )
+                return out.orderBy("time", *tag_cols)
+            if tf == "moving_average":
+                raise ValueError("moving_average requires GROUP BY time or an aggregate")
+            if tf:
+                return _raw_window_transform(
+                    df,
+                    tf,
+                    req.transform_param,
+                    tag_cols,
+                    ts_epoch,
+                    value_col,
+                    from_epoch,
+                    to_epoch,
+                )
             out = df.select(
                 ts_epoch.alias("time"),
                 *[F.col(t) for t in tag_cols],

@@ -563,6 +563,20 @@ def influxql_queries(draw):
             sel = 'count(distinct("value"))'
         else:
             sel = f'integral("value", {fn_param})' if fn_param else 'integral("value")'
+    elif draw(st.booleans()) and draw(st.booleans()) and draw(st.booleans()):
+        # raw-series transform (eighth of cases): tf("value"[, param]),
+        # no aggregate — the chunk-partitioned raw window path
+        fn = None
+        tf, tf_param = draw(
+            st.one_of(
+                st.tuples(st.sampled_from(["cumulative_sum", "non_negative_difference"]), st.just("")),
+                st.tuples(
+                    st.sampled_from(["derivative", "non_negative_derivative", "elapsed"]),
+                    st.one_of(st.just(""), st.sampled_from(["10s", "1m", "1h"])),
+                ),
+            )
+        )
+        sel = f'{tf}("value", {tf_param})' if tf_param else f'{tf}("value")'
     else:
         fn = draw(st.one_of(st.none(), _funcs))
         tf = ""

@@ -392,3 +392,88 @@ class TestPreaggregate:
             df = df.union(f2)
         out = {r["series_id"]: r["value"] for r in windowed_preaggregate(df, 30).collect()}
         assert out == {"s_mean": 2.0, "s_last": 3.0, "s_sum": 6.0, "s_min": 1.0, "s_max": 3.0}
+
+
+class TestRawSeriesTransforms:
+    """Raw-points window transforms (no GROUP BY time): the
+    chunk-partitioned plan with O(1) boundary seeds must equal the naive
+    per-series computation — exercised with hundreds of points spread
+    over enough chunks that nearly every lag crosses some boundary."""
+
+    NOW = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    FROM_T, TO_T = "2024-01-01T00:00:00Z", "2024-01-01T05:00:00Z"
+
+    def _rows(self):
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = []
+        for i in range(400):
+            dev = "d1" if i % 2 else "d2"
+            t = base + timedelta(seconds=7 + i * 41 + (i * i) % 13)
+            v = float((i * 37) % 101) - 50.0
+            rows.append(("m1", t, dev, v))
+        return rows
+
+    def _plan(self, spark, **kw):
+        df = spark.createDataFrame(
+            self._rows(), "measurement string, ts timestamp, dev_id string, value_f double"
+        )
+        req = DataPointsRequest(
+            measurement_name="m1", from_time=self.FROM_T, to_time=self.TO_T,
+            group_by_tag="dev_id", **kw,
+        )
+        return QueryPlanner(lambda tier: df).plan(req, self.NOW).collect()
+
+    def _naive(self):
+        series = {}
+        for m, t, dev, v in self._rows():
+            series.setdefault(dev, []).append((int(t.timestamp()), v))
+        for s in series.values():
+            s.sort()
+        return series
+
+    def test_difference_equals_naive_across_chunks(self, spark):
+        got = {(r["dev_id"], r["time"]): r["value"]
+               for r in self._plan(spark, transform_function="difference")}
+        want = {}
+        for dev, pts in self._naive().items():
+            for (t0, v0), (t1, v1) in zip(pts, pts[1:]):
+                want[(dev, t1)] = v1 - v0
+        assert got == want
+
+    def test_cumulative_sum_equals_naive_across_chunks(self, spark):
+        got = {(r["dev_id"], r["time"]): round(r["value"], 6)
+               for r in self._plan(spark, transform_function="cumulative_sum")}
+        want = {}
+        for dev, pts in self._naive().items():
+            acc = 0.0
+            for t, v in pts:
+                acc += v
+                want[(dev, t)] = round(acc, 6)
+        assert got == want
+
+    def test_derivative_units_and_nn_filter(self, spark):
+        got = {(r["dev_id"], r["time"]): r["value"]
+               for r in self._plan(
+                   spark, transform_function="non_negative_derivative",
+                   transform_param="1m")}
+        want = {}
+        for dev, pts in self._naive().items():
+            for (t0, v0), (t1, v1) in zip(pts, pts[1:]):
+                d = (v1 - v0) / ((t1 - t0) / 60.0)
+                if d >= 0:
+                    want[(dev, t1)] = d
+        assert got == want
+
+    def test_elapsed_counts_units(self, spark):
+        got = {(r["dev_id"], r["time"]): r["value"]
+               for r in self._plan(
+                   spark, transform_function="elapsed", transform_param="1m")}
+        want = {}
+        for dev, pts in self._naive().items():
+            for (t0, _), (t1, _) in zip(pts, pts[1:]):
+                want[(dev, t1)] = float((t1 - t0) // 60)
+        assert got == want
+
+    def test_raw_moving_average_rejected(self, spark):
+        with pytest.raises(ValueError):
+            self._plan(spark, transform_function="moving_average", transform_param="3")

@@ -137,6 +137,19 @@ CHECKS = {
         "!SortMergeJoin",
         "!CartesianProduct",
     ],
+    # raw-series transform with a tag: the per-series window must be
+    # (tag, _ck)-partitioned — a window ordered directly by time with no
+    # partition would serialize the raw range through one task
+    "ts_raw_derivative_by_tag": [
+        "\\[location_id#\\d+, _ck#\\d+L\\], \\[_t#\\d+L ASC",
+        "!CartesianProduct",
+    ],
+    # untagged raw transform: main window _ck-partitioned; the only
+    # unpartitioned window is the chunk-lasts seed pass (BOUNDED below)
+    "ts_raw_difference": [
+        "\\[_ck#\\d+L\\], \\[_t#\\d+L ASC",
+        "!CartesianProduct",
+    ],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
@@ -158,6 +171,12 @@ BOUNDED_WINDOWS = {
         (
             r"_chunk#\d+L ASC",
             "chunk-offset prefix sum: one row per md5-range chunk (<= 1024 rows)",
+        ),
+    ],
+    "ts_raw_difference": [
+        (
+            r"_ck#\d+L ASC",
+            "boundary-seed pass: one last-row per time chunk (<= 1025 rows)",
         ),
     ],
 }
