@@ -337,3 +337,29 @@ def ts_raw_cumulative_sum(spark, sf_dir):
     q = f'SELECT cumulative_sum("value") FROM "signup" {_RANGE}'
     df = _run(spark, sf_dir, q)
     return df.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "ts_group_by_time_offset",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+agg AS (SELECT CAST(floor((epoch(ts)-14400)/86400) AS BIGINT)*86400+14400 AS time,
+               round(avg(value_f), 3) AS value
+        FROM src GROUP BY 1),
+spine AS (SELECT CAST(g.generate_series AS BIGINT) AS time
+          FROM generate_series(1703995200, 1706745600, 86400) g)
+SELECT spine.time AS time, agg.value AS value
+FROM spine LEFT JOIN agg USING (time) ORDER BY time
+""",
+    shelved=True,
+)
+def ts_group_by_time_offset(spark, sf_dir):
+    """``GROUP BY time(1d, 4h)``: every day bucket shifted to start at
+    04:00 (InfluxQL's boundary-alignment offset) — bucket arithmetic AND
+    the FILL(null) spine both offset-aligned."""
+    q = (
+        f'SELECT mean("value") FROM "purchase" {_RANGE} '
+        "GROUP BY time(1d, 4h) FILL(null)"
+    )
+    df = _run(spark, sf_dir, q)
+    return df.withColumn("value", F.round("value", 3))

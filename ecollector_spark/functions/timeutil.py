@@ -45,16 +45,29 @@ def epoch_seconds(col) -> Column:
     return F.unix_timestamp(F.col(col) if isinstance(col, str) else col)
 
 
-def time_bucket(col, step_seconds: int) -> Column:
+def time_bucket(col, step_seconds: int, offset_seconds: int = 0) -> Column:
     """Tumbling-bucket start in epoch seconds (bigint).
 
     floor(epoch/step)*step — epoch-aligned like InfluxDB's GROUP BY time()
-    for the m/h units the reference allows.
+    for the m/h units the reference allows. A non-zero ``offset_seconds``
+    shifts every boundary (InfluxQL ``GROUP BY time(interval, offset)``,
+    the day-boundary alignment knob): floor((epoch-off)/step)*step + off.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (F.floor(F.unix_timestamp(c) / F.lit(step_seconds)) * step_seconds).cast("long")
+    e = F.unix_timestamp(c)
+    if offset_seconds:
+        return (
+            F.floor((e - F.lit(offset_seconds)) / F.lit(step_seconds)) * step_seconds
+            + offset_seconds
+        ).cast("long")
+    return (F.floor(e / F.lit(step_seconds)) * step_seconds).cast("long")
 
 
-def time_bucket_sql(col_sql: str, step_seconds: int) -> str:
+def time_bucket_sql(col_sql: str, step_seconds: int, offset_seconds: int = 0) -> str:
     """The DuckDB-side twin of :func:`time_bucket` (same arithmetic)."""
+    if offset_seconds:
+        return (
+            f"CAST(floor((epoch({col_sql})-{offset_seconds})/{step_seconds}) AS BIGINT)"
+            f"*{step_seconds}+{offset_seconds}"
+        )
     return f"CAST(floor(epoch({col_sql})/{step_seconds}) AS BIGINT)*{step_seconds}"

@@ -48,14 +48,18 @@ def bucket_spine(
     group_cols: Sequence[str] = (),
     groups_df: DataFrame | None = None,
     time_col: str = "time",
+    offset_seconds: int = 0,
 ) -> DataFrame:
     """All (bucket, group...) combinations in [from_epoch, to_epoch).
 
     ``groups_df`` defaults to the distinct group values present in
     ``df_any`` (InfluxDB's behavior: series that exist in the range).
+    ``offset_seconds`` shifts bucket alignment (GROUP BY time(i, off)).
     """
     spark = df_any.sparkSession
-    n_from = int(from_epoch // step_seconds * step_seconds)
+    n_from = int(
+        (from_epoch - offset_seconds) // step_seconds * step_seconds + offset_seconds
+    )
     spine = spark.range(1).select(
         F.explode(
             F.sequence(
@@ -81,11 +85,20 @@ def gap_fill(
     group_cols: Sequence[str] = (),
     time_col: str = "time",
     value_col: str = "value",
+    offset_seconds: int = 0,
 ) -> DataFrame:
     """Left-join ``agg_df`` onto the full spine and apply the fill policy."""
     if fill_type in (FILL_NONE, "", None) or step_seconds <= 0:
         return agg_df
-    spine = bucket_spine(agg_df, from_epoch, to_epoch, step_seconds, group_cols, time_col=time_col)
+    spine = bucket_spine(
+        agg_df,
+        from_epoch,
+        to_epoch,
+        step_seconds,
+        group_cols,
+        time_col=time_col,
+        offset_seconds=offset_seconds,
+    )
     joined = spine.join(agg_df, on=[time_col, *group_cols], how="left")
 
     if fill_type == FILL_NULL:

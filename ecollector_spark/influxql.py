@@ -110,7 +110,9 @@ _TAG_RE = re.compile(
 _TAG_REGEX_RE = re.compile(
     r"""^"?(?P<key>[\w.]+)"?\s*(?P<op>=~|!~)\s*/(?P<val>(?:[^/\\]|\\.)+)/$"""
 )
-_GROUP_TIME_RE = re.compile(r"^time\(\s*(?P<dur>\w+)\s*\)$", re.IGNORECASE)
+_GROUP_TIME_RE = re.compile(
+    r"^time\(\s*(?P<dur>\w+)\s*(?:,\s*(?P<off>-?\w+)\s*)?\)$", re.IGNORECASE
+)
 
 
 class InfluxQLParseError(ValueError):
@@ -412,14 +414,23 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         raise InfluxQLParseError(f"unsupported WHERE condition: {cond!r}")
 
     group_by_time = ""
+    group_by_offset = ""
     group_tags: list[str] = []
     group = (m.group("group") or "").strip()
     if group:
-        for item in group.split(","):
+        # top-level commas only: time(1d, 4h) keeps its offset argument
+        for item in re.split(r",(?![^()]*\))", group):
             item = item.strip()
             gt = _GROUP_TIME_RE.match(item)
             if gt:
                 group_by_time = gt.group("dur")
+                group_by_offset = gt.group("off") or ""
+                if group_by_offset and not _DURATION_PARAM_RE.match(
+                    group_by_offset.lstrip("-")
+                ):
+                    raise InfluxQLParseError(
+                        f"bad GROUP BY time offset: {group_by_offset!r}"
+                    )
             elif re.fullmatch(r'"?[\w.]+"?', item):
                 group_tags.append(item.strip('"'))
             else:
@@ -457,6 +468,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         from_time=from_time,
         to_time=to_time,
         group_by_time=group_by_time,
+        group_by_offset=group_by_offset,
         group_by_tag=group_by_tag,
         fill_type=fill,
         filters=flt,

@@ -87,6 +87,9 @@ class DataPointsRequest:
     from_time: str = ""  # RFC3339
     to_time: str = ""  # RFC3339
     group_by_time: str = ""  # e.g. "30m"
+    #: bucket-boundary shift (InfluxQL ``GROUP BY time(interval, offset)``,
+    #: the day-alignment knob; may be negative, e.g. "-4h"); "" = aligned
+    group_by_offset: str = ""
     group_by_tag: str = ""
     fill_type: str = ""
     filters: DataPointsFilter = field(default_factory=DataPointsFilter)
@@ -108,6 +111,26 @@ _AGG_BUILDERS = {
     "spread": lambda v, ts: F.max(v) - F.min(v),
     "count_distinct": lambda v, ts: F.count_distinct(v).cast("double"),
 }
+
+
+def _parse_group_interval(s: str) -> int:
+    """GROUP BY time interval. The reference's relative-time parser
+    (mapping.go:106-122) has no seconds unit, but InfluxQL group
+    intervals do — ``time(30s)`` must bucket at 30 s, not silently
+    degrade to raw points."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)s", s.strip())
+    if m:
+        return int(m.group(1))
+    return parse_relative_duration(s)
+
+
+def _parse_signed_duration(s: str) -> int:
+    """Bucket offsets may be negative (``GROUP BY time(1d, -4h)``)."""
+    if s.startswith("-"):
+        return -_parse_param_duration(s[1:])
+    return _parse_param_duration(s)
 
 
 def _parse_param_duration(s: str) -> int:
@@ -480,7 +503,7 @@ class QueryPlanner:
             "to_epoch": to_epoch,
             "value_col": {"value": "value_f"}.get(field_name, field_name),
             "tag_cols": split_group_tags(req.group_by_tag),
-            "step": parse_relative_duration(group_by_time),
+            "step": _parse_group_interval(group_by_time),
             "data_function": data_function,
             "fill_type": fill_type,
         }
@@ -548,8 +571,11 @@ class QueryPlanner:
         if agg_builder is None and data_function not in ("difference", "mode", "integral"):
             raise ValueError(f"unsupported data_function: {data_function!r}")
 
+        bucket_off = (
+            _parse_signed_duration(req.group_by_offset) if req.group_by_offset else 0
+        )
         if step:
-            bucket = time_bucket("ts", step).alias("time")
+            bucket = time_bucket("ts", step, bucket_off).alias("time")
             if data_function == "mode":
                 agg = _mode_agg(df, [bucket], group_cols, value_col, ts_epoch)
             elif data_function == "integral":
@@ -597,6 +623,7 @@ class QueryPlanner:
                 to_epoch,
                 step,
                 group_cols,
+                offset_seconds=bucket_off,
             )
         return agg.select(
             F.col("time").cast("long").alias("time"),
@@ -654,7 +681,10 @@ class QueryPlanner:
             aggs.append(builder(value_col, "ts").alias(name))
 
         if step:
-            bucket = time_bucket("ts", step).alias("time")
+            bucket_off = (
+                _parse_signed_duration(req.group_by_offset) if req.group_by_offset else 0
+            )
+            bucket = time_bucket("ts", step, bucket_off).alias("time")
             agg = df.groupBy(bucket, *tag_cols).agg(*aggs)
         else:
             agg = df.groupBy(*tag_cols).agg(*aggs)

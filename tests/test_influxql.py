@@ -187,6 +187,21 @@ class TestParse:
         with pytest.raises(InfluxQLParseError):
             parse_influxql("SELECT something FROM events")
 
+    def test_group_by_time_offset(self):
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" GROUP BY time(1d, 4h), dev_id FILL(none)'
+        )
+        assert iq.request.group_by_time == "1d"
+        assert iq.request.group_by_offset == "4h"
+        assert iq.request.group_by_tag == "dev_id"
+        neg = parse_influxql('SELECT mean("value") FROM "m" GROUP BY time(1d, -4h)')
+        assert neg.request.group_by_offset == "-4h"
+        assert parse_influxql(
+            'SELECT mean("value") FROM "m" GROUP BY time(30s)'
+        ).request.group_by_time == "30s"
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql('SELECT mean("value") FROM "m" GROUP BY time(1d, wat)')
+
     def test_multi_select_parses_selector_list(self):
         iq = parse_influxql(
             'SELECT mean("value") AS avg_v, max("value"), percentile("value", 95) AS p95 '

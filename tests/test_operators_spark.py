@@ -477,3 +477,79 @@ class TestRawSeriesTransforms:
     def test_raw_moving_average_rejected(self, spark):
         with pytest.raises(ValueError):
             self._plan(spark, transform_function="moving_average", transform_param="3")
+
+
+class TestBucketOffsetAndSeconds:
+    """GROUP BY time(interval, offset) and seconds-unit intervals."""
+
+    NOW = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+    def _planner(self, spark):
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [
+            ("m1", base + timedelta(hours=h), "d1", float(h)) for h in range(0, 48, 2)
+        ]
+        df = spark.createDataFrame(
+            rows, "measurement string, ts timestamp, dev_id string, value_f double"
+        )
+        return QueryPlanner(lambda tier: df)
+
+    def _run(self, spark, **kw):
+        req = DataPointsRequest(
+            measurement_name="m1",
+            from_time="2024-01-01T00:00:00Z",
+            to_time="2024-01-03T00:00:00Z",
+            data_function="count",
+            fill_type="none",
+            **kw,
+        )
+        return {r["time"]: r["value"] for r in self._planner(spark).plan(req, self.NOW).collect()}
+
+    def test_offset_shifts_boundaries(self, spark):
+        aligned = self._run(spark, group_by_time="1d")
+        # midnight-aligned: 12 points per day
+        assert aligned == {1704067200: 12.0, 1704153600: 12.0}
+        shifted = self._run(spark, group_by_time="1d", group_by_offset="4h")
+        # 04:00-aligned: first bucket (Dec31 04:00) catches 00:00+02:00
+        assert shifted == {1703995200: 2.0, 1704081600: 12.0, 1704168000: 10.0}
+
+    def test_negative_offset(self, spark):
+        shifted = self._run(spark, group_by_time="1d", group_by_offset="-4h")
+        # buckets start at 20:00: Dec31 20:00 catches h<20 (10 points),
+        # Jan1 20:00 h=20..42 (12), Jan2 20:00 h=44,46 (2)
+        assert shifted == {1704052800: 10.0, 1704139200: 12.0, 1704225600: 2.0}
+
+    def test_seconds_interval_buckets(self, spark):
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [("m1", base + timedelta(seconds=s), "d1", 1.0) for s in range(0, 120, 10)]
+        df = spark.createDataFrame(
+            rows, "measurement string, ts timestamp, dev_id string, value_f double"
+        )
+        req = DataPointsRequest(
+            measurement_name="m1",
+            from_time="2024-01-01T00:00:00Z",
+            to_time="2024-01-01T00:02:00Z",
+            group_by_time="30s",
+            data_function="count",
+            fill_type="none",
+        )
+        out = {r["time"]: r["value"] for r in QueryPlanner(lambda t: df).plan(req, self.NOW).collect()}
+        # 30s buckets, 3 points each — NOT a silent raw degrade
+        assert out == {1704067200: 3.0, 1704067230: 3.0, 1704067260: 3.0, 1704067290: 3.0}
+
+    def test_fill_spine_respects_offset(self, spark):
+        req = DataPointsRequest(
+            measurement_name="m1",
+            from_time="2024-01-01T00:00:00Z",
+            to_time="2024-01-04T00:00:00Z",
+            group_by_time="1d",
+            group_by_offset="4h",
+            data_function="count",
+            fill_type="0",
+        )
+        out = {r["time"]: r["value"] for r in self._planner(spark).plan(req, self.NOW).collect()}
+        # spine starts at the 04:00-aligned bucket containing `from` and
+        # every bucket (incl. the empty Jan3 04:00 tail) is 04:00-aligned
+        assert out[1703995200] == 2.0
+        assert out[1704254400] == 0.0  # filled empty tail bucket
+        assert min(out) == 1703995200 and all(t % 86400 == 14400 for t in out)
