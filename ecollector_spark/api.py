@@ -127,6 +127,7 @@ class EcollectorApi:
             parse_influxql,
             parse_show_meta,
             parse_show_statement,
+            plan_tree,
         )
 
         # catalog statements arrive as query strings in the reference
@@ -172,6 +173,17 @@ class EcollectorApi:
                     names = [iq.measurement]
                 tags = split_group_tags(iq.request.group_by_tag)
                 series = []
+                if iq.subquery is not None:
+                    # FROM (subquery): one composed plan; series named by
+                    # the innermost measurement (InfluxDB's behavior)
+                    df = apply_result_shape(plan_tree(self.planner, iq, now=now), iq)
+                    if iq.alias and iq.alias != "value":
+                        df = df.withColumnRenamed("value", iq.alias)
+                    inner = iq.subquery
+                    while inner.subquery is not None:
+                        inner = inner.subquery
+                    series.extend(to_series_shape(df, inner.measurement, tags))
+                    return _report(series)
                 for name in names:
                     req = _dc_replace(iq.request, measurement_name=name)
                     if iq.selectors is not None:

@@ -363,3 +363,33 @@ def ts_group_by_time_offset(spark, sf_dir):
     )
     df = _run(spark, sf_dir, q)
     return df.withColumn("value", F.round("value", 3))
+
+
+@register(
+    "influxql_subquery",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+sub AS (SELECT {_bucket(21600)} AS time, location_id, arg_max(value_f, ts) AS value
+          FROM src GROUP BY 1, 2),
+outer_q AS (SELECT CAST(floor(time/86400) AS BIGINT)*86400 AS time, location_id,
+                   max(value) AS value
+            FROM sub GROUP BY 1, 2)
+SELECT time, location_id, value FROM outer_q ORDER BY time, location_id
+""",
+    shelved=True,
+)
+def influxql_subquery(spark, sf_dir):
+    """``FROM (SELECT ...)``: the outer statement plans against the
+    inner statement's result — daily max of per-6h last() per tag, as
+    ONE composed Catalyst plan (plan_tree), no materialization between
+    levels. Exact: last/max are selectors."""
+    from ecollector_spark.influxql import parse_influxql, plan_tree
+    from ecollector_spark.driver_queries.core import _planner
+
+    q = (
+        'SELECT max("value") FROM (SELECT last("value") FROM "purchase" '
+        f"{_RANGE} GROUP BY time(6h), location_id FILL(none)) "
+        "GROUP BY time(1d), location_id FILL(none)"
+    )
+    iq = parse_influxql(q)
+    return plan_tree(_planner(spark, sf_dir), iq, now=NOW)

@@ -231,6 +231,9 @@ class InfluxQLQuery:
     #: select list for QueryPlanner.plan_multi; None for the
     #: reference-parity single-selector shape (request carries it)
     selectors: list[Selector] | None = None
+    #: ``FROM (SELECT ...)``: the parsed inner statement; the outer plan
+    #: reads the inner's result as its source (see :func:`plan_tree`)
+    subquery: "InfluxQLQuery | None" = None
 
 
 def _parse_from(frm: str) -> tuple[str | None, str]:
@@ -253,6 +256,36 @@ def _parse_from(frm: str) -> tuple[str | None, str]:
     if rest and head in tiers.TIERS:
         return head, rest
     return None, frm
+
+
+#: placeholder measurement for the outer statement of FROM (subquery)
+_SUBQ_TOKEN = "sub.query"
+
+
+def _extract_subquery(query: str) -> tuple[str, str | None]:
+    """``FROM ( SELECT ... )``: split off the parenthesized inner query
+    (matching-paren scan — the inner statement contains function parens)
+    and substitute a placeholder measurement so the outer statement
+    parses through the normal grammar."""
+    m = re.search(r"\sFROM\s+\(", query, re.IGNORECASE)
+    if not m:
+        return query, None
+    start = query.index("(", m.end() - 1)
+    depth = 0
+    end = -1
+    for i in range(start, len(query)):
+        if query[i] == "(":
+            depth += 1
+        elif query[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end < 0:
+        raise InfluxQLParseError("unbalanced parens in FROM (subquery)")
+    inner = query[start + 1 : end].strip()
+    outer = query[:start] + f'"{_SUBQ_TOKEN}"' + query[end + 1 :]
+    return outer, inner
 
 
 def _parse_selector(sm: "re.Match") -> tuple[str, str, str, str, str, str]:
@@ -321,6 +354,7 @@ def _parse_selector(sm: "re.Match") -> tuple[str, str, str, str, str, str]:
 
 
 def parse_influxql(query: str) -> InfluxQLQuery:
+    query, inner_q = _extract_subquery(query)
     m = _STMT_RE.match(query)
     if not m:
         raise InfluxQLParseError(f"unrecognized InfluxQL shape: {query!r}")
@@ -473,6 +507,22 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         fill_type=fill,
         filters=flt,
     )
+    subquery = None
+    if inner_q is not None:
+        subquery = parse_influxql(inner_q)
+        if subquery.selectors is not None:
+            raise InfluxQLParseError(
+                "subquery must be single-selector (its value feeds the outer field)"
+            )
+        if subquery.measurement_regex is not None:
+            raise InfluxQLParseError("regex FROM inside a subquery is unsupported")
+        # InfluxDB bounds the outer statement by the inner one's range;
+        # an outer statement without its own WHERE time inherits it
+        if not (relative_time or req.relative_to_time or from_time or to_time):
+            req.relative_time = subquery.request.relative_time
+            req.relative_to_time = subquery.request.relative_to_time
+            req.from_time = subquery.request.from_time
+            req.to_time = subquery.request.to_time
     return InfluxQLQuery(
         request=req,
         measurement=measurement,
@@ -485,7 +535,38 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         slimit=slimit,
         soffset=soffset,
         selectors=selectors,
+        subquery=subquery,
     )
+
+
+def plan_tree(planner, iq: InfluxQLQuery, now=None):
+    """Plan an :class:`InfluxQLQuery`, including ``FROM (subquery)``
+    trees: the inner statement plans first (recursively), its result is
+    adapted back into the planner's source schema (time -> ts, value ->
+    value_f, inner group tags carried as columns), and the outer
+    statement plans against THAT frame — one composed Catalyst plan, no
+    materialization between levels. Multi-selector outer statements ride
+    the same path via plan_multi."""
+    from ecollector_spark.query import QueryPlanner, split_group_tags
+
+    if iq.subquery is None:
+        if iq.selectors is not None:
+            return planner.plan_multi(iq.request, iq.selectors, now=now)
+        return planner.plan(iq.request, now=now)
+    inner = plan_tree(planner, iq.subquery, now=now)
+    from pyspark.sql import functions as F
+
+    tags = split_group_tags(iq.subquery.request.group_by_tag)
+    src = inner.select(
+        F.lit(iq.request.measurement_name).alias("measurement"),
+        F.timestamp_seconds(F.col("time")).alias("ts"),
+        *tags,
+        F.col("value").alias("value_f"),
+    )
+    sub_planner = QueryPlanner(lambda tier: src, profile=getattr(planner, "profile", None) or "optimized")
+    if iq.selectors is not None:
+        return sub_planner.plan_multi(iq.request, iq.selectors, now=now)
+    return sub_planner.plan(iq.request, now=now)
 
 
 def apply_result_shape(df, iq: InfluxQLQuery):

@@ -202,6 +202,37 @@ class TestParse:
         with pytest.raises(InfluxQLParseError):
             parse_influxql('SELECT mean("value") FROM "m" GROUP BY time(1d, wat)')
 
+    def test_subquery_parses_and_inherits_range(self):
+        iq = parse_influxql(
+            'SELECT max("value") FROM (SELECT last("value") FROM "m" '
+            "WHERE time > now()-1d GROUP BY time(6h) FILL(none)) GROUP BY time(1d)"
+        )
+        assert iq.subquery is not None
+        assert iq.subquery.measurement == "m"
+        assert iq.subquery.request.group_by_time == "6h"
+        assert iq.request.data_function == "max"
+        # outer had no WHERE -> inherits the inner range
+        assert iq.request.relative_time == "1d"
+        # two-level nesting
+        iq2 = parse_influxql(
+            'SELECT min("value") FROM (SELECT max("value") FROM (SELECT last("value") '
+            'FROM "m" WHERE time > now()-1d GROUP BY time(1h)) GROUP BY time(6h))'
+        )
+        assert iq2.subquery.subquery.measurement == "m"
+
+    def test_subquery_rejects_bad_shapes(self):
+        bad = [
+            # unbalanced parens
+            'SELECT max("value") FROM (SELECT last("value") FROM "m"',
+            # multi-select inner
+            'SELECT max("value") FROM (SELECT mean("value"), max("value") FROM "m")',
+            # regex FROM inner
+            'SELECT max("value") FROM (SELECT mean("value") FROM /m.*/)',
+        ]
+        for q in bad:
+            with pytest.raises(InfluxQLParseError):
+                parse_influxql(q)
+
     def test_multi_select_parses_selector_list(self):
         iq = parse_influxql(
             'SELECT mean("value") AS avg_v, max("value"), percentile("value", 95) AS p95 '
@@ -259,6 +290,26 @@ class TestRunQuery:
         col = series[0]["columns"].index("mean_value")
         got = [v[col] for v in vals]
         assert got == [600.0]
+
+    def test_subquery_end_to_end(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", f"2024-01-01T0{h}:{m:02d}:00", "7", float(h * 10 + m))
+            for h in range(4) for m in (0, 30)
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 4, 0, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT max("value") FROM (SELECT last("value") '
+            'FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time > now()-6h GROUP BY time(1h) FILL(none)) "
+            "GROUP BY time(2h) FILL(none)",
+            now=now,
+        )
+        s = rsp["val"]["Results"][0]["Series"][0]
+        # inner hourly last (m=30 rows) = 30, 40, 50, 60; outer 2h max
+        assert s["name"] == "electricity_meter_power"
+        assert s["values"] == [[1704067200, 40.0], [1704074400, 60.0]]
 
     def test_multi_select_end_to_end(self, spark, tmp_path):
         w = Warehouse(spark, str(tmp_path / "w"))
