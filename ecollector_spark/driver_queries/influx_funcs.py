@@ -393,3 +393,41 @@ def influxql_subquery(spark, sf_dir):
     )
     iq = parse_influxql(q)
     return plan_tree(_planner(spark, sf_dir), iq, now=NOW)
+
+
+@register(
+    "ts_agg_distinct",
+    f"""{_DP},
+src AS ({_src_sql('click')}),
+agg AS (SELECT {_bucket(86400)} AS time, list_sort(list(DISTINCT value_f)) AS vals
+        FROM src GROUP BY 1)
+SELECT time, unnest(vals) AS value FROM agg ORDER BY time, value
+""",
+    shelved=True,
+)
+def ts_agg_distinct(spark, sf_dir):
+    """InfluxQL ``distinct()``: the sorted distinct values per bucket —
+    a cardinality-changing selector (multiple rows per bucket)."""
+    q = f'SELECT distinct("value") FROM "click" {_RANGE} GROUP BY time(1d) FILL(none)'
+    return _run(spark, sf_dir, q)
+
+
+@register(
+    "ts_selector_top3",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+r AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value_f AS v,
+             row_number() OVER (PARTITION BY {_bucket(86400)}
+               ORDER BY value_f DESC, CAST(floor(epoch(ts)) AS BIGINT) ASC) AS rn
+      FROM src)
+SELECT t AS time, v AS value FROM r WHERE rn <= 3 ORDER BY time, value
+""",
+    shelved=True,
+)
+def ts_selector_top3(spark, sf_dir):
+    """InfluxQL ``top(field, 3)``: the three greatest POINTS per bucket,
+    each keeping its own timestamp; ties break by earliest point. A
+    bucket-partitioned rank window (bounded by bucket contents), never
+    a global sort."""
+    q = f'SELECT top("value", 3) FROM "purchase" {_RANGE} GROUP BY time(1d) FILL(none)'
+    return _run(spark, sf_dir, q)

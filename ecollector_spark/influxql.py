@@ -60,7 +60,10 @@ from ecollector_spark.query import _WINDOW_TRANSFORMS
 _FUNCS = {
     "mean", "sum", "min", "max", "count", "median", "last", "first",
     "difference", "stddev", "spread", "mode", "percentile", "integral",
+    "distinct", "top", "bottom",
 }
+#: cardinality-changing selectors: single-select only, no transform wrap
+_CARDINALITY = {"distinct", "top", "bottom"}
 #: transform wraps the planner's A15 surface accepts: abs + the window
 #: family (query._WINDOW_TRANSFORMS)
 _TRANSFORMS = {"abs"} | _WINDOW_TRANSFORMS
@@ -348,8 +351,15 @@ def _parse_selector(sm: "re.Match") -> tuple[str, str, str, str, str, str]:
     elif fn == "integral":
         if fn_param and not _DURATION_PARAM_RE.match(fn_param):
             raise InfluxQLParseError(f"bad integral unit: {fn_param!r}")
+    elif fn in ("top", "bottom"):
+        if not re.fullmatch(r"\d+", fn_param) or int(fn_param) < 1:
+            raise InfluxQLParseError(f"{fn} needs an integer N >= 1: {fn_param!r}")
     elif fn_param:
         raise InfluxQLParseError(f"{fn} takes no parameter: {fn_param!r}")
+    if tf and fn in _CARDINALITY:
+        raise InfluxQLParseError(
+            f"{fn} emits multiple rows per bucket; transform wraps do not apply"
+        )
     return fn, fn_param, tf, tf_param, fld, alias
 
 
@@ -376,7 +386,9 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         selectors = []
         for sm in sel_ms:
             s_fn, s_fp, s_tf, _, s_fld, s_alias = _parse_selector(sm)
-            if s_tf or not s_fn or s_fn in ("difference", "mode", "integral"):
+            if s_tf or not s_fn or s_fn in (
+                ("difference", "mode", "integral") + tuple(_CARDINALITY)
+            ):
                 raise InfluxQLParseError(
                     "multi-select supports single-stage aggregates only: "
                     f"{(s_tf or s_fn or s_fld)!r}"

@@ -180,6 +180,10 @@ def _trapezoid_expr(pts_col: str, unit_seconds: int):
     )
 
 
+#: cardinality-changing selectors (InfluxQL distinct/top/bottom): emit
+#: multiple rows per bucket, so gap fill and transform wraps don't apply
+_CARDINALITY_FUNCS = {"distinct", "top", "bottom"}
+
 #: transforms computed as a window over the aggregated series (partitioned
 #: by the group tags, ordered by bucket time) — the f(g(x)) surface
 _WINDOW_TRANSFORMS = {
@@ -319,6 +323,62 @@ def _raw_window_transform(
         *tag_cols,
         F.col("value").cast("double").alias("value"),
     ).orderBy("time", *tag_cols)
+
+
+def _cardinality_select(
+    df,
+    fn: str,
+    param: str,
+    step: int,
+    bucket_off: int,
+    group_cols,
+    value_col: str,
+    ts_epoch,
+    from_epoch: int,
+):
+    """InfluxQL's cardinality-changing selectors: ``distinct()`` (the
+    sorted distinct values per bucket, bucket-stamped) and
+    ``top/bottom(field, N)`` (the N extreme POINTS per bucket, each
+    keeping its own timestamp; ties break by earliest point — a
+    deterministic rank over a bucket-partitioned window, bounded by
+    bucket contents, never a global sort)."""
+    if fn == "distinct":
+        keys = (
+            [time_bucket("ts", step, bucket_off).alias("time")] if step else []
+        )
+        agg = df.groupBy(*keys, *group_cols).agg(
+            F.array_sort(F.collect_set(F.col(value_col).cast("double"))).alias("_vals")
+        )
+        if not step:
+            agg = agg.select(
+                F.lit(from_epoch).cast("long").alias("time"), *group_cols, "_vals"
+            )
+        out = agg.select("time", *group_cols, F.explode("_vals").alias("value"))
+        return out.select(
+            F.col("time").cast("long").alias("time"),
+            *group_cols,
+            F.col("value").cast("double").alias("value"),
+        ).orderBy("time", *group_cols, "value")
+    n = int(param) if param else 0
+    if n < 1:
+        raise ValueError(f"{fn} needs an integer N >= 1: {param!r}")
+    v = F.col(value_col).cast("double")
+    order = [v.desc() if fn == "top" else v.asc(), ts_epoch.asc()]
+    part = ([time_bucket("ts", step, bucket_off)] if step else []) + [
+        F.col(c) for c in group_cols
+    ]
+    if part:
+        w = Window.partitionBy(*part).orderBy(*order)
+        sel = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n)
+    else:
+        # whole-range top-N with no partition: TakeOrdered (distributed
+        # per-partition top-N + merge), never an unpartitioned window
+        sel = df.orderBy(*order).limit(n)
+    return sel.select(
+        ts_epoch.cast("long").alias("time"),
+        *group_cols,
+        v.alias("value"),
+    ).orderBy("time", *group_cols, "value")
 
 
 def _apply_window_transform(agg, tf: str, param: str, group_cols, step: int):
@@ -568,12 +628,30 @@ class QueryPlanner:
             agg_builder = _percentile_builder(req.function_param)
         else:
             agg_builder = _AGG_BUILDERS.get(data_function or "mean")
-        if agg_builder is None and data_function not in ("difference", "mode", "integral"):
+        if agg_builder is None and data_function not in (
+            ("difference", "mode", "integral") + tuple(_CARDINALITY_FUNCS)
+        ):
             raise ValueError(f"unsupported data_function: {data_function!r}")
 
         bucket_off = (
             _parse_signed_duration(req.group_by_offset) if req.group_by_offset else 0
         )
+        if data_function in _CARDINALITY_FUNCS:
+            if req.transform_function:
+                raise ValueError(
+                    f"{data_function} emits multiple rows per bucket; transform wraps do not apply"
+                )
+            return _cardinality_select(
+                df,
+                data_function,
+                req.function_param,
+                step,
+                bucket_off,
+                group_cols,
+                value_col,
+                ts_epoch,
+                from_epoch,
+            )
         if step:
             bucket = time_bucket("ts", step, bucket_off).alias("time")
             if data_function == "mode":

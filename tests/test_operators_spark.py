@@ -553,3 +553,49 @@ class TestBucketOffsetAndSeconds:
         assert out[1703995200] == 2.0
         assert out[1704254400] == 0.0  # filled empty tail bucket
         assert min(out) == 1703995200 and all(t % 86400 == 14400 for t in out)
+
+
+class TestCardinalitySelectors:
+    """InfluxQL distinct / top(N) / bottom(N): multiple rows per bucket,
+    points keep their own timestamps (top/bottom)."""
+
+    NOW = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+    def _planner(self, spark):
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [("m1", base + timedelta(minutes=m), "d1", float(v)) for m, v in
+                [(0, 5), (10, 9), (20, 9), (30, 1), (70, 4), (80, 6)]]
+        df = spark.createDataFrame(
+            rows, "measurement string, ts timestamp, dev_id string, value_f double"
+        )
+        return QueryPlanner(lambda t: df)
+
+    def _run(self, spark, **kw):
+        req = DataPointsRequest(
+            measurement_name="m1", from_time="2024-01-01T00:00:00Z",
+            to_time="2024-01-01T02:00:00Z", **kw,
+        )
+        return [(r["time"], r["value"])
+                for r in self._planner(spark).plan(req, self.NOW).collect()]
+
+    def test_distinct_per_bucket_sorted(self, spark):
+        out = self._run(spark, data_function="distinct", group_by_time="1h")
+        assert out == [(1704067200, 1.0), (1704067200, 5.0), (1704067200, 9.0),
+                       (1704070800, 4.0), (1704070800, 6.0)]
+
+    def test_top_keeps_point_timestamps_and_ties(self, spark):
+        out = self._run(spark, data_function="top", function_param="2",
+                        group_by_time="1h")
+        # both 9.0 points survive the tie; second bucket keeps 6 and 4
+        assert out == [(1704067800, 9.0), (1704068400, 9.0),
+                       (1704071400, 4.0), (1704072000, 6.0)]
+
+    def test_bottom_whole_range_is_take_ordered(self, spark):
+        out = self._run(spark, data_function="bottom", function_param="1")
+        assert out == [(1704069000, 1.0)]
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            self._run(spark, data_function="top")  # missing N
+        with pytest.raises(ValueError):
+            self._run(spark, data_function="distinct", transform_function="abs")
