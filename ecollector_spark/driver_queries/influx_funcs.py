@@ -300,8 +300,10 @@ def ts_raw_difference(spark, sf_dir):
     f"""{_DP},
 src AS ({_src_sql('view')}),
 p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, location_id, value_f AS v FROM src),
+-- dt = 0 (same-second points after truncation): rate undefined, dropped
 d AS (SELECT t AS time, location_id,
-             (v - lag(v) OVER w) / ((t - lag(t) OVER w) / 60.0) AS value
+             CASE WHEN t - lag(t) OVER w <> 0
+                  THEN (v - lag(v) OVER w) / ((t - lag(t) OVER w) / 60.0) END AS value
       FROM p WINDOW w AS (PARTITION BY location_id ORDER BY t, v))
 SELECT time, location_id, value FROM d WHERE value IS NOT NULL AND value >= 0
 ORDER BY time, location_id

@@ -304,9 +304,14 @@ def _raw_window_transform(
             out = j.withColumn("value", F.col("_v") - lag_v)
         elif tf in ("derivative", "non_negative_derivative"):
             unit = _parse_param_duration(param) if param else 1  # raw default 1s
+            # same-second raw points (dt = 0): the rate is undefined —
+            # drop the row (null filters below) instead of an ANSI
+            # divide-by-zero; InfluxDB can't hit this (unique timestamps
+            # per series), raw telemetry can
+            dt = F.col("_t") - lag_t
             out = j.withColumn(
                 "value",
-                (F.col("_v") - lag_v) / ((F.col("_t") - lag_t) / F.lit(float(unit))),
+                F.when(dt != 0, (F.col("_v") - lag_v) / (dt / F.lit(float(unit)))),
             )
         elif tf == "elapsed":
             unit = _parse_param_duration(param) if param else 1
