@@ -52,6 +52,19 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: (for sampled_quantiles), dedup_decontaminate (for jaccard_pairs) and
 #: mm_resize_metadata (for mm_binary_metadata). Every rotated-out gate
 #: stays green via tools/check.py --shelved.
+#: Round-6 rotation candidates (never on the driver's hard signal —
+#: added late in round 5): the extended-function gates
+#: (ts_agg_{percentile95,stddev_by_tag,spread,mode,integral_1h,
+#: count_distinct,distinct}, ts_transform_{cumulative_sum,nn_derivative,
+#: moving_average,elapsed}, ts_selector_top3), the raw-window family
+#: (ts_raw_{difference,derivative_by_tag,cumulative_sum}), the clause
+#: closure (influxql_{multi_select,subquery,field_predicate},
+#: ts_group_by_time_offset) and the training-data assembly family
+#: (datapipe_{pack_sequences,pack_manifest,mix_weights,export_shards}).
+#: Swap 5-8 in per the rotation contract below, preferring one gate per
+#: new code path (e.g. pack_sequences for the prefix-sum decomposition,
+#: ts_raw_difference for the chunked raw window, influxql_subquery for
+#: plan_tree) over same-path variants.
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",

@@ -433,3 +433,26 @@ def ts_selector_top3(spark, sf_dir):
     a global sort."""
     q = f'SELECT top("value", 3) FROM "purchase" {_RANGE} GROUP BY time(1d) FILL(none)'
     return _run(spark, sf_dir, q)
+
+
+@register(
+    "influxql_field_predicate",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+f AS (SELECT * FROM src WHERE value_f > 20 AND value_f <= 120),
+agg AS (SELECT {_bucket(86400)} AS time, round(avg(value_f), 3) AS value
+        FROM f GROUP BY 1)
+SELECT time, value FROM agg ORDER BY time
+""",
+    shelved=True,
+)
+def influxql_field_predicate(spark, sf_dir):
+    """Numeric field predicates in WHERE (``"value" > 20 AND "value"
+    <= 120``, public InfluxDB docs): pushed to the scan like every
+    other filter, ANDed with the time range."""
+    q = (
+        f'SELECT mean("value") FROM "purchase" {_RANGE} '
+        'AND "value" > 20 AND "value" <= 120 GROUP BY time(1d) FILL(none)'
+    )
+    df = _run(spark, sf_dir, q)
+    return df.withColumn("value", F.round("value", 3))

@@ -113,6 +113,13 @@ _TAG_RE = re.compile(
 _TAG_REGEX_RE = re.compile(
     r"""^"?(?P<key>[\w.]+)"?\s*(?P<op>=~|!~)\s*/(?P<val>(?:[^/\\]|\\.)+)/$"""
 )
+#: numeric field comparison: WHERE "value" > 50 (public InfluxDB docs —
+#: field predicates are unquoted numbers, tag values are quoted strings)
+_FIELD_CMP_RE = re.compile(
+    r"""^"?(?P<key>[\w.]+)"?\s*(?P<op>>=|<=|!=|<>|>|<|=)\s*
+    (?P<num>-?\d+(\.\d+)?)\s*$""",
+    re.VERBOSE,
+)
 _GROUP_TIME_RE = re.compile(
     r"^time\(\s*(?P<dur>\w+)\s*(?:,\s*(?P<off>-?\w+)\s*)?\)$", re.IGNORECASE
 )
@@ -430,6 +437,15 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                     from_time = lit
                 else:
                     to_time = lit
+            continue
+        fc = _FIELD_CMP_RE.match(cond)
+        if fc:
+            if fc.group("key").lower() != (fld or "value").lower():
+                raise InfluxQLParseError(
+                    f"numeric comparison on a non-field column: {cond!r}"
+                )
+            op = "!=" if fc.group("op") == "<>" else fc.group("op")
+            flt.field_predicates.append((op, float(fc.group("num"))))
             continue
         tg = _TAG_RE.match(cond)
         if tg:

@@ -52,6 +52,10 @@ class DataPointsFilter:
     neg_tags: dict = field(default_factory=dict)
     regex_tags: dict = field(default_factory=dict)
     neg_regex_tags: dict = field(default_factory=dict)
+    #: numeric FIELD predicates (``WHERE "value" > 50``): list of
+    #: (op, number) with op in > >= < <= = !=; ANDed, applied to the
+    #: selected field column and pushed to the scan like every filter
+    field_predicates: list = field(default_factory=list)
 
 
 @dataclass
@@ -561,6 +565,20 @@ class QueryPlanner:
             df = df.where(F.col("location_id").isin(flt.locations))
         if flt.dev_types:
             df = df.where(F.col("dev_type").isin(flt.dev_types))
+        if flt.field_predicates:
+            fcol = F.col({"value": "value_f"}.get(field_name, field_name))
+            ops = {
+                ">": fcol.__gt__,
+                ">=": fcol.__ge__,
+                "<": fcol.__lt__,
+                "<=": fcol.__le__,
+                "=": fcol.__eq__,
+                "!=": fcol.__ne__,
+            }
+            for op, num in flt.field_predicates:
+                if op not in ops:
+                    raise ValueError(f"unsupported field predicate op: {op!r}")
+                df = df.where(ops[op](F.lit(float(num))))
 
         return df, {
             "ts_epoch": ts_epoch,

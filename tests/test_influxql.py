@@ -202,6 +202,19 @@ class TestParse:
         with pytest.raises(InfluxQLParseError):
             parse_influxql('SELECT mean("value") FROM "m" GROUP BY time(1d, wat)')
 
+    def test_field_predicates(self):
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" WHERE time > now()-1h '
+            'AND "value" > 50 AND "value" <= 99.5 AND "value" <> 60 '
+            "GROUP BY time(5m)"
+        )
+        assert iq.request.filters.field_predicates == [
+            (">", 50.0), ("<=", 99.5), ("!=", 60.0),
+        ]
+        # numeric comparison on a tag column is not a field predicate
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql('SELECT mean("value") FROM "m" WHERE "location_id" > 2')
+
     def test_subquery_parses_and_inherits_range(self):
         iq = parse_influxql(
             'SELECT max("value") FROM (SELECT last("value") FROM "m" '
