@@ -32,8 +32,15 @@ from ecollector_spark.datapipe.packing import _md5_key60
 
 def _row_hash(cols: list[str]):
     """60-bit md5 of the chr(31)-joined row values — engine-portable
-    (DuckDB twin: ('0x' || substr(md5(...), 1, 15))::BIGINT)."""
-    joined = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    (DuckDB twin: ('0x' || substr(md5(...), 1, 15))::BIGINT, with the
+    same coalesce). NULLs coalesce to a chr(0) sentinel BEFORE joining:
+    concat_ws would silently skip them, making (x, NULL, y) collide with
+    (x, y, NULL) and hiding column-shift corruption from the checksum;
+    plain concat would null the whole hash and bit_xor would then skip
+    the row entirely. Twin: coalesce(CAST(c AS VARCHAR), chr(0))."""
+    joined = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
     return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
 
 

@@ -66,7 +66,9 @@ src AS ({_src_sql('click')}),
 agg AS (SELECT {_bucket(86400)} AS time, location_id,
                round(stddev_samp(value_f), 6) AS value
         FROM src GROUP BY 1, 2)
-SELECT time, location_id, value FROM agg ORDER BY time, location_id
+-- single-sample buckets emit NO row (InfluxDB), not a null row
+SELECT time, location_id, value FROM agg WHERE value IS NOT NULL
+ORDER BY time, location_id
 """,
     shelved=True,
 )

@@ -102,8 +102,11 @@ def datapipe_mix_weights(spark, sf_dir):
     "datapipe_export_shards",
     """WITH h AS (SELECT
   CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
-  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
-      || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT AS rh
+  ('0x' || substr(md5(
+      coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(31)
+      || coalesce(text, chr(0)) || chr(31) || coalesce(lang, chr(0)) || chr(31)
+      || coalesce(source, chr(0)) || chr(31)
+      || coalesce(CAST(n_chars AS VARCHAR), chr(0))), 1, 15))::BIGINT AS rh
 FROM documents)
 SELECT shard, count(*) AS n_rows, bit_xor(rh) AS checksum
 FROM h GROUP BY shard ORDER BY shard

@@ -66,8 +66,10 @@ def time_bucket(col, step_seconds: int, offset_seconds: int = 0) -> Column:
 def time_bucket_sql(col_sql: str, step_seconds: int, offset_seconds: int = 0) -> str:
     """The DuckDB-side twin of :func:`time_bucket` (same arithmetic)."""
     if offset_seconds:
+        # parenthesized: a negative offset must not render `--N`, which
+        # SQL parses as a line comment
         return (
-            f"CAST(floor((epoch({col_sql})-{offset_seconds})/{step_seconds}) AS BIGINT)"
-            f"*{step_seconds}+{offset_seconds}"
+            f"CAST(floor((epoch({col_sql})-({offset_seconds}))/{step_seconds}) AS BIGINT)"
+            f"*{step_seconds}+({offset_seconds})"
         )
     return f"CAST(floor(epoch({col_sql})/{step_seconds}) AS BIGINT)*{step_seconds}"

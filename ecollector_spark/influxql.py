@@ -244,6 +244,10 @@ class InfluxQLQuery:
     #: ``FROM (SELECT ...)``: the parsed inner statement; the outer plan
     #: reads the inner's result as its source (see :func:`plan_tree`)
     subquery: "InfluxQLQuery | None" = None
+    #: the outer statement had no WHERE time of its own and inherited the
+    #: inner's range — plan_tree aligns the inherited lower bound down to
+    #: the inner bucket grid so the first bucket stamp is not dropped
+    inherited_range: bool = False
 
 
 def _parse_from(frm: str) -> tuple[str | None, str]:
@@ -384,15 +388,16 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         if not sm:
             raise InfluxQLParseError(f"unrecognized selector: {piece.strip()!r}")
         sel_ms.append(sm)
-    fn, fn_param, tf, tf_param, fld, alias = _parse_selector(sel_ms[0])
+    parsed = [_parse_selector(sm) for sm in sel_ms]
+    fn, fn_param, tf, tf_param, fld, alias = parsed[0]
     selectors = None
-    if len(sel_ms) > 1:
+    if len(parsed) > 1:
         # hand-written multi-select: every entry must be a single-stage
         # aggregate (one groupBy computes them side by side; transforms,
-        # raw fields and two-stage shapes stay single-selector)
+        # raw fields and two-stage shapes stay single-selector); each
+        # selector keeps ITS OWN field
         selectors = []
-        for sm in sel_ms:
-            s_fn, s_fp, s_tf, _, s_fld, s_alias = _parse_selector(sm)
+        for s_fn, s_fp, s_tf, _, s_fld, s_alias in parsed:
             if s_tf or not s_fn or s_fn in (
                 ("difference", "mode", "integral") + tuple(_CARDINALITY)
             ):
@@ -400,7 +405,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                     "multi-select supports single-stage aggregates only: "
                     f"{(s_tf or s_fn or s_fld)!r}"
                 )
-            selectors.append(Selector(s_fn, s_fp, s_alias))
+            selectors.append(Selector(s_fn, s_fp, s_alias, field=s_fld))
     frm = m.group("from")
     measurement_regex = None
     if frm.startswith("/") and frm.endswith("/"):
@@ -514,10 +519,13 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     soffset = int(m.group("soffset")) if m.group("soffset") else None
 
     fill = (m.group("fill") or "").lower()
-    if selectors is not None and fill not in ("", "none"):
-        # one spine join per column is not implemented; FILL(none) is
-        # the multi-select contract (matches the window-transform rule)
-        raise InfluxQLParseError(f"multi-select supports FILL(none) only: {fill}")
+    if selectors is not None and fill not in ("", "none", "null", "0"):
+        # plan_multi spine-joins for null/0 (InfluxQL's default must not
+        # change when a second selector is added); previous/linear carry
+        # per-column fills that stay single-selector
+        raise InfluxQLParseError(
+            f"multi-select supports FILL(none|null|0) only: {fill}"
+        )
     req = DataPointsRequest(
         measurement_name=measurement,
         field_name=fld,
@@ -536,6 +544,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         filters=flt,
     )
     subquery = None
+    inherited_range = False
     if inner_q is not None:
         subquery = parse_influxql(inner_q)
         if subquery.selectors is not None:
@@ -551,6 +560,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             req.relative_to_time = subquery.request.relative_to_time
             req.from_time = subquery.request.from_time
             req.to_time = subquery.request.to_time
+            inherited_range = True
     return InfluxQLQuery(
         request=req,
         measurement=measurement,
@@ -564,6 +574,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         soffset=soffset,
         selectors=selectors,
         subquery=subquery,
+        inherited_range=inherited_range,
     )
 
 
@@ -581,20 +592,74 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
         if iq.selectors is not None:
             return planner.plan_multi(iq.request, iq.selectors, now=now)
         return planner.plan(iq.request, now=now)
-    inner = plan_tree(planner, iq.subquery, now=now)
+    # the inner statement's OWN result clauses (ORDER/LIMIT/SLIMIT)
+    # apply before the outer statement sees its rows
+    inner = apply_result_shape(plan_tree(planner, iq.subquery, now=now), iq.subquery)
     from pyspark.sql import functions as F
 
+    outer_req = _align_inherited_range(iq, now)
     tags = split_group_tags(iq.subquery.request.group_by_tag)
     src = inner.select(
-        F.lit(iq.request.measurement_name).alias("measurement"),
+        F.lit(outer_req.measurement_name).alias("measurement"),
         F.timestamp_seconds(F.col("time")).alias("ts"),
         *tags,
         F.col("value").alias("value_f"),
     )
     sub_planner = QueryPlanner(lambda tier: src, profile=getattr(planner, "profile", None) or "optimized")
     if iq.selectors is not None:
-        return sub_planner.plan_multi(iq.request, iq.selectors, now=now)
-    return sub_planner.plan(iq.request, now=now)
+        return sub_planner.plan_multi(outer_req, iq.selectors, now=now)
+    return sub_planner.plan(outer_req, now=now)
+
+
+def _align_inherited_range(iq: InfluxQLQuery, now):
+    """An outer statement that INHERITED the inner's time range must not
+    drop the inner's first bucket: bucket stamps are floor-aligned at or
+    before the raw lower bound, so the inherited bound is re-resolved to
+    an absolute range whose lower edge aligns down to the inner bucket
+    grid (inclusive >=/<= branch). Explicit outer WHERE time is the
+    user's own predicate and passes through untouched."""
+    from dataclasses import replace as _dc_replace
+    from datetime import datetime, timezone
+
+    from ecollector_spark.functions.timeutil import parse_relative_duration
+    from ecollector_spark.query import _parse_group_interval, _parse_signed_duration
+
+    req = iq.request
+    inner_req = iq.subquery.request
+    in_step = _parse_group_interval(inner_req.group_by_time)
+    if not iq.inherited_range or not in_step:
+        return req
+    now_dt = now or datetime.now(timezone.utc)
+    now_epoch = int(now_dt.timestamp())
+    if req.from_time and req.to_time:
+        fe = int(
+            datetime.fromisoformat(req.from_time.replace("Z", "+00:00")).timestamp()
+        )
+        te = int(datetime.fromisoformat(req.to_time.replace("Z", "+00:00")).timestamp())
+    else:
+        fe = now_epoch - parse_relative_duration(req.relative_time)
+        te = (
+            now_epoch - parse_relative_duration(req.relative_to_time) - 1
+            if req.relative_to_time
+            else now_epoch
+        )
+    off = (
+        _parse_signed_duration(inner_req.group_by_offset)
+        if inner_req.group_by_offset
+        else 0
+    )
+    fe_aligned = (fe - off) // in_step * in_step + off
+
+    def _iso(e: int) -> str:
+        return datetime.fromtimestamp(e, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    return _dc_replace(
+        req,
+        relative_time="",
+        relative_to_time="",
+        from_time=_iso(fe_aligned),
+        to_time=_iso(te),
+    )
 
 
 def apply_result_shape(df, iq: InfluxQLQuery):

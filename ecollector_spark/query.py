@@ -67,6 +67,9 @@ class Selector:
     data_function: str
     function_param: str = ""
     alias: str = ""
+    #: the selector's own field — each aggregate reads ITS field, never
+    #: silently the first selector's
+    field: str = "value"
 
 
 @dataclass
@@ -704,6 +707,13 @@ class QueryPlanner:
                 agg = df.groupBy(*group_cols).agg(agg_builder(value_col, "ts").alias("value"))
             agg = agg.select(F.lit(from_epoch).cast("long").alias("time"), *group_cols, "value")
 
+        # an aggregate that has no defined value for a bucket (stddev of
+        # a single sample, percentile whose nearest-rank index rounds to
+        # 0) emits NO row, like InfluxDB — FILL then re-adds the bucket
+        # per the spine, so the point is absent, not present-but-null
+        if data_function in ("percentile", "stddev"):
+            agg = agg.where(F.col("value").isNotNull())
+
         # transform wrap (influxdb_v1.go:184-186): f(g(field)). abs and
         # difference are the reference's own surface; the rest of the
         # window family is the hand-written InfluxQL set (public docs)
@@ -757,7 +767,7 @@ class QueryPlanner:
         if not all(s.data_function == "mean" for s in selectors):
             req = _dc_replace(req, data_function="last")
         df, ctx = self._prepare(req, now)
-        value_col, tag_cols = ctx["value_col"], ctx["tag_cols"]
+        tag_cols = ctx["tag_cols"]
         step, from_epoch = ctx["step"], ctx["from_epoch"]
 
         names: list[str] = []
@@ -772,6 +782,8 @@ class QueryPlanner:
                 raise ValueError(
                     f"multi-select supports single-stage aggregates only: {fn!r}"
                 )
+            # each selector aggregates ITS OWN field column
+            sel_col = {"value": "value_f"}.get(sel.field or "value", sel.field)
             base = sel.alias or fn
             name = base
             i = 0
@@ -779,7 +791,7 @@ class QueryPlanner:
                 i += 1
                 name = f"{base}_{i}"
             names.append(name)
-            aggs.append(builder(value_col, "ts").alias(name))
+            aggs.append(builder(sel_col, "ts").alias(name))
 
         if step:
             bucket_off = (
@@ -787,6 +799,26 @@ class QueryPlanner:
             )
             bucket = time_bucket("ts", step, bucket_off).alias("time")
             agg = df.groupBy(bucket, *tag_cols).agg(*aggs)
+            # FILL(null) is InfluxQL's default and must not silently
+            # change when a second selector is added: spine-join every
+            # column; FILL(0) coalesces. previous/linear stay rejected
+            # by the parser for multi-select.
+            fill_type = ctx["fill_type"]
+            if fill_type in ("null", "0"):
+                from ecollector_spark.gapfill import bucket_spine
+
+                spine = bucket_spine(
+                    agg,
+                    ctx["from_epoch"],
+                    ctx["to_epoch"],
+                    step,
+                    tag_cols,
+                    offset_seconds=bucket_off,
+                )
+                agg = spine.join(agg, on=["time", *tag_cols], how="left")
+                if fill_type == "0":
+                    for n in names:
+                        agg = agg.withColumn(n, F.coalesce(F.col(n), F.lit(0.0)))
         else:
             agg = df.groupBy(*tag_cols).agg(*aggs)
             agg = agg.select(

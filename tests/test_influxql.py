@@ -2,7 +2,7 @@
 docs/api:9,194,251) parse into DataPointsRequest and run verbatim
 through EcollectorApi.run_query on the planner path."""
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import pytest
 
@@ -202,6 +202,23 @@ class TestParse:
         with pytest.raises(InfluxQLParseError):
             parse_influxql('SELECT mean("value") FROM "m" GROUP BY time(1d, wat)')
 
+    def test_multi_select_keeps_per_selector_fields(self):
+        iq = parse_influxql('SELECT mean("value"), max("aux") FROM "m" GROUP BY time(1h) FILL(none)')
+        assert [(s.data_function, s.field) for s in iq.selectors] == [
+            ("mean", "value"), ("max", "aux"),
+        ]
+
+    def test_multi_select_fill_null_and_zero_allowed(self):
+        for fill in ("null", "0", "none"):
+            iq = parse_influxql(
+                f'SELECT mean("value"), max("value") FROM "m" GROUP BY time(1h) FILL({fill})'
+            )
+            assert iq.request.fill_type == fill
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql(
+                'SELECT mean("value"), max("value") FROM "m" GROUP BY time(1h) FILL(previous)'
+            )
+
     def test_field_predicates(self):
         iq = parse_influxql(
             'SELECT mean("value") FROM "m" WHERE time > now()-1h '
@@ -280,6 +297,79 @@ class TestParse:
         ):
             with pytest.raises(InfluxQLParseError):
                 parse_influxql(q)
+
+
+class TestPlanTreeSemantics:
+    """Planner-level pins for the review findings: per-selector fields,
+    multi-select fill, and subquery range inheritance."""
+
+    NOW = datetime(2024, 1, 1, 4, 0, 0, tzinfo=timezone.utc)
+
+    def _planner(self, spark):
+        from ecollector_spark.query import QueryPlanner
+
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [
+            ("m1", base + timedelta(minutes=10 + 30 * i), "d1", float(i), 100.0 - i)
+            for i in range(7)  # 00:10 .. 03:10
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "measurement string, ts timestamp, dev_id string, value_f double, aux double",
+        )
+        return QueryPlanner(lambda t: df)
+
+    def test_multi_select_aggregates_each_selectors_field(self, spark):
+        from ecollector_spark.influxql import parse_influxql, plan_tree
+
+        iq = parse_influxql(
+            'SELECT max("value") AS mv, max("aux") AS ma FROM "m1" '
+            "WHERE time > now()-4h GROUP BY time(4h) FILL(none)"
+        )
+        r = plan_tree(self._planner(spark), iq, now=self.NOW).collect()[0]
+        assert r["mv"] == 6.0
+        assert r["ma"] == 100.0  # NOT max of value_f
+
+    def test_multi_select_fill_null_spine(self, spark):
+        from ecollector_spark.influxql import parse_influxql, plan_tree
+
+        iq = parse_influxql(
+            'SELECT mean("value"), count("value") FROM "m1" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T06:00:00Z' "
+            "GROUP BY time(1h) FILL(null)"
+        )
+        rows = plan_tree(self._planner(spark), iq, now=self.NOW).collect()
+        # spine covers all 7 hour buckets; empty ones present with nulls
+        assert len(rows) == 7
+        empty = [r for r in rows if r["mean"] is None]
+        assert len(empty) == 3 and all(r["count"] is None for r in empty)
+
+    def test_subquery_inherited_range_keeps_first_bucket(self, spark):
+        from ecollector_spark.influxql import parse_influxql, plan_tree
+
+        # inner buckets stamped 00:00..03:00; the inherited now()-4h
+        # bound (00:00, strict >) must not drop the 00:00 bucket
+        iq = parse_influxql(
+            'SELECT sum("value") FROM (SELECT last("value") FROM "m1" '
+            "WHERE time > now()-4h GROUP BY time(1h) FILL(none)) GROUP BY time(4h)"
+        )
+        rows = plan_tree(self._planner(spark), iq, now=self.NOW).collect()
+        vals = {r["time"]: r["value"] for r in rows if r["value"] is not None}
+        # hourly lasts: 00:00->1, 01:00->3, 02:00->5, 03:00->6; sum = 15
+        assert vals == {1704067200: 15.0}
+
+    def test_subquery_inner_result_clauses_apply(self, spark):
+        from ecollector_spark.influxql import parse_influxql, plan_tree
+
+        iq = parse_influxql(
+            'SELECT sum("value") FROM (SELECT last("value") FROM "m1" '
+            "WHERE time > now()-4h GROUP BY time(1h) FILL(none) "
+            "ORDER BY time DESC LIMIT 2) GROUP BY time(4h)"
+        )
+        rows = plan_tree(self._planner(spark), iq, now=self.NOW).collect()
+        vals = {r["time"]: r["value"] for r in rows if r["value"] is not None}
+        # only the newest 2 inner buckets survive: 5 + 6
+        assert vals == {1704067200: 11.0}
 
 
 class TestRunQuery:

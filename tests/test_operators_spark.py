@@ -303,7 +303,15 @@ class TestExtendedFunctions:
         out = self._run(spark, data_function="stddev")
         assert out[self.B0] == pytest.approx(12 ** 0.5)
         assert out[self.B1] == pytest.approx(2 ** 0.5)
-        assert out[self.B3] is None  # single sample -> sample stddev null
+        assert self.B3 not in out  # single sample -> NO row (InfluxDB)
+
+    def test_percentile_low_rank_emits_no_row(self, spark):
+        # 3 points in B0: idx = floor(3*0.1+0.5) = 0 -> the bucket is
+        # absent, never a present-but-null point
+        out = self._run(spark, data_function="percentile", function_param="10")
+        assert self.B0 not in out
+        # B3 has one point: idx = floor(1*0.1+0.5) = 0 -> absent too
+        assert self.B3 not in out
 
     def test_mode_tie_breaks_to_earliest(self, spark):
         # B0: 2.0 appears twice; B1: tie between 4 and 6 -> earliest ts
