@@ -181,3 +181,31 @@ def mix_by_weight(
     return d.select(
         "doc_id", domain_col, F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    val_fraction: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Train/validation split that cannot leak duplicates across the
+    boundary: the split draw is a pure md5 function of the document's
+    DUPLICATE-GROUP key — exact-duplicate texts (md5 of ``text_col``)
+    or, when ``group_col`` names a precomputed near-dup cluster id
+    (e.g. dedup.duplicate_clusters output joined on), every member of a
+    group lands on the same side. A per-doc draw would put one copy of
+    a duplicated document in train and another in val, inflating eval.
+
+    Returns ``(doc_id, split)`` with split in {'train', 'val'};
+    expression-only, no shuffle.
+    """
+    if not (0.0 <= val_fraction <= 1.0):
+        raise ValueError(f"val_fraction must be in [0, 1]: {val_fraction}")
+    key = F.col(group_col).cast("string") if group_col else F.md5(F.col(text_col))
+    u = _md5_key60(key, "split|") / F.lit(_KEYSPACE)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(u < val_fraction, "val").otherwise("train").alias("split"),
+    )

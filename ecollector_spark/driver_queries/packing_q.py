@@ -127,3 +127,24 @@ def datapipe_export_shards(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = tempfile.mkdtemp(prefix="ec_shards_")
     return export_shards(docs, out, 8)
+
+
+@register(
+    "datapipe_leakage_safe_split",
+    """SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5('split|' || md5(text)), 1, 15))::BIGINT
+                 / 1152921504606846976.0 < 0.1
+            THEN 'val' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+""",
+    shelved=True,
+)
+def datapipe_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split: the 10% val draw is a pure md5
+    function of the duplicate-group key (md5 of the text), so exact
+    duplicates always land on the same side — eval can't score training
+    content."""
+    from ecollector_spark.datapipe.packing import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return leakage_safe_split(docs, 0.1).orderBy("doc_id")

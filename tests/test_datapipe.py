@@ -809,3 +809,31 @@ class TestExportShards:
         b = {r["shard"]: r["checksum"]
              for r in export_shards(docs, str(tmp_path / "b"), 4).collect()}
         assert a == b
+
+
+class TestLeakageSafeSplit:
+    def test_duplicates_land_on_the_same_side(self, spark):
+        from ecollector_spark.datapipe.packing import leakage_safe_split
+
+        rows = [(i, f"unique text {i}") for i in range(100)]
+        rows += [(100 + i, "a duplicated document body") for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, 0.3).collect()}
+        dup_sides = {out[100 + i] for i in range(10)}
+        assert len(dup_sides) == 1  # all copies co-side
+        assert set(out.values()) == {"train", "val"}
+
+    def test_group_col_override_and_bounds(self, spark):
+        from ecollector_spark.datapipe.packing import leakage_safe_split
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", i % 5) for i in range(50)],
+            "doc_id long, text string, cluster long",
+        )
+        out = leakage_safe_split(docs, 0.5, group_col="cluster").collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["doc_id"] % 5, set()).add(r["split"])
+        assert all(len(v) == 1 for v in by_cluster.values())
+        with pytest.raises(ValueError):
+            leakage_safe_split(docs, 1.5)
