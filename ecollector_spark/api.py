@@ -124,6 +124,7 @@ class EcollectorApi:
         from ecollector_spark.influxql import (
             InfluxQLParseError,
             apply_result_shape,
+            parse_cq_ddl,
             parse_influxql,
             parse_show_meta,
             parse_show_statement,
@@ -142,6 +143,29 @@ class EcollectorApi:
             return _report(
                 [{"name": "databases", "columns": ["name"], "values": [["ecollector"]]}]
             )
+        if show == "continuous_queries":
+            return self.get_continuous_queries()
+        # CQ DDL — the exact strings the reference's AddCQ/DeleteCQ emit
+        # (influxdb_v1.go:333-361) route to the live cascade registry
+        try:
+            cq = parse_cq_ddl(query)
+        except InfluxQLParseError as e:
+            return _report(error=str(e))
+        if cq is not None:
+            if cq["kind"] == "create":
+                res = self.add_cq(
+                    cq["name"], cq["src_rp"], cq["target_rp"], cq["interval"]
+                )
+            else:
+                res = self.delete_object("cq", cq["name"])
+                if res.get("status") == "not_found":
+                    res = {
+                        "status": "error",
+                        "error": f"continuous query {cq['name']!r} not found",
+                    }
+            if res.get("status") == "ok":
+                return _report([])
+            return _report(error=res.get("error", "error"))
         try:
             meta = parse_show_meta(query)
         except InfluxQLParseError as e:
@@ -447,6 +471,48 @@ class EcollectorApi:
         pass to :func:`ecollector_spark.downsample.run_cascade[_incremental]`
         as ``stages``."""
         return tuple(self.cq_stages.values())
+
+    def add_cq(
+        self, name: str, src_rp: str, target_rp: str, interval: str
+    ) -> dict:
+        """AddCQ twin (influxdb_v1.go:333-348): register a named cascade
+        stage reading ``src_rp`` and writing mean-per-(measurement, tag
+        set, time(interval) bucket) into ``target_rp``. The reference
+        sends InfluxDB the generated CREATE CONTINUOUS QUERY string; here
+        the stage joins ``cascade_stages()`` so the scheduled
+        ``run_cascade[_incremental]`` job executes it. Re-creating an
+        identical CQ is a no-op (ok); a same-name CQ with a different
+        definition errors, like InfluxDB."""
+        known = set(TIER_TTL_SECONDS) | set(self.ttl_overrides)
+        for rp in (src_rp, target_rp):
+            if rp not in known:
+                return {"status": "error", "error": f"unknown retention policy {rp!r}"}
+        stage = (src_rp, target_rp, interval)
+        existing = self.cq_stages.get(name)
+        if existing is not None and tuple(existing) != stage:
+            return {"status": "error", "error": f"continuous query {name!r} exists"}
+        self.cq_stages[name] = stage
+        return {"status": "ok"}
+
+    def get_continuous_queries(self) -> dict:
+        """SHOW CONTINUOUS QUERIES: one series per database (there is
+        one), columns (name, query) with the query rendered back in the
+        reference's own AddCQ template so a round-trip through
+        ``run_query`` re-creates the same stage."""
+        values = [
+            [
+                name,
+                (
+                    f'CREATE CONTINUOUS QUERY "{name}" ON "ecollector" BEGIN '
+                    f'SELECT mean(*) INTO "ecollector"."{dst}".:MEASUREMENT '
+                    f'FROM "ecollector"."{src}"./.*/ GROUP BY time({step}),* END'
+                ),
+            ]
+            for name, (src, dst, step) in self.cq_stages.items()
+        ]
+        return _report(
+            [{"name": "ecollector", "columns": ["name", "query"], "values": values}]
+        )
 
     def delete_object(self, object_type: str, name: str) -> dict:
         """cmd.tsdb.delete_object (admin.go:334-369). All four reference

@@ -154,7 +154,7 @@ def _time_literal_to_rfc3339(lit: str) -> str:
 
 _SHOW_RE = re.compile(
     r"""^\s*SHOW\s+
-    (?P<what>MEASUREMENTS|RETENTION\s+POLICIES|DATABASES)
+    (?P<what>MEASUREMENTS|RETENTION\s+POLICIES|DATABASES|CONTINUOUS\s+QUERIES)
     (?:\s+ON\s+"?[\w.]+"?)?          # optional ON <database> (dropped:
                                      # there is exactly one warehouse)
     \s*;?\s*$""",
@@ -215,6 +215,74 @@ def parse_show_statement(query: str) -> str | None:
     if not m:
         return None
     return re.sub(r"\s+", "_", m.group("what").lower())
+
+
+_CQ_CREATE_RE = re.compile(
+    r"""^\s*CREATE\s+CONTINUOUS\s+QUERY\s+"?(?P<name>[\w.-]+)"?
+    \s+ON\s+"?(?P<db>[\w.-]+)"?\s+
+    BEGIN\s+
+    SELECT\s+mean\(\*\)\s+
+    INTO\s+(?:"?(?P<into_db>[\w.-]+)"?\.)?"?(?P<target_rp>[\w.-]+)"?\.:MEASUREMENT\s+
+    FROM\s+(?:"?(?P<from_db>[\w.-]+)"?\.)?"?(?P<src_rp>[\w.-]+)"?\./\.\*/\s+
+    GROUP\s+BY\s+time\((?P<interval>\d+[a-zµ]+)\)\s*,\s*\*\s+
+    END\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_CQ_DROP_RE = re.compile(
+    r"""^\s*DROP\s+CONTINUOUS\s+QUERY\s+"?(?P<name>[\w.-]+)"?
+    \s+ON\s+"?(?P<db>[\w.-]+)"?\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_CQ_HEAD_RE = re.compile(
+    r"^\s*(CREATE|DROP)\s+CONTINUOUS\s+QUERY\b", re.IGNORECASE
+)
+
+
+def parse_cq_ddl(query: str) -> dict | None:
+    """The continuous-query DDL strings the reference generates
+    (storage/influxdb_v1.go:333-348 ``AddCQ`` emits
+    ``CREATE CONTINUOUS QUERY "name" ON "db" BEGIN SELECT mean(*) INTO
+    "db"."target_rp".:MEASUREMENT FROM "db"."src_rp"./.*/ GROUP BY
+    time(X),* END``; :350-361 ``DeleteCQ`` emits
+    ``DROP CONTINUOUS QUERY name ON db``). Returns
+    ``{"kind": "create", "name", "src_rp", "target_rp", "interval"}`` or
+    ``{"kind": "drop", "name"}``; None when the string is not CQ DDL.
+
+    Only the reference's own mean(*)-per-tag-set template body is
+    accepted for CREATE — that is exactly what the downsampling cascade
+    implements (``downsample.downsample_step``). A CREATE with any other
+    body starts with the CQ DDL head but can't be mapped onto the
+    cascade, so it raises :class:`InfluxQLParseError` instead of
+    silently falling through to the Spark SQL path."""
+    m = _CQ_CREATE_RE.match(query)
+    if m:
+        from ecollector_spark.functions.timeutil import parse_relative_duration
+
+        interval = m.group("interval")
+        if parse_relative_duration(interval) <= 0:
+            raise InfluxQLParseError(
+                f"unsupported CQ interval {interval!r}: expected the "
+                "reference's h/d/m/w units (mapping.go:106-122)"
+            )
+        return {
+            "kind": "create",
+            "name": m.group("name"),
+            "src_rp": m.group("src_rp"),
+            "target_rp": m.group("target_rp"),
+            "interval": interval,
+        }
+    m = _CQ_DROP_RE.match(query)
+    if m:
+        return {"kind": "drop", "name": m.group("name")}
+    if _CQ_HEAD_RE.match(query):
+        raise InfluxQLParseError(
+            "unsupported CONTINUOUS QUERY statement: only the reference's "
+            'mean(*) INTO "rp".:MEASUREMENT template (influxdb_v1.go:335-338) '
+            "maps onto the downsampling cascade"
+        )
+    return None
 
 
 @dataclass

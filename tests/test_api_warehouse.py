@@ -278,6 +278,38 @@ class TestApi:
         run_cascade(wh.read_tier, lambda df, tier: wh.write_points(df), api.cascade_stages())
         assert wh.read_tier("gen_day") is None  # raw_to_day no longer runs
 
+    def test_add_cq_registers_stage_that_runs(self, wh):
+        """AddCQ twin (influxdb_v1.go:333-348): a newly registered CQ
+        over a user-added retention policy executes in the next cascade
+        run, writing mean-per-bucket rows into its target tier."""
+        from ecollector_spark.downsample import run_cascade
+
+        api = EcollectorApi(wh.spark, wh)
+        api.add_retention_policy("custom", 30 * 86400)
+        assert api.add_cq("raw_to_custom", "gen_raw", "custom", "10m")["status"] == "ok"
+        assert ("gen_raw", "custom", "10m") in api.cascade_stages()
+        # unknown RPs are rejected before they can poison the cascade
+        assert api.add_cq("bad", "nope", "custom", "10m")["status"] == "error"
+        run_cascade(
+            wh.read_tier,
+            lambda df, tier: wh.write_points(df.withColumn("tier", F.lit(tier))),
+            [s for s in api.cascade_stages() if s[1] == "custom"],
+        )
+        out = wh.read_tier("custom")
+        assert out is not None
+        got = {
+            (r["measurement"], r["dev_id"], r["ts"].minute, r["value_f"])
+            for r in out.collect()
+        }
+        # mean per (measurement, tag set, 10m bucket): each input point
+        # is alone in its bucket, so the means equal the raw values
+        assert got == {
+            ("electricity_meter_power", "7", 0, 100.0),
+            ("electricity_meter_power", "7", 10, 200.0),
+            ("electricity_meter_power", "8", 10, 300.0),
+            ("sensor_temp.evt.sensor.report", "9", 0, 21.5),
+        }
+
 
 class TestProcessManager:
     def test_lifecycle(self):

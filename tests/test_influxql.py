@@ -930,3 +930,102 @@ class TestParseProperties:
         for q in bad:
             with pytest.raises(InfluxQLParseError):
                 parse_influxql(q)
+
+
+class TestContinuousQueryDDL:
+    """CQ DDL strings — the exact templates the reference's AddCQ /
+    DeleteCQ generate (storage/influxdb_v1.go:333-361) route onto the
+    live cascade registry instead of dying in the SQL parser."""
+
+    # verbatim AddCQ output (influxdb_v1.go:335-338), newlines included
+    REF_CREATE = (
+        'CREATE CONTINUOUS QUERY "raw_to_day" ON "ecollector"\n'
+        "BEGIN\n "
+        'SELECT mean(*) INTO "ecollector"."gen_day".:MEASUREMENT '
+        'FROM "ecollector"."gen_raw"./.*/ GROUP BY time(1m),* \n'
+        "END"
+    )
+
+    def test_parse_reference_create_template(self):
+        from ecollector_spark.influxql import parse_cq_ddl
+
+        cq = parse_cq_ddl(self.REF_CREATE)
+        assert cq == {
+            "kind": "create",
+            "name": "raw_to_day",
+            "src_rp": "gen_raw",
+            "target_rp": "gen_day",
+            "interval": "1m",
+        }
+
+    def test_parse_drop_and_passthrough(self):
+        from ecollector_spark.influxql import parse_cq_ddl
+
+        assert parse_cq_ddl("DROP CONTINUOUS QUERY raw_to_day ON ecollector") == {
+            "kind": "drop",
+            "name": "raw_to_day",
+        }
+        # non-CQ statements fall through untouched
+        assert parse_cq_ddl('SELECT mean("value") FROM "m"') is None
+        assert parse_cq_ddl("SHOW MEASUREMENTS") is None
+
+    def test_unsupported_cq_bodies_error_instead_of_sql_fallback(self):
+        from ecollector_spark.influxql import parse_cq_ddl
+
+        bad = [
+            # non-template body: max(*) is not the cascade's semantics
+            'CREATE CONTINUOUS QUERY "x" ON "db" BEGIN SELECT max(*) INTO '
+            '"db"."gen_day".:MEASUREMENT FROM "db"."gen_raw"./.*/ '
+            "GROUP BY time(1m),* END",
+            # seconds unit: outside the reference's h/d/m/w parser
+            'CREATE CONTINUOUS QUERY "x" ON "db" BEGIN SELECT mean(*) INTO '
+            '"db"."gen_day".:MEASUREMENT FROM "db"."gen_raw"./.*/ '
+            "GROUP BY time(90s),* END",
+            "DROP CONTINUOUS QUERY",  # malformed drop
+        ]
+        for q in bad:
+            with pytest.raises(InfluxQLParseError):
+                parse_cq_ddl(q)
+
+    def test_run_query_cq_lifecycle(self, spark, tmp_path):
+        from ecollector_spark.tiers import CQ_STAGES
+
+        w = Warehouse(spark, str(tmp_path / "w"))
+        api = EcollectorApi(spark, w)
+
+        # DROP through the verbatim DeleteCQ string (influxdb_v1.go:352)
+        rsp = api.run_query("DROP CONTINUOUS QUERY raw_to_day ON ecollector")
+        assert rsp["val"]["Results"] == [{"Series": [], "Messages": None}]
+        assert "raw_to_day" not in api.cq_stages
+        # dropping again errors like InfluxDB, in the error envelope
+        rsp = api.run_query("DROP CONTINUOUS QUERY raw_to_day ON ecollector")
+        assert rsp["val"]["Results"] is None and "not found" in rsp["val"]["error"]
+
+        # re-CREATE through the verbatim AddCQ string restores the stage
+        rsp = api.run_query(self.REF_CREATE)
+        assert rsp["val"]["Results"] == [{"Series": [], "Messages": None}]
+        assert api.cq_stages["raw_to_day"] == CQ_STAGES["raw_to_day"]
+        # identical re-create is a no-op; a conflicting one errors
+        assert api.run_query(self.REF_CREATE)["val"]["Results"] is not None
+        conflicting = self.REF_CREATE.replace("time(1m)", "time(10m)")
+        rsp = api.run_query(conflicting)
+        assert rsp["val"]["Results"] is None and "exists" in rsp["val"]["error"]
+        # unknown retention policy is rejected
+        rsp = api.run_query(self.REF_CREATE.replace("gen_raw", "no_such_rp"))
+        assert rsp["val"]["Results"] is None and "retention policy" in rsp["val"]["error"]
+
+    def test_show_continuous_queries_roundtrip(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        api = EcollectorApi(spark, w)
+        rsp = api.run_query("SHOW CONTINUOUS QUERIES")
+        s = rsp["val"]["Results"][0]["Series"][0]
+        assert s["columns"] == ["name", "query"]
+        names = [v[0] for v in s["values"]]
+        assert names == ["raw_to_day", "day_to_week", "week_to_month", "month_to_year"]
+        # the rendered query strings round-trip: dropping a CQ and
+        # replaying its SHOW output re-creates the identical stage
+        before = dict(api.cq_stages)
+        queries = {v[0]: v[1] for v in s["values"]}
+        api.delete_object("cq", "week_to_month")
+        assert api.run_query(queries["week_to_month"])["val"]["Results"] is not None
+        assert api.cq_stages == before
