@@ -24,6 +24,7 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ecollector_spark.datapipe.text import shingles_expr, tokens_expr
 
@@ -186,14 +187,11 @@ def minhash_lsh_pairs(
     return _verify_jaccard(sh, cand, threshold)
 
 
-def minhash_lsh_candidates(
-    sh: DataFrame, num_hashes: int = 8, bands: int = 4
-) -> DataFrame:
-    """Banded-signature candidate pairs (doc_a < doc_b) — the
-    pre-verification stage of :func:`minhash_lsh_pairs`, exposed so the
-    scale probe can measure candidate growth vs corpus size."""
+def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Unpivot a signature table (doc_id, mh_0..mh_{n-1}) to LSH bucket
+    keys (doc_id, band, sig) — ``sig`` is the concatenation of the
+    band's rows, NULL (filtered) for docs with no shingles."""
     rows = num_hashes // bands
-    sig = _signatures_from_shingles(sh, num_hashes)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -201,11 +199,21 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    bands_long = (
+    return (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("_bs"))
         .select("doc_id", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
         .where(F.col("sig").isNotNull())
     )
+
+
+def minhash_lsh_candidates(
+    sh: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded-signature candidate pairs (doc_a < doc_b) — the
+    pre-verification stage of :func:`minhash_lsh_pairs`, exposed so the
+    scale probe can measure candidate growth vs corpus size."""
+    sig = _signatures_from_shingles(sh, num_hashes)
+    bands_long = _bands_long(sig, num_hashes, bands)
     x, y = bands_long.alias("x"), bands_long.alias("y")
     return (
         x.join(
@@ -338,3 +346,127 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-batch) dedup
+# ---------------------------------------------------------------------------
+
+def exact_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The compact exact-dedup state of an already-ingested corpus:
+    DISTINCT md5(text) as ``text_hash``. O(corpus) rows of 32 chars —
+    at 100 TB of documents this is the only thing the next ingest batch
+    needs to see; the historical text itself is never re-read."""
+    return docs.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_exact: DataFrame,
+    seen_sigs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_sig_agree: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming batch against compact manifests of everything
+    already ingested — the only dedup shape that works at 100 TB, where
+    re-deduplicating the historical corpus per ingest is off the table.
+
+    ``seen_exact`` is :func:`exact_manifest` of the ingested corpus;
+    ``seen_sigs`` is its :func:`minhash_signatures` table (doc_id +
+    num_hashes 16-bit slices — a few bytes per historical doc). Returns
+    one row per new doc: ``(doc_id, status, matched_seen)`` with status
+
+    - ``dup_exact_seen`` — md5(text) already in ``seen_exact``;
+    - ``dup_exact_batch`` — byte-identical to an earlier (min doc_id)
+      doc of the same batch;
+    - ``dup_near_seen`` — shares an LSH band bucket with a historical
+      doc AND >= ceil(min_sig_agree * num_hashes) signature slices
+      agree (the MinHash estimate of Jaccard >= min_sig_agree; exact
+      verification is impossible by design — the old text is gone);
+      ``matched_seen`` is the smallest such historical doc_id;
+    - ``kept`` — survives all three; fold it into the manifests with
+      :func:`fold_manifests` before the next batch.
+
+    Scale shape: three equi-joins on uniform hash keys (text_hash;
+    (band, sig); doc_id) plus one per-text_hash min — no step ever
+    touches historical text, and candidate verification joins only
+    bucket-colliding (new, old) id pairs to two narrow signature
+    tables."""
+    required = -(-int(min_sig_agree * num_hashes * 1000000) // 1000000)  # ceil
+    new_h = new_docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+    seen = seen_exact.select(F.col("text_hash").alias("_seen_hash")).distinct()
+    flagged = new_h.join(
+        seen, new_h["text_hash"] == seen["_seen_hash"], "left"
+    ).select(
+        "doc_id",
+        "text_hash",
+        F.col("_seen_hash").isNotNull().alias("_exact_seen"),
+    )
+    w = Window.partitionBy("text_hash")
+    flagged = flagged.withColumn("_keeper", F.min("doc_id").over(w))
+
+    sig_new = minhash_signatures(new_docs, text_col, k, num_hashes)
+    bn = _bands_long(sig_new, num_hashes, bands)
+    bo = _bands_long(seen_sigs, num_hashes, bands)
+    cand = (
+        bn.alias("n")
+        .join(
+            bo.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.sig") == F.col("o.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    agree = sum(
+        (F.col(f"ns.mh_{i}") == F.col(f"os.mh_{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    near = (
+        cand.join(
+            sig_new.alias("ns"), cand["new_id"] == F.col("ns.doc_id")
+        )
+        .join(seen_sigs.alias("os"), cand["old_id"] == F.col("os.doc_id"))
+        .where(agree >= required)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("_near_seen"))
+    )
+    out = flagged.join(near, flagged["doc_id"] == near["new_id"], "left")
+    status = (
+        F.when(F.col("_exact_seen"), F.lit("dup_exact_seen"))
+        .when(F.col("_keeper") != F.col("doc_id"), F.lit("dup_exact_batch"))
+        .when(F.col("_near_seen").isNotNull(), F.lit("dup_near_seen"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "doc_id",
+        status.alias("status"),
+        F.when(status == "dup_near_seen", F.col("_near_seen")).alias("matched_seen"),
+    )
+
+
+def fold_manifests(
+    seen_exact: DataFrame,
+    seen_sigs: DataFrame,
+    new_docs: DataFrame,
+    decisions: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Advance the incremental-dedup state after a batch: the kept docs'
+    hashes and signatures join the manifests (dropped docs add no state
+    — their content is, by definition, already represented). Returns the
+    new ``(seen_exact, seen_sigs)`` pair for the next
+    :func:`dedup_incremental` call."""
+    kept = decisions.where(F.col("status") == "kept").select("doc_id")
+    kept_docs = new_docs.join(kept, "doc_id")
+    new_exact = seen_exact.unionByName(exact_manifest(kept_docs, text_col)).distinct()
+    new_sigs = seen_sigs.unionByName(
+        minhash_signatures(kept_docs, text_col, k, num_hashes)
+    )
+    return new_exact, new_sigs

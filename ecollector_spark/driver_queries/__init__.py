@@ -59,8 +59,10 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: moving_average,elapsed}, ts_selector_top3), the raw-window family
 #: (ts_raw_{difference,derivative_by_tag,cumulative_sum}), the clause
 #: closure (influxql_{multi_select,subquery,field_predicate},
-#: ts_group_by_time_offset) and the training-data assembly family
-#: (datapipe_{pack_sequences,pack_manifest,mix_weights,export_shards}).
+#: ts_group_by_time_offset), the training-data assembly family
+#: (datapipe_{pack_sequences,pack_manifest,mix_weights,export_shards},
+#: datapipe_leakage_safe_split) and dedup_incremental (the cross-batch
+#: manifest path — a code path no main gate touches).
 #: Swap 5-8 in per the rotation contract below, preferring one gate per
 #: new code path (e.g. pack_sequences for the prefix-sum decomposition,
 #: ts_raw_difference for the chunked raw window, influxql_subquery for

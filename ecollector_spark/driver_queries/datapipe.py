@@ -211,6 +211,129 @@ def dedup_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# incremental (cross-batch) dedup
+# ---------------------------------------------------------------------------
+
+#: the incoming batch for the incremental gate: near variants (80% of
+#: tokens) of doc_id%10, exact copies of doc_id%17, a SECOND copy of the
+#: near variant for doc_id%20 (same text as the %10 variant -> within-
+#: batch exact dup), and token-sorted rewrites of doc_id%7==3 (novel
+#: shingles -> survivors). The historical corpus is the raw documents
+#: table; only its manifests (md5 set + minhash signatures) are consumed.
+_NEARVAR = ("SELECT doc_id, array_to_string(toks[1:greatest(CAST(floor(len(toks)*4/5)"
+            " AS INT), 1)], ' ') AS text FROM tok0")
+
+_MH8 = ",\n         ".join(
+    f"list_min([substr(h, {4 * i + 1}, 4) FOR h IN hl]) AS mh_{i}" for i in range(8)
+)
+_AGREE = " + ".join(f"(n.mh_{i} = o.mh_{i})::INT" for i in range(8))
+
+
+def _mh8_sql(name: str, tok_cte: str) -> str:
+    return f"""{name} AS (
+  SELECT doc_id,
+         {_MH8}
+  FROM (SELECT doc_id, [md5(s) FOR s IN list_distinct({_SH3})] AS hl FROM {tok_cte}))"""
+
+
+def _banded_sql(name: str, mh_cte: str) -> str:
+    return (f"{name} AS (SELECT doc_id, mh_0||mh_1 AS b0, mh_2||mh_3 AS b1, "
+            f"mh_4||mh_5 AS b2, mh_6||mh_7 AS b3 FROM {mh_cte})")
+
+
+_INCR_SQL = f"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+tok0 AS (SELECT doc_id, {_TOKS} AS toks FROM docs0),
+nearvar AS ({_NEARVAR}),
+newb AS (
+  SELECT doc_id + 10000000 AS doc_id, text FROM nearvar WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text FROM docs0 WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 30000000, text FROM nearvar WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 40000000, array_to_string(list_sort(toks), ' ') FROM tok0 WHERE doc_id % 7 = 3
+),
+tokn AS (SELECT doc_id, {{_TOKS_NEW}} AS toks FROM newb),
+{_mh8_sql('mh_old', 'tok0')},
+{_mh8_sql('mh_new', 'tokn')},
+{_banded_sql('banded_old', 'mh_old')},
+{_banded_sql('banded_new', 'mh_new')},
+cand AS (SELECT DISTINCT new_id, old_id FROM (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id FROM banded_new n JOIN banded_old o ON n.b0 = o.b0
+  UNION ALL
+  SELECT n.doc_id, o.doc_id FROM banded_new n JOIN banded_old o ON n.b1 = o.b1
+  UNION ALL
+  SELECT n.doc_id, o.doc_id FROM banded_new n JOIN banded_old o ON n.b2 = o.b2
+  UNION ALL
+  SELECT n.doc_id, o.doc_id FROM banded_new n JOIN banded_old o ON n.b3 = o.b3)),
+near AS (
+  SELECT new_id, min(old_id) AS matched_seen FROM (
+    SELECT c.new_id, c.old_id, {_AGREE} AS agree
+    FROM cand c JOIN mh_new n ON n.doc_id = c.new_id
+                JOIN mh_old o ON o.doc_id = c.old_id)
+  WHERE agree >= 4 GROUP BY 1),
+seen_exact AS (SELECT DISTINCT md5(text) AS text_hash FROM docs0),
+keepers AS (SELECT doc_id, text_hash,
+                   min(doc_id) OVER (PARTITION BY text_hash) AS keeper
+            FROM (SELECT doc_id, md5(text) AS text_hash FROM newb))
+SELECT k.doc_id,
+  CASE WHEN se.text_hash IS NOT NULL THEN 'dup_exact_seen'
+       WHEN k.keeper <> k.doc_id THEN 'dup_exact_batch'
+       WHEN nr.matched_seen IS NOT NULL THEN 'dup_near_seen'
+       ELSE 'kept' END AS status,
+  CASE WHEN se.text_hash IS NULL AND k.keeper = k.doc_id THEN nr.matched_seen END AS matched_seen
+FROM keepers k
+LEFT JOIN seen_exact se USING (text_hash)
+LEFT JOIN near nr ON nr.new_id = k.doc_id
+ORDER BY 1
+""".replace("{_TOKS_NEW}", _TOKS)
+
+
+def incremental_batch(spark, sf_dir):
+    """The Spark twin of the oracle's ``newb`` CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = text.tokens_expr("text")
+    keep = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
+    near_txt = F.concat_ws(" ", F.slice(toks, F.lit(1), keep))
+    return (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 10000000).alias("doc_id"), near_txt.alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 20000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 30000000).alias("doc_id"), near_txt.alias("text")
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 40000000).alias("doc_id"),
+                F.concat_ws(" ", F.sort_array(toks)).alias("text"),
+            )
+        )
+    )
+
+
+@register("dedup_incremental", _INCR_SQL, shelved=True)
+def dedup_incremental(spark, sf_dir):
+    """Cross-batch dedup of an incoming batch against compact manifests
+    of the already-ingested corpus (md5 set + minhash signature table) —
+    the historical text is never re-read, which is the only ingest-dedup
+    shape that holds at 100 TB. One row per new doc with its
+    keep/drop decision and, for near-dups, the matched historical id."""
+    old = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = dedup.dedup_incremental(
+        incremental_batch(spark, sf_dir),
+        dedup.exact_manifest(old),
+        dedup.minhash_signatures(old),
+    )
+    return out.localCheckpoint(eager=False)
+
+
+# ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
 

@@ -837,3 +837,83 @@ class TestLeakageSafeSplit:
         assert all(len(v) == 1 for v in by_cluster.values())
         with pytest.raises(ValueError):
             leakage_safe_split(docs, 1.5)
+
+
+class TestIncrementalDedup:
+    """Cross-batch dedup against compact manifests: the historical text
+    is never re-read — only its md5 set and minhash signature table."""
+
+    @pytest.fixture(scope="class")
+    def state(self, spark):
+        old = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "p q r p q r"),
+            ],
+            "doc_id long, text string",
+        )
+        return old, dedup.exact_manifest(old), dedup.minhash_signatures(old)
+
+    def test_statuses(self, spark, state):
+        old, seen_exact, seen_sigs = state
+        new = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),  # byte-equal to 1
+                (11, "fresh novel content nothing like before at all"),
+                (12, "fresh novel content nothing like before at all"),  # batch dup of 11
+                # same 3-gram shingle SET as doc 2 ({pqr, qrp, rpq}) but a
+                # different byte string -> signatures agree 8/8 -> near dup
+                (13, "p q r p q r p q r"),
+                (14, "totally disjoint subject matter about warehouse tiers"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["status"], r["matched_seen"])
+            for r in dedup.dedup_incremental(new, seen_exact, seen_sigs).collect()
+        }
+        assert out[10] == ("dup_exact_seen", None)
+        assert out[11] == ("kept", None)
+        assert out[12] == ("dup_exact_batch", None)
+        assert out[13] == ("dup_near_seen", 2)
+        assert out[14] == ("kept", None)
+
+    def test_fold_manifests_absorbs_kept_docs(self, spark, state):
+        old, seen_exact, seen_sigs = state
+        new = spark.createDataFrame(
+            [
+                (11, "fresh novel content nothing like before at all"),
+                (13, "p q r p q r p q r"),  # near dup -> NOT folded
+            ],
+            "doc_id long, text string",
+        )
+        decisions = dedup.dedup_incremental(new, seen_exact, seen_sigs)
+        ex2, sig2 = dedup.fold_manifests(seen_exact, seen_sigs, new, decisions)
+        assert ex2.count() == seen_exact.count() + 1
+        assert sig2.count() == seen_sigs.count() + 1
+        # replaying the same batch against the folded state: the
+        # previously-kept doc is now an exact hit, the near dup unchanged
+        out = {
+            r["doc_id"]: r["status"]
+            for r in dedup.dedup_incremental(new, ex2, sig2).collect()
+        }
+        assert out[11] == "dup_exact_seen"
+        assert out[13] == "dup_near_seen"
+
+    def test_exact_seen_wins_precedence(self, spark, state):
+        """A doc that is byte-equal to history AND band-collides reports
+        dup_exact_seen (the cheapest-to-explain reason), and
+        matched_seen stays NULL for non-near statuses."""
+        old, seen_exact, seen_sigs = state
+        new = spark.createDataFrame(
+            [(20, "p q r p q r"), (21, "p q r p q r")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["status"], r["matched_seen"])
+            for r in dedup.dedup_incremental(new, seen_exact, seen_sigs).collect()
+        }
+        # both byte-equal to doc 2: exact_seen outranks both the batch
+        # dup and the (trivially present) band collision
+        assert out[20] == ("dup_exact_seen", None)
+        assert out[21] == ("dup_exact_seen", None)
