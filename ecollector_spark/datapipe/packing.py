@@ -53,6 +53,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_count_col: str | None = None,
     n_chunks: int = 1024,
+    seed: str = "",
 ) -> DataFrame:
     """Concat-and-chunk packing: order documents deterministically
     (md5 of the id — decorrelated from length/source), lay their tokens
@@ -66,7 +67,10 @@ def pack_sequences(
     Zero-token documents occupy no window and are excluded.
 
     ``token_count_col`` substitutes a precomputed count (e.g. a real
-    tokenizer's) for the whitespace-token default.
+    tokenizer's) for the whitespace-token default. ``seed`` salts the
+    ordering key — pass the epoch number to re-pack each training epoch
+    in a fresh (but fully reproducible) global order; the default keeps
+    the historical order.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive: {seq_len}")
@@ -75,7 +79,7 @@ def pack_sequences(
         if token_count_col
         else F.size(tokens_expr(text_col)).cast("long")
     )
-    key = _md5_key60(F.col(id_col), "pack|")
+    key = _md5_key60(F.col(id_col), "pack|" if not seed else f"pack|{seed}|")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         key.alias("_k"),
@@ -208,4 +212,44 @@ def leakage_safe_split(
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.when(u < val_fraction, "val").otherwise("train").alias("split"),
+    )
+
+
+def epoch_order(
+    docs: DataFrame,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    n_chunks: int = 1024,
+) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: ``(doc_id,
+    pos)`` with ``pos`` a permutation of 0..n-1 ordered by
+    md5(seed|doc_id). Each epoch's seed yields a fresh order; the same
+    seed always yields the same one, so data loaders, retries and the
+    SQL twin agree row for row.
+
+    No global window: positions come from the same two-level
+    decomposition as :func:`pack_sequences` — the md5 key's top bits
+    pick one of ``n_chunks`` chunks, a bounded unpartitioned window over
+    the <= n_chunks per-chunk counts yields chunk offsets, and a
+    chunk-partitioned rank adds the in-chunk position. The chunk id is
+    a monotone function of the key, so (chunk, key, id) order equals
+    global (key, id) order."""
+    key = _md5_key60(F.col(id_col), f"ord|{seed}|")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("_k"),
+        (key / F.lit(_KEYSPACE / n_chunks)).cast("long").alias("_chunk"),
+    )
+    counts = base.groupBy("_chunk").agg(F.count("*").alias("_cn"))
+    w_chunks = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = counts.select(
+        "_chunk", (F.sum("_cn").over(w_chunks) - F.col("_cn")).alias("_coff")
+    )
+    w_in = Window.partitionBy("_chunk").orderBy("_k", "doc_id")
+    return (
+        base.join(F.broadcast(offsets), "_chunk")
+        .select(
+            "doc_id",
+            (F.col("_coff") + F.row_number().over(w_in) - 1).alias("pos"),
+        )
     )

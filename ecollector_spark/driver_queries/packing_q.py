@@ -148,3 +148,22 @@ def datapipe_leakage_safe_split(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return leakage_safe_split(docs, 0.1).orderBy("doc_id")
+
+@register(
+    "datapipe_epoch_order",
+    """SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY ('0x' || substr(md5('ord|7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                  doc_id) - 1 AS BIGINT) AS pos
+FROM documents ORDER BY doc_id
+""",
+    shelved=True,
+)
+def datapipe_epoch_order(spark, sf_dir):
+    """Deterministic epoch shuffle: every doc gets a position in a
+    seed-keyed global permutation. The Spark side is the chunked
+    two-level prefix decomposition (no unbounded window over data
+    rows); the oracle is the naive global row_number — bit-equal
+    positions prove the decomposition."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.epoch_order(docs, seed="7").orderBy("doc_id")

@@ -917,3 +917,51 @@ class TestIncrementalDedup:
         # dup and the (trivially present) band collision
         assert out[20] == ("dup_exact_seen", None)
         assert out[21] == ("dup_exact_seen", None)
+
+
+class TestEpochOrder:
+    def test_permutation_and_seed_variation(self, spark):
+        from ecollector_spark.datapipe.packing import epoch_order
+
+        docs = spark.range(200).withColumnRenamed("id", "doc_id")
+        e0 = {r["doc_id"]: r["pos"] for r in epoch_order(docs, seed="0").collect()}
+        e1 = {r["doc_id"]: r["pos"] for r in epoch_order(docs, seed="1").collect()}
+        # each epoch is a full permutation of 0..n-1
+        assert sorted(e0.values()) == list(range(200))
+        assert sorted(e1.values()) == list(range(200))
+        # different seeds give a genuinely different order...
+        assert e0 != e1
+        # ...and the same seed is reproducible
+        again = {r["doc_id"]: r["pos"] for r in epoch_order(docs, seed="0").collect()}
+        assert again == e0
+
+    def test_chunked_equals_global(self, spark):
+        """The two-level decomposition must equal the naive global sort
+        regardless of chunk count (1 chunk == fully global)."""
+        from ecollector_spark.datapipe.packing import epoch_order
+
+        docs = spark.range(157).withColumnRenamed("id", "doc_id")
+        few = {r["doc_id"]: r["pos"] for r in epoch_order(docs, "s", n_chunks=1).collect()}
+        many = {r["doc_id"]: r["pos"] for r in epoch_order(docs, "s", n_chunks=64).collect()}
+        assert few == many
+
+    def test_pack_sequences_seed_reorders(self, spark):
+        """A seeded pack shuffles the global document order (start_off
+        changes) but conserves the token stream (same total, same
+        per-doc counts); the default seed is the historical order."""
+        from ecollector_spark.datapipe.packing import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, "tok " * (i % 7 + 1)) for i in range(50)],
+            "doc_id long, text string",
+        )
+        base = {r["doc_id"]: (r["start_off"], r["n_tokens"])
+                for r in pack_sequences(docs, 16).collect()}
+        default_again = {r["doc_id"]: (r["start_off"], r["n_tokens"])
+                         for r in pack_sequences(docs, 16, seed="").collect()}
+        assert default_again == base
+        ep2 = {r["doc_id"]: (r["start_off"], r["n_tokens"])
+               for r in pack_sequences(docs, 16, seed="2").collect()}
+        assert ep2 != base
+        assert {d: n for d, (_, n) in ep2.items()} == {d: n for d, (_, n) in base.items()}
+        assert sum(n for _, n in ep2.values()) == sum(n for _, n in base.values())
