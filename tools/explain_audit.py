@@ -150,6 +150,24 @@ CHECKS = {
         "\\[_ck#\\d+L\\], \\[_t#\\d+L ASC",
         "!CartesianProduct",
     ],
+    # epoch shuffle: chunk offsets broadcast back, in-chunk rank is a
+    # _chunk-partitioned window (the global permutation never funnels
+    # the corpus through one task)
+    "datapipe_epoch_order": [
+        "BroadcastHashJoin",
+        "\\], \\[_chunk#\\d+L\\], \\[",
+        "!CartesianProduct",
+    ],
+    # incremental dedup: manifest lookups and the band-bucket candidate
+    # step are hash equi-joins with map-side partial mins — never a
+    # pairwise enumeration, and the only window is text_hash-partitioned
+    # (raw builder: the gate wraps its result in a lazy localCheckpoint
+    # for the harness sort, which opaques the plan)
+    "_raw_dedup_incremental": [
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        "partial_min",
+        "!CartesianProduct",
+    ],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
@@ -179,6 +197,12 @@ BOUNDED_WINDOWS = {
             "boundary-seed pass: one last-row per time chunk (<= 1025 rows)",
         ),
     ],
+    "datapipe_epoch_order": [
+        (
+            r"_chunk#\d+L ASC",
+            "chunk-offset prefix sum: one row per md5-range chunk (<= 1024 rows)",
+        ),
+    ],
 }
 
 
@@ -188,7 +212,13 @@ def unpartitioned_windows(plan: str) -> list[str]:
     WindowExec prints ``Window [exprs], [partitionSpec], [orderSpec]``;
     with no partition columns the middle group is absent, leaving two
     top-level bracket groups. Scan bracket depth to split the groups
-    (expressions nest brackets internally)."""
+    (expressions nest brackets internally).
+
+    A partition-only window (``min(x) OVER (PARTITION BY k)`` — no ORDER
+    BY) also prints two groups, but its second group is the PARTITION
+    spec: distinguish by the sort direction tokens only order specs
+    carry (``ASC``/``DESC``). Partition-only windows scale fine; an
+    empty second group (over ()) is still a funnel and is flagged."""
     out = []
     for line in plan.splitlines():
         idx = line.find("Window [")
@@ -208,7 +238,9 @@ def unpartitioned_windows(plan: str) -> list[str]:
                     continue
             if depth >= 1:
                 cur.append(ch)
-        if len(groups) == 2:  # [exprs], [order] — no partition group
+        if len(groups) == 2 and (
+            not groups[1].strip() or re.search(r"\b(ASC|DESC)\b", groups[1])
+        ):  # [exprs], [order] — no partition group
             out.append(groups[1])
     return out
 
@@ -244,6 +276,19 @@ def main():
     builders["_raw_minhash"] = _raw_minhash
     builders["_raw_embedding_near_dup"] = _raw_embedding_near_dup
     builders["_raw_transform"] = _raw_transform
+
+    def _raw_dedup_incremental(spark, sf_dir):
+        from ecollector_spark.datapipe import dedup
+        from ecollector_spark.driver_queries.datapipe import incremental_batch
+
+        old = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        return dedup.dedup_incremental(
+            incremental_batch(spark, sf_dir),
+            dedup.exact_manifest(old),
+            dedup.minhash_signatures(old),
+        )
+
+    builders["_raw_dedup_incremental"] = _raw_dedup_incremental
 
     spark = get_spark("explain_audit")
     failures = 0
