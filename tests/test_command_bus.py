@@ -309,3 +309,38 @@ class TestDispatch:
         )
         assert out is None
         assert len(dispatcher.published) == before
+
+
+class TestCQDDLOverBus:
+    def test_cq_ddl_strings_route_through_query_command(self, dispatcher):
+        """The reference's AddCQ/DeleteCQ send their generated DDL as
+        ordinary query strings (influxdb_v1.go:333-361) — over the bus
+        they must land on the cascade registry, not the SQL parser."""
+        drop = {
+            "type": "cmd.tsdb.query",
+            "serv": "ecollector",
+            "val_t": "str_map",
+            "uid": "cq1",
+            "val": {
+                "proc_id": "1",
+                "query": "DROP CONTINUOUS QUERY day_to_week ON ecollector",
+            },
+        }
+        out = dispatcher.handle_message(COMMAND_TOPIC, json.dumps(drop))
+        assert out["type"] == "evt.tsdb.query_report" and out["corid"] == "cq1"
+        assert out["val"]["Results"] is not None
+        assert "day_to_week" not in dispatcher.api.cq_stages
+
+        create = dict(drop, uid="cq2")
+        create["val"] = {
+            "proc_id": "1",
+            "query": (
+                'CREATE CONTINUOUS QUERY "day_to_week" ON "ecollector"\n'
+                "BEGIN\n SELECT mean(*) INTO "
+                '"ecollector"."gen_week".:MEASUREMENT FROM '
+                '"ecollector"."gen_day"./.*/ GROUP BY time(10m),* \nEND'
+            ),
+        }
+        out = dispatcher.handle_message(COMMAND_TOPIC, json.dumps(create))
+        assert out["val"]["Results"] is not None
+        assert dispatcher.api.cq_stages["day_to_week"] == ("gen_day", "gen_week", "10m")

@@ -231,7 +231,11 @@ def main() -> None:
     def rows(d, t="events"):
         return spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
 
-    counts = {label: rows(d) for label, d in ladder}
+    # count a table that actually scales along this ladder — in
+    # --salt-docs mode events is shared unchanged across rungs, and a
+    # flat count makes the exponent's log-ratio divide by zero
+    fact = "events" if "events" in tables else sorted(tables)[0]
+    counts = {label: rows(d, fact) for label, d in ladder}
     out = {
         "note": (
             f"wall-time growth of the {tag} query set across a 1x/10x/100x "
