@@ -196,6 +196,21 @@ class EcollectorApi:
                 else:
                     names = [iq.measurement]
                 tags = split_group_tags(iq.request.group_by_tag)
+                if iq.into_measurement is not None:
+                    # SELECT ... INTO: the one-off twin of the CQ
+                    # template (public InfluxQL) — write the planned
+                    # result into the target measurement and report the
+                    # written count in InfluxDB's (time, written) shape
+                    if iq.subquery is not None:
+                        df = apply_result_shape(
+                            plan_tree(self.planner, iq, now=now), iq
+                        )
+                    else:
+                        df = apply_result_shape(self.planner.plan(iq.request, now=now), iq)
+                    n = self._write_into(df, iq, tags)
+                    return _report(
+                        [{"name": "result", "columns": ["time", "written"], "values": [[0, n]]}]
+                    )
                 series = []
                 if iq.subquery is not None:
                     # FROM (subquery): one composed plan; series named by
@@ -235,6 +250,45 @@ class EcollectorApi:
             )
         except Exception as e:  # noqa: BLE001 — error envelope is the contract
             return _report(error=str(e))
+
+    def _write_into(self, df, iq, tags: list[str]) -> int:
+        """Distributed write for ``SELECT ... INTO``: the planned result
+        (time, *tags, value) becomes datapoints under the target
+        measurement — null values (FILL(null) spine buckets) are
+        skipped, like InfluxDB's INTO. One lazy checkpoint materializes
+        the result once for both the write and the written-count; the
+        write itself is the ordinary tier-routed append (``into_rp``
+        pins the target tier)."""
+        if iq.into_rp:
+            known = set(TIER_TTL_SECONDS) | set(self.ttl_overrides)
+            if iq.into_rp not in known:
+                raise ValueError(f"unknown retention policy {iq.into_rp!r}")
+        target = iq.into_measurement
+        rows = df.where(F.col("value").isNotNull()).localCheckpoint(eager=False)
+        tag_cols = {
+            c.name: F.col(c.name) if c.name in tags else F.lit(None).cast("string")
+            for c in DATAPOINT_SCHEMA
+            if c.name
+            in ("dev_id", "dev_type", "dir", "location_id", "service", "topic", "domain")
+        }
+        pts = rows.select(
+            F.lit(target).alias("measurement"),
+            F.timestamp_seconds(F.col("time").cast("long")).alias("ts"),
+            F.concat_ws(
+                ";", F.lit(target), *[F.col(t) for t in tags]
+            ).alias("series_id"),
+            *[c.alias(n) for n, c in tag_cols.items()],
+            F.lit("into").alias("src"),
+            F.col("value").cast("double").alias("value_f"),
+            F.lit(None).cast("boolean").alias("value_b"),
+            F.lit(None).cast("string").alias("value_s"),
+            F.lit(None).cast("string").alias("unit"),
+            F.lit("mean").alias("agg_func"),
+        )
+        if iq.into_rp:
+            pts = pts.withColumn("tier", F.lit(iq.into_rp))
+        self.warehouse.write_points(pts)
+        return rows.count()
 
     # -- Q2: cmd.tsdb.get_data_points -------------------------------------
     def get_data_points(self, req: DataPointsRequest, now: datetime | None = None) -> dict:

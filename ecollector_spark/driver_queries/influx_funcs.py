@@ -458,3 +458,51 @@ def influxql_field_predicate(spark, sf_dir):
     )
     df = _run(spark, sf_dir, q)
     return df.withColumn("value", F.round("value", 3))
+
+
+@register(
+    "influxql_select_into",
+    f"""{_DP},
+src AS ({_src_sql('purchase')})
+SELECT {_bucket(3600)} AS time, location_id, round(avg(value_f), 3) AS value
+FROM src GROUP BY 1, 2 ORDER BY time, location_id
+""",
+    shelved=True,
+)
+def influxql_select_into(spark, sf_dir):
+    """``SELECT ... INTO`` (public InfluxQL — the one-off twin of the CQ
+    template): the hourly per-tag mean is planned, written into the
+    target measurement through the ordinary tier-routed sink, and the
+    gate reads the WRITTEN points back — so the oracle recomputing the
+    same aggregate from the source table value-checks the entire
+    plan-write-read loop, not just the query half."""
+    import os
+    import tempfile
+
+    from ecollector_spark.api import EcollectorApi
+    from ecollector_spark.sources.events_adapter import events_as_datapoints
+    from ecollector_spark.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="ec_into_")
+    wh = Warehouse(spark, os.path.join(root, "wh"))
+    # drop the adapter's blanket gen_raw stamp: tier routes by
+    # measurement (purchase is low-frequency -> gen_default, where the
+    # FROM clause and choose_query_tier both look)
+    wh.write_points(events_as_datapoints(spark, sf_dir).drop("tier"))
+    api = EcollectorApi(spark, wh)
+    rsp = api.run_query(
+        'SELECT mean("value") INTO "purchase_1h" FROM "gen_default"."purchase" '
+        f"{_RANGE} GROUP BY time(1h), \"location_id\" FILL(none)",
+        now=NOW,
+    )
+    if rsp["val"].get("error"):
+        raise RuntimeError(rsp["val"]["error"])
+    back = wh.read_tier("gen_default")
+    return (
+        back.where(F.col("measurement") == "purchase_1h")
+        .select(
+            F.unix_timestamp("ts").alias("time"),
+            "location_id",
+            F.round("value_f", 3).alias("value"),
+        )
+    )

@@ -41,6 +41,12 @@ semantics: per-series when the query groups by a tag),
 ``rlike``, a superset of InfluxDB's RE2 for the patterns users write),
 and regex-measurement ``FROM /re/`` (expanded against the catalog by
 ``run_query`` — one result series per matching measurement).
+
+Write-path statements: ``SELECT ... INTO "target"`` (the one-off twin
+of the CQ template — the planned result is written into the target
+measurement, null fill buckets skipped, reported as InfluxDB's
+``(time, written)`` row) and the CQ DDL pair the reference's
+AddCQ/DeleteCQ generate (see :func:`parse_cq_ddl`).
 """
 
 from __future__ import annotations
@@ -90,6 +96,7 @@ _SEL_RE = re.compile(
 
 _STMT_RE = re.compile(
     r"""^\s*SELECT\s+(?P<sel>.+?)
+    (?:\s+INTO\s+(?P<into>"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+))?
     \s+FROM\s+(?P<from>/(?:[^/\\]|\\.)+/|"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+)
     (?:\s+WHERE\s+(?P<where>.*?))?
     (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
@@ -316,6 +323,12 @@ class InfluxQLQuery:
     #: inner's range — plan_tree aligns the inherited lower bound down to
     #: the inner bucket grid so the first bucket stamp is not dropped
     inherited_range: bool = False
+    #: ``SELECT ... INTO "target"`` (public InfluxQL — the one-off twin
+    #: of the CQ template): write the result into this measurement
+    #: instead of returning rows; ``into_rp`` pins the target retention
+    #: policy (tier), else the warehouse routes by measurement name
+    into_measurement: str | None = None
+    into_rp: str | None = None
 
 
 def _parse_from(frm: str) -> tuple[str | None, str]:
@@ -629,6 +642,22 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             req.from_time = subquery.request.from_time
             req.to_time = subquery.request.to_time
             inherited_range = True
+    into_rp = into_measurement = None
+    if m.group("into"):
+        into_rp, into_measurement = _parse_from(m.group("into"))
+        if into_measurement == ":MEASUREMENT":
+            raise InfluxQLParseError(
+                ":MEASUREMENT backreference is CQ-only (see parse_cq_ddl)"
+            )
+        if measurement_regex is not None:
+            raise InfluxQLParseError(
+                "INTO with a regex FROM is not supported: the target would "
+                "merge every matching measurement into one"
+            )
+        if selectors is not None:
+            raise InfluxQLParseError(
+                "INTO supports a single selector (one value field per point)"
+            )
     return InfluxQLQuery(
         request=req,
         measurement=measurement,
@@ -643,6 +672,8 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         selectors=selectors,
         subquery=subquery,
         inherited_range=inherited_range,
+        into_measurement=into_measurement,
+        into_rp=into_rp,
     )
 
 

@@ -5,6 +5,7 @@ through EcollectorApi.run_query on the planner path."""
 from datetime import datetime, timedelta, timezone
 
 import pytest
+from pyspark.sql import functions as F
 
 from ecollector_spark.api import EcollectorApi
 from ecollector_spark.influxql import InfluxQLParseError, parse_influxql
@@ -1029,3 +1030,93 @@ class TestContinuousQueryDDL:
         api.delete_object("cq", "week_to_month")
         assert api.run_query(queries["week_to_month"])["val"]["Results"] is not None
         assert api.cq_stages == before
+
+
+class TestSelectInto:
+    """SELECT ... INTO — the one-off twin of the CQ template (public
+    InfluxQL): the planned result is written into the target
+    measurement instead of returned."""
+
+    #: absolute ranges tier-route by elapsed-to-now (influxdb_v1.go:115-140):
+    #: pin "now" near the fixture data so the 2024 range reads gen_raw
+    NOW = datetime(2024, 1, 1, 0, 30, tzinfo=timezone.utc)
+
+    def _api(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:00", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:04:00", "7", 300.0),
+            ("electricity_meter_power", "2024-01-01T00:11:00", "7", 50.0),
+            ("electricity_meter_power", "2024-01-01T00:12:00", "8", 70.0),
+        ]))
+        return EcollectorApi(spark, w), w
+
+    def test_into_downsamples_and_reads_back(self, spark, tmp_path):
+        api, w = self._api(spark, tmp_path)
+        rsp = api.run_query(
+            'SELECT mean("value") INTO "power_10m" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time < '2024-01-01T00:20:00Z' "
+            "GROUP BY time(10m) FILL(none)",
+            now=self.NOW,
+        )
+        s = rsp["val"]["Results"][0]["Series"][0]
+        assert s["name"] == "result" and s["columns"] == ["time", "written"]
+        assert s["values"] == [[0, 2]]
+        # written points are ordinary datapoints: queryable immediately
+        back = api.run_query(
+            'SELECT "value" FROM "power_10m" WHERE time > now()-1h', now=self.NOW
+        )
+        vals = sorted(v[-1] for v in back["val"]["Results"][0]["Series"][0]["values"])
+        assert vals == [60.0, 200.0]
+
+    def test_into_grouped_by_tag_builds_series_ids(self, spark, tmp_path):
+        api, w = self._api(spark, tmp_path)
+        rsp = api.run_query(
+            'SELECT mean("value") INTO "by_dev" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time < '2024-01-01T00:20:00Z' "
+            'GROUP BY time(10m), "dev_id" FILL(none)',
+            now=self.NOW,
+        )
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[0, 3]]
+        got = {
+            (r["series_id"], r["value_f"], r["dev_id"])
+            for t in ("gen_raw", "gen_default", "gen_day")
+            if (df := w.read_tier(t)) is not None
+            for r in df.where(F.col("measurement") == "by_dev").collect()
+        }
+        assert got == {
+            ("by_dev;7", 200.0, "7"),
+            ("by_dev;7", 50.0, "7"),
+            ("by_dev;8", 70.0, "8"),
+        }
+
+    def test_into_rp_pins_tier_and_validates(self, spark, tmp_path):
+        api, w = self._api(spark, tmp_path)
+        rsp = api.run_query(
+            'SELECT mean("value") INTO "gen_day"."rolled" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time < '2024-01-01T00:20:00Z' "
+            "GROUP BY time(10m) FILL(none)",
+            now=self.NOW,
+        )
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[0, 2]]
+        day = w.read_tier("gen_day")
+        assert day is not None
+        assert day.where(F.col("measurement") == "rolled").count() == 2
+        # unknown target RP -> error envelope, nothing written
+        bad = api.run_query(
+            'SELECT mean("value") INTO "no_such_rp"."x" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time >= '2024-01-01T00:00:00Z' GROUP BY time(10m) FILL(none)",
+            now=self.NOW,
+        )
+        assert bad["val"]["Results"] is None and "retention policy" in bad["val"]["error"]
+
+    def test_into_skips_null_fill_buckets(self, spark, tmp_path):
+        api, w = self._api(spark, tmp_path)
+        rsp = api.run_query(
+            'SELECT mean("value") INTO "filled" FROM "gen_raw"."electricity_meter_power" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time < '2024-01-01T01:00:00Z' "
+            "GROUP BY time(10m) FILL(null)",
+            now=self.NOW,
+        )
+        # 6 spine buckets, 2 with data: only the 2 real points written
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[0, 2]]

@@ -78,9 +78,16 @@ def main():
 
     queries = dict(driver_queries.QUERIES)
     oracles = dict(driver_queries.ORACLES)
-    if shelved:
+    if shelved or only:
+        # explicitly named gates resolve from BOTH registries — a
+        # shelved name without --shelved must run, not vacuously pass
         queries.update(driver_queries.SHELVED_QUERIES)
         oracles.update(driver_queries.SHELVED_ORACLES)
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"UNKNOWN query name(s): {sorted(unknown)}")
+            sys.exit(2)
 
     failures = 0
     for name, fn in queries.items():
