@@ -125,6 +125,7 @@ class EcollectorApi:
             InfluxQLParseError,
             apply_result_shape,
             parse_cq_ddl,
+            parse_delete,
             parse_influxql,
             parse_show_meta,
             parse_show_statement,
@@ -166,6 +167,37 @@ class EcollectorApi:
             if res.get("status") == "ok":
                 return _report([])
             return _report(error=res.get("error", "error"))
+        # DELETE FROM / DROP SERIES (public InfluxQL data deletion)
+        try:
+            dele = parse_delete(query)
+        except InfluxQLParseError as e:
+            return _report(error=str(e))
+        if dele is not None:
+            now = now or datetime.now(timezone.utc)
+
+            def _epoch(bound):
+                if bound is None:
+                    return None
+                kind, val, op = bound
+                if kind == "rel":
+                    e = int(now.timestamp()) - int(val)
+                else:
+                    e = int(
+                        datetime.fromisoformat(str(val).replace("Z", "+00:00")).timestamp()
+                    )
+                # from is inclusive, to exclusive at second precision:
+                # time > X / time <= X shift the boundary by one second
+                return e + 1 if op in (">", "<=") else e
+
+            try:
+                n = self.warehouse.delete_points(
+                    dele["measurement"], _epoch(dele["from"]), _epoch(dele["to"])
+                )
+                return _report(
+                    [{"name": "result", "columns": ["deleted"], "values": [[n]]}]
+                )
+            except Exception as e:  # noqa: BLE001
+                return _report(error=str(e))
         try:
             meta = parse_show_meta(query)
         except InfluxQLParseError as e:

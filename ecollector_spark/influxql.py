@@ -292,6 +292,72 @@ def parse_cq_ddl(query: str) -> dict | None:
     return None
 
 
+_DELETE_RE = re.compile(
+    r"""^\s*DELETE
+    (?:\s+FROM\s+(?P<from>"[^"]+"|[\w.]+))?
+    (?:\s+WHERE\s+(?P<where>.+?))?
+    \s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_DROP_SERIES_RE = re.compile(
+    r"""^\s*DROP\s+SERIES\s+FROM\s+(?P<from>"[^"]+"|[\w.]+)\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def parse_delete(query: str) -> dict | None:
+    """InfluxQL's data-deletion statements (public docs):
+    ``DELETE FROM "m" [WHERE time <op> <t> [AND time <op> <t>]]``,
+    ``DELETE WHERE time < t`` (every measurement) and
+    ``DROP SERIES FROM "m"`` (all of a measurement's points, keeping
+    the measurement name droppable separately). Returns
+    ``{"measurement": str|None, "from": bound|None, "to": bound|None}``
+    where a bound is ``("abs", rfc3339, op)`` or ``("rel", seconds,
+    op)`` (``now()-dur``); None when the string is not a delete
+    statement.
+    ``from`` is inclusive and ``to`` exclusive after the api layer
+    resolves epochs (``<=``/``>`` shift by one second — the engine's
+    wire precision). Tag predicates in DELETE are not supported and
+    raise, rather than silently deleting more than asked."""
+    m = _DROP_SERIES_RE.match(query)
+    if m:
+        return {"measurement": m.group("from").strip('"'), "from": None, "to": None}
+    m = _DELETE_RE.match(query)
+    if not m or (m.group("from") is None and m.group("where") is None):
+        return None
+    out: dict = {
+        "measurement": m.group("from").strip('"') if m.group("from") else None,
+        "from": None,
+        "to": None,
+    }
+    for cond in re.split(r"\s+AND\s+", m.group("where") or "", flags=re.IGNORECASE):
+        cond = cond.strip()
+        if not cond:
+            continue
+        tm = _TIME_RE.match(cond)
+        if not tm:
+            raise InfluxQLParseError(
+                f"DELETE supports time predicates only: {cond!r}"
+            )
+        rhs, op = tm.group("rhs").strip().strip("'"), tm.group("op")
+        now_m = _NOW_RE.match(rhs)
+        if now_m:
+            from ecollector_spark.functions.timeutil import parse_relative_duration
+
+            secs = parse_relative_duration(now_m.group("dur"))
+            if secs <= 0:
+                raise InfluxQLParseError(f"bad duration: {now_m.group('dur')!r}")
+            bound = ("rel", secs, op)
+        else:
+            bound = ("abs", _time_literal_to_rfc3339(rhs), op)
+        if op in (">", ">="):
+            out["from"] = bound
+        else:
+            out["to"] = bound
+    return out
+
+
 @dataclass
 class InfluxQLQuery:
     request: DataPointsRequest

@@ -322,6 +322,69 @@ class Warehouse:
                 dropped += 1
         return dropped
 
+    def delete_points(
+        self,
+        measurement: str | None = None,
+        from_epoch: int | None = None,
+        to_epoch: int | None = None,
+    ) -> int:
+        """InfluxQL ``DELETE [FROM m] [WHERE time ...]``: remove the
+        rows in the (optional) time window, returning the deleted count.
+        ``to_epoch`` is exclusive, ``from_epoch`` inclusive — matching
+        InfluxDB's ``time >= a AND time < b`` delete idiom.
+
+        Scale shape: with a measurement the rewrite touches only that
+        measurement's partition directory per tier (never the tier's
+        other measurements); an unbounded-measurement delete rewrites
+        each populated tier once. Each rewrite is filter + write + the
+        rename-aside swap (:meth:`_swap_in`); a fully-emptied partition
+        is removed instead of rewritten, which makes
+        ``DELETE FROM m`` (no WHERE) a directory drop, and in the dated
+        layout a ``time <`` cutoff aligned to day boundaries is mostly
+        directory drops too (the TTL enforcement path)."""
+        match = F.lit(True)
+        if from_epoch is not None:
+            match = match & (F.unix_timestamp("ts") >= int(from_epoch))
+        if to_epoch is not None:
+            match = match & (F.unix_timestamp("ts") < int(to_epoch))
+        deleted = 0
+        for tier in TIERS:
+            tp = self.tier_path(tier)
+            _recover_crashed_swap(tp)
+            if measurement is not None:
+                dirs = [os.path.join(tp, f"measurement={measurement}")]
+            else:
+                dirs = (
+                    [os.path.join(tp, d) for d in os.listdir(tp) if d.startswith("measurement=")]
+                    if os.path.isdir(tp)
+                    else []
+                )
+            for mdir in dirs:
+                if not self._has_data(mdir):
+                    continue
+                df = self.spark.read.option("basePath", self.root).parquet(mdir)
+                n = df.where(match).count()
+                if n == 0:
+                    continue
+                deleted += n
+                keep = df.where(~match).drop(*self._pcols[:2])
+                if keep.isEmpty():
+                    shutil.rmtree(mdir)
+                    continue
+                # tmp lives under the root (underscore prefix: invisible
+                # to partition discovery), NOT inside the tier dir where
+                # a reader could glimpse it as a phantom partition
+                tmp = os.path.join(self.root, "_delete.rewriting")
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    keep.sortWithinPartitions("series_id", "ts")
+                    .write.mode("overwrite")
+                    .partitionBy(*self._pcols[2:])
+                    .parquet(tmp)
+                )
+                self._swap_in(tmp, mdir)
+        return deleted
+
     def drop_tier(self, tier: str) -> bool:
         """DROP RETENTION POLICY."""
         p = self.tier_path(tier)

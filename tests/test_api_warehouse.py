@@ -800,3 +800,24 @@ class TestAdviceR4Fixes:
         w.replace_points_from(new_tail, "gen_raw", from_epoch)
         vals = sorted(r["value_f"] for r in w.read_tier("gen_raw").collect())
         assert vals == [100.0, 250.0], "pre-rewrite history lost after crash"
+
+
+class TestDeletePoints:
+    def test_delete_in_dated_layout(self, spark, tmp_path):
+        """delete_points in the dt-subpartitioned layout keeps the day
+        partitioning on the rewritten files and leaves other days
+        untouched."""
+        w = Warehouse(spark, str(tmp_path / "wdated"), date_partition=True)
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T10:00:00", "7", 1.0),
+            ("electricity_meter_power", "2024-01-02T10:00:00", "7", 2.0),
+            ("electricity_meter_power", "2024-01-02T11:00:00", "7", 3.0),
+        ]))
+        cut = int(datetime(2024, 1, 2, 10, 30, tzinfo=timezone.utc).timestamp())
+        n = w.delete_points("electricity_meter_power", to_epoch=cut)
+        assert n == 2
+        df = w.read_tier("gen_raw")  # read_tier prunes then drops dt
+        rows = df.select("value_f", F.to_date("ts").alias("d")).collect()
+        assert [(r["value_f"], str(r["d"])) for r in rows] == [(3.0, "2024-01-02")]
+        # idempotent: nothing left to delete in the window
+        assert w.delete_points("electricity_meter_power", to_epoch=cut) == 0

@@ -1120,3 +1120,78 @@ class TestSelectInto:
         )
         # 6 spine buckets, 2 with data: only the 2 real points written
         assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[0, 2]]
+
+
+class TestDelete:
+    """DELETE FROM / DROP SERIES: time-windowed data deletion through
+    the query endpoint, rewriting only the affected measurement
+    partitions (empty partitions become directory drops)."""
+
+    NOW = datetime(2024, 1, 1, 1, 0, tzinfo=timezone.utc)
+
+    def _api(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:00", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:31:00", "7", 300.0),
+            ("sensor_temp.evt.sensor.report", "2024-01-01T00:02:00", "9", 21.5),
+            ("sensor_temp.evt.sensor.report", "2024-01-01T00:32:00", "9", 22.5),
+        ]))
+        return EcollectorApi(spark, w), w
+
+    def _values(self, w, measurement):
+        out = []
+        for t in ("gen_raw", "gen_default"):
+            df = w.read_tier(t)
+            if df is not None:
+                out += [r["value_f"] for r in
+                        df.where(F.col("measurement") == measurement).collect()]
+        return sorted(out)
+
+    def test_delete_time_window_one_measurement(self, spark, tmp_path):
+        api, w = self._api(spark, tmp_path)
+        rsp = api.run_query(
+            'DELETE FROM "electricity_meter_power" '
+            "WHERE time < '2024-01-01T00:10:00Z'",
+            now=self.NOW,
+        )
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[1]]
+        assert self._values(w, "electricity_meter_power") == [300.0]
+        # the other measurement is untouched
+        assert self._values(w, "sensor_temp.evt.sensor.report") == [21.5, 22.5]
+
+    def test_delete_relative_and_inclusive_ops(self, spark, tmp_path):
+        api, w = self._api(spark, tmp_path)
+        # now()-25m = 00:35; time > now()-25m deletes nothing (both
+        # sensor points are older)...
+        rsp = api.run_query(
+            'DELETE FROM "sensor_temp.evt.sensor.report" WHERE time > now()-25m',
+            now=self.NOW,
+        )
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[0]]
+        # ...while time > now()-1h (=00:00) deletes both
+        rsp = api.run_query(
+            'DELETE FROM "sensor_temp.evt.sensor.report" WHERE time > now()-1h',
+            now=self.NOW,
+        )
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[2]]
+        assert self._values(w, "sensor_temp.evt.sensor.report") == []
+
+    def test_delete_all_measurements_by_time(self, spark, tmp_path):
+        api, w = self._api(spark, tmp_path)
+        rsp = api.run_query(
+            "DELETE WHERE time <= '2024-01-01T00:02:00Z'", now=self.NOW
+        )
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[2]]
+        assert self._values(w, "electricity_meter_power") == [300.0]
+        assert self._values(w, "sensor_temp.evt.sensor.report") == [22.5]
+
+    def test_drop_series_and_tag_predicate_rejected(self, spark, tmp_path):
+        api, w = self._api(spark, tmp_path)
+        rsp = api.run_query('DROP SERIES FROM "electricity_meter_power"')
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[2]]
+        assert self._values(w, "electricity_meter_power") == []
+        # measurement name still listed? the partition dir is gone, so
+        # it drops out of the catalog — like a full data delete
+        bad = api.run_query("DELETE FROM \"m\" WHERE \"dev_id\"='7'")
+        assert bad["val"]["Results"] is None and "time predicates" in bad["val"]["error"]
