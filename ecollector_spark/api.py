@@ -207,6 +207,10 @@ class EcollectorApi:
                 return self.get_tag_keys(meta["measurement"])
             if meta["what"] == "field_keys":
                 return self.get_field_keys(meta["measurement"])
+            if meta["what"] == "series":
+                return self.get_series(meta["measurement"])
+            if meta["what"] == "series_cardinality":
+                return self.get_series(meta["measurement"], cardinality=True)
             return self.get_tag_values(meta["keys"], meta["measurement"])
         try:
             iq = parse_influxql(query)
@@ -482,6 +486,32 @@ class EcollectorApi:
                     {"name": r["measurement"], "columns": ["tagKey"], "values": [[k] for k in keys]}
                 )
         return _report(series)
+
+    def get_series(self, measurement: str | None = None, cardinality: bool = False) -> dict:
+        """SHOW SERIES [FROM m] / SHOW SERIES CARDINALITY: the distinct
+        series keys, rendered InfluxDB-style as
+        ``measurement,dev_id=...,dir=...`` — the engine's series
+        identity is (measurement, dev_id, dir), the same triple T12
+        synthesizes into ``series_id`` (transform.py). One distinct over
+        the pruned tier union; cardinality collapses to a single count,
+        never shipping the keys to the driver."""
+        df = self._datapoints_all_tiers(measurement)
+        if df is None:
+            if cardinality:
+                return _report([{"name": "series", "columns": ["count"], "values": [[0]]}])
+            return _report([])
+        keys = df.select("measurement", "dev_id", "dir").distinct()
+        if cardinality:
+            n = keys.count()
+            return _report([{"name": "series", "columns": ["count"], "values": [[n]]}])
+        key = F.concat_ws(
+            "",
+            F.col("measurement"),
+            F.when(F.col("dev_id").isNotNull(), F.concat(F.lit(",dev_id="), "dev_id")).otherwise(""),
+            F.when(F.col("dir").isNotNull(), F.concat(F.lit(",dir="), "dir")).otherwise(""),
+        )
+        vals = sorted(r["k"] for r in keys.select(key.alias("k")).collect())
+        return _report([{"name": "series", "columns": ["key"], "values": [[k] for k in vals]}])
 
     def get_field_keys(self, measurement: str | None = None) -> dict:
         """SHOW FIELD KEYS [FROM m]: which typed value columns are

@@ -170,7 +170,8 @@ _SHOW_RE = re.compile(
 
 
 _SHOW_META_RE = re.compile(
-    r"""^\s*SHOW\s+(?P<what>TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS)
+    r"""^\s*SHOW\s+(?P<what>TAG\s+KEYS|TAG\s+VALUES|FIELD\s+KEYS
+                  |SERIES\s+CARDINALITY|SERIES)
     (?:\s+ON\s+"?[\w.]+"?)?               # optional ON <database>
     (?:\s+FROM\s+(?P<from>"[^"]+"|[\w.]+))?
     (?:\s+WITH\s+KEY\s*(?:=\s*"?(?P<key>[\w.]+)"?
@@ -341,6 +342,13 @@ def parse_delete(query: str) -> dict | None:
                 f"DELETE supports time predicates only: {cond!r}"
             )
         rhs, op = tm.group("rhs").strip().strip("'"), tm.group("op")
+        if re.fullmatch(r"now\(\)", rhs, re.IGNORECASE):
+            bound = ("rel", 0, op)
+            if op in (">", ">="):
+                out["from"] = bound
+            else:
+                out["to"] = bound
+            continue
         now_m = _NOW_RE.match(rhs)
         if now_m:
             from ecollector_spark.functions.timeutil import parse_relative_duration

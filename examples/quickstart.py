@@ -107,6 +107,23 @@ def main() -> None:
     print("\nInfluxQL (regex FROM + DESC LIMIT):")
     print(json.dumps(influx_report, indent=2, default=str)[:600])
 
+    # -- 5c. write-path InfluxQL: one-off downsampling with INTO, the CQ
+    # lifecycle via the reference's own generated DDL strings, and
+    # time-windowed deletion — all through the same query endpoint
+    into_report = api.run_query(
+        'SELECT mean("value") INTO "power_10m" FROM "gen_raw"."electricity_meter_power" '
+        "WHERE time > now()-1d GROUP BY time(10m) FILL(none)",
+        now=now,
+    )
+    print("\nSELECT INTO:", into_report["val"]["Results"][0]["Series"][0])
+    api.run_query("DROP CONTINUOUS QUERY week_to_month ON ecollector")
+    cqs = api.run_query("SHOW CONTINUOUS QUERIES")["val"]["Results"][0]["Series"][0]
+    print("live CQs after drop:", [v[0] for v in cqs["values"]])
+    deleted = api.run_query(
+        'DELETE FROM "power_10m" WHERE time < now()', now=now
+    )
+    print("DELETE report:", deleted["val"]["Results"][0]["Series"][0])
+
     # -- 6. the MQTT command bus (what a reference client actually speaks):
     # feed recorded FIMP command envelopes through the dispatcher; with a
     # broker, `CommandDispatcher(api).connect(host).loop_start()` instead

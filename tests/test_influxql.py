@@ -1195,3 +1195,35 @@ class TestDelete:
         # it drops out of the catalog — like a full data delete
         bad = api.run_query("DELETE FROM \"m\" WHERE \"dev_id\"='7'")
         assert bad["val"]["Results"] is None and "time predicates" in bad["val"]["error"]
+
+    def test_delete_bare_now_upper_bound(self, spark, tmp_path):
+        """``WHERE time < now()`` (no offset) deletes everything up to
+        the present — valid InfluxQL, resolved against the passed now."""
+        api, w = self._api(spark, tmp_path)
+        rsp = api.run_query('DELETE FROM "electricity_meter_power" WHERE time < now()',
+                            now=self.NOW)
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[2]]
+        assert self._values(w, "electricity_meter_power") == []
+
+
+class TestShowSeries:
+    def test_show_series_and_cardinality(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:00", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:02:00", "7", 200.0),
+            ("electricity_meter_power", "2024-01-01T00:03:00", "8", 50.0),
+            ("sensor_temp.evt.sensor.report", "2024-01-01T00:02:00", "9", 21.5),
+        ]))
+        api = EcollectorApi(spark, w)
+        s = api.run_query("SHOW SERIES")["val"]["Results"][0]["Series"][0]
+        assert s["columns"] == ["key"]
+        assert [v[0] for v in s["values"]] == [
+            "electricity_meter_power,dev_id=7,dir=import",
+            "electricity_meter_power,dev_id=8,dir=import",
+            "sensor_temp.evt.sensor.report,dev_id=9,dir=import",
+        ]
+        s = api.run_query('SHOW SERIES FROM "electricity_meter_power"')
+        assert len(s["val"]["Results"][0]["Series"][0]["values"]) == 2
+        card = api.run_query("SHOW SERIES CARDINALITY")
+        assert card["val"]["Results"][0]["Series"][0]["values"] == [[3]]
