@@ -58,7 +58,8 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: count_distinct,distinct}, ts_transform_{cumulative_sum,nn_derivative,
 #: moving_average,elapsed}, ts_selector_top3), the raw-window family
 #: (ts_raw_{difference,derivative_by_tag,cumulative_sum}), the clause
-#: closure (influxql_{multi_select,subquery,field_predicate,select_into},
+#: closure (influxql_{multi_select,subquery,field_predicate,select_into,
+#: delete_window},
 #: ts_group_by_time_offset), the training-data assembly family
 #: (datapipe_{pack_sequences,pack_manifest,mix_weights,export_shards},
 #: datapipe_leakage_safe_split, datapipe_epoch_order) and

