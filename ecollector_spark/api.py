@@ -603,6 +603,11 @@ class EcollectorApi:
         for rp in (src_rp, target_rp):
             if rp not in known:
                 return {"status": "error", "error": f"unknown retention policy {rp!r}"}
+        if parse_relative_duration(interval) <= 0:
+            # a zero-second stage would divide the bucket grid by zero
+            # and append null-timestamp rows — reject here too, not just
+            # on the parse_cq_ddl path (library callers bypass that)
+            return {"status": "error", "error": f"bad CQ interval {interval!r}"}
         stage = (src_rp, target_rp, interval)
         existing = self.cq_stages.get(name)
         if existing is not None and tuple(existing) != stage:

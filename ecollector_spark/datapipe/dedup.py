@@ -397,7 +397,11 @@ def dedup_incremental(
     tables."""
     required = -(-int(min_sig_agree * num_hashes * 1000000) // 1000000)  # ceil
     new_h = new_docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
-    seen = seen_exact.select(F.col("text_hash").alias("_seen_hash")).distinct()
+    # seen_exact is DISTINCT by contract (exact_manifest / fold_manifests
+    # both end in distinct) — re-distincting here would shuffle the whole
+    # O(corpus) manifest on every ingest batch for nothing. A duplicated
+    # hash in a non-conforming manifest would fan the left join out.
+    seen = seen_exact.select(F.col("text_hash").alias("_seen_hash"))
     flagged = new_h.join(
         seen, new_h["text_hash"] == seen["_seen_hash"], "left"
     ).select(

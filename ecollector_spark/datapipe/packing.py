@@ -46,6 +46,19 @@ def _md5_key60(col: Column, salt: str) -> Column:
     ).cast("long")
 
 
+def _chunk_offsets(base: DataFrame, amount: Column) -> DataFrame:
+    """Levels 1+2 of the two-level distributed prefix sum shared by
+    :func:`pack_sequences` and :func:`epoch_order`: per-chunk totals of
+    ``amount`` (<= n_chunks rows), prefix-summed on a bounded
+    unpartitioned window (the same boundary-carry budget as gapfill's
+    chunked fill) into exclusive chunk offsets ``(_chunk, _coff)``."""
+    sums = base.groupBy("_chunk").agg(F.sum(amount).alias("_ctok"))
+    w_chunks = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, 0)
+    return sums.select(
+        "_chunk", (F.sum("_ctok").over(w_chunks) - F.col("_ctok")).alias("_coff")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,
@@ -79,7 +92,10 @@ def pack_sequences(
         if token_count_col
         else F.size(tokens_expr(text_col)).cast("long")
     )
-    key = _md5_key60(F.col(id_col), "pack|" if not seed else f"pack|{seed}|")
+    # compare to the empty string, not truthiness: the documented
+    # "pass the epoch number" usage must seed epoch 0 too
+    salt = "pack|" if seed is None or seed == "" else f"pack|{seed}|"
+    key = _md5_key60(F.col(id_col), salt)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         key.alias("_k"),
@@ -87,14 +103,7 @@ def pack_sequences(
         ntok.alias("n_tokens"),
     ).where(F.col("n_tokens") > 0)
 
-    # distributed prefix sum, level 1: per-chunk totals (<= n_chunks rows)
-    sums = base.groupBy("_chunk").agg(F.sum("n_tokens").alias("_ctok"))
-    # level 2: chunk offsets — unpartitioned window over <= n_chunks rows
-    # (bounded; the same boundary-carry budget as gapfill's chunked fill)
-    w_chunks = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = sums.select(
-        "_chunk", (F.sum("_ctok").over(w_chunks) - F.col("_ctok")).alias("_coff")
-    )
+    offsets = _chunk_offsets(base, F.col("n_tokens"))
     # level 3: in-chunk running offset, chunk-partitioned
     w_in = (
         Window.partitionBy("_chunk")
@@ -240,11 +249,7 @@ def epoch_order(
         key.alias("_k"),
         (key / F.lit(_KEYSPACE / n_chunks)).cast("long").alias("_chunk"),
     )
-    counts = base.groupBy("_chunk").agg(F.count("*").alias("_cn"))
-    w_chunks = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = counts.select(
-        "_chunk", (F.sum("_cn").over(w_chunks) - F.col("_cn")).alias("_coff")
-    )
+    offsets = _chunk_offsets(base, F.lit(1))
     w_in = Window.partitionBy("_chunk").orderBy("_k", "doc_id")
     return (
         base.join(F.broadcast(offsets), "_chunk")

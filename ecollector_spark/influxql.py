@@ -153,10 +153,16 @@ def _time_literal_to_rfc3339(lit: str) -> str:
         return lit  # RFC3339 (or invalid: the planner's parser reports it)
     unit = m.group("unit") or "ns"
     secs = int(m.group("n")) // _EPOCH_DIV[unit]
-    return (
-        datetime.fromtimestamp(secs, tz=timezone.utc)
-        .strftime("%Y-%m-%dT%H:%M:%SZ")
-    )
+    try:
+        return (
+            datetime.fromtimestamp(secs, tz=timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ")
+        )
+    except (ValueError, OverflowError, OSError) as e:
+        # e.g. 17+ digits with an 's' suffix: year out of range. Raise
+        # the parse error the callers' error envelopes expect, never a
+        # bare ValueError escaping run_query's contract.
+        raise InfluxQLParseError(f"time literal out of range: {lit!r}") from e
 
 
 _SHOW_RE = re.compile(
@@ -344,25 +350,28 @@ def parse_delete(query: str) -> dict | None:
         rhs, op = tm.group("rhs").strip().strip("'"), tm.group("op")
         if re.fullmatch(r"now\(\)", rhs, re.IGNORECASE):
             bound = ("rel", 0, op)
-            if op in (">", ">="):
-                out["from"] = bound
-            else:
-                out["to"] = bound
-            continue
-        now_m = _NOW_RE.match(rhs)
-        if now_m:
-            from ecollector_spark.functions.timeutil import parse_relative_duration
+        else:
+            now_m = _NOW_RE.match(rhs)
+            if now_m:
+                from ecollector_spark.functions.timeutil import parse_relative_duration
 
-            secs = parse_relative_duration(now_m.group("dur"))
-            if secs <= 0:
-                raise InfluxQLParseError(f"bad duration: {now_m.group('dur')!r}")
-            bound = ("rel", secs, op)
-        else:
-            bound = ("abs", _time_literal_to_rfc3339(rhs), op)
-        if op in (">", ">="):
-            out["from"] = bound
-        else:
-            out["to"] = bound
+                secs = parse_relative_duration(now_m.group("dur"))
+                if secs <= 0:
+                    raise InfluxQLParseError(f"bad duration: {now_m.group('dur')!r}")
+                bound = ("rel", secs, op)
+            else:
+                bound = ("abs", _time_literal_to_rfc3339(rhs), op)
+        side = "from" if op in (">", ">=") else "to"
+        if out[side] is not None:
+            # two bounds in the same direction: the conjunction selects
+            # the INTERSECTION, but rel-vs-abs bounds can't be compared
+            # until `now` is known — refuse rather than risk deleting
+            # more than the WHERE clause selects
+            raise InfluxQLParseError(
+                f"duplicate {'lower' if side == 'from' else 'upper'} time "
+                f"bound in DELETE: {cond!r}"
+            )
+        out[side] = bound
     return out
 
 

@@ -45,6 +45,19 @@ CSV_COLUMNS = (
 )
 
 
+def _recover_measurement_swaps(tier_path: str) -> None:
+    """Recover measurement-level rename-aside crashes inside a tier dir
+    (``delete_points`` swaps at that granularity): any ``<m>.old`` whose
+    live directory is missing is restored — otherwise readers see the
+    data vanish and partition discovery surfaces a phantom ``m.old``
+    measurement. A directory listing, no scan."""
+    if not os.path.isdir(tier_path):
+        return
+    for d in os.listdir(tier_path):
+        if d.endswith(".old"):
+            _recover_crashed_swap(os.path.join(tier_path, d[: -len(".old")]))
+
+
 def _recover_crashed_swap(dst: str) -> None:
     """Crash recovery for the rename-aside publish: if a previous swap
     died between ``rename(dst, old)`` and ``rename(tmp, dst)``, the
@@ -158,6 +171,7 @@ class Warehouse:
         can), then the row-exact ``ts`` filter applies as usual."""
         path = self.tier_path(tier)
         _recover_crashed_swap(path)
+        _recover_measurement_swaps(path)
         if not self._has_data(path):
             return None
         # read via the root with basePath so partition columns survive,
@@ -299,6 +313,7 @@ class Warehouse:
             tp = self.tier_path(tier)
             if not os.path.isdir(tp):
                 continue
+            _recover_measurement_swaps(tp)
             for d in os.listdir(tp):
                 if d.startswith("measurement="):
                     out.add(d.split("=", 1)[1])
@@ -360,17 +375,26 @@ class Warehouse:
                     else []
                 )
             for mdir in dirs:
+                # measurement-level twin of the tier-level recovery: a
+                # crash between _swap_in's two renames leaves only
+                # measurement=m.old, which _has_data would skip forever
+                _recover_crashed_swap(mdir)
                 if not self._has_data(mdir):
                     continue
                 df = self.spark.read.option("basePath", self.root).parquet(mdir)
-                n = df.where(match).count()
-                if n == 0:
+                # one counting pass answers both "anything to delete?"
+                # and "anything left?" — no separate isEmpty scan
+                row = df.agg(
+                    F.count(F.when(match, True)).alias("n_del"),
+                    F.count(F.lit(1)).alias("n_all"),
+                ).collect()[0]
+                if row["n_del"] == 0:
                     continue
-                deleted += n
-                keep = df.where(~match).drop(*self._pcols[:2])
-                if keep.isEmpty():
+                deleted += row["n_del"]
+                if row["n_del"] == row["n_all"]:
                     shutil.rmtree(mdir)
                     continue
+                keep = df.where(~match).drop(*self._pcols[:2])
                 # tmp lives under the root (underscore prefix: invisible
                 # to partition discovery), NOT inside the tier dir where
                 # a reader could glimpse it as a phantom partition

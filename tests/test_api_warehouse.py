@@ -821,3 +821,21 @@ class TestDeletePoints:
         assert [(r["value_f"], str(r["d"])) for r in rows] == [(3.0, "2024-01-02")]
         # idempotent: nothing left to delete in the window
         assert w.delete_points("electricity_meter_power", to_epoch=cut) == 0
+
+    def test_delete_crash_recovery_at_measurement_level(self, spark, tmp_path):
+        """A crash between the swap's two renames leaves only
+        measurement=m.old; the next delete_points (or read) must restore
+        it instead of skipping the 'missing' directory forever."""
+        import os
+
+        w = Warehouse(spark, str(tmp_path / "wcrash"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:00", "7", 1.0),
+            ("electricity_meter_power", "2024-01-01T01:01:00", "7", 2.0),
+        ]))
+        mdir = os.path.join(str(tmp_path / "wcrash"), "tier=gen_raw",
+                            "measurement=electricity_meter_power")
+        os.rename(mdir, mdir + ".old")  # simulate the crash window
+        cut = int(datetime(2024, 1, 1, 0, 30, tzinfo=timezone.utc).timestamp())
+        assert w.delete_points("electricity_meter_power", to_epoch=cut) == 1
+        assert [r["value_f"] for r in w.read_tier("gen_raw").collect()] == [2.0]

@@ -1278,3 +1278,40 @@ class TestWriteStatementFuzz:
             assert iq.measurement == meas and iq.retention_policy == src
 
         check()
+
+
+class TestDeleteSafety:
+    """Regression pins for the review findings: DELETE must never
+    remove more than the WHERE clause selects, and malformed statements
+    must come back in the error envelope, never as a raised exception."""
+
+    def test_duplicate_same_direction_bounds_rejected(self):
+        from ecollector_spark.influxql import parse_delete
+
+        for q in (
+            "DELETE FROM \"m\" WHERE time < '2024-01-01T00:00:00Z' "
+            "AND time < '2024-06-01T00:00:00Z'",
+            'DELETE FROM "m" WHERE time > now()-1d AND time > now()-7d',
+        ):
+            with pytest.raises(InfluxQLParseError, match="duplicate"):
+                parse_delete(q)
+
+    def test_out_of_range_epoch_is_error_envelope(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        api = EcollectorApi(spark, w)
+        # 17 digits + 's': datetime would raise 'year out of range' —
+        # must surface as the envelope, not a raised ValueError
+        rsp = api.run_query('DELETE FROM "m" WHERE time < 99999999999999999s')
+        assert rsp["val"]["Results"] is None and "out of range" in rsp["val"]["error"]
+        # the SELECT path degrades the same way: parse error -> Spark SQL
+        # fallback -> SQL error envelope; never a raised exception
+        rsp = api.run_query('SELECT mean("value") FROM "m" WHERE time >= 99999999999999999s')
+        assert rsp["val"]["Results"] is None and rsp["val"]["error"]
+
+    def test_add_cq_rejects_bad_interval(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        api = EcollectorApi(spark, w)
+        for bad in ("0h", "1mo", ""):
+            res = api.add_cq("x", "gen_raw", "gen_day", bad)
+            assert res["status"] == "error" and "interval" in res["error"]
+        assert "x" not in api.cq_stages
