@@ -84,6 +84,27 @@ def main() -> None:
     export_shards(docs, shard_dir, n_shards=4)
     print(f"exported 4 shards, manifest valid: {validate_shards(spark, shard_dir)}")
 
+    # -- epoch shuffling + leakage-safe split -----------------------------
+    from ecollector_spark.datapipe.packing import epoch_order, leakage_safe_split
+
+    e0 = epoch_order(docs, seed="0")
+    e1 = epoch_order(docs, seed="1")
+    moved = e0.join(e1, "doc_id").where(e0["pos"] != e1["pos"]).count()
+    print(f"epoch shuffle: {moved} docs change position between epoch 0 and 1")
+    split = leakage_safe_split(docs, val_fraction=0.1)
+    print("train/val:", {r["split"]: r["count"] for r in split.groupBy("split").count().collect()})
+
+    # -- incremental ingest dedup: the next batch checks compact manifests
+    # of everything already ingested — history is never re-read
+    seen_exact = dedup.exact_manifest(docs)
+    seen_sigs = dedup.minhash_signatures(docs)
+    batch = docs.limit(50).select((F.col("doc_id") + 10**7).alias("doc_id"), "text")
+    decisions = dedup.dedup_incremental(batch, seen_exact, seen_sigs)
+    print("incremental dedup decisions:",
+          {r["status"]: r["count"] for r in decisions.groupBy("status").count().collect()})
+    seen_exact, seen_sigs = dedup.fold_manifests(seen_exact, seen_sigs, batch, decisions)
+    print(f"manifests after fold: {seen_exact.count()} hashes")
+
 
 if __name__ == "__main__":
     main()
