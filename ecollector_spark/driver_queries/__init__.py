@@ -63,8 +63,9 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: ts_group_by_time_offset), the training-data assembly family
 #: (datapipe_{pack_sequences,pack_manifest,mix_weights,export_shards},
 #: datapipe_leakage_safe_split, datapipe_epoch_order) and
-#: dedup_incremental (the cross-batch manifest path — a code path no
-#: main gate touches).
+#: dedup_incremental / datapipe_streaming_ingest (the cross-batch
+#: manifest path and its foreachBatch composition — code paths no main
+#: gate touches).
 #: Swap 5-8 in per the rotation contract below, preferring one gate per
 #: new code path (e.g. pack_sequences for the prefix-sum decomposition,
 #: ts_raw_difference for the chunked raw window, influxql_subquery for

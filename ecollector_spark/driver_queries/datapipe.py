@@ -1082,3 +1082,31 @@ def dedup_decontaminate(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     benchmark = docs.where(F.col("doc_id") % 20 == 0)
     return dedup.decontaminate(docs, benchmark, k=5)
+
+
+@register(
+    "datapipe_streaming_ingest",
+    f"""SELECT doc_id FROM documents
+UNION ALL
+SELECT doc_id FROM ({_INCR_SQL.rstrip()}) WHERE status = 'kept'
+ORDER BY 1
+""",
+    shelved=True,
+)
+def datapipe_streaming_ingest(spark, sf_dir):
+    """The streaming corpus-ingest composition as a value gate: batch 1
+    (the raw documents) then batch 2 (the derived dup-planted batch) run
+    through ``StreamingCorpusIngest.process_batch`` — manifest publish,
+    fold, corpus append — and the gate returns the FINAL corpus ids.
+    The oracle derives the same set declaratively (batch 1 union batch
+    2's kept decisions against batch 1's manifests), so a fold bug,
+    double append, or manifest drift is a hash mismatch."""
+    import tempfile
+
+    from ecollector_spark.datapipe.streaming_ingest import StreamingCorpusIngest
+
+    ing = StreamingCorpusIngest(spark, tempfile.mkdtemp(prefix="ec_ingest_"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ing.process_batch(docs, 0)
+    ing.process_batch(incremental_batch(spark, sf_dir), 1)
+    return ing.corpus().select("doc_id")

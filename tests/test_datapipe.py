@@ -965,3 +965,74 @@ class TestEpochOrder:
         assert ep2 != base
         assert {d: n for d, (_, n) in ep2.items()} == {d: n for d, (_, n) in base.items()}
         assert sum(n for _, n in ep2.values()) == sum(n for _, n in base.values())
+
+
+class TestStreamingCorpusIngest:
+    """Continuous corpus ingestion: each micro-batch dedups against the
+    compact manifests of everything already ingested, survivors append,
+    manifests fold forward atomically; batch replays are no-ops."""
+
+    def _mk(self, spark, tmp_path):
+        from ecollector_spark.datapipe.streaming_ingest import StreamingCorpusIngest
+
+        return StreamingCorpusIngest(spark, str(tmp_path / "ingest"))
+
+    def test_batches_accumulate_and_dedup(self, spark, tmp_path):
+        ing = self._mk(spark, tmp_path)
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        c1 = ing.process_batch(b1, 0)
+        assert c1 == {"kept": 2}
+        b2 = spark.createDataFrame(
+            [
+                (3, "one two three four five"),        # exact dup of 2
+                (4, "p q r p q r p q r"),              # novel
+                (5, "totally new content about spark"),
+            ],
+            "doc_id long, text string",
+        )
+        c2 = ing.process_batch(b2, 1)
+        assert c2 == {"dup_exact_seen": 1, "kept": 2}
+        corpus = {r["doc_id"] for r in ing.corpus().collect()}
+        assert corpus == {1, 2, 4, 5}
+        ex, sg = ing.manifests()
+        assert ex.count() == 4 and sg.count() == 4
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-running a batch after its
+        manifests published must classify everything dup_exact_seen and
+        append nothing — corpus and manifests unchanged."""
+        ing = self._mk(spark, tmp_path)
+        b = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        assert ing.process_batch(b, 0) == {"kept": 2}
+        assert ing.process_batch(b, 0) == {"dup_exact_seen": 2}
+        assert ing.corpus().count() == 2
+        ex, _ = ing.manifests()
+        assert ex.count() == 2
+
+    def test_real_stream_end_to_end(self, spark, tmp_path):
+        """File-source readStream -> foreachBatch -> corpus: one
+        availableNow drain ingests the landed files with dedup."""
+        import json
+        import os
+
+        src = str(tmp_path / "landing")
+        os.makedirs(src)
+        rows = [
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+            {"doc_id": 2, "text": "alpha beta gamma delta epsilon"},  # in-batch dup
+            {"doc_id": 3, "text": "one two three four five"},
+        ]
+        with open(os.path.join(src, "a.json"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        ing = self._mk(spark, tmp_path)
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = ing.start(stream, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        corpus = {r["doc_id"] for r in ing.corpus().collect()}
+        assert corpus == {1, 3}
