@@ -13,23 +13,27 @@ keys — independent of corpus text size.
 
 Delivery semantics: Structured Streaming may REPLAY a batch after a
 failure (foreachBatch is at-least-once). The design is idempotent
-without a transaction log: a replayed batch's documents are, by
-construction, already in the exact manifest, so every row classifies as
-``dup_exact_seen`` and the corpus append + manifest fold are both
-no-ops. The one non-idempotent window — crash AFTER the corpus append
-but BEFORE the manifest publish — is closed by ordering: the manifests
-are published FIRST (rename-aside, atomic), so a replay after any crash
-point sees the folded state and appends nothing. A crash between
-publish and append can lose the batch's corpus rows while the manifest
-already lists them; `repair` (re-append missing kept docs by replaying
-the batch with ``force=True``) is the documented recovery, preferred
-over the reverse ordering because duplicating corpus rows silently
-corrupts training data while missing rows are detectable
-(manifest count > corpus count).
+without a transaction log:
+
+- Both manifests live under ONE ``manifests/`` directory and publish as
+  ONE rename-aside swap, so the exact set and the signature table can
+  never drift apart across a crash.
+- The manifest publish happens BEFORE the corpus append. A replay after
+  any crash point therefore sees the folded state, classifies the whole
+  batch ``dup_exact_seen``, and appends nothing twice — duplicated
+  corpus rows (which would silently corrupt training data) are
+  impossible.
+- The one remaining crash window — after the publish, before the append
+  — can lose the batch's corpus rows while the manifest already lists
+  them. That state is DETECTABLE (a manifest hash with no corpus row
+  carrying it) and :meth:`repair` recovers it from a re-delivery of the
+  batch. This direction of the trade is deliberate: missing rows are
+  detectable and repairable, duplicates are neither.
 
 No reference counterpart (the reference ingests metering points, not
 documents); this composes the gated dedup operators with the streaming
-machinery of §2.8.
+machinery of §2.8. The rename-aside swap is the shared index-publish
+protocol (``similarity._publish_dir``), not a third reimplementation.
 """
 
 from __future__ import annotations
@@ -41,17 +45,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecollector_spark.datapipe import dedup
+from ecollector_spark.datapipe.similarity import (
+    _publish_dir,
+    _recover_crashed_publish,
+)
 
 
 class StreamingCorpusIngest:
     """State layout under ``root``::
 
         corpus/            appended parquet of kept documents
-        manifest_exact/    distinct md5(text) of the ingested corpus
-        manifest_sigs/     minhash signature table (doc_id, mh_0..mh_n)
+        manifests/exact/   distinct md5(text) of the ingested corpus
+        manifests/sigs/    minhash signature table (doc_id, mh_0..mh_n)
 
-    Manifests publish via rename-aside swap (write to ``.next``, swap),
-    so readers and replays never see a half-written manifest.
+    ``manifests/`` publishes via a single rename-aside swap, so readers
+    and replays always see the exact set and the signatures from the
+    same fold.
     """
 
     def __init__(
@@ -74,12 +83,11 @@ class StreamingCorpusIngest:
         os.makedirs(root, exist_ok=True)
 
     # -- state -------------------------------------------------------------
-    def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
 
-    def _read_or_none(self, name: str) -> DataFrame | None:
-        p = self._path(name)
-        _recover(p)
+    def _read_or_none(self, *parts: str) -> DataFrame | None:
+        p = self._path(*parts)
         if not os.path.isdir(p) or not any(
             f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
         ):
@@ -89,8 +97,9 @@ class StreamingCorpusIngest:
     def manifests(self) -> tuple[DataFrame, DataFrame]:
         """Current ``(seen_exact, seen_sigs)`` — empty frames before the
         first batch."""
-        ex = self._read_or_none("manifest_exact")
-        sg = self._read_or_none("manifest_sigs")
+        _recover_crashed_publish(self._path("manifests"))
+        ex = self._read_or_none("manifests", "exact")
+        sg = self._read_or_none("manifests", "sigs")
         if ex is None:
             ex = self.spark.createDataFrame([], "text_hash string")
         if sg is None:
@@ -106,10 +115,10 @@ class StreamingCorpusIngest:
     # -- the foreachBatch target -------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         """Dedup one micro-batch against the manifests, publish the
-        folded manifests (atomic, FIRST — see the module docstring's
-        replay analysis), then append the kept documents to the corpus.
-        Returns the per-status decision counts (also usable directly on
-        a static frame for batch backfills)."""
+        folded manifests (one atomic swap, FIRST — see the module
+        docstring's replay analysis), then append the kept documents to
+        the corpus. Returns the per-status decision counts (also usable
+        directly on a static frame for batch backfills)."""
         seen_exact, seen_sigs = self.manifests()
         batch_df = batch_df.localCheckpoint(eager=True)  # source read once
         decisions = dedup.dedup_incremental(
@@ -139,26 +148,52 @@ class StreamingCorpusIngest:
             k=self.k,
             num_hashes=self.num_hashes,
         )
-        # publish manifests first (atomic swap each), then append the
-        # corpus — a replay after ANY crash point reclassifies the whole
-        # batch as dup_exact_seen and appends nothing twice
-        self._publish("manifest_exact", new_exact)
-        self._publish("manifest_sigs", new_sigs)
+        # stage BOTH manifests into one .next tree, publish with ONE
+        # swap (they can never drift apart), then append the corpus
+        tmp = self._path("manifests.next")
+        shutil.rmtree(tmp, ignore_errors=True)
+        new_exact.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(tmp, "exact")
+        )
+        new_sigs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(tmp, "sigs")
+        )
+        _publish_dir(tmp, self._path("manifests"))
         kept_docs.write.mode("append").parquet(self._path("corpus"))
         return counts
 
-    def _publish(self, name: str, df: DataFrame) -> None:
-        dst, tmp = self._path(name), self._path(name + ".next")
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        _recover(dst)
-        old = dst + ".old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(dst):
-            os.rename(dst, old)
-        os.rename(tmp, dst)
-        shutil.rmtree(old, ignore_errors=True)
+    def repair(self, batch_df: DataFrame) -> int:
+        """Recover the publish-then-crash window: append the rows of a
+        re-delivered batch whose text hash IS in the exact manifest but
+        which NO corpus document carries — exactly the rows whose fold
+        published but whose append was lost. Batch duplicates and
+        near-dup drops are excluded by construction (their hashes are
+        either carried by a corpus keeper or were never folded).
+        Returns the number of rows re-appended; 0 on a healthy store."""
+        seen_exact, _ = self.manifests()
+        h = F.md5(F.col(self.text_col)).alias("text_hash")
+        batch_h = batch_df.withColumn("text_hash", h)
+        corpus = self.corpus()
+        covered = (
+            corpus.select(F.md5(F.col(self.text_col)).alias("text_hash")).distinct()
+            if corpus is not None
+            else self.spark.createDataFrame([], "text_hash string")
+        )
+        missing = (
+            batch_h.join(seen_exact, "text_hash", "left_semi")
+            .join(covered, "text_hash", "left_anti")
+        )
+        # one keeper per lost hash (min doc_id, like the batch dedup)
+        keeper = missing.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+        lost = (
+            missing.join(keeper, ["text_hash", "doc_id"])
+            .drop("text_hash")
+            .localCheckpoint(eager=True)
+        )
+        n = lost.count()
+        if n:
+            lost.write.mode("append").parquet(self._path("corpus"))
+        return n
 
     # -- stream wiring ------------------------------------------------------
     def start(self, stream_df: DataFrame, checkpoint: str, available_now: bool = True):
@@ -168,14 +203,8 @@ class StreamingCorpusIngest:
         writer = (
             stream_df.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)
-            .foreachBatch(lambda df, bid: self.process_batch(df, bid))
+            .foreachBatch(self.process_batch)
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
-
-
-def _recover(dst: str) -> None:
-    old = dst + ".old"
-    if os.path.isdir(old) and not os.path.isdir(dst):
-        os.rename(old, dst)

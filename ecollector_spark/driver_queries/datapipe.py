@@ -1086,7 +1086,11 @@ def dedup_decontaminate(spark, sf_dir):
 
 @register(
     "datapipe_streaming_ingest",
-    f"""SELECT doc_id FROM documents
+    # batch 1 is itself in-batch deduplicated (keep min doc_id per md5;
+    # the raw fixture CAN contain identical texts — 8 at sf0.1)
+    f"""SELECT doc_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents) WHERE doc_id = keeper
 UNION ALL
 SELECT doc_id FROM ({_INCR_SQL.rstrip()}) WHERE status = 'kept'
 ORDER BY 1
@@ -1105,8 +1109,15 @@ def datapipe_streaming_ingest(spark, sf_dir):
 
     from ecollector_spark.datapipe.streaming_ingest import StreamingCorpusIngest
 
-    ing = StreamingCorpusIngest(spark, tempfile.mkdtemp(prefix="ec_ingest_"))
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="ec_ingest_")
+    ing = StreamingCorpusIngest(spark, root)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     ing.process_batch(docs, 0)
     ing.process_batch(incremental_batch(spark, sf_dir), 1)
-    return ing.corpus().select("doc_id")
+    # materialize before deleting the state dir the frame lazily reads —
+    # a full corpus tree per gate run must not accumulate under /tmp
+    out = ing.corpus().select("doc_id").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1036,3 +1036,40 @@ class TestStreamingCorpusIngest:
         q.awaitTermination(120)
         corpus = {r["doc_id"] for r in ing.corpus().collect()}
         assert corpus == {1, 3}
+
+    def test_repair_recovers_publish_then_crash_window(self, spark, tmp_path):
+        """Simulate the acknowledged crash window: manifests published
+        but the corpus append lost. repair() with a re-delivered batch
+        restores exactly the lost keepers — and is a no-op when healthy."""
+        import os
+        import shutil
+
+        ing = self._mk(spark, tmp_path)
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        ing.process_batch(b1, 0)
+        b2 = spark.createDataFrame(
+            [
+                (2, "one two three four five"),
+                (3, "one two three four five"),             # in-batch dup
+                (4, "alpha beta gamma delta epsilon"),      # dup of history
+            ],
+            "doc_id long, text string",
+        )
+        ing.process_batch(b2, 1)
+        # healthy store: nothing to repair
+        assert ing.repair(b2) == 0
+        # crash simulation: drop the corpus rows batch 2 appended while
+        # its manifests stay published (manifest hash with no corpus row)
+        corpus_dir = os.path.join(ing.root, "corpus")
+        kept2 = {r["doc_id"] for r in ing.corpus().collect()}
+        assert kept2 == {1, 2}
+        shutil.rmtree(corpus_dir)
+        ing.process_batch(b1, 0)  # restore batch 1's row (replay no-ops on manifests)
+        assert ing.repair(b1) == 1  # batch 1's row was the lost one now
+        assert ing.repair(b2) == 1  # re-delivery restores doc 2 only
+        got = {r["doc_id"] for r in ing.corpus().collect()}
+        assert got == {1, 2}
+        # idempotent: repairing again changes nothing
+        assert ing.repair(b2) == 0
