@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from ecollector_spark.functions.timeutil import parse_relative_duration, time_bucket
 from ecollector_spark.gapfill import gap_fill
-from ecollector_spark.query import DataPointsRequest, QueryPlanner, split_group_tags
+from ecollector_spark.query import (
+    DataPointsRequest,
+    QueryPlanner,
+    rfc3339_epoch,
+    split_group_tags,
+)
 from ecollector_spark.schema import DATAPOINT_SCHEMA
 from ecollector_spark.tiers import CQ_STAGES, TIER_TTL_SECONDS
 from ecollector_spark.warehouse import Warehouse
@@ -182,9 +187,10 @@ class EcollectorApi:
                 if kind == "rel":
                     e = int(now.timestamp()) - int(val)
                 else:
-                    e = int(
-                        datetime.fromisoformat(str(val).replace("Z", "+00:00")).timestamp()
-                    )
+                    # bare timestamps are UTC in InfluxQL — rfc3339_epoch
+                    # attaches UTC to offset-less literals so the delete
+                    # boundary never shifts with the host zone
+                    e = rfc3339_epoch(val)
                 # from is inclusive, to exclusive at second precision:
                 # time > X / time <= X shift the boundary by one second
                 return e + 1 if op in (">", "<=") else e
@@ -319,7 +325,17 @@ class EcollectorApi:
             F.lit(None).cast("boolean").alias("value_b"),
             F.lit(None).cast("string").alias("value_s"),
             F.lit(None).cast("string").alias("unit"),
-            F.lit("mean").alias("agg_func"),
+            # the written points' downsampling directive follows the INTO
+            # query's own aggregate where aggregate.py understands it
+            # (mean/min/max/sum/last — see preaggregate's agg_func
+            # dispatch); anything else (count, stddev, percentile, ...)
+            # has no re-aggregation identity and falls back to mean, the
+            # pre-fix constant
+            F.lit(
+                iq.request.data_function
+                if iq.request.data_function in ("mean", "min", "max", "sum", "last")
+                else "mean"
+            ).alias("agg_func"),
         )
         if iq.into_rp:
             pts = pts.withColumn("tier", F.lit(iq.into_rp))
@@ -329,13 +345,20 @@ class EcollectorApi:
     # -- Q2: cmd.tsdb.get_data_points -------------------------------------
     def get_data_points(self, req: DataPointsRequest, now: datetime | None = None) -> dict:
         try:
-            df = self.planner.plan(req, now=now)
-            series = to_series_shape(
-                df,
-                req.measurement_name,
-                split_group_tags(req.group_by_tag),
-            )
-            return _report(series)
+            # plan + serialize inside the read-retry closure: a
+            # rename-aside swap (replace_points_from / delete_points)
+            # landing between the plan's file listing and the collect
+            # re-plans against the fresh listing instead of failing the
+            # query — reads stay live across writes, like the reference
+            def _run():
+                df = self.planner.plan(req, now=now)
+                return to_series_shape(
+                    df,
+                    req.measurement_name,
+                    split_group_tags(req.group_by_tag),
+                )
+
+            return _report(self.warehouse.with_read_retry(_run))
         except Exception as e:  # noqa: BLE001
             return _report(error=str(e))
 
@@ -354,29 +377,30 @@ class EcollectorApi:
         if not _ENERGY_GROUP_RE.match(group_by_time):
             group_by_time = "1h"
         try:
-            df = self.warehouse.read_tier("gen_year")
-            if df is None:
-                return _report([])
-            step = parse_relative_duration(group_by_time)
-            from_e = int(datetime.fromisoformat(from_time.replace("Z", "+00:00")).timestamp())
-            to_e = int(datetime.fromisoformat(to_time.replace("Z", "+00:00")).timestamp())
-            ts_epoch = F.unix_timestamp("ts")
-            base = df.where(
-                (F.col("measurement") == "electricity_meter_energy_sampled")
-                & (ts_epoch >= from_e)
-                & (ts_epoch <= to_e)
-            )
-            groups = split_group_tags(group_by_tag)
-            agg = base.groupBy(time_bucket("ts", step).alias("time"), *groups).agg(
-                F.sum("value_f").alias("value")
-            )
-            agg = gap_fill(agg, "null", from_e, to_e, step, groups)
-            out = agg.select(
-                F.col("time").cast("long").alias("time"), *groups, "value"
-            ).orderBy("time", *groups)
-            return _report(
-                to_series_shape(out, "electricity_meter_energy_sampled", groups)
-            )
+            def _run():
+                df = self.warehouse.read_tier("gen_year")
+                if df is None:
+                    return []
+                step = parse_relative_duration(group_by_time)
+                from_e = rfc3339_epoch(from_time)
+                to_e = rfc3339_epoch(to_time)
+                ts_epoch = F.unix_timestamp("ts")
+                base = df.where(
+                    (F.col("measurement") == "electricity_meter_energy_sampled")
+                    & (ts_epoch >= from_e)
+                    & (ts_epoch <= to_e)
+                )
+                groups = split_group_tags(group_by_tag)
+                agg = base.groupBy(time_bucket("ts", step).alias("time"), *groups).agg(
+                    F.sum("value_f").alias("value")
+                )
+                agg = gap_fill(agg, "null", from_e, to_e, step, groups)
+                out = agg.select(
+                    F.col("time").cast("long").alias("time"), *groups, "value"
+                ).orderBy("time", *groups)
+                return to_series_shape(out, "electricity_meter_energy_sampled", groups)
+
+            return _report(self.warehouse.with_read_retry(_run))
         except Exception as e:  # noqa: BLE001
             return _report(error=str(e))
 

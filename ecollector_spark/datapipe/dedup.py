@@ -387,7 +387,11 @@ def dedup_incremental(
       agree (the MinHash estimate of Jaccard >= min_sig_agree; exact
       verification is impossible by design — the old text is gone);
       ``matched_seen`` is the smallest such historical doc_id;
-    - ``kept`` — survives all three; fold it into the manifests with
+    - ``dup_near_batch`` — same banded verify against a SMALLER-id doc
+      of the same batch (keeper = min doc_id, matching the batch
+      family's connected-components min-label keeper); ``matched_seen``
+      stays null — the partner is a batch id, not a historical one;
+    - ``kept`` — survives all four; fold it into the manifests with
       :func:`fold_manifests` before the next batch.
 
     Scale shape: three equi-joins on uniform hash keys (text_hash;
@@ -439,11 +443,47 @@ def dedup_incremental(
         .groupBy("new_id")
         .agg(F.min("old_id").alias("_near_seen"))
     )
-    out = flagged.join(near, flagged["doc_id"] == near["new_id"], "left")
+    # in-batch near-dups: without this, two near-duplicate (non-identical)
+    # docs arriving in the SAME batch would both classify kept and both
+    # fold into the manifests — permanently admitting a near-dup pair that
+    # would have been dropped had they arrived in separate batches. Same
+    # banded LSH + slice-agreement verify, run over the batch against
+    # itself; keeper = smallest doc_id (pairwise min — matches the batch
+    # family's connected-components min-label keeper, so a chain A~B~C
+    # keeps only A even when A!~C). A doc whose smaller-id partner is
+    # itself an exact dup drops consistently either way: identical text
+    # means identical signatures, so the partner's keeper (or its
+    # historical twin in seen_sigs) collides too.
+    nb_cand = (
+        bn.alias("a")
+        .join(
+            bn.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("nb_id"), F.col("b.doc_id").alias("partner_id"))
+        .distinct()
+    )
+    agree_batch = sum(
+        (F.col(f"na.mh_{i}") == F.col(f"pb.mh_{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    near_batch = (
+        nb_cand.join(sig_new.alias("na"), nb_cand["nb_id"] == F.col("na.doc_id"))
+        .join(sig_new.alias("pb"), nb_cand["partner_id"] == F.col("pb.doc_id"))
+        .where(agree_batch >= required)
+        .groupBy("nb_id")
+        .agg(F.min("partner_id").alias("_near_batch"))
+    )
+    out = flagged.join(near, flagged["doc_id"] == near["new_id"], "left").join(
+        near_batch, flagged["doc_id"] == near_batch["nb_id"], "left"
+    )
     status = (
         F.when(F.col("_exact_seen"), F.lit("dup_exact_seen"))
         .when(F.col("_keeper") != F.col("doc_id"), F.lit("dup_exact_batch"))
         .when(F.col("_near_seen").isNotNull(), F.lit("dup_near_seen"))
+        .when(F.col("_near_batch").isNotNull(), F.lit("dup_near_batch"))
         .otherwise(F.lit("kept"))
     )
     return out.select(

@@ -136,6 +136,18 @@ class StreamingCorpusIngest:
             for r in decisions.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
         if counts.get("kept", 0) == 0:
+            # An entirely-dup_exact_seen batch is exactly what the
+            # automatic Structured Streaming replay of the
+            # publish-then-crash window looks like (manifests folded,
+            # corpus append lost, whole batch re-delivered). Run the
+            # repair check against THIS batch so the replay itself heals
+            # the window instead of silently dropping the lost rows;
+            # on a healthy replay repair() appends nothing (corpus
+            # already carries every manifest hash of the batch).
+            if counts.get("dup_exact_seen", 0) > 0:
+                healed = self.repair(batch_df)
+                if healed:
+                    counts["healed"] = healed
             return counts
         kept = decisions.where(F.col("status") == "kept").select("doc_id")
         kept_docs = batch_df.join(kept, "doc_id").localCheckpoint(eager=True)
@@ -174,8 +186,15 @@ class StreamingCorpusIngest:
         h = F.md5(F.col(self.text_col)).alias("text_hash")
         batch_h = batch_df.withColumn("text_hash", h)
         corpus = self.corpus()
+        # covered = corpus hashes, pruned to THIS batch's hash set (a
+        # broadcast semi-join) before the distinct — the corpus scan is
+        # unavoidable (hashes aren't a stored column) but the shuffle is
+        # bounded by the micro-batch size, not the corpus
+        batch_hashes = batch_h.select("text_hash").distinct()
         covered = (
-            corpus.select(F.md5(F.col(self.text_col)).alias("text_hash")).distinct()
+            corpus.select(F.md5(F.col(self.text_col)).alias("text_hash"))
+            .join(F.broadcast(batch_hashes), "text_hash", "left_semi")
+            .distinct()
             if corpus is not None
             else self.spark.createDataFrame([], "text_hash string")
         )

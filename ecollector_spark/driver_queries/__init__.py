@@ -52,44 +52,43 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: (for sampled_quantiles), dedup_decontaminate (for jaccard_pairs) and
 #: mm_resize_metadata (for mm_binary_metadata). Every rotated-out gate
 #: stays green via tools/check.py --shelved.
-#: Round-6 rotation candidates (never on the driver's hard signal —
-#: added late in round 5): the extended-function gates
-#: (ts_agg_{percentile95,stddev_by_tag,spread,mode,integral_1h,
-#: count_distinct,distinct}, ts_transform_{cumulative_sum,nn_derivative,
-#: moving_average,elapsed}, ts_selector_top3), the raw-window family
-#: (ts_raw_{difference,derivative_by_tag,cumulative_sum}), the clause
-#: closure (influxql_{multi_select,subquery,field_predicate,select_into,
-#: delete_window},
-#: ts_group_by_time_offset), the training-data assembly family
-#: (datapipe_{pack_sequences,pack_manifest,mix_weights,export_shards},
-#: datapipe_leakage_safe_split, datapipe_epoch_order) and
-#: dedup_incremental / datapipe_streaming_ingest (the cross-batch
-#: manifest path and its foreachBatch composition — code paths no main
-#: gate touches).
-#: Swap 5-8 in per the rotation contract below, preferring one gate per
-#: new code path (e.g. pack_sequences for the prefix-sum decomposition,
-#: ts_raw_difference for the chunked raw window, influxql_subquery for
-#: plan_tree) over same-path variants.
+#: Round-6 rotation (VERDICT r5 #2), executed: six never-on-driver gates
+#: swapped in, one per new code path — ts_agg_percentile95 (the
+#: parameterized extended-function builder), ts_raw_difference (the
+#: chunked raw window with O(1) boundary seeds), influxql_subquery
+#: (plan_tree composition), influxql_select_into (the query-endpoint
+#: write path), datapipe_pack_sequences (the two-level distributed
+#: prefix sum) and dedup_incremental (the cross-batch manifest path,
+#: carrying the new dup_near_batch in-batch pass). Rotated out to
+#: shelved, each with a same-family main-gate twin still on the signal:
+#: ts_agg_min/ts_agg_first (percentile95 + count/mean/linear keep A14),
+#: dedup_decontaminate, ann_ivf_append_topk (ann_ivf_topk stays),
+#: text_rolling_fingerprint, sketch_stratified_sample (kmv stays).
+#: Remaining never-on-driver candidates for round 7+:
+#: ts_agg_{stddev_by_tag,spread,mode,integral_1h,count_distinct,distinct},
+#: ts_transform_{cumulative_sum,nn_derivative,moving_average,elapsed},
+#: ts_selector_top3, ts_raw_{derivative_by_tag,cumulative_sum},
+#: influxql_{multi_select,field_predicate,delete_window},
+#: ts_group_by_time_offset, datapipe_{pack_manifest,mix_weights,
+#: export_shards,leakage_safe_split,epoch_order,streaming_ingest}.
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",
     "fimp_transform_pipeline",
-    # dedup family (datapipe)
+    # dedup family (datapipe; incremental = the cross-batch manifest path)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_decontaminate",
+    "dedup_incremental",
     "dedup_embedding_cosine",
     # ANN family
-    "ann_ivf_append_topk",
     "ann_ivf_topk",
     "ann_lsh_bucketed",
     # text family
     "text_langid",
     "text_quality",
     "text_token_counts",
-    "text_rolling_fingerprint",
     # multimodal family
     "mm_resize_metadata",
     "mm_feature_hist",
@@ -109,21 +108,25 @@ _PRIORITY = [
     "filter_engine_chain",
     "topic_wildcard_match",
     "routing_branches",
-    # fill + agg variants
+    # fill + agg variants (+r6: parameterized percentile, chunked raw window)
     "ts_group_by_time_tag_fill_previous",
     "ts_agg_count_fill_zero",
     "ts_agg_mean_fill_linear",
-    "ts_agg_min",
-    "ts_agg_first",
+    "ts_agg_percentile95",
+    "ts_raw_difference",
     "ts_filtered_devices_raw",
     "ts_transform_difference_max",
+    # InfluxQL clause closure (r6: plan_tree subquery + INTO write path)
+    "influxql_subquery",
+    "influxql_select_into",
     # sessions / sketches / streaming (r5: the session-window slot moved
     # from the batch shape to the real streaming replay of the same op)
     "streaming_session_replay",
     "sketch_kmv_distinct_users",
-    "sketch_stratified_sample",
     "streaming_preagg_replay",
     "streaming_counter_diff_replay",
+    # training-data assembly (r6: the two-level distributed prefix sum)
+    "datapipe_pack_sequences",
     # SQL surface + grouped top-n
     "raw_sql_query",
     "events_top3_users_per_type",

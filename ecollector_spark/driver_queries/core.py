@@ -262,6 +262,7 @@ agg AS (SELECT {_bucket(86400)} AS time, min(value_f) AS value FROM src GROUP BY
 spine AS ({_spine(86400)})
 SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
+    shelved=True,  # rotated out r6 (family keeps a main-gate twin)
 )
 def ts_agg_min(spark, sf_dir):
     """SURVEY A2/A14: MIN per 1d bucket."""
@@ -285,6 +286,7 @@ agg AS (SELECT {_bucket(43200)} AS time, min_by(value_f, ts) AS value FROM src G
 spine AS ({_spine(43200)})
 SELECT spine.time AS time, agg.value AS value FROM spine LEFT JOIN agg USING (time) ORDER BY time
 """,
+    shelved=True,  # rotated out r6 (family keeps a main-gate twin)
 )
 def ts_agg_first(spark, sf_dir):
     """SURVEY A14: first() per 12h bucket (earliest point wins) — the

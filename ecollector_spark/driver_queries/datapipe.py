@@ -272,6 +272,16 @@ near AS (
     FROM cand c JOIN mh_new n ON n.doc_id = c.new_id
                 JOIN mh_old o ON o.doc_id = c.old_id)
   WHERE agree >= 4 GROUP BY 1),
+candb AS (SELECT DISTINCT a.doc_id AS nb_id, b.doc_id AS partner_id
+  FROM banded_new a JOIN banded_new b
+    ON a.doc_id > b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+nearb AS (
+  SELECT nb_id, min(partner_id) AS partner FROM (
+    SELECT c.nb_id, c.partner_id, {_AGREE} AS agree
+    FROM candb c JOIN mh_new n ON n.doc_id = c.nb_id
+                 JOIN mh_new o ON o.doc_id = c.partner_id)
+  WHERE agree >= 4 GROUP BY 1),
 seen_exact AS (SELECT DISTINCT md5(text) AS text_hash FROM docs0),
 keepers AS (SELECT doc_id, text_hash,
                    min(doc_id) OVER (PARTITION BY text_hash) AS keeper
@@ -280,11 +290,13 @@ SELECT k.doc_id,
   CASE WHEN se.text_hash IS NOT NULL THEN 'dup_exact_seen'
        WHEN k.keeper <> k.doc_id THEN 'dup_exact_batch'
        WHEN nr.matched_seen IS NOT NULL THEN 'dup_near_seen'
+       WHEN nb.partner IS NOT NULL THEN 'dup_near_batch'
        ELSE 'kept' END AS status,
   CASE WHEN se.text_hash IS NULL AND k.keeper = k.doc_id THEN nr.matched_seen END AS matched_seen
 FROM keepers k
 LEFT JOIN seen_exact se USING (text_hash)
 LEFT JOIN near nr ON nr.new_id = k.doc_id
+LEFT JOIN nearb nb ON nb.nb_id = k.doc_id
 ORDER BY 1
 """.replace("{_TOKS_NEW}", _TOKS)
 
@@ -317,7 +329,7 @@ def incremental_batch(spark, sf_dir):
     )
 
 
-@register("dedup_incremental", _INCR_SQL, shelved=True)
+@register("dedup_incremental", _INCR_SQL)
 def dedup_incremental(spark, sf_dir):
     """Cross-batch dedup of an incoming batch against compact manifests
     of the already-ingested corpus (md5 set + minhash signature table) —
@@ -694,6 +706,7 @@ _IVF_APPEND_TRAIN = 250  # < the smallest SF's corpus (sf0.001 has 500 vecs)
 @register(
     "ann_ivf_append_topk",
     _ivf_sql(train_max_id=_IVF_APPEND_TRAIN),
+    shelved=True,  # rotated out r6 (family keeps a main-gate twin)
 )
 def ann_ivf_append_topk(spark, sf_dir):
     """The incremental-index path on the value signal: build the IVF
@@ -889,6 +902,7 @@ SELECT doc_id,
        CAST(n AS INT) AS n_grams
 FROM n ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r6 (family keeps a main-gate twin)
 )
 def text_rolling_fingerprint(spark, sf_dir):
     """Character-level Rabin-Karp rolling-hash fingerprint (min 16-char
@@ -1075,6 +1089,7 @@ bsh AS (SELECT DISTINCT shingle FROM tsh WHERE doc_id % 20 = 0)
 SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) AS n_hits
 FROM tsh JOIN bsh USING (shingle) GROUP BY doc_id ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r6 (family keeps a main-gate twin)
 )
 def dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 5-gram with

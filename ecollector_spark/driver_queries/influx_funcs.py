@@ -48,7 +48,6 @@ i AS (SELECT time, arr, n, CAST(floor(n * 95.0 / 100.0 + 0.5) AS INT) AS idx FRO
 SELECT time, CASE WHEN idx BETWEEN 1 AND n THEN arr[idx] END AS value
 FROM i ORDER BY time
 """,
-    shelved=True,
 )
 def ts_agg_percentile95(spark, sf_dir):
     """InfluxQL ``percentile(field, 95)``: nearest-rank (an actual field
@@ -286,7 +285,6 @@ p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value_f AS v FROM src),
 d AS (SELECT t AS time, v - lag(v) OVER (ORDER BY t, v) AS value FROM p)
 SELECT time, value FROM d WHERE value IS NOT NULL ORDER BY time
 """,
-    shelved=True,
 )
 def ts_raw_difference(spark, sf_dir):
     """``difference("value")`` over RAW points (no GROUP BY time): the
@@ -380,7 +378,6 @@ outer_q AS (SELECT CAST(floor(time/86400) AS BIGINT)*86400 AS time, location_id,
             FROM sub GROUP BY 1, 2)
 SELECT time, location_id, value FROM outer_q ORDER BY time, location_id
 """,
-    shelved=True,
 )
 def influxql_subquery(spark, sf_dir):
     """``FROM (SELECT ...)``: the outer statement plans against the
@@ -467,7 +464,6 @@ src AS ({_src_sql('purchase')})
 SELECT {_bucket(3600)} AS time, location_id, round(avg(value_f), 3) AS value
 FROM src GROUP BY 1, 2 ORDER BY time, location_id
 """,
-    shelved=True,
 )
 def influxql_select_into(spark, sf_dir):
     """``SELECT ... INTO`` (public InfluxQL — the one-off twin of the CQ

@@ -35,7 +35,6 @@ SELECT doc_id, n_tokens, start_off, first_seq, last_seq,
        last_seq - first_seq + 1 AS n_seqs
 FROM p ORDER BY doc_id
 """,
-    shelved=True,
 )
 def datapipe_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing into 512-token context windows: the

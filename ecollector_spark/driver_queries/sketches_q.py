@@ -93,6 +93,7 @@ SELECT CAST(stratum AS BIGINT) AS stratum, doc_id FROM h
 QUALIFY row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id) <= 5
 ORDER BY stratum, doc_id
 """,
+    shelved=True,  # rotated out r6 (family keeps a main-gate twin)
 )
 def sketch_stratified_sample(spark, sf_dir):
     """Deterministic stratified sample: 5 docs per (doc_id % 7) stratum

@@ -106,6 +106,7 @@ _STMT_RE = re.compile(
     (?:\s+OFFSET\s+(?P<offset>\d+))?
     (?:\s+SLIMIT\s+(?P<slimit>\d+))?
     (?:\s+SOFFSET\s+(?P<soffset>\d+))?
+    (?:\s+TZ\(\s*'(?P<tz>[^']+)'\s*\))?
     \s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
@@ -804,7 +805,11 @@ def _align_inherited_range(iq: InfluxQLQuery, now):
     from datetime import datetime, timezone
 
     from ecollector_spark.functions.timeutil import parse_relative_duration
-    from ecollector_spark.query import _parse_group_interval, _parse_signed_duration
+    from ecollector_spark.query import (
+        _parse_group_interval,
+        _parse_signed_duration,
+        rfc3339_epoch,
+    )
 
     req = iq.request
     inner_req = iq.subquery.request
@@ -814,10 +819,8 @@ def _align_inherited_range(iq: InfluxQLQuery, now):
     now_dt = now or datetime.now(timezone.utc)
     now_epoch = int(now_dt.timestamp())
     if req.from_time and req.to_time:
-        fe = int(
-            datetime.fromisoformat(req.from_time.replace("Z", "+00:00")).timestamp()
-        )
-        te = int(datetime.fromisoformat(req.to_time.replace("Z", "+00:00")).timestamp())
+        fe = rfc3339_epoch(req.from_time)
+        te = rfc3339_epoch(req.to_time)
     else:
         fe = now_epoch - parse_relative_duration(req.relative_time)
         te = (

@@ -100,6 +100,10 @@ class DataPointsRequest:
     group_by_tag: str = ""
     fill_type: str = ""
     filters: DataPointsFilter = field(default_factory=DataPointsFilter)
+    #: InfluxQL ``tz('America/Los_Angeles')`` (public docs; not in the
+    #: reference struct): GROUP BY time buckets align to the named
+    #: zone's wall clock (DST-aware) instead of UTC epochs. "" = UTC.
+    tz: str = ""
 
 
 _AGG_BUILDERS = {
@@ -439,7 +443,20 @@ def _apply_window_transform(agg, tf: str, param: str, group_cols, step: int):
 
 
 def _parse_rfc3339(s: str) -> datetime:
-    return datetime.fromisoformat(s.replace("Z", "+00:00"))
+    """InfluxQL treats offset-less time literals ('2024-01-08',
+    '2024-01-08 00:00:00') as UTC, so a naive parse gets UTC attached —
+    never the host's local zone (``.timestamp()`` on a naive datetime
+    would shift the boundary by the host's UTC offset)."""
+    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt
+
+
+def rfc3339_epoch(s: str) -> int:
+    """Epoch seconds of an InfluxQL time literal, bare-timestamps-are-UTC
+    semantics. The one helper every read/write/delete boundary uses."""
+    return int(_parse_rfc3339(str(s)).timestamp())
 
 
 def split_group_tags(group_by_tag: str) -> list[str]:
@@ -667,6 +684,8 @@ class QueryPlanner:
                 raise ValueError(
                     f"{data_function} emits multiple rows per bucket; transform wraps do not apply"
                 )
+            if req.tz:
+                raise ValueError(f"tz() is not supported with {data_function}")
             return _cardinality_select(
                 df,
                 data_function,
@@ -678,8 +697,30 @@ class QueryPlanner:
                 ts_epoch,
                 from_epoch,
             )
+        # tz('<zone>') (public InfluxQL): buckets align to the zone's
+        # WALL clock. Everything downstream — groupBy, fill spine,
+        # chunked fill windows — runs in wall-second space (uniform even
+        # across DST, which UTC bucket epochs are not); the final select
+        # converts each wall bucket start back to its UTC instant. Raw
+        # (unbucketed) shapes are unaffected: tz only moves bucket
+        # boundaries, and our wire format is epoch seconds either way.
+        fill_from, fill_to = from_epoch, to_epoch
+        if req.tz and step:
+            from zoneinfo import ZoneInfo
+
+            zone = ZoneInfo(req.tz)  # raises on an unknown zone name
+
+            def _wall(e: int) -> int:
+                return e + int(
+                    datetime.fromtimestamp(e, tz=zone).utcoffset().total_seconds()
+                )
+
+            fill_from, fill_to = _wall(from_epoch), _wall(to_epoch)
         if step:
-            bucket = time_bucket("ts", step, bucket_off).alias("time")
+            bucket_src = (
+                F.from_utc_timestamp("ts", req.tz) if req.tz else F.col("ts")
+            )
+            bucket = time_bucket(bucket_src, step, bucket_off).alias("time")
             if data_function == "mode":
                 agg = _mode_agg(df, [bucket], group_cols, value_col, ts_epoch)
             elif data_function == "integral":
@@ -730,14 +771,23 @@ class QueryPlanner:
             agg = gap_fill(
                 agg,
                 fill_type,
-                from_epoch,
-                to_epoch,
+                fill_from,
+                fill_to,
                 step,
                 group_cols,
                 offset_seconds=bucket_off,
             )
+        time_out = F.col("time").cast("long")
+        if req.tz and step:
+            # wall bucket start -> the UTC instant it names (DST-exact:
+            # to_utc_timestamp applies the zone's offset AT that wall
+            # time; the ambiguous fall-back hour resolves to the
+            # zone-standard offset, Spark/JDK behavior)
+            time_out = F.unix_timestamp(
+                F.to_utc_timestamp(F.timestamp_seconds(time_out), req.tz)
+            )
         return agg.select(
-            F.col("time").cast("long").alias("time"),
+            time_out.alias("time"),
             *group_cols,
             F.col("value").cast("double").alias("value"),
         ).orderBy("time", *group_cols)

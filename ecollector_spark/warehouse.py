@@ -68,6 +68,13 @@ def _recover_crashed_swap(dst: str) -> None:
     old = dst + ".old"
     if os.path.isdir(old) and not os.path.isdir(dst):
         os.rename(old, dst)
+    elif os.path.isdir(old) and os.path.isdir(dst):
+        # crash AFTER rename(tmp, dst) but before rmtree(old): the live
+        # dir is the published replacement and the leftover ``.old`` is
+        # the pre-swap copy — without this, partition discovery surfaces
+        # a phantom 'm.old' measurement (including just-deleted rows)
+        # until the next swap of the same measurement
+        shutil.rmtree(old, ignore_errors=True)
 
 
 class Warehouse:
@@ -196,6 +203,32 @@ class Warehouse:
     def tier_reader(self):
         """Adapter for QueryPlanner(tier_reader=...)."""
         return self.read_tier
+
+    def with_read_retry(self, build_and_run, attempts: int = 3):
+        """Serve reads across concurrent rename-aside swaps, like the
+        reference's always-on query path (storage/influxdb_v1.go:87-95
+        serves HTTP queries while writes land). A DataFrame planned
+        before :meth:`_swap_in` holds the pre-swap file listing; an
+        action after the swap then throws FileNotFoundException for the
+        renamed-away files. ``build_and_run`` must BUILD the query (so a
+        retry re-lists the directory) and RUN the action; on a
+        missing-file failure the warehouse root's cached file listings
+        are invalidated (Spark's shared InMemoryFileIndex status cache —
+        without the refresh a rebuilt reader can resurface the stale
+        snapshot) and the closure re-runs against the newly-published
+        directory. Any other failure propagates unchanged."""
+        for attempt in range(attempts):
+            try:
+                return build_and_run()
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                stale = "FileNotFoundException" in msg or "does not exist" in msg
+                if not stale or attempt == attempts - 1:
+                    raise
+                try:
+                    self.spark.catalog.refreshByPath(self.root)
+                except Exception:  # noqa: BLE001 - best-effort cache purge
+                    pass
 
     def write_bucketed(
         self,

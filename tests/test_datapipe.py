@@ -878,6 +878,34 @@ class TestIncrementalDedup:
         assert out[13] == ("dup_near_seen", 2)
         assert out[14] == ("kept", None)
 
+    def test_same_batch_near_dups(self, spark, state):
+        """Two near-duplicate (non-identical) docs arriving in the SAME
+        batch: the smaller id keeps, the larger drops as dup_near_batch —
+        had they arrived in separate batches the second would have been
+        dup_near_seen, and before the r5 advice fix both folded in."""
+        old, seen_exact, seen_sigs = state
+        new = spark.createDataFrame(
+            [
+                (30, "x y z x y z x y z"),
+                # same 3-gram shingle set as 30, different byte string
+                (31, "x y z x y z"),
+                (32, "entirely different matter concerning orbital mechanics"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["status"], r["matched_seen"])
+            for r in dedup.dedup_incremental(new, seen_exact, seen_sigs).collect()
+        }
+        assert out[30] == ("kept", None)
+        assert out[31] == ("dup_near_batch", None)
+        assert out[32] == ("kept", None)
+        # the dropped near-dup must NOT fold into the manifests
+        ex2, sig2 = dedup.fold_manifests(seen_exact, seen_sigs, new,
+            dedup.dedup_incremental(new, seen_exact, seen_sigs))
+        assert ex2.count() == seen_exact.count() + 2
+        assert sig2.count() == seen_sigs.count() + 2
+
     def test_fold_manifests_absorbs_kept_docs(self, spark, state):
         old, seen_exact, seen_sigs = state
         new = spark.createDataFrame(
@@ -1066,10 +1094,19 @@ class TestStreamingCorpusIngest:
         kept2 = {r["doc_id"] for r in ing.corpus().collect()}
         assert kept2 == {1, 2}
         shutil.rmtree(corpus_dir)
-        ing.process_batch(b1, 0)  # restore batch 1's row (replay no-ops on manifests)
-        assert ing.repair(b1) == 1  # batch 1's row was the lost one now
-        assert ing.repair(b2) == 1  # re-delivery restores doc 2 only
+        # r6: the REPLAY ITSELF heals the window — an entirely
+        # dup_exact_seen batch triggers the repair check inside
+        # process_batch, so the automatic Structured Streaming replay
+        # restores the lost rows without a manual repair() call
+        counts = ing.process_batch(b1, 0)
+        assert counts == {"dup_exact_seen": 1, "healed": 1}
+        assert ing.repair(b1) == 0  # already healed by the replay
+        assert ing.repair(b2) == 1  # manual path still works for doc 2
         got = {r["doc_id"] for r in ing.corpus().collect()}
         assert got == {1, 2}
-        # idempotent: repairing again changes nothing
+        # idempotent: repairing again changes nothing, and a replay of a
+        # healthy batch heals nothing
         assert ing.repair(b2) == 0
+        # replay of a healthy batch: every hash is in the manifests AND
+        # covered by the corpus, so nothing heals (no "healed" key)
+        assert ing.process_batch(b2, 1) == {"dup_exact_seen": 3}

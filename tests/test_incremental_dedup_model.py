@@ -42,6 +42,7 @@ def _bands(sig):
 def _model(old_docs, new_docs):
     seen_hashes = {hashlib.md5(t.encode()).hexdigest() for _, t in old_docs}
     old_sigs = {i: _sig(t) for i, t in old_docs}
+    new_sigs = {i: _sig(t) for i, t in new_docs}
     expected = {}
     hash_keeper = {}
     for i, t in sorted(new_docs):
@@ -57,6 +58,7 @@ def _model(old_docs, new_docs):
             continue
         sig = _sig(t)
         match = None
+        batch_match = None
         if sig is not None:
             bs = _bands(sig)
             for j, osig in sorted(old_sigs.items()):
@@ -65,7 +67,22 @@ def _model(old_docs, new_docs):
                 agree = sum(a == b for a, b in zip(sig, osig))
                 if agree >= NUM_HASHES // 2 and (match is None or j < match):
                     match = j
-        expected[i] = ("dup_near_seen", match) if match is not None else ("kept", None)
+            # in-batch: any SMALLER-id partner that band-collides and
+            # agrees drops this doc (pairwise min keeper — the model of
+            # the dup_near_batch status added with the r5 advice fix)
+            for j, nsig in sorted(new_sigs.items()):
+                if j >= i or nsig is None or not (bs & _bands(nsig)):
+                    continue
+                agree = sum(a == b for a, b in zip(sig, nsig))
+                if agree >= NUM_HASHES // 2:
+                    batch_match = j
+                    break
+        if match is not None:
+            expected[i] = ("dup_near_seen", match)
+        elif batch_match is not None:
+            expected[i] = ("dup_near_batch", None)
+        else:
+            expected[i] = ("kept", None)
     return expected
 
 
