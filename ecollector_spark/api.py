@@ -248,7 +248,7 @@ class EcollectorApi:
                             plan_tree(self.planner, iq, now=now), iq
                         )
                     else:
-                        df = apply_result_shape(self.planner.plan(iq.request, now=now), iq)
+                        df = apply_result_shape(self._plan_one(iq.request, iq, now), iq)
                     n = self._write_into(df, iq, tags)
                     return _report(
                         [{"name": "result", "columns": ["time", "written"], "values": [[0, n]]}]
@@ -267,16 +267,9 @@ class EcollectorApi:
                     return _report(series)
                 for name in names:
                     req = _dc_replace(iq.request, measurement_name=name)
-                    if iq.selectors is not None:
-                        # multi-select: one groupBy computes every
-                        # aggregate; columns already carry their names
-                        df = apply_result_shape(
-                            self.planner.plan_multi(req, iq.selectors, now=now), iq
-                        )
-                    else:
-                        df = apply_result_shape(self.planner.plan(req, now=now), iq)
-                        if iq.alias and iq.alias != "value":
-                            df = df.withColumnRenamed("value", iq.alias)
+                    df = apply_result_shape(self._plan_one(req, iq, now), iq)
+                    if iq.alias and iq.alias != "value" and "value" in df.columns:
+                        df = df.withColumnRenamed("value", iq.alias)
                     series.extend(to_series_shape(df, name, tags))
                 return _report(series)
             df = self.spark.sql(query)
@@ -292,6 +285,23 @@ class EcollectorApi:
             )
         except Exception as e:  # noqa: BLE001 — error envelope is the contract
             return _report(error=str(e))
+
+    def _plan_one(self, req, iq, now):
+        """Plan one measurement's statement: plain single-selector,
+        comma multi-select (plan_multi), or selector arithmetic (public
+        InfluxQL ``mean("value") * 2`` / ``max(v) - min(v)`` /
+        ``"value" * 1000``). Single-leaf arithmetic applies the
+        expression to the normally-planned value column — fills,
+        transforms and tier routing behave exactly as without the
+        arithmetic; multi-leaf rides ONE plan_multi groupBy and combines
+        the aggregate columns per bucket. Delegates to plan_tree's
+        no-subquery branch — the one implementation of the statement →
+        DataFrame mapping."""
+        from dataclasses import replace as _dc_replace
+
+        from ecollector_spark.influxql import plan_tree
+
+        return plan_tree(self.planner, _dc_replace(iq, request=req), now=now)
 
     def _write_into(self, df, iq, tags: list[str]) -> int:
         """Distributed write for ``SELECT ... INTO``: the planned result

@@ -555,3 +555,91 @@ def influxql_delete_window(spark, sf_dir):
             F.unix_timestamp("ts").alias("time"), "dev_id", F.col("value_f").alias("value")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r6: selector arithmetic + tz() (VERDICT r5 #4 — the public-InfluxQL
+# residue: binary expressions over selectors and zone-aligned buckets)
+# ---------------------------------------------------------------------------
+
+
+def _run_tree(spark, sf_dir, q: str):
+    """Parse + plan the FULL statement surface (selector arithmetic,
+    multi-select, subqueries) — the same plan_tree the API uses."""
+    from ecollector_spark.influxql import parse_influxql, plan_tree
+
+    iq = parse_influxql(q)
+    return plan_tree(_planner(spark, sf_dir), iq, now=NOW)
+
+
+@register(
+    "influxql_selector_arith",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+agg AS (SELECT {_bucket(43200)} AS time, location_id,
+               max(value_f) AS mx, min(value_f) AS mn
+        FROM src GROUP BY 1, 2)
+SELECT time, location_id, (mx - mn) * 2 + 1 AS value
+FROM agg ORDER BY time, location_id
+""",
+    shelved=True,
+)
+def influxql_selector_arith(spark, sf_dir):
+    """Binary arithmetic BETWEEN selectors (public InfluxQL:
+    ``SELECT (max("value") - min("value")) * 2 + 1``): both aggregates
+    computed in ONE plan_multi groupBy, combined per bucket — exact
+    (selectors return stored values, scalar ops are IEEE-identical)."""
+    q = (
+        'SELECT (max("value") - min("value")) * 2 + 1 FROM "purchase" '
+        f'{_RANGE} GROUP BY time(12h), "location_id" FILL(none)'
+    )
+    return _run_tree(spark, sf_dir, q)
+
+
+@register(
+    "influxql_value_scale",
+    f"""{_DP},
+src AS ({_src_sql('purchase')})
+SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, value_f * 1000 AS value
+FROM src ORDER BY time, value
+""",
+    shelved=True,
+)
+def influxql_value_scale(spark, sf_dir):
+    """Raw-field scaling (``SELECT "value" * 1000`` — the reference's
+    own kW→W habit as a hand-written query, transform.go:173-176
+    semantics): per-point multiply on the raw-series shape."""
+    q = f'SELECT "value" * 1000 FROM "purchase" {_RANGE}'
+    return _run_tree(spark, sf_dir, q)
+
+
+_LA = "America/Los_Angeles"
+
+
+@register(
+    "influxql_tz_clause",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+-- wall-clock seconds in the zone: instant -> local naive -> epoch;
+-- bucket on the wall clock, then convert the bucket START back to its
+-- UTC instant (all session-timezone-independent expressions)
+w AS (SELECT epoch(timezone('{_LA}', timezone('UTC', ts))) AS wall, value_f FROM src),
+agg AS (SELECT CAST(floor(wall/86400) AS BIGINT)*86400 AS wb,
+               round(avg(value_f), 3) AS value
+        FROM w GROUP BY 1)
+SELECT epoch(timezone('{_LA}', make_timestamp(wb*1000000))) AS time, value
+FROM agg ORDER BY time
+""",
+    shelved=True,
+)
+def influxql_tz_clause(spark, sf_dir):
+    """``tz('America/Los_Angeles')`` (public InfluxQL): GROUP BY
+    time(1d) buckets align to the zone's WALL-clock days (08:00 UTC
+    boundaries in January PST), DST-aware by construction (the planner
+    buckets in wall-second space and converts bucket starts back
+    through the zone; see also the DST-crossing pytest)."""
+    q = (
+        f'SELECT mean("value") FROM "purchase" {_RANGE} '
+        f"GROUP BY time(1d) FILL(none) tz('{_LA}')"
+    )
+    return _run_tree(spark, sf_dir, q).withColumn("value", F.round("value", 3))

@@ -413,6 +413,13 @@ class InfluxQLQuery:
     #: policy (tier), else the warehouse routes by measurement name
     into_measurement: str | None = None
     into_rp: str | None = None
+    #: selector arithmetic (public InfluxQL: ``SELECT mean("value") * 2``,
+    #: ``max("value") - min("value")``, ``"value" * 1000``): expression
+    #: AST over the select value — ``("num", x)``, ``("sel", i)`` (the
+    #: i-th planned column: the single request's value, or selectors[i]
+    #: when two or more distinct aggregates combine), or
+    #: ``("op", "+|-|*|/", lhs, rhs)``. None = plain select.
+    value_arith: tuple | None = None
 
 
 def _parse_from(frm: str) -> tuple[str | None, str]:
@@ -539,6 +546,124 @@ def _parse_selector(sm: "re.Match") -> tuple[str, str, str, str, str, str]:
     return fn, fn_param, tf, tf_param, fld, alias
 
 
+#: one arithmetic token: a number, an operator/paren, or a selector atom
+#: (function call with one nesting level — difference(max("v")),
+#: percentile("v", 95) — or a quoted/bare field word)
+_ARITH_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+(?:\.\d+)?)
+      | (?P<op>[+\-*/()])
+      | (?P<atom>\w+\(\s*(?:[^()]|\([^()]*\))*\)|"[\w.]+"|[\w.]+)
+    )""",
+    re.VERBOSE,
+)
+
+_ARITH_ALIAS_RE = re.compile(r'\s+AS\s+"?(?P<alias>[\w.]+)"?\s*$', re.IGNORECASE)
+
+
+def _parse_arith(piece: str):
+    """Selector arithmetic (public InfluxQL binary expressions — the
+    reference's own kW→W habit, ``mean("value") * 1000``): parse one
+    select entry into ``(ast, leaves, alias)`` where ``leaves`` is the
+    list of :func:`_parse_selector` results referenced by ``("sel", i)``
+    nodes. Grammar: ``expr := term ((+|-) term)*; term := factor
+    ((*|/) factor)*; factor := NUMBER | SELECTOR | - factor | (expr)``.
+    Returns None when the piece contains no operator (not an arithmetic
+    expression — let the plain selector error stand)."""
+    am = _ARITH_ALIAS_RE.search(piece)
+    alias = am.group("alias") if am else ""
+    body = piece[: am.start()] if am else piece
+    tokens: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(body):
+        m = _ARITH_TOKEN_RE.match(body, pos)
+        if not m or m.end() == pos:
+            if body[pos:].strip():
+                return None  # unrecognized char — not arithmetic
+            break
+        if m.group("num") is not None:
+            tokens.append(("num", float(m.group("num"))))
+        elif m.group("op") is not None:
+            tokens.append(("op", m.group("op")))
+        else:
+            tokens.append(("atom", m.group("atom")))
+        pos = m.end()
+    if not any(t == ("op", o) for t in tokens for o in "+-*/"):
+        return None
+    leaves: list[tuple] = []
+
+    def _leaf(atom: str) -> tuple:
+        sm = _SEL_RE.match(atom)
+        if not sm:
+            raise InfluxQLParseError(f"unrecognized selector in expression: {atom!r}")
+        leaves.append(_parse_selector(sm))
+        return ("sel", len(leaves) - 1)
+
+    idx = 0
+
+    def _peek():
+        return tokens[idx] if idx < len(tokens) else (None, None)
+
+    def _factor():
+        nonlocal idx
+        kind, val = _peek()
+        if kind == "op" and val == "-":
+            idx += 1
+            return ("op", "-", ("num", 0.0), _factor())
+        if kind == "op" and val == "(":
+            idx += 1
+            node = _expr()
+            k2, v2 = _peek()
+            if not (k2 == "op" and v2 == ")"):
+                raise InfluxQLParseError(f"unbalanced parens in expression: {piece!r}")
+            idx += 1
+            return node
+        if kind == "num":
+            idx += 1
+            return ("num", val)
+        if kind == "atom":
+            idx += 1
+            return _leaf(val)
+        raise InfluxQLParseError(f"bad arithmetic expression: {piece!r}")
+
+    def _binary(sub, ops):
+        nonlocal idx
+        node = sub()
+        while True:
+            kind, val = _peek()
+            if kind == "op" and val in ops:
+                idx += 1
+                node = ("op", val, node, sub())
+            else:
+                return node
+
+    def _expr():
+        return _binary(lambda: _binary(_factor, "*/"), "+-")
+
+    ast = _expr()
+    if idx != len(tokens):
+        raise InfluxQLParseError(f"trailing tokens in expression: {piece!r}")
+    if not leaves:
+        raise InfluxQLParseError(f"expression has no field selector: {piece!r}")
+    return ast, leaves, alias
+
+
+def arith_column(ast: tuple, leaf_cols):
+    """AST -> Spark Column over the planned leaf columns (list indexed
+    by the ``("sel", i)`` nodes). Division follows Spark SQL: a zero
+    divisor yields null, like InfluxDB's null result rows."""
+    from pyspark.sql import functions as F
+
+    kind = ast[0]
+    if kind == "num":
+        return F.lit(ast[1])
+    if kind == "sel":
+        return leaf_cols[ast[1]]
+    _, op, lhs, rhs = ast
+    lc, rc = arith_column(lhs, leaf_cols), arith_column(rhs, leaf_cols)
+    return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+
+
 def parse_influxql(query: str) -> InfluxQLQuery:
     query, inner_q = _extract_subquery(query)
     m = _STMT_RE.match(query)
@@ -547,16 +672,44 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     # split the select list on top-level commas (commas inside function
     # parens — percentile("v", 95) — don't separate selectors)
     pieces = re.split(r",(?![^()]*\))", m.group("sel"))
+    value_arith = None
     sel_ms = []
     for piece in pieces:
         sm = _SEL_RE.match(piece)
         if not sm:
+            if len(pieces) == 1:
+                # single entry that is not a plain selector: try the
+                # binary-expression grammar (mean("value") * 2, ...)
+                ar = _parse_arith(piece)
+                if ar is not None:
+                    value_arith, arith_leaves, arith_alias = ar
+                    break
             raise InfluxQLParseError(f"unrecognized selector: {piece.strip()!r}")
         sel_ms.append(sm)
-    parsed = [_parse_selector(sm) for sm in sel_ms]
-    fn, fn_param, tf, tf_param, fld, alias = parsed[0]
-    selectors = None
-    if len(parsed) > 1:
+    if value_arith is not None:
+        parsed = arith_leaves  # 6-tuples from _parse_selector; leaf aliases unused
+        fn, fn_param, tf, tf_param, fld, _ = parsed[0]
+        alias = arith_alias
+        selectors = None
+        if len(parsed) > 1:
+            # two or more distinct selectors combine per bucket — ride
+            # plan_multi with synthesized column names; the same
+            # single-stage restriction as the comma multi-select applies
+            selectors = []
+            for i, (s_fn, s_fp, s_tf, _, s_fld, _) in enumerate(parsed):
+                if s_tf or not s_fn or s_fn in (
+                    ("difference", "mode", "integral") + tuple(_CARDINALITY)
+                ):
+                    raise InfluxQLParseError(
+                        "selector arithmetic between aggregates supports "
+                        f"single-stage aggregates only: {(s_tf or s_fn or s_fld)!r}"
+                    )
+                selectors.append(Selector(s_fn, s_fp, f"_a{i}", field=s_fld))
+    else:
+        parsed = [_parse_selector(sm) for sm in sel_ms]
+        fn, fn_param, tf, tf_param, fld, alias = parsed[0]
+        selectors = None
+    if value_arith is None and len(parsed) > 1:
         # hand-written multi-select: every entry must be a single-stage
         # aggregate (one groupBy computes them side by side; transforms,
         # raw fields and two-stage shapes stay single-selector); each
@@ -683,6 +836,17 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     slimit = int(m.group("slimit")) if m.group("slimit") else None
     soffset = int(m.group("soffset")) if m.group("soffset") else None
 
+    tz_name = m.group("tz") or ""
+    if tz_name:
+        try:
+            from zoneinfo import ZoneInfo
+
+            ZoneInfo(tz_name)
+        except Exception:
+            raise InfluxQLParseError(f"unknown time zone: {tz_name!r}") from None
+        if selectors is not None:
+            raise InfluxQLParseError("tz() supports single-selector queries only")
+
     fill = (m.group("fill") or "").lower()
     if selectors is not None and fill not in ("", "none", "null", "0"):
         # plan_multi spine-joins for null/0 (InfluxQL's default must not
@@ -707,6 +871,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         group_by_tag=group_by_tag,
         fill_type=fill,
         filters=flt,
+        tz=tz_name,
     )
     subquery = None
     inherited_range = False
@@ -715,6 +880,10 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         if subquery.selectors is not None:
             raise InfluxQLParseError(
                 "subquery must be single-selector (its value feeds the outer field)"
+            )
+        if value_arith is not None or subquery.value_arith is not None:
+            raise InfluxQLParseError(
+                "selector arithmetic inside FROM (subquery) trees is unsupported"
             )
         if subquery.measurement_regex is not None:
             raise InfluxQLParseError("regex FROM inside a subquery is unsupported")
@@ -758,6 +927,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         inherited_range=inherited_range,
         into_measurement=into_measurement,
         into_rp=into_rp,
+        value_arith=value_arith,
     )
 
 
@@ -772,9 +942,30 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
     from ecollector_spark.query import QueryPlanner, split_group_tags
 
     if iq.subquery is None:
+        from pyspark.sql import functions as F
+
         if iq.selectors is not None:
-            return planner.plan_multi(iq.request, iq.selectors, now=now)
-        return planner.plan(iq.request, now=now)
+            base = planner.plan_multi(iq.request, iq.selectors, now=now)
+            if iq.value_arith is not None:
+                # selector arithmetic between aggregates: ONE groupBy
+                # computed every leaf side by side; combine per bucket
+                tags = split_group_tags(iq.request.group_by_tag)
+                cols = [F.col(s.alias) for s in iq.selectors]
+                return base.select(
+                    "time",
+                    *tags,
+                    arith_column(iq.value_arith, cols).cast("double").alias("value"),
+                )
+            return base
+        df = planner.plan(iq.request, now=now)
+        if iq.value_arith is not None:
+            # single-leaf arithmetic: the normally-planned value column
+            # (fills, transforms, tier routing unchanged) through the
+            # expression — InfluxQL's mean("value") * 2 / "value" * 1000
+            df = df.withColumn(
+                "value", arith_column(iq.value_arith, [F.col("value")]).cast("double")
+            )
+        return df
     # the inner statement's OWN result clauses (ORDER/LIMIT/SLIMIT)
     # apply before the outer statement sees its rows
     inner = apply_result_shape(plan_tree(planner, iq.subquery, now=now), iq.subquery)
