@@ -72,6 +72,8 @@ class StreamingCorpusIngest:
         num_hashes: int = 8,
         bands: int = 4,
         min_sig_agree: float = 0.5,
+        compact_at_files: int = 64,
+        compact_target_files: int = 8,
     ):
         self.spark = spark
         self.root = root
@@ -80,6 +82,15 @@ class StreamingCorpusIngest:
         self.num_hashes = num_hashes
         self.bands = bands
         self.min_sig_agree = min_sig_agree
+        #: corpus small-file bound (VERDICT r5 #5): every micro-batch
+        #: append adds >= 1 parquet file, so thousands of batches
+        #: collapse the scan into a file-listing storm at 100 TB. When
+        #: the corpus exceeds ``compact_at_files`` files, the batch that
+        #: crossed the line rewrites it to ``compact_target_files``
+        #: (rename-aside publish, same crash protocol as the manifests).
+        #: 0 disables. At scale, size target_files ~ bytes/128 MB.
+        self.compact_at_files = compact_at_files
+        self.compact_target_files = compact_target_files
         os.makedirs(root, exist_ok=True)
 
     # -- state -------------------------------------------------------------
@@ -110,7 +121,44 @@ class StreamingCorpusIngest:
         return ex, sg
 
     def corpus(self) -> DataFrame | None:
+        # heal a compaction that died between its two renames (the .old
+        # sibling holds the only complete corpus) before reading
+        _recover_crashed_publish(self._path("corpus"))
         return self._read_or_none("corpus")
+
+    # -- corpus compaction ---------------------------------------------------
+    def _corpus_file_count(self) -> int:
+        p = self._path("corpus")
+        if not os.path.isdir(p):
+            return 0
+        return sum(
+            1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    def compact_corpus(self, target_files: int | None = None) -> bool:
+        """Rewrite the corpus into ``target_files`` parquet files and
+        publish with the rename-aside swap. Moves bytes, never rows —
+        manifests are untouched and replay idempotence is unaffected
+        (a replayed batch still classifies against the same manifests;
+        a crash mid-compaction leaves either the staged ``corpus.next``
+        (ignored, overwritten next time) or the ``corpus.old`` window
+        that :meth:`corpus` heals on the next read)."""
+        corpus = self.corpus()
+        if corpus is None:
+            return False
+        target = int(target_files or self.compact_target_files) or 1
+        tmp = self._path("corpus.next")
+        shutil.rmtree(tmp, ignore_errors=True)
+        corpus.repartition(target).write.mode("overwrite").parquet(tmp)
+        _publish_dir(tmp, self._path("corpus"))
+        return True
+
+    def _maybe_compact(self) -> bool:
+        if self.compact_at_files <= 0:
+            return False
+        if self._corpus_file_count() <= self.compact_at_files:
+            return False
+        return self.compact_corpus()
 
     # -- the foreachBatch target -------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
@@ -172,6 +220,9 @@ class StreamingCorpusIngest:
         )
         _publish_dir(tmp, self._path("manifests"))
         kept_docs.write.mode("append").parquet(self._path("corpus"))
+        # bounded small-file growth: runs strictly AFTER the append, so
+        # every crash window is one the existing protocol already covers
+        self._maybe_compact()
         return counts
 
     def repair(self, batch_df: DataFrame) -> int:

@@ -1099,17 +1099,82 @@ def dedup_decontaminate(spark, sf_dir):
     return dedup.decontaminate(docs, benchmark, k=5)
 
 
+#: Full two-batch fold model (r6: the in-batch near-dup pass applies to
+#: BOTH batches, and batch 2 checks against the manifests of batch 1's
+#: KEPT docs only — exactly what fold_manifests publishes). Batch 1 =
+#: the raw documents (exact keeper + smaller-id near partner drop);
+#: batch 2 = the planted incremental batch against the folded state.
+_INGEST_SQL = f"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+tok0 AS (SELECT doc_id, {_TOKS} AS toks FROM docs0),
+nearvar AS ({_NEARVAR}),
+newb AS (
+  SELECT doc_id + 10000000 AS doc_id, text FROM nearvar WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text FROM docs0 WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 30000000, text FROM nearvar WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 40000000, array_to_string(list_sort(toks), ' ') FROM tok0 WHERE doc_id % 7 = 3
+),
+tokn AS (SELECT doc_id, {_TOKS} AS toks FROM newb),
+{_mh8_sql('mh_all', 'tok0')},
+{_mh8_sql('mh_new', 'tokn')},
+{_banded_sql('banded_all', 'mh_all')},
+{_banded_sql('banded_new', 'mh_new')},
+k1 AS (SELECT doc_id, md5(text) AS text_hash,
+              min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       FROM docs0),
+cand1 AS (SELECT DISTINCT a.doc_id AS nb_id, b.doc_id AS partner_id
+  FROM banded_all a JOIN banded_all b
+    ON a.doc_id > b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+near1 AS (SELECT DISTINCT nb_id FROM (
+    SELECT c.nb_id, {_AGREE} AS agree
+    FROM cand1 c JOIN mh_all n ON n.doc_id = c.nb_id
+                 JOIN mh_all o ON o.doc_id = c.partner_id)
+  WHERE agree >= 4),
+kept1 AS (SELECT k1.doc_id, k1.text_hash FROM k1
+          LEFT JOIN near1 ON near1.nb_id = k1.doc_id
+          WHERE k1.keeper = k1.doc_id AND near1.nb_id IS NULL),
+seen1 AS (SELECT DISTINCT text_hash FROM kept1),
+sig1 AS (SELECT mh_all.* FROM mh_all JOIN kept1 USING (doc_id)),
+banded1 AS (SELECT banded_all.* FROM banded_all JOIN kept1 USING (doc_id)),
+k2 AS (SELECT doc_id, md5(text) AS text_hash,
+              min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       FROM newb),
+cands AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM banded_new n JOIN banded1 o
+    ON (n.b0 = o.b0 OR n.b1 = o.b1 OR n.b2 = o.b2 OR n.b3 = o.b3)),
+nearseen AS (SELECT DISTINCT new_id FROM (
+    SELECT c.new_id, {_AGREE} AS agree
+    FROM cands c JOIN mh_new n ON n.doc_id = c.new_id
+                 JOIN sig1 o ON o.doc_id = c.old_id)
+  WHERE agree >= 4),
+cand2 AS (SELECT DISTINCT a.doc_id AS nb_id, b.doc_id AS partner_id
+  FROM banded_new a JOIN banded_new b
+    ON a.doc_id > b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+near2 AS (SELECT DISTINCT nb_id FROM (
+    SELECT c.nb_id, {_AGREE} AS agree
+    FROM cand2 c JOIN mh_new n ON n.doc_id = c.nb_id
+                 JOIN mh_new o ON o.doc_id = c.partner_id)
+  WHERE agree >= 4),
+kept2 AS (SELECT k2.doc_id FROM k2
+          LEFT JOIN seen1 s ON s.text_hash = k2.text_hash
+          LEFT JOIN nearseen ns ON ns.new_id = k2.doc_id
+          LEFT JOIN near2 nb ON nb.nb_id = k2.doc_id
+          WHERE s.text_hash IS NULL AND k2.keeper = k2.doc_id
+            AND ns.new_id IS NULL AND nb.nb_id IS NULL)
+SELECT doc_id FROM kept1
+UNION ALL
+SELECT doc_id FROM kept2
+ORDER BY 1
+"""
+
+
 @register(
     "datapipe_streaming_ingest",
-    # batch 1 is itself in-batch deduplicated (keep min doc_id per md5;
-    # the raw fixture CAN contain identical texts — 8 at sf0.1)
-    f"""SELECT doc_id FROM (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-  FROM documents) WHERE doc_id = keeper
-UNION ALL
-SELECT doc_id FROM ({_INCR_SQL.rstrip()}) WHERE status = 'kept'
-ORDER BY 1
-""",
+    _INGEST_SQL,
     shelved=True,
 )
 def datapipe_streaming_ingest(spark, sf_dir):

@@ -1110,3 +1110,63 @@ class TestStreamingCorpusIngest:
         # replay of a healthy batch: every hash is in the manifests AND
         # covered by the corpus, so nothing heals (no "healed" key)
         assert ing.process_batch(b2, 1) == {"dup_exact_seen": 3}
+
+
+class TestStreamingIngestCompaction:
+    """VERDICT r5 #5: one parquet file per micro-batch append collapses
+    into a file-listing storm after thousands of batches; the ingest
+    loop must bound the corpus file count without changing its rows."""
+
+    def _mk(self, spark, tmp_path, **kw):
+        from ecollector_spark.datapipe.streaming_ingest import StreamingCorpusIngest
+
+        return StreamingCorpusIngest(spark, str(tmp_path / "ingest"), **kw)
+
+    def test_file_count_bounded_over_many_batches(self, spark, tmp_path):
+        ing = self._mk(spark, tmp_path, compact_at_files=10, compact_target_files=2)
+        expected = {}
+        max_seen = 0
+        for b in range(50):
+            # two unique docs per batch + one exact dup of batch 0
+            # token-disjoint texts across batches (shared tokens would
+            # make later batches legitimate near-dups of earlier ones)
+            rows = [
+                (100 * b + 1, f"aa{b} bb{b} cc{b} dd{b} ee{b} ff{b}"),
+                (100 * b + 2, f"gg{b} hh{b} ii{b} jj{b} kk{b} ll{b}"),
+                (999999, "the perpetual duplicate sentinel text"),
+            ]
+            for doc_id, text in rows[:2]:
+                expected[doc_id] = text
+            if b == 0:
+                expected[999999] = rows[2][1]
+            ing.process_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"), b
+            )
+            max_seen = max(max_seen, ing._corpus_file_count())
+        # the bound holds throughout: never more than threshold + one
+        # batch's own files before the compaction that batch triggers
+        assert max_seen <= 10 + 33  # one append can add up to 32 files (local[32])
+        assert ing._corpus_file_count() <= 10 + 33
+        # compaction moved bytes, never rows: the corpus is exactly the
+        # keepers of every batch
+        got = {r["doc_id"]: r["text"] for r in ing.corpus().collect()}
+        assert got == expected
+
+    def test_compaction_crash_window_heals(self, spark, tmp_path):
+        import os
+
+        ing = self._mk(spark, tmp_path)
+        b = spark.createDataFrame(
+            [(1, "some corpus text alpha beta"), (2, "other corpus text gamma delta")],
+            "doc_id long, text string",
+        )
+        ing.process_batch(b, 0)
+        before = {r["doc_id"] for r in ing.corpus().collect()}
+        # simulate a compaction that died between its two renames:
+        # corpus renamed aside, replacement never landed
+        os.rename(ing._path("corpus"), ing._path("corpus") + ".old")
+        assert {r["doc_id"] for r in ing.corpus().collect()} == before
+        # and an explicit compaction afterwards keeps the rows
+        assert ing.compact_corpus(target_files=1)
+        assert {r["doc_id"] for r in ing.corpus().collect()} == before
+        assert ing._corpus_file_count() == 1
