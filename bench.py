@@ -116,6 +116,7 @@ def main() -> None:
     # out-of-band — they take minutes) so the driver-visible artifact
     # carries the measured exponents of the full headline set
     for key, fname in (("headline_scale", "HEADLINE_SCALE.json"),
+                       ("headline_scale_salted_1000x", "HEADLINE_SCALE_SALTED_1000X.json"),
                        ("streaming_scale", "STREAMING_SCALE.json"),
                        ("ts_scale", "TS_SCALE.json"),
                        ("newops_scale", "NEWOPS_SCALE.json")):

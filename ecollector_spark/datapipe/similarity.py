@@ -233,6 +233,12 @@ def _recover_crashed_publish(dst: str) -> None:
     old = dst + ".old"
     if os.path.isdir(old) and not os.path.isdir(dst):
         os.rename(old, dst)
+    elif os.path.isdir(old) and os.path.isdir(dst):
+        # died after rename(tmp, dst), before rmtree(old): the live dir
+        # is the published replacement — drop the stale copy now instead
+        # of carrying it until the next publish (same fix as the
+        # warehouse's measurement-swap recovery, r6)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _l2sq(a: Column, b: Column) -> Column:

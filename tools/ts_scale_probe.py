@@ -199,6 +199,21 @@ def main() -> None:
         "pair-emitting dedup operators without the C(replicas,2) "
         "true-duplicate output blowup of plain replication",
     )
+    ap.add_argument(
+        "--mults",
+        default="10,100",
+        help="comma-separated replica multipliers (r6 verdict #7 pushes "
+        "the expensive headliners to 1000: pass '100,1000' so the "
+        "top-decade exponent is measured within ONE session); the 1x "
+        "base rung is always included",
+    )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge this run's rungs/exponents into an existing --out "
+        "file instead of overwriting it (per-query keys are updated, "
+        "other queries' records are kept)",
+    )
     args = ap.parse_args()
 
     from ecollector_spark import driver_queries
@@ -222,8 +237,9 @@ def main() -> None:
     if args.salt_docs:
         tag, tables = tag + "_salted", {"documents"}
 
+    mults = [int(m) for m in args.mults.split(",") if m.strip()]
     ladder = [("1x", args.base)]
-    for mult in (10, 100):
+    for mult in mults:
         d = os.path.join(tempfile.gettempdir(), f"ec_{tag}_scale_x{mult}")
         build_scaled(spark, args.base, d, mult, tables, salt_docs=args.salt_docs)
         ladder.append((f"{mult}x", d))
@@ -248,7 +264,10 @@ def main() -> None:
         "rows": counts,
         "queries": {},
     }
-    hi_ratio = counts["100x"] / counts["10x"]
+    # exponent over the run's TOP decade (the two largest rungs) — the
+    # smaller rungs sit on the fixed plan/launch overhead floor
+    lo_label, hi_label = ladder[-2][0], ladder[-1][0]
+    hi_ratio = counts[hi_label] / counts[lo_label]
     for name in names:
         fn = registry[name]
         rec = {}
@@ -262,13 +281,22 @@ def main() -> None:
                 ts.append(time.perf_counter() - t0)
             rec[label] = round(statistics.median(ts), 3)
         rec["exponent_top_decade"] = round(
-            math.log(max(rec["100x"], 1e-9) / max(rec["10x"], 1e-9))
+            math.log(max(rec[hi_label], 1e-9) / max(rec[lo_label], 1e-9))
             / math.log(hi_ratio),
             3,
         )
+        rec["top_decade"] = [lo_label, hi_label]
         out["queries"][name] = rec
         print(name, rec, flush=True)
 
+    if args.merge and os.path.isfile(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        prev.setdefault("rows", {}).update(counts)
+        for name, rec in out["queries"].items():
+            prev.setdefault("queries", {}).setdefault(name, {}).update(rec)
+        prev["note"] = out["note"] + " | merged rungs from later runs carry their own top_decade"
+        out = prev
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", out_path)
