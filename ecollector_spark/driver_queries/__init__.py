@@ -70,7 +70,10 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: ts_selector_top3, ts_raw_{derivative_by_tag,cumulative_sum},
 #: influxql_{multi_select,field_predicate,delete_window},
 #: ts_group_by_time_offset, datapipe_{pack_manifest,mix_weights,
-#: export_shards,leakage_safe_split,epoch_order,streaming_ingest}.
+#: export_shards,leakage_safe_split,epoch_order,streaming_ingest},
+#: and the r6-added shelved gates: influxql_{selector_arith,value_scale,
+#: tz_clause,group_by_star} (arithmetic/tz/star planner paths) and
+#: lifecycle_tiered_query (the composed ingest->cascade->expiry flow).
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",

@@ -643,3 +643,24 @@ def influxql_tz_clause(spark, sf_dir):
         f"GROUP BY time(1d) FILL(none) tz('{_LA}')"
     )
     return _run_tree(spark, sf_dir, q).withColumn("value", F.round("value", 3))
+
+
+_STAR_TAGS = "dev_id, dev_type, dir, location_id, service, topic, domain"
+
+
+@register(
+    "influxql_group_by_star",
+    f"""{_DP},
+src AS ({_src_sql('purchase')})
+SELECT {_bucket(86400)} AS time, {_STAR_TAGS}, round(avg(value_f), 3) AS value
+FROM src GROUP BY time, {_STAR_TAGS}
+ORDER BY time, {_STAR_TAGS}
+""",
+    shelved=True,
+)
+def influxql_group_by_star(spark, sf_dir):
+    """``GROUP BY time(1d), *`` (public InfluxQL): * expands to every
+    tag column — one series per distinct tag combination, missing tags
+    grouping as null. [r6; beyond influxdb_v1.go's generated grammar]"""
+    q = f'SELECT mean("value") FROM "purchase" {_RANGE} GROUP BY time(1d), * FILL(none)'
+    return _run_tree(spark, sf_dir, q).withColumn("value", F.round("value", 3))

@@ -816,6 +816,17 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                     raise InfluxQLParseError(
                         f"bad GROUP BY time offset: {group_by_offset!r}"
                     )
+            elif item == "*":
+                # GROUP BY * (public InfluxQL): one series per distinct
+                # combination of every tag. The engine's tag set is the
+                # fixed datapoint tag columns (schema.py), so * expands
+                # to exactly those — tags absent on a series group as
+                # null, like InfluxDB's missing-tag series key entries.
+                from ecollector_spark.schema import DATAPOINT_TAG_COLUMNS
+
+                group_tags.extend(
+                    t for t in DATAPOINT_TAG_COLUMNS if t not in group_tags
+                )
             elif re.fullmatch(r'"?[\w.]+"?', item):
                 group_tags.append(item.strip('"'))
             else:
@@ -844,8 +855,6 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             ZoneInfo(tz_name)
         except Exception:
             raise InfluxQLParseError(f"unknown time zone: {tz_name!r}") from None
-        if selectors is not None:
-            raise InfluxQLParseError("tz() supports single-selector queries only")
 
     fill = (m.group("fill") or "").lower()
     if selectors is not None and fill not in ("", "none", "null", "0"):
@@ -880,10 +889,6 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         if subquery.selectors is not None:
             raise InfluxQLParseError(
                 "subquery must be single-selector (its value feeds the outer field)"
-            )
-        if value_arith is not None or subquery.value_arith is not None:
-            raise InfluxQLParseError(
-                "selector arithmetic inside FROM (subquery) trees is unsupported"
             )
         if subquery.measurement_regex is not None:
             raise InfluxQLParseError("regex FROM inside a subquery is unsupported")
@@ -941,31 +946,32 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
     the same path via plan_multi."""
     from ecollector_spark.query import QueryPlanner, split_group_tags
 
-    if iq.subquery is None:
+    def _with_arith(df, req):
+        """Apply the statement's selector arithmetic to a planned frame.
+        Single-leaf: the expression post-applies to the value column
+        (fills, transforms, tier routing unchanged — mean("value") * 2,
+        "value" * 1000). Multi-leaf: the plan_multi columns combine per
+        bucket into ONE value column."""
+        if iq.value_arith is None:
+            return df
         from pyspark.sql import functions as F
 
         if iq.selectors is not None:
-            base = planner.plan_multi(iq.request, iq.selectors, now=now)
-            if iq.value_arith is not None:
-                # selector arithmetic between aggregates: ONE groupBy
-                # computed every leaf side by side; combine per bucket
-                tags = split_group_tags(iq.request.group_by_tag)
-                cols = [F.col(s.alias) for s in iq.selectors]
-                return base.select(
-                    "time",
-                    *tags,
-                    arith_column(iq.value_arith, cols).cast("double").alias("value"),
-                )
-            return base
-        df = planner.plan(iq.request, now=now)
-        if iq.value_arith is not None:
-            # single-leaf arithmetic: the normally-planned value column
-            # (fills, transforms, tier routing unchanged) through the
-            # expression — InfluxQL's mean("value") * 2 / "value" * 1000
-            df = df.withColumn(
-                "value", arith_column(iq.value_arith, [F.col("value")]).cast("double")
+            tags = split_group_tags(req.group_by_tag)
+            cols = [F.col(s.alias) for s in iq.selectors]
+            return df.select(
+                "time",
+                *tags,
+                arith_column(iq.value_arith, cols).cast("double").alias("value"),
             )
-        return df
+        return df.withColumn(
+            "value", arith_column(iq.value_arith, [F.col("value")]).cast("double")
+        )
+
+    if iq.subquery is None:
+        if iq.selectors is not None:
+            return _with_arith(planner.plan_multi(iq.request, iq.selectors, now=now), iq.request)
+        return _with_arith(planner.plan(iq.request, now=now), iq.request)
     # the inner statement's OWN result clauses (ORDER/LIMIT/SLIMIT)
     # apply before the outer statement sees its rows
     inner = apply_result_shape(plan_tree(planner, iq.subquery, now=now), iq.subquery)
@@ -981,8 +987,8 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
     )
     sub_planner = QueryPlanner(lambda tier: src, profile=getattr(planner, "profile", None) or "optimized")
     if iq.selectors is not None:
-        return sub_planner.plan_multi(outer_req, iq.selectors, now=now)
-    return sub_planner.plan(outer_req, now=now)
+        return _with_arith(sub_planner.plan_multi(outer_req, iq.selectors, now=now), outer_req)
+    return _with_arith(sub_planner.plan(outer_req, now=now), outer_req)
 
 
 def _align_inherited_range(iq: InfluxQLQuery, now):

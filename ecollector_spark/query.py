@@ -847,7 +847,22 @@ class QueryPlanner:
             bucket_off = (
                 _parse_signed_duration(req.group_by_offset) if req.group_by_offset else 0
             )
-            bucket = time_bucket("ts", step, bucket_off).alias("time")
+            # tz('<zone>'): same wall-clock bucket space as plan() —
+            # bucket + spine in wall seconds, convert at the end
+            spine_from, spine_to = ctx["from_epoch"], ctx["to_epoch"]
+            if req.tz:
+                from zoneinfo import ZoneInfo
+
+                zone = ZoneInfo(req.tz)
+
+                def _wall(e: int) -> int:
+                    return e + int(
+                        datetime.fromtimestamp(e, tz=zone).utcoffset().total_seconds()
+                    )
+
+                spine_from, spine_to = _wall(spine_from), _wall(spine_to)
+            bucket_src = F.from_utc_timestamp("ts", req.tz) if req.tz else F.col("ts")
+            bucket = time_bucket(bucket_src, step, bucket_off).alias("time")
             agg = df.groupBy(bucket, *tag_cols).agg(*aggs)
             # FILL(null) is InfluxQL's default and must not silently
             # change when a second selector is added: spine-join every
@@ -859,8 +874,8 @@ class QueryPlanner:
 
                 spine = bucket_spine(
                     agg,
-                    ctx["from_epoch"],
-                    ctx["to_epoch"],
+                    spine_from,
+                    spine_to,
                     step,
                     tag_cols,
                     offset_seconds=bucket_off,
@@ -874,8 +889,13 @@ class QueryPlanner:
             agg = agg.select(
                 F.lit(from_epoch).cast("long").alias("time"), *tag_cols, *names
             )
+        time_out = F.col("time").cast("long")
+        if req.tz and step:
+            time_out = F.unix_timestamp(
+                F.to_utc_timestamp(F.timestamp_seconds(time_out), req.tz)
+            )
         return agg.select(
-            F.col("time").cast("long").alias("time"),
+            time_out.alias("time"),
             *tag_cols,
             *[F.col(n).cast("double").alias(n) for n in names],
         ).orderBy("time", *tag_cols)

@@ -107,6 +107,24 @@ def main() -> None:
     print("\nInfluxQL (regex FROM + DESC LIMIT):")
     print(json.dumps(influx_report, indent=2, default=str)[:600])
 
+    # -- 5b². r6 surface: selector arithmetic (the reference's own kW→W
+    # habit as a hand-written query) and zone-aligned buckets via tz()
+    arith_report = api.run_query(
+        'SELECT mean("value") * 2 + 1 FROM "electricity_meter_power" '
+        "WHERE time > now()-1d GROUP BY time(30m) FILL(none) LIMIT 2",
+        now=now,
+    )
+    print("\nselector arithmetic (mean*2+1):",
+          arith_report["val"]["Results"][0]["Series"][0]["values"])
+    tz_report = api.run_query(
+        'SELECT mean("value") FROM "electricity_meter_power" '
+        "WHERE time > now()-1d GROUP BY time(1d), * FILL(none) "
+        "tz('America/Los_Angeles')",
+        now=now,
+    )
+    print("tz('America/Los_Angeles') day buckets + GROUP BY *:",
+          len(tz_report["val"]["Results"][0].get("Series", [])), "series")
+
     # -- 5c. write-path InfluxQL: one-off downsampling with INTO, the CQ
     # lifecycle via the reference's own generated DDL strings, and
     # time-windowed deletion — all through the same query endpoint

@@ -1428,14 +1428,26 @@ class TestSelectorArithmetic:
         with pytest.raises(InfluxQLParseError):
             parse_influxql('SELECT difference("value") - min("value") FROM "m1"')
 
-    def test_rejects_arith_in_subquery_tree(self):
-        from ecollector_spark.influxql import InfluxQLParseError, parse_influxql
-
-        with pytest.raises(InfluxQLParseError):
-            parse_influxql(
-                'SELECT sum("value") FROM (SELECT mean("value") * 2 FROM "m1" '
-                "GROUP BY time(1h))"
-            )
+    def test_arith_inside_subquery_tree(self, spark):
+        """Arithmetic composes through FROM (subquery) on both levels:
+        the inner expression feeds the outer aggregate, and the outer
+        expression applies to the composed result."""
+        rows = self._run(
+            spark,
+            'SELECT sum("value") FROM (SELECT mean("value") * 2 FROM "m1" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T04:00:00Z' "
+            "GROUP BY time(1h) FILL(none)) GROUP BY time(4h) FILL(none)",
+        )
+        # hourly means 1.5, 3.5, 5.5 doubled -> 3, 7, 11; 4h sum = 21
+        assert [r["value"] for r in rows] == [21.0]
+        rows = self._run(
+            spark,
+            'SELECT sum("value") * 10 FROM (SELECT last("value") FROM "m1" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T04:00:00Z' "
+            "GROUP BY time(1h) FILL(none)) GROUP BY time(4h) FILL(none)",
+        )
+        # hourly lasts 2, 4, 6 -> sum 12 -> *10 = 120
+        assert [r["value"] for r in rows] == [120.0]
 
 
 class TestTzClause:
@@ -1521,3 +1533,64 @@ class TestTzClause:
 
         with pytest.raises(InfluxQLParseError):
             parse_influxql("SELECT mean(\"value\") FROM \"m\" GROUP BY time(1h) tz('Not/AZone')")
+
+    def test_tz_with_fill_previous_carries_in_wall_space(self, spark):
+        """previous-fill runs over the wall-space spine: the empty LA
+        day between two points carries the previous day's value."""
+        rows = [
+            ("m1", datetime(2024, 1, 9, 9, 0, tzinfo=timezone.utc), "d", 4.0),
+            ("m1", datetime(2024, 1, 11, 9, 0, tzinfo=timezone.utc), "d", 6.0),
+        ]
+        out = self._run(
+            spark,
+            rows,
+            'SELECT mean("value") FROM "m1" '
+            "WHERE time >= '2024-01-09T08:00:00Z' AND time <= '2024-01-12T00:00:00Z' "
+            "GROUP BY time(1d) FILL(previous) tz('America/Los_Angeles')",
+        )
+        vals = {r["time"]: r["value"] for r in out}
+        day = lambda d: int(datetime(2024, 1, d, 8, 0, tzinfo=timezone.utc).timestamp())
+        assert vals == {day(9): 4.0, day(10): 4.0, day(11): 6.0}
+
+    def test_tz_with_multi_select(self, spark):
+        """tz() composes with the comma multi-select: one groupBy in
+        wall-bucket space, every column bucket-aligned to the zone."""
+        rows = [
+            ("m1", datetime(2024, 1, 10, 3, 0, tzinfo=timezone.utc), "d", 10.0),
+            ("m1", datetime(2024, 1, 10, 9, 0, tzinfo=timezone.utc), "d", 20.0),
+        ]
+        out = self._run(
+            spark,
+            rows,
+            'SELECT mean("value"), count("value") FROM "m1" '
+            "WHERE time >= '2024-01-09T00:00:00Z' AND time <= '2024-01-11T00:00:00Z' "
+            "GROUP BY time(1d) FILL(none) tz('America/Los_Angeles')",
+        )
+        vals = {r["time"]: (r["mean"], r["count"]) for r in out}
+        jan9_la = int(datetime(2024, 1, 9, 8, 0, tzinfo=timezone.utc).timestamp())
+        jan10_la = int(datetime(2024, 1, 10, 8, 0, tzinfo=timezone.utc).timestamp())
+        assert vals == {jan9_la: (10.0, 1.0), jan10_la: (20.0, 1.0)}
+
+
+class TestGroupByStar:
+    def test_star_expands_to_all_tags(self):
+        from ecollector_spark.influxql import parse_influxql
+        from ecollector_spark.query import split_group_tags
+
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" WHERE time > now()-1h '
+            "GROUP BY time(10m), * FILL(none)"
+        )
+        assert split_group_tags(iq.request.group_by_tag) == [
+            "dev_id", "dev_type", "dir", "location_id", "service", "topic", "domain",
+        ]
+
+    def test_star_with_explicit_tag_dedups(self):
+        from ecollector_spark.influxql import parse_influxql
+        from ecollector_spark.query import split_group_tags
+
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "m" GROUP BY time(10m), "dev_id", *'
+        )
+        tags = split_group_tags(iq.request.group_by_tag)
+        assert tags.count("dev_id") == 1 and len(tags) == 7

@@ -168,6 +168,32 @@ CHECKS = {
         "partial_min",
         "!CartesianProduct",
     ],
+    # selector arithmetic between aggregates (r6): both leaves computed
+    # by ONE plan_multi groupBy and combined in a projection — a
+    # per-leaf re-plan would surface as a union or a self-join
+    "influxql_selector_arith": [
+        "partial_",
+        "!Union",
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!CartesianProduct",
+    ],
+    # tz() (r6): wall-clock bucketing is a from_utc_timestamp expression
+    # inside the same partial-aggregated groupBy — zone logic never
+    # leaves the JVM and adds no join/shuffle beyond the aggregation
+    "influxql_tz_clause": [
+        "partial_avg",
+        "from_utc_timestamp",
+        "!CartesianProduct",
+        "!Union",
+    ],
+    # GROUP BY * (r6): the 7-tag expansion is still ONE partial-agg
+    # groupBy over the pruned scan
+    "influxql_group_by_star": [
+        "partial_avg",
+        "!Union",
+        "!CartesianProduct",
+    ],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches

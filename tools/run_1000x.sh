@@ -7,8 +7,14 @@
 set -ue
 cd "$(dirname "$0")/.."
 python tools/ts_scale_probe.py --headline --merge --runs 1 --mults 100,1000 \
+    --tables events documents \
     --queries fimp_transform_pipeline datapipe_curation 2>&1 \
   | grep -v "WARN\|^26/" || true
+# the pair-emitting minhash at 1000x needs heap proportional to the
+# 32-way task parallelism (8g died in a GCLocker spiral in stage 77 —
+# 32 concurrent shingle/minhash builds on one heap); a real cluster
+# scales aggregate memory with cores, so the probe does too
+SPARK_GRAFT_DRIVER_MEM=48g \
 python tools/ts_scale_probe.py --headline --salt-docs --merge --runs 1 --mults 100,1000 \
     --out HEADLINE_SCALE_SALTED_1000X.json \
     --queries dedup_minhash_lsh 2>&1 \

@@ -91,11 +91,31 @@ def build_scaled(
             os.symlink(src, dst)
     rep = spark.range(replicas).select(F.col("id").alias("_k"))
 
+    def _nfiles(name: str) -> int:
+        # realistic file layout for the rung (r6 fix): the crossJoin of a
+        # small source inherits its 1-2 input partitions and writes ONE
+        # file, so a <=128 MB rung scans on ONE task while a bigger rung
+        # splits — the 100x->1000x "exponent" then measures the
+        # parallelism transition, not the operator (measured: the
+        # transform read 10M rows through 1 task at 100x). Target ~128 MB
+        # files with a 32-file floor so every rung saturates local[32].
+        src = os.path.join(base_dir, name)
+        base_bytes = (
+            os.path.getsize(src)
+            if os.path.isfile(src)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(src)
+                for f in fs
+            )
+        )
+        return max(32, min(512, (base_bytes * replicas) // (128 << 20) + 1))
+
     def write(df, name):
         dst = os.path.join(out_dir, name)
         if os.path.isdir(dst) and os.path.isfile(os.path.join(dst, "_SUCCESS")):
             return  # already replicated (ladder dirs are content-stable)
-        df.write.mode("overwrite").parquet(dst)
+        df.repartition(int(_nfiles(name))).write.mode("overwrite").parquet(dst)
 
     if "events" in tables:
         ev = read_events(spark, base_dir)
@@ -208,6 +228,13 @@ def main() -> None:
         "base rung is always included",
     )
     ap.add_argument(
+        "--tables",
+        nargs="*",
+        help="limit which fact tables the ladder replicates (default: "
+        "the mode's full set) — a --queries subset only needs ITS "
+        "tables, and a 1000x lineitem nobody reads is 11 GB of build",
+    )
+    ap.add_argument(
         "--merge",
         action="store_true",
         help="merge this run's rungs/exponents into an existing --out "
@@ -236,6 +263,8 @@ def main() -> None:
         names = [n for n in args.queries if n in registry]
     if args.salt_docs:
         tag, tables = tag + "_salted", {"documents"}
+    if args.tables:
+        tables = set(args.tables)
 
     mults = [int(m) for m in args.mults.split(",") if m.strip()]
     ladder = [("1x", args.base)]
