@@ -236,7 +236,9 @@ class EcollectorApi:
                         m for m in self.warehouse.measurements() if pat.search(m)
                     ]
                 else:
-                    names = [iq.measurement]
+                    # FROM "a", "b" lists ride the same per-measurement
+                    # loop as regex FROM (one series per measurement)
+                    names = iq.measurement_list or [iq.measurement]
                 tags = split_group_tags(iq.request.group_by_tag)
                 if iq.into_measurement is not None:
                     # SELECT ... INTO: the one-off twin of the CQ

@@ -664,3 +664,61 @@ def influxql_group_by_star(spark, sf_dir):
     grouping as null. [r6; beyond influxdb_v1.go's generated grammar]"""
     q = f'SELECT mean("value") FROM "purchase" {_RANGE} GROUP BY time(1d), * FILL(none)'
     return _run_tree(spark, sf_dir, q).withColumn("value", F.round("value", 3))
+
+
+@register(
+    "ts_scalar_sqrt",
+    f"""{_DP},
+src AS ({_src_sql('purchase')})
+SELECT {_bucket(86400)} AS time, round(sqrt(avg(value_f)), 6) AS value
+FROM src GROUP BY 1 ORDER BY time
+""",
+    shelved=True,
+)
+def ts_scalar_sqrt(spark, sf_dir):
+    """Scalar math wrap (public InfluxQL transformation functions, r6):
+    ``sqrt(mean("value"))`` — a per-bucket projection after the
+    aggregate, before FILL. sqrt itself is IEEE-exact cross-engine;
+    the rounding covers the engine-order-dependent mean."""
+    q = f'SELECT sqrt(mean("value")) FROM "purchase" {_RANGE} GROUP BY time(1d) FILL(none)'
+    return _run_tree(spark, sf_dir, q).withColumn("value", F.round("value", 6))
+
+
+@register(
+    "influxql_multi_from",
+    f"""{_DP},
+p AS ({_src_sql('purchase')}),
+c AS ({_src_sql('click')}),
+u AS (
+  SELECT 'purchase' AS measurement, {_bucket(86400)} AS time, round(avg(value_f), 3) AS value
+  FROM p GROUP BY 2
+  UNION ALL
+  SELECT 'click', {_bucket(86400)}, round(avg(value_f), 3) FROM c GROUP BY 2)
+SELECT measurement, time, value FROM u ORDER BY measurement, time
+""",
+    shelved=True,
+)
+def influxql_multi_from(spark, sf_dir):
+    """``FROM "purchase", "click"`` (public InfluxQL measurement lists,
+    r6): one planned statement per listed measurement, one series each —
+    the same per-measurement loop the API uses for regex FROM."""
+    from dataclasses import replace as _dc_replace
+
+    from ecollector_spark.influxql import parse_influxql
+
+    q = (
+        'SELECT mean("value") FROM "purchase", "click" '
+        f"{_RANGE} GROUP BY time(1d) FILL(none)"
+    )
+    iq = parse_influxql(q)
+    pl = _planner(spark, sf_dir)
+    outs = [
+        pl.plan(_dc_replace(iq.request, measurement_name=name), now=NOW).select(
+            F.lit(name).alias("measurement"), "time", F.round("value", 3).alias("value")
+        )
+        for name in iq.measurement_list
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

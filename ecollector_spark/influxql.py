@@ -57,7 +57,7 @@ from dataclasses import dataclass
 from ecollector_spark import tiers
 from ecollector_spark.query import DataPointsFilter, DataPointsRequest, Selector
 
-from ecollector_spark.query import _WINDOW_TRANSFORMS
+from ecollector_spark.query import _SCALAR_TRANSFORMS, _WINDOW_TRANSFORMS
 
 #: documented aggregate functions: the reference's generated selector
 #: surface (influxdb_v1.go:159-188) plus the hand-written public-docs set
@@ -70,9 +70,10 @@ _FUNCS = {
 }
 #: cardinality-changing selectors: single-select only, no transform wrap
 _CARDINALITY = {"distinct", "top", "bottom"}
-#: transform wraps the planner's A15 surface accepts: abs + the window
-#: family (query._WINDOW_TRANSFORMS)
-_TRANSFORMS = {"abs"} | _WINDOW_TRANSFORMS
+#: transform wraps the planner's A15 surface accepts: the scalar math
+#: family (abs/ceil/floor/round/sqrt/exp/ln/log2/log10/trig — public
+#: InfluxQL transformation functions, r6) + the window family
+_TRANSFORMS = set(_SCALAR_TRANSFORMS) | _WINDOW_TRANSFORMS
 
 #: function parameters: a bare number (percentile N, moving_average N)
 #: or an InfluxQL duration (derivative/integral/elapsed unit)
@@ -97,7 +98,9 @@ _SEL_RE = re.compile(
 _STMT_RE = re.compile(
     r"""^\s*SELECT\s+(?P<sel>.+?)
     (?:\s+INTO\s+(?P<into>"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+))?
-    \s+FROM\s+(?P<from>/(?:[^/\\]|\\.)+/|"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+)
+    \s+FROM\s+(?P<from>/(?:[^/\\]|\\.)+/
+        |(?:"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+)
+         (?:\s*,\s*(?:"[^"]+"(?:\."[^"]+"){0,2}|[\w.]+))*)
     (?:\s+WHERE\s+(?P<where>.*?))?
     (?:\s+GROUP\s+BY\s+(?P<group>.*?))?
     (?:\s+FILL\(\s*(?P<fill>\w+)\s*\))?
@@ -413,6 +416,10 @@ class InfluxQLQuery:
     #: policy (tier), else the warehouse routes by measurement name
     into_measurement: str | None = None
     into_rp: str | None = None
+    #: ``FROM "a", "b"`` (public InfluxQL measurement lists): every
+    #: listed measurement, planned one statement each like regex FROM —
+    #: one result series per measurement; None for a single FROM
+    measurement_list: "list[str] | None" = None
     #: selector arithmetic (public InfluxQL: ``SELECT mean("value") * 2``,
     #: ``max("value") - min("value")``, ``"value" * 1000``): expression
     #: AST over the select value — ``("num", x)``, ``("sel", i)`` (the
@@ -726,6 +733,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             selectors.append(Selector(s_fn, s_fp, s_alias, field=s_fld))
     frm = m.group("from")
     measurement_regex = None
+    measurement_list = None
     if frm.startswith("/") and frm.endswith("/"):
         rp, measurement = None, frm[1:-1]
         measurement_regex = frm[1:-1]
@@ -733,6 +741,19 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             re.compile(measurement_regex)
         except re.error as e:
             raise InfluxQLParseError(f"bad measurement regex: {e}") from None
+    elif "," in frm:
+        # FROM "a", "b" (public InfluxQL measurement lists): plan each,
+        # one series per measurement — same loop as regex FROM. All
+        # entries must agree on an explicit retention policy prefix.
+        parts = [_parse_from(p.strip()) for p in frm.split(",")]
+        rps = {p[0] for p in parts}
+        if len(rps) > 1:
+            raise InfluxQLParseError(
+                f"FROM list mixes retention policies: {sorted(r or '' for r in rps)}"
+            )
+        rp = parts[0][0]
+        measurement_list = [p[1] for p in parts]
+        measurement = measurement_list[0]
     else:
         rp, measurement = _parse_from(frm)
 
@@ -892,6 +913,10 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             )
         if subquery.measurement_regex is not None:
             raise InfluxQLParseError("regex FROM inside a subquery is unsupported")
+        if subquery.measurement_list is not None:
+            raise InfluxQLParseError(
+                "a FROM measurement list inside a subquery is unsupported"
+            )
         # InfluxDB bounds the outer statement by the inner one's range;
         # an outer statement without its own WHERE time inherits it
         if not (relative_time or req.relative_to_time or from_time or to_time):
@@ -907,10 +932,10 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             raise InfluxQLParseError(
                 ":MEASUREMENT backreference is CQ-only (see parse_cq_ddl)"
             )
-        if measurement_regex is not None:
+        if measurement_regex is not None or measurement_list is not None:
             raise InfluxQLParseError(
-                "INTO with a regex FROM is not supported: the target would "
-                "merge every matching measurement into one"
+                "INTO with a regex/list FROM is not supported: the target "
+                "would merge every matching measurement into one"
             )
         if selectors is not None:
             raise InfluxQLParseError(
@@ -933,6 +958,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         into_measurement=into_measurement,
         into_rp=into_rp,
         value_arith=value_arith,
+        measurement_list=measurement_list,
     )
 
 

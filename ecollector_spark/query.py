@@ -207,6 +207,30 @@ _WINDOW_TRANSFORMS = {
     "elapsed",
 }
 
+#: per-row scalar math wraps (public InfluxQL transformation functions:
+#: ``SELECT sqrt(mean("value")) ...``) — pure projections on the value
+#: column, applied like abs (before FILL, so null buckets fill the
+#: function's OUTPUT series, matching InfluxDB). All JVM built-ins;
+#: sqrt/ceil/floor are IEEE-exact cross-engine, transcendentals are
+#: correct to ~1 ulp (gates round).
+_SCALAR_TRANSFORMS = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "round": F.round,
+    "sqrt": F.sqrt,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+}
+
 
 def _mode_agg(df, bucket_cols, group_cols, value_col, ts_epoch):
     """InfluxQL ``mode()``: the most frequent value per bucket. Tie-break
@@ -639,11 +663,11 @@ class QueryPlanner:
             tf = req.transform_function or (
                 "difference" if req.data_function == "difference" else ""
             )
-            if tf == "abs":
+            if tf in _SCALAR_TRANSFORMS:
                 out = df.select(
                     ts_epoch.alias("time"),
                     *[F.col(t) for t in tag_cols],
-                    F.abs(F.col(value_col)).cast("double").alias("value"),
+                    _SCALAR_TRANSFORMS[tf](F.col(value_col)).cast("double").alias("value"),
                 )
                 return out.orderBy("time", *tag_cols)
             if tf == "moving_average":
@@ -758,8 +782,10 @@ class QueryPlanner:
         # transform wrap (influxdb_v1.go:184-186): f(g(field)). abs and
         # difference are the reference's own surface; the rest of the
         # window family is the hand-written InfluxQL set (public docs)
-        if req.transform_function == "abs":
-            agg = agg.withColumn("value", F.abs(F.col("value")))
+        if req.transform_function in _SCALAR_TRANSFORMS:
+            agg = agg.withColumn(
+                "value", _SCALAR_TRANSFORMS[req.transform_function](F.col("value"))
+            )
         elif req.transform_function in _WINDOW_TRANSFORMS:
             agg = _apply_window_transform(
                 agg, req.transform_function, req.transform_param, group_cols, step

@@ -97,8 +97,11 @@ class TestParse:
         assert iq.request.transform_function == "difference"
         assert iq.request.data_function == "max"
         assert iq.request.group_by_time == "10m"
+        # exp() joined the supported scalar wraps in r6; a genuinely
+        # unknown transform still raises
+        assert parse_influxql('SELECT exp(max("value")) FROM m').request.transform_function == "exp"
         with pytest.raises(InfluxQLParseError):
-            parse_influxql('SELECT exp(max("value")) FROM m')
+            parse_influxql('SELECT frobnicate(max("value")) FROM m')
 
     def test_three_part_from(self):
         # the reference's energy query shape (influxdb_v1.go:233)
@@ -1594,3 +1597,113 @@ class TestGroupByStar:
         )
         tags = split_group_tags(iq.request.group_by_tag)
         assert tags.count("dev_id") == 1 and len(tags) == 7
+
+
+class TestScalarMathAndMultiFrom:
+    """r6 continuation: public-InfluxQL scalar math wraps and FROM
+    measurement lists."""
+
+    NOW = datetime(2024, 1, 1, 4, 0, 0, tzinfo=timezone.utc)
+    RANGE = ("WHERE time >= '2024-01-01T00:00:00Z' "
+             "AND time <= '2024-01-01T04:00:00Z'")
+
+    def _planner(self, spark):
+        from ecollector_spark.query import QueryPlanner
+
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [
+            ("m1", base + timedelta(minutes=30 * i), "d1", float((i + 1) ** 2))
+            for i in range(4)  # values 1, 4, 9, 16
+        ]
+        df = spark.createDataFrame(
+            rows, "measurement string, ts timestamp, dev_id string, value_f double"
+        )
+        return QueryPlanner(lambda t: df)
+
+    def _run(self, spark, q):
+        from ecollector_spark.influxql import parse_influxql, plan_tree
+
+        return plan_tree(self._planner(spark), parse_influxql(q), now=self.NOW).collect()
+
+    def test_sqrt_of_max_per_bucket(self, spark):
+        rows = self._run(
+            spark,
+            f'SELECT sqrt(max("value")) FROM "m1" {self.RANGE} '
+            "GROUP BY time(1h) FILL(none)",
+        )
+        # hourly maxes 4, 16 -> sqrt = 2, 4
+        assert [r["value"] for r in rows] == [2.0, 4.0]
+
+    def test_ceil_floor_round_ln(self, spark):
+        rows = self._run(
+            spark,
+            f'SELECT ln(mean("value")) FROM "m1" {self.RANGE} GROUP BY time(4h) FILL(none)',
+        )
+        import math
+
+        assert rows[0]["value"] == pytest.approx(math.log(7.5))
+        rows = self._run(
+            spark,
+            f'SELECT ceil(mean("value")) FROM "m1" {self.RANGE} GROUP BY time(4h) FILL(none)',
+        )
+        assert rows[0]["value"] == 8.0
+
+    def test_raw_scalar_wrap(self, spark):
+        rows = self._run(spark, f'SELECT sqrt("value") FROM "m1" {self.RANGE}')
+        assert [r["value"] for r in rows] == [1.0, 2.0, 3.0, 4.0]
+
+    def test_scalar_composes_with_fill_zero(self, spark):
+        rows = self._run(
+            spark,
+            'SELECT sqrt(mean("value")) FROM "m1" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T03:00:00Z' "
+            "GROUP BY time(1h) FILL(0)",
+        )
+        vals = [r["value"] for r in sorted(rows, key=lambda r: r["time"])]
+        # hours 0 and 1 hold data (sqrt of means), 2 and 3 fill AFTER the
+        # function -> exact zeros, like InfluxDB
+        assert vals[2:] == [0.0, 0.0] and vals[0] > 0
+
+    def test_scalar_takes_no_parameter(self):
+        from ecollector_spark.influxql import InfluxQLParseError, parse_influxql
+
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql('SELECT sqrt(mean("value"), 2) FROM "m"')
+
+    def test_multi_from_parse(self):
+        from ecollector_spark.influxql import InfluxQLParseError, parse_influxql
+
+        iq = parse_influxql(
+            'SELECT mean("value") FROM "a", "b", "c" GROUP BY time(1h)'
+        )
+        assert iq.measurement_list == ["a", "b", "c"]
+        assert iq.measurement == "a"
+        # mixed explicit retention policies refuse
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql('SELECT mean("value") FROM "gen_raw"."a", "gen_day"."b"')
+        # INTO would merge the list into one target: refuse
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql('SELECT mean("value") INTO "t" FROM "a", "b"')
+
+    def test_multi_from_api_returns_one_series_per_measurement(self, spark, tmp_path):
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:10:00", "7", 100.0),
+            ("electricity_meter_energy", "2024-01-01T00:20:00", "7", 5.0),
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 1, tzinfo=timezone.utc)
+        # 30s buckets keep the mean-upgrade routing on gen_raw (a 1h
+        # group would upgrade to the - here unpopulated - gen_month tier)
+        rep = api.run_query(
+            'SELECT mean("value") FROM "electricity_meter_power", '
+            '"electricity_meter_energy" WHERE time > now()-1d '
+            "GROUP BY time(30s) FILL(none)",
+            now=now,
+        )
+        series = rep["val"]["Results"][0]["Series"]
+        assert [s["name"] for s in series] == [
+            "electricity_meter_power", "electricity_meter_energy",
+        ]
+        assert series[0]["values"][0][1] == 100.0
+        assert series[1]["values"][0][1] == 5.0
