@@ -881,23 +881,37 @@ class TestParseProperties:
             alias=ident,
             arith=st.sampled_from(["", " * 2", " * 1000 + 5", " / 4 - 1"]),
             tz=st.sampled_from(["", "America/Los_Angeles", "Europe/Oslo", "UTC"]),
+            wrap=st.sampled_from(["", "sqrt", "ln", "ceil", "abs"]),
+            nfrom=st.integers(min_value=1, max_value=3),
         )
-        def check(meas, fn, d, g, tagv, fill, alias, arith, tz):
+        def check(meas, fn, d, g, tagv, fill, alias, arith, tz, wrap, nfrom):
             from ecollector_spark.influxql import parse_influxql
 
             # alias only parses on the plain (non-arithmetic) selector
-            # via _SEL_RE; arithmetic carries its own AS clause
+            # via _SEL_RE; arithmetic carries its own AS clause. A scalar
+            # wrap replaces arithmetic in this template (wrapped leaves
+            # inside expressions are a separately-tested shape).
             sel = f'{fn}("value"){arith}'
+            if wrap and not arith:
+                sel = f'{wrap}({fn}("value"))'
             tz_clause = f" tz('{tz}')" if tz else ""
+            metas = [meas] + [f"{meas}{i}" for i in range(1, nfrom)]
+            frm = ", ".join(f'"{m2}"' for m2 in metas)
             q = (
-                f'SELECT {sel} AS "{alias}" FROM "{meas}" '
+                f'SELECT {sel} AS "{alias}" FROM {frm} '
                 f"WHERE time > now()-{d} AND \"dev_id\"='{tagv}' "
                 f"AND \"domain\"='{tagv}' GROUP BY time({g}) FILL({fill})"
                 f"{tz_clause}"
             )
             iq = parse_influxql(q)
             assert iq.measurement == meas
+            if nfrom > 1:
+                assert iq.measurement_list == metas
+            else:
+                assert iq.measurement_list is None
             assert iq.request.data_function == fn
+            if wrap and not arith:
+                assert iq.request.transform_function == wrap
             assert iq.request.relative_time == d
             assert iq.request.group_by_time == g
             assert iq.request.fill_type == fill
