@@ -124,7 +124,11 @@ m1 AS (SELECT event_type, user_id,
 m10 AS (SELECT event_type, user_id,
                CAST(floor(t/600) AS BIGINT)*600 AS t, avg(v) AS v
         FROM m1 GROUP BY 1, 2, 3),
-q AS (SELECT t AS time, round(avg(v), 4) AS value
+-- the 1e-9 nudge shifts the rounding boundary off the exact-decimal
+-- points chained means structurally land on (x.00005: sum/count of
+-- 2-decimal inputs) — a 1-ulp cross-engine difference at such a point
+-- would otherwise flip the rounded digit (observed at sf0.1)
+q AS (SELECT t AS time, round(avg(v) + 0.000000001, 4) AS value
       FROM m10 WHERE t > {_LC_FROM_EPOCH} GROUP BY 1)
 SELECT 'pre' AS phase, time, value FROM q
 UNION ALL
@@ -220,7 +224,7 @@ def lifecycle_tiered_query(spark, sf_dir):
         planner = QueryPlanner(w.tier_reader())
         pre = (
             planner.plan(req, now=now_dt)
-            .withColumn("value", F.round("value", 4))
+            .withColumn("value", F.round(F.col("value") + 1e-9, 4))
             .localCheckpoint(eager=True)  # materialize BEFORE expiry
         )
 
@@ -233,7 +237,7 @@ def lifecycle_tiered_query(spark, sf_dir):
             raise RuntimeError("retention did not empty the raw/day tiers")
         post = (
             planner.plan(req, now=now_dt)
-            .withColumn("value", F.round("value", 4))
+            .withColumn("value", F.round(F.col("value") + 1e-9, 4))
             .localCheckpoint(eager=True)  # materialize before rmtree
         )
         return (
