@@ -89,6 +89,10 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    try:
+        load_before = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_before = None
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -102,12 +106,23 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
+    # machine weather (VERDICT r6 #8): cross-round absolute totals on a
+    # shared container have repeatedly shifted with ambient load, not
+    # code (r5/r6 A/Bs). Record the 1-min load average before and after
+    # the timed section so every BENCH_r{N}.json carries its own
+    # contention evidence; load >> cores means "bound, don't convict".
+    try:
+        load_after = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_after = None
     out = {
         "metric": f"headline query wall time (noop sink), sum of per-query medians of {n_runs} runs",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load1_before": load_before,
+        "load1_after": load_after,
     }
     detail = {**out, "spread": spread, "n_runs": n_runs, "sf_dir": sf_dir}
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":

@@ -135,6 +135,18 @@ class StreamingCorpusIngest:
             1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
         )
 
+    def _match_corpus_layout(self, docs: DataFrame) -> DataFrame:
+        """Shape a to-append frame to the live corpus layout: stamp the
+        ``text_hash`` column on a fresh or already-migrated corpus, omit
+        it on a legacy one (pre-column stores stay schema-homogeneous
+        until compaction migrates them)."""
+        corpus = self.corpus()
+        if corpus is not None and "text_hash" not in corpus.columns:
+            return docs.drop("text_hash") if "text_hash" in docs.columns else docs
+        if "text_hash" in docs.columns:
+            return docs
+        return docs.withColumn("text_hash", F.md5(F.col(self.text_col)))
+
     def compact_corpus(self, target_files: int | None = None) -> bool:
         """Rewrite the corpus into ``target_files`` parquet files and
         publish with the rename-aside swap. Moves bytes, never rows —
@@ -146,6 +158,10 @@ class StreamingCorpusIngest:
         corpus = self.corpus()
         if corpus is None:
             return False
+        if "text_hash" not in corpus.columns:
+            # migrate a legacy (pre-hash-column) store in the rewrite —
+            # one extra md5 over text the compaction reads anyway
+            corpus = corpus.withColumn("text_hash", F.md5(F.col(self.text_col)))
         target = int(target_files or self.compact_target_files) or 1
         tmp = self._path("corpus.next")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -219,7 +235,17 @@ class StreamingCorpusIngest:
             os.path.join(tmp, "sigs")
         )
         _publish_dir(tmp, self._path("manifests"))
-        kept_docs.write.mode("append").parquet(self._path("corpus"))
+        # the corpus stores md5(text) as a COLUMN so repair's coverage
+        # check is a narrow columnar projection, never a full-text
+        # re-hash of the corpus (ADVICE r6: a duplicate-heavy stream
+        # triggers the repair check on every all-dup batch). Appends
+        # always match the live corpus layout — a legacy store (no hash
+        # column) keeps its schema so reads stay homogeneous (a mixed
+        # store would surface null hashes and break repair's coverage);
+        # the next compaction migrates it wholesale.
+        self._match_corpus_layout(kept_docs).write.mode("append").parquet(
+            self._path("corpus")
+        )
         # bounded small-file growth: runs strictly AFTER the append, so
         # every crash window is one the existing protocol already covers
         self._maybe_compact()
@@ -238,14 +264,20 @@ class StreamingCorpusIngest:
         batch_h = batch_df.withColumn("text_hash", h)
         corpus = self.corpus()
         # covered = corpus hashes, pruned to THIS batch's hash set (a
-        # broadcast semi-join) before the distinct — the corpus scan is
-        # unavoidable (hashes aren't a stored column) but the shuffle is
-        # bounded by the micro-batch size, not the corpus
+        # broadcast semi-join) before the distinct. The corpus side reads
+        # the stored text_hash COLUMN (a narrow columnar projection —
+        # parquet never touches the text bytes); corpora written before
+        # the column existed fall back to re-hashing text once, and the
+        # next compaction persists the column
+        if corpus is not None:
+            corp_h = (
+                corpus.select("text_hash")
+                if "text_hash" in corpus.columns
+                else corpus.select(F.md5(F.col(self.text_col)).alias("text_hash"))
+            )
         batch_hashes = batch_h.select("text_hash").distinct()
         covered = (
-            corpus.select(F.md5(F.col(self.text_col)).alias("text_hash"))
-            .join(F.broadcast(batch_hashes), "text_hash", "left_semi")
-            .distinct()
+            corp_h.join(F.broadcast(batch_hashes), "text_hash", "left_semi").distinct()
             if corpus is not None
             else self.spark.createDataFrame([], "text_hash string")
         )
@@ -253,16 +285,19 @@ class StreamingCorpusIngest:
             batch_h.join(seen_exact, "text_hash", "left_semi")
             .join(covered, "text_hash", "left_anti")
         )
-        # one keeper per lost hash (min doc_id, like the batch dedup)
+        # one keeper per lost hash (min doc_id, like the batch dedup);
+        # text_hash stays when the corpus carries the column
         keeper = missing.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
         lost = (
             missing.join(keeper, ["text_hash", "doc_id"])
-            .drop("text_hash")
+            .select(*batch_df.columns, "text_hash")
             .localCheckpoint(eager=True)
         )
         n = lost.count()
         if n:
-            lost.write.mode("append").parquet(self._path("corpus"))
+            self._match_corpus_layout(lost).write.mode("append").parquet(
+                self._path("corpus")
+            )
         return n
 
     # -- stream wiring ------------------------------------------------------

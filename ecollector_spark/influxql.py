@@ -429,6 +429,14 @@ class InfluxQLQuery:
     value_arith: tuple | None = None
 
 
+def _split_from_list(frm: str) -> list[str]:
+    """Split a FROM clause on commas OUTSIDE double-quoted identifiers:
+    ``"a", "b"`` -> two entries; ``"a,b"`` (a measurement whose name
+    contains a comma — accepted by the single-FROM grammar) -> one.
+    A comma is a separator iff an even number of ``"`` follows it."""
+    return re.split(r',(?=(?:[^"]*"[^"]*")*[^"]*$)', frm)
+
+
 def _parse_from(frm: str) -> tuple[str | None, str]:
     """'["db".]["rp".]"measurement"' | unquoted equivalents. The 3-part
     form is what the reference's energy query emits
@@ -741,11 +749,14 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             re.compile(measurement_regex)
         except re.error as e:
             raise InfluxQLParseError(f"bad measurement regex: {e}") from None
-    elif "," in frm:
+    elif len(_split_from_list(frm)) > 1:
         # FROM "a", "b" (public InfluxQL measurement lists): plan each,
         # one series per measurement — same loop as regex FROM. All
         # entries must agree on an explicit retention policy prefix.
-        parts = [_parse_from(p.strip()) for p in frm.split(",")]
+        # Splitting is quote-aware: a measurement named "a,b" (legal in
+        # the single-FROM grammar) is ONE entry, not a two-item list
+        # (ADVICE r6).
+        parts = [_parse_from(p.strip()) for p in _split_from_list(frm)]
         rps = {p[0] for p in parts}
         if len(rps) > 1:
             raise InfluxQLParseError(
@@ -973,11 +984,14 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
     from ecollector_spark.query import QueryPlanner, split_group_tags
 
     def _with_arith(df, req):
-        """Apply the statement's selector arithmetic to a planned frame.
-        Single-leaf: the expression post-applies to the value column
-        (fills, transforms, tier routing unchanged — mean("value") * 2,
-        "value" * 1000). Multi-leaf: the plan_multi columns combine per
-        bucket into ONE value column."""
+        """Apply the statement's MULTI-leaf selector arithmetic to a
+        planned frame: the plan_multi columns combine per bucket into
+        ONE value column (fill is FILL(none) for multi-select, so
+        post-combining is fill-exact). Single-leaf arithmetic does NOT
+        ride this wrapper — it goes through plan(post_agg=...) so it
+        applies BEFORE gap fill, like the scalar-transform path:
+        FILL(0) buckets must carry the literal 0, not expr(0)
+        (ADVICE r6)."""
         if iq.value_arith is None:
             return df
         from pyspark.sql import functions as F
@@ -994,10 +1008,21 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
             "value", arith_column(iq.value_arith, [F.col("value")]).cast("double")
         )
 
+    def _single_leaf_post_agg():
+        """plan(post_agg=...) hook for single-leaf arithmetic
+        (mean("value") * 2 + 1, "value" * 1000)."""
+        if iq.value_arith is None or iq.selectors is not None:
+            return None
+        from pyspark.sql import functions as F
+
+        return lambda d: d.withColumn(
+            "value", arith_column(iq.value_arith, [F.col("value")]).cast("double")
+        )
+
     if iq.subquery is None:
         if iq.selectors is not None:
             return _with_arith(planner.plan_multi(iq.request, iq.selectors, now=now), iq.request)
-        return _with_arith(planner.plan(iq.request, now=now), iq.request)
+        return planner.plan(iq.request, now=now, post_agg=_single_leaf_post_agg())
     # the inner statement's OWN result clauses (ORDER/LIMIT/SLIMIT)
     # apply before the outer statement sees its rows
     inner = apply_result_shape(plan_tree(planner, iq.subquery, now=now), iq.subquery)
@@ -1014,7 +1039,7 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
     sub_planner = QueryPlanner(lambda tier: src, profile=getattr(planner, "profile", None) or "optimized")
     if iq.selectors is not None:
         return _with_arith(sub_planner.plan_multi(outer_req, iq.selectors, now=now), outer_req)
-    return _with_arith(sub_planner.plan(outer_req, now=now), outer_req)
+    return sub_planner.plan(outer_req, now=now, post_agg=_single_leaf_post_agg())
 
 
 def _align_inherited_range(iq: InfluxQLQuery, now):

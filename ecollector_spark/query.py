@@ -635,7 +635,20 @@ class QueryPlanner:
             "fill_type": fill_type,
         }
 
-    def plan(self, req: DataPointsRequest, now: datetime | None = None) -> DataFrame:
+    def plan(
+        self,
+        req: DataPointsRequest,
+        now: datetime | None = None,
+        post_agg=None,
+    ) -> DataFrame:
+        """``post_agg`` (optional ``DataFrame -> DataFrame`` over the
+        ``value`` column) applies at the same point as the scalar
+        transform wraps — after the aggregate/transform, BEFORE gap
+        fill — so FILL(0)/FILL(linear) buckets carry the literal fill
+        value, not the expression applied to it (InfluxDB fills the
+        expression's output; ADVICE r6). The InfluxQL selector-arithmetic
+        path rides this hook."""
+        _post = post_agg if post_agg is not None else (lambda d: d)
         df, ctx = self._prepare(req, now)
         ts_epoch = ctx["ts_epoch"]
         from_epoch, to_epoch = ctx["from_epoch"], ctx["to_epoch"]
@@ -669,26 +682,28 @@ class QueryPlanner:
                     *[F.col(t) for t in tag_cols],
                     _SCALAR_TRANSFORMS[tf](F.col(value_col)).cast("double").alias("value"),
                 )
-                return out.orderBy("time", *tag_cols)
+                return _post(out).orderBy("time", *tag_cols)
             if tf == "moving_average":
                 raise ValueError("moving_average requires GROUP BY time or an aggregate")
             if tf:
-                return _raw_window_transform(
-                    df,
-                    tf,
-                    req.transform_param,
-                    tag_cols,
-                    ts_epoch,
-                    value_col,
-                    from_epoch,
-                    to_epoch,
+                return _post(
+                    _raw_window_transform(
+                        df,
+                        tf,
+                        req.transform_param,
+                        tag_cols,
+                        ts_epoch,
+                        value_col,
+                        from_epoch,
+                        to_epoch,
+                    )
                 )
             out = df.select(
                 ts_epoch.alias("time"),
                 *[F.col(t) for t in tag_cols],
                 F.col(value_col).alias("value"),
             )
-            return out.orderBy("time", *tag_cols)
+            return _post(out).orderBy("time", *tag_cols)
 
         group_cols = tag_cols
         if data_function == "percentile":
@@ -710,7 +725,7 @@ class QueryPlanner:
                 )
             if req.tz:
                 raise ValueError(f"tz() is not supported with {data_function}")
-            return _cardinality_select(
+            return _post(_cardinality_select(
                 df,
                 data_function,
                 req.function_param,
@@ -720,7 +735,7 @@ class QueryPlanner:
                 value_col,
                 ts_epoch,
                 from_epoch,
-            )
+            ))
         # tz('<zone>') (public InfluxQL): buckets align to the zone's
         # WALL clock. Everything downstream — groupBy, fill spine,
         # chunked fill windows — runs in wall-second space (uniform even
@@ -728,6 +743,19 @@ class QueryPlanner:
         # converts each wall bucket start back to its UTC instant. Raw
         # (unbucketed) shapes are unaffected: tz only moves bucket
         # boundaries, and our wire format is epoch seconds either way.
+        #
+        # DOCUMENTED DEVIATION (ADVICE r6): wall space is many-to-one
+        # during a DST fall-back — the two UTC hours that share a wall
+        # label (01:00 PDT and 01:00 PST on 2024-11-03) map to ONE wall
+        # bucket for sub-day steps, so their aggregates merge into a
+        # single row where InfluxDB emits two distinct hourly buckets.
+        # The uniform wall spine is what makes every FILL mode exact
+        # everywhere else; keeping the repeated hour distinct requires a
+        # non-uniform UTC spine (one wall start -> two instants on
+        # fall-back, zero on spring-forward) threaded through gap_fill.
+        # Deviation scope: the one repeated wall hour per zone-year, for
+        # step < 1d only (daily+ buckets legitimately span the shift).
+        # Pinned by TestTzClause::test_dst_fall_back_merges_repeated_hour.
         fill_from, fill_to = from_epoch, to_epoch
         if req.tz and step:
             from zoneinfo import ZoneInfo
@@ -792,6 +820,8 @@ class QueryPlanner:
             )
         elif req.transform_function:
             raise ValueError(f"unsupported transform_function: {req.transform_function!r}")
+
+        agg = _post(agg)
 
         if step and req.transform_function not in _WINDOW_TRANSFORMS and data_function != "difference":
             agg = gap_fill(

@@ -30,14 +30,36 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    explicit_shuffle = shuffle_partitions is not None or "SPARK_GRAFT_SHUFFLE" in os.environ
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    # Data-proportional shuffle parallelism (VERDICT r6 #1): a fixed
+    # partition count is the one measured scale-killer — 32 packs ~6 M
+    # rows/partition at the 1000x rung (preagg exponent 1.61, minhash
+    # spill). AQE only coalesces DOWN, so the engine starts every batch
+    # shuffle WIDE (initialPartitionNum = max(8 x cores, 512)) and lets
+    # AQE merge small partitions back to the 64 MB advisory target — no
+    # hand-set knob grows with the data. shuffle.partitions itself stays
+    # at the small default: it is the floor for non-AQE paths and the
+    # STREAMING state-store partition count, which must stay stable
+    # across restarts of a checkpointed query. An explicit
+    # shuffle_partitions arg / SPARK_GRAFT_SHUFFLE env pins BOTH (the
+    # escape hatch for experiments; the engine default needs neither).
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+    initial_parts = (
+        shuffle_partitions if explicit_shuffle else max(8 * cores, 512)
+    )
 
     b = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_parts),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

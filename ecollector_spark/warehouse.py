@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +46,19 @@ CSV_COLUMNS = (
 )
 
 
+#: Serializes rename-aside publishes against recovery-on-read. Reads are a
+#: supported concurrent pattern (with_read_retry), and a reader that lands
+#: between _swap_in's two renames would see old-present/dst-missing, rename
+#: the pre-swap copy back over dst and break the writer's final
+#: ``rename(tmp, dst)`` — silently abandoning the replacement data. The
+#: mid-swap state is only distinguishable from a crash by knowing a swap is
+#: in flight, so recovery and publish share one in-process lock (threads
+#: share the Warehouse; the window is two renames, so contention is
+#: microseconds). Cross-process coordination is the object-store manifest
+#: flip documented in _swap_in.
+_SWAP_LOCK = threading.RLock()
+
+
 def _recover_measurement_swaps(tier_path: str) -> None:
     """Recover measurement-level rename-aside crashes inside a tier dir
     (``delete_points`` swaps at that granularity): any ``<m>.old`` whose
@@ -53,9 +67,10 @@ def _recover_measurement_swaps(tier_path: str) -> None:
     measurement. A directory listing, no scan."""
     if not os.path.isdir(tier_path):
         return
-    for d in os.listdir(tier_path):
-        if d.endswith(".old"):
-            _recover_crashed_swap(os.path.join(tier_path, d[: -len(".old")]))
+    with _SWAP_LOCK:
+        for d in os.listdir(tier_path):
+            if d.endswith(".old"):
+                _recover_crashed_swap(os.path.join(tier_path, d[: -len(".old")]))
 
 
 def _recover_crashed_swap(dst: str) -> None:
@@ -64,17 +79,19 @@ def _recover_crashed_swap(dst: str) -> None:
     ``.old`` directory holds the only complete copy of the data. Restore
     it as the live directory instead of letting the next swap (or a
     rewrite that reads the now-missing ``dst``) delete the last good
-    copy. No-op in every healthy state."""
+    copy. No-op in every healthy state. Holds _SWAP_LOCK so a concurrent
+    in-flight swap is never mistaken for a crash."""
     old = dst + ".old"
-    if os.path.isdir(old) and not os.path.isdir(dst):
-        os.rename(old, dst)
-    elif os.path.isdir(old) and os.path.isdir(dst):
-        # crash AFTER rename(tmp, dst) but before rmtree(old): the live
-        # dir is the published replacement and the leftover ``.old`` is
-        # the pre-swap copy — without this, partition discovery surfaces
-        # a phantom 'm.old' measurement (including just-deleted rows)
-        # until the next swap of the same measurement
-        shutil.rmtree(old, ignore_errors=True)
+    with _SWAP_LOCK:
+        if os.path.isdir(old) and not os.path.isdir(dst):
+            os.rename(old, dst)
+        elif os.path.isdir(old) and os.path.isdir(dst):
+            # crash AFTER rename(tmp, dst) but before rmtree(old): the live
+            # dir is the published replacement and the leftover ``.old`` is
+            # the pre-swap copy — without this, partition discovery surfaces
+            # a phantom 'm.old' measurement (including just-deleted rows)
+            # until the next swap of the same measurement
+            shutil.rmtree(old, ignore_errors=True)
 
 
 class Warehouse:
@@ -117,15 +134,19 @@ class Warehouse:
         then is the old copy deleted — the not-there window is two cheap
         renames instead of a full ``rmtree`` of the live data. (Single
         local filesystem; on an object store this becomes a manifest
-        pointer flip.)"""
+        pointer flip.) Holds _SWAP_LOCK across the window so a concurrent
+        reader's recovery pass cannot rename ``.old`` back over ``dst``
+        mid-swap (which would fail the final rename and abandon the
+        replacement data)."""
         old = dst + ".old"
-        _recover_crashed_swap(dst)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(dst):
-            os.rename(dst, old)
-        os.rename(tmp, dst)
-        shutil.rmtree(old, ignore_errors=True)
+        with _SWAP_LOCK:
+            _recover_crashed_swap(dst)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            os.rename(tmp, dst)
+            shutil.rmtree(old, ignore_errors=True)
 
     def _stamp_dt(self, df: DataFrame) -> DataFrame:
         if self.date_partition and "dt" not in df.columns:

@@ -924,6 +924,48 @@ class TestConcurrentReadDuringSwap:
             t.join(timeout=60)
         assert errors == []
 
+    def test_recovery_mid_swap_does_not_break_writer(self, spark, wh, monkeypatch):
+        """ADVICE r6: a reader's recovery pass landing between _swap_in's
+        rename(dst, old) and rename(tmp, dst) must not rename the .old
+        copy back over dst (which fails the writer's final rename and
+        abandons the replacement). The injected recovery blocks on
+        _SWAP_LOCK until the swap completes, then no-ops."""
+        import threading
+        import time
+
+        from ecollector_spark import warehouse as whmod
+
+        tier_dir = wh.tier_path("gen_raw")
+        real_rename = os.rename
+        recovered = threading.Event()
+        injected: list[threading.Thread] = []
+
+        def racy_rename(src, dst):
+            real_rename(src, dst)
+            if src == tier_dir and dst == tier_dir + ".old":
+                # mid-swap window: dst missing, .old present — fire the
+                # reader-side recovery exactly here
+                def reader_recovery():
+                    whmod._recover_crashed_swap(tier_dir)
+                    recovered.set()
+
+                t = threading.Thread(target=reader_recovery)
+                t.start()
+                injected.append(t)
+                time.sleep(0.3)  # give the racer a chance to misbehave
+
+        monkeypatch.setattr(whmod.os, "rename", racy_rename)
+        cut = int(datetime(2024, 1, 1, 0, 5, 30, tzinfo=timezone.utc).timestamp())
+        wh.replace_points_from(self._replacement(spark), "gen_raw", cut)
+        monkeypatch.undo()
+        for t in injected:
+            t.join(timeout=30)
+        assert injected and recovered.is_set()
+        # writer won: the replacement row is live, no .old residue
+        vals = sorted(r["value_f"] for r in wh.read_tier("gen_raw").collect())
+        assert vals == [21.5, 100.0, 999.0]
+        assert not os.path.isdir(tier_dir + ".old")
+
     def test_orphan_old_dir_is_cleaned(self, spark, wh):
         """ADVICE r5: a crash between rename(tmp, dst) and rmtree(old)
         leaves BOTH measurement=m and measurement=m.old; recovery must

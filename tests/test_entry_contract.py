@@ -72,6 +72,32 @@ def test_registry_shape(registry):
     assert set(queries) == set(oracles)
 
 
+def test_survey_gate_ledger_matches_registry(registry):
+    """VERDICT r6 #6: SURVEY's gate ledger drifted from the registry
+    (claimed 134, registry held 131). The ledger line is now canonical
+    and machine-checked — SURVEY.md must carry exactly one
+    ``GATE-LEDGER: <m> main + <s> shelved = <t>`` line whose numbers
+    equal the live registry."""
+    import os
+    import re
+
+    from ecollector_spark.driver_queries import QUERIES, SHELVED_QUERIES
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(path) as f:
+        text = f.read()
+    claims = re.findall(
+        r"GATE-LEDGER:\s*(\d+) main \+ (\d+) shelved = (\d+)", text
+    )
+    assert len(claims) == 1, f"expected exactly one GATE-LEDGER line, got {claims}"
+    m, s, t = (int(x) for x in claims[0])
+    assert m == len(QUERIES), f"SURVEY claims {m} main, registry has {len(QUERIES)}"
+    assert s == len(SHELVED_QUERIES), (
+        f"SURVEY claims {s} shelved, registry has {len(SHELVED_QUERIES)}"
+    )
+    assert t == m + s == len(QUERIES) + len(SHELVED_QUERIES)
+
+
 def test_operators_doc_covers_registry(registry):
     """docs/OPERATORS.md claims to be checked against the gate registry —
     make that literally true: every main-gate name must appear in the

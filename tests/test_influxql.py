@@ -1445,6 +1445,35 @@ class TestSelectorArithmetic:
         with pytest.raises(InfluxQLParseError):
             parse_influxql('SELECT difference("value") - min("value") FROM "m1"')
 
+    def test_fill_zero_carries_literal_zero(self, spark):
+        """ADVICE r6: FILL(0) buckets carry the literal fill value, not
+        the expression applied to it — InfluxDB fills the expression's
+        OUTPUT, so mean*2+1 over an empty bucket is 0, not 1. (Same rule
+        the scalar-transform path already follows.)"""
+        rows = self._run(
+            spark,
+            'SELECT mean("value") * 2 + 1 FROM "m1" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T05:00:00Z' "
+            "GROUP BY time(1h) FILL(0)",
+        )
+        vals = [r["value"] for r in sorted(rows, key=lambda r: r["time"])]
+        # data hours scale (means 1.5/3.5/5.5 -> 4/8/12); empty hours are 0
+        assert vals == [4.0, 8.0, 12.0, 0.0, 0.0, 0.0]
+
+    def test_fill_linear_interpolates_expression_output(self, spark):
+        """FILL(linear) interpolates between the expression's outputs —
+        arithmetic applies before the fill spine, so interpolated buckets
+        sit on the scaled line, identically to InfluxDB."""
+        rows = self._run(
+            spark,
+            'SELECT mean("value") * 10 FROM "m1" '
+            "WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T02:00:00Z' "
+            "GROUP BY time(2h) FILL(linear)",
+        )
+        vals = [r["value"] for r in sorted(rows, key=lambda r: r["time"])]
+        # range <= 02:00 keeps rows 1..5; 2h means 2.5 and 5 -> scaled 25, 50
+        assert vals == [25.0, 50.0]
+
     def test_arith_inside_subquery_tree(self, spark):
         """Arithmetic composes through FROM (subquery) on both levels:
         the inner expression feeds the outer aggregate, and the outer
@@ -1550,6 +1579,53 @@ class TestTzClause:
 
         with pytest.raises(InfluxQLParseError):
             parse_influxql("SELECT mean(\"value\") FROM \"m\" GROUP BY time(1h) tz('Not/AZone')")
+
+    def test_dst_fall_back_merges_repeated_hour(self, spark):
+        """DOCUMENTED DEVIATION (ADVICE r6): US DST fall-back 2024-11-03
+        — 08:00–09:00 UTC (01:xx PDT) and 09:00–10:00 UTC (01:xx PST)
+        share the wall label 01:00, so sub-day buckets MERGE them into
+        one row whose aggregate spans both UTC hours (InfluxDB emits two
+        distinct hourly buckets). The merged bucket's UTC stamp resolves
+        the ambiguous wall time to the EARLIER offset (08:00 UTC — JDK
+        ZonedDateTime rule via to_utc_timestamp). This pin exists so the
+        deviation is a choice, not an accident — see query.py tz notes."""
+        rows = [
+            ("m1", datetime(2024, 11, 3, 8, 30, tzinfo=timezone.utc), "d", 10.0),  # 01:30 PDT
+            ("m1", datetime(2024, 11, 3, 9, 30, tzinfo=timezone.utc), "d", 30.0),  # 01:30 PST
+            ("m1", datetime(2024, 11, 3, 10, 30, tzinfo=timezone.utc), "d", 7.0),  # 02:30 PST
+        ]
+        out = self._run(
+            spark,
+            rows,
+            'SELECT mean("value") FROM "m1" '
+            "WHERE time >= '2024-11-03T08:00:00Z' AND time <= '2024-11-03T11:00:00Z' "
+            "GROUP BY time(1h) FILL(none) tz('America/Los_Angeles')",
+        )
+        vals = {r["time"]: r["value"] for r in out}
+        wall_0100_dst = int(datetime(2024, 11, 3, 8, 0, tzinfo=timezone.utc).timestamp())
+        wall_0200_std = int(datetime(2024, 11, 3, 10, 0, tzinfo=timezone.utc).timestamp())
+        assert vals == {wall_0100_dst: 20.0, wall_0200_std: 7.0}
+
+    def test_dst_fall_back_daily_bucket_spans_25_hours(self, spark):
+        """The fall-back DAY is correct (25 wall hours, one bucket):
+        points at 07:30 UTC (00:30 PDT) and 19:30 UTC (11:30 PST) both
+        land in the Nov 3 LA day, whose start is 07:00 UTC."""
+        rows = [
+            ("m1", datetime(2024, 11, 3, 7, 30, tzinfo=timezone.utc), "d", 1.0),
+            ("m1", datetime(2024, 11, 3, 19, 30, tzinfo=timezone.utc), "d", 3.0),
+            ("m1", datetime(2024, 11, 4, 8, 30, tzinfo=timezone.utc), "d", 9.0),
+        ]
+        out = self._run(
+            spark,
+            rows,
+            'SELECT mean("value") FROM "m1" '
+            "WHERE time >= '2024-11-03T07:00:00Z' AND time <= '2024-11-05T00:00:00Z' "
+            "GROUP BY time(1d) FILL(none) tz('America/Los_Angeles')",
+        )
+        vals = {r["time"]: r["value"] for r in out}
+        nov3_la = int(datetime(2024, 11, 3, 7, 0, tzinfo=timezone.utc).timestamp())
+        nov4_la = int(datetime(2024, 11, 4, 8, 0, tzinfo=timezone.utc).timestamp())
+        assert vals == {nov3_la: 2.0, nov4_la: 9.0}
 
     def test_tz_with_fill_previous_carries_in_wall_space(self, spark):
         """previous-fill runs over the wall-space spine: the empty LA
@@ -1698,6 +1774,19 @@ class TestScalarMathAndMultiFrom:
         # INTO would merge the list into one target: refuse
         with pytest.raises(InfluxQLParseError):
             parse_influxql('SELECT mean("value") INTO "t" FROM "a", "b"')
+
+    def test_quoted_comma_measurement_is_not_a_list(self):
+        """ADVICE r6: a measurement literally named ``a,b`` (legal in the
+        quoted single-FROM grammar) must parse as ONE measurement, not a
+        two-entry FROM list."""
+        from ecollector_spark.influxql import parse_influxql
+
+        iq = parse_influxql('SELECT mean("value") FROM "a,b" GROUP BY time(1h)')
+        assert iq.measurement_list is None
+        assert iq.measurement == "a,b"
+        # and mixed: a list whose FIRST entry contains a comma
+        iq = parse_influxql('SELECT mean("value") FROM "a,b", "c"')
+        assert iq.measurement_list == ["a,b", "c"]
 
     def test_multi_from_api_returns_one_series_per_measurement(self, spark, tmp_path):
         w = Warehouse(spark, str(tmp_path / "w"))

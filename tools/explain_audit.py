@@ -318,6 +318,31 @@ def main():
 
     spark = get_spark("explain_audit")
     failures = 0
+
+    # VERDICT r6 #1: shuffle parallelism must be data-proportional ENGINE
+    # behavior, not a hand-set env knob — AQE coalescing is on and every
+    # batch shuffle starts wide (initialPartitionNum >= max(8 x cores,
+    # 512)), letting AQE merge small stages back down. Without this the
+    # fixed 32-way shuffle was the measured 1000x wall (preagg exponent
+    # 1.61; minhash spill).
+    import os as _os
+
+    if "SPARK_GRAFT_SHUFFLE" not in _os.environ:
+        _cores = int(_os.environ.get("SPARK_GRAFT_CPUS") or _os.cpu_count() or 8)
+        _want = max(8 * _cores, 512)
+        _aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        _coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        _init = int(
+            spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        )
+        if _aqe != "true" or _coal != "true" or _init < _want:
+            print(
+                f"FAIL session-conf: AQE wide-start missing (aqe={_aqe}, "
+                f"coalesce={_coal}, initialPartitionNum={_init}, want >= {_want})"
+            )
+            failures += 1
+        else:
+            print(f"OK session-conf (AQE wide-start, initialPartitionNum={_init})")
     for name, patterns in CHECKS.items():
         df = builders[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
