@@ -107,7 +107,11 @@ class StreamingCorpusIngest:
 
     def manifests(self) -> tuple[DataFrame, DataFrame]:
         """Current ``(seen_exact, seen_sigs)`` — empty frames before the
-        first batch."""
+        first batch. Signature manifests written before the int64
+        migration (mh_i as 4-hex-char strings) are converted on read —
+        hex->int preserves the min/collision structure exactly, so a
+        legacy manifest keeps classifying identically; the next fold
+        publishes longs and the conversion never runs again."""
         _recover_crashed_publish(self._path("manifests"))
         ex = self._read_or_none("manifests", "exact")
         sg = self._read_or_none("manifests", "sigs")
@@ -116,7 +120,16 @@ class StreamingCorpusIngest:
         if sg is None:
             sg = self.spark.createDataFrame(
                 [],
-                "doc_id long, " + ", ".join(f"mh_{i} string" for i in range(self.num_hashes)),
+                "doc_id long, " + ", ".join(f"mh_{i} long" for i in range(self.num_hashes)),
+            )
+        elif any(f.name.startswith("mh_") and f.dataType.simpleString() == "string"
+                 for f in sg.schema.fields):
+            sg = sg.select(
+                "doc_id",
+                *[
+                    F.conv(F.col(f"mh_{i}"), 16, 10).cast("long").alias(f"mh_{i}")
+                    for i in range(self.num_hashes)
+                ],
             )
         return ex, sg
 

@@ -48,7 +48,10 @@ class TestDedup:
         sig = dedup.minhash_signatures(corpus, num_hashes=16).collect()
         for col in [f"mh_{i}" for i in range(16)]:
             vals = {r[col] for r in sig}
-            assert all(v and len(v) == 4 for v in vals)
+            # int64 slices (r7): each is a 16-bit value, never null for
+            # docs with shingles — and not all equal (a constant column
+            # would mean the seeded re-hash degenerated)
+            assert all(v is not None and 0 <= v <= 0xFFFF for v in vals)
         # docs 4 and 5 share no shingles: their extended signatures differ
         by_id = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8, 16)) for r in sig}
         assert by_id[4] != by_id[5]
@@ -1151,6 +1154,43 @@ class TestStreamingIngestCompaction:
         # keepers of every batch
         got = {r["doc_id"]: r["text"] for r in ing.corpus().collect()}
         assert got == expected
+
+    def test_legacy_string_signature_manifest_converts_on_read(self, spark, tmp_path):
+        """r7 int64 migration: a sigs manifest written by the string-era
+        code (mh_i as 4-hex-char strings) must classify identically —
+        hex->int is order- and collision-preserving, so a near-dup of a
+        manifest-known doc still drops."""
+        from pyspark.sql import functions as F
+
+        ing = self._mk(spark, tmp_path)
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+        ing.process_batch(b1, 0)
+        # rewrite the sigs manifest as hex strings (the legacy layout)
+        sigs = ing.manifests()[1]
+        legacy = sigs.select(
+            "doc_id",
+            *[
+                F.lpad(F.conv(F.col(f"mh_{i}").cast("string"), 10, 16), 4, "0").alias(
+                    f"mh_{i}"
+                )
+                for i in range(ing.num_hashes)
+            ],
+        ).localCheckpoint(eager=True)
+        import shutil as _sh
+
+        _sh.rmtree(ing._path("manifests", "sigs"))
+        legacy.write.parquet(ing._path("manifests", "sigs"))
+        got = ing.manifests()[1]
+        assert [f.dataType.simpleString() for f in got.schema.fields if
+                f.name.startswith("mh_")] == ["bigint"] * ing.num_hashes
+        # near-dup of doc 1 (one token changed) must drop against the
+        # converted manifest exactly as against a native one
+        b2 = spark.createDataFrame(
+            [(2, base.replace("theta", "iota"))], "doc_id long, text string"
+        )
+        counts = ing.process_batch(b2, 1)
+        assert counts == {"dup_near_seen": 1}
 
     def test_corpus_stores_text_hash_column(self, spark, tmp_path):
         """ADVICE r6: repair's coverage check reads a stored text_hash
