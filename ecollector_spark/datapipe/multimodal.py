@@ -5,12 +5,19 @@ metadata struct; decode / feature-extraction / resize / frame-sampling
 run as Arrow-batched ``mapInPandas`` stages so the heavy per-item work
 stays columnar and parallel (never a row-at-a-time Python UDF).
 
-The actual codec calls are STUBBED (image/audio libraries are not in
-this environment): `decode_stub=True` produces a deterministic fake
-feature vector from the bytes; `decode_stub=False` raises
-NotImplementedError where Pillow/ffmpeg would be invoked. Everything
-around the stub — schema, batch iteration, partitioning, output shape —
-is real and tested.
+Decode status (r7, VERDICT r6 #5): **PNG decode is REAL** — a
+pure-Python codec (``png_codec``: stdlib zlib + numpy, all five
+scanline filters, nearest-neighbor resample) runs actual pixel work
+inside the mapInPandas stages when ``decode_stub=False`` and the
+``media_type`` is ``image/png``; the ``mm_real_decode`` gate
+value-checks encode→resize→re-encode→decode→feature end to end against
+an analytic DuckDB oracle. Audio/video (and non-PNG images) remain
+honestly stubbed: their codecs need ffmpeg/Pillow, which this
+environment cannot install — ``decode_stub=False`` raises
+NotImplementedError for those types. ``decode_stub=True`` (the
+default, and the only option for audio/video) produces a deterministic
+fake feature from the raw bytes; schema, batch iteration, partitioning
+and output shape are identical on both paths.
 
 Scale notes: binary payloads dominate row size, so the partition-size
 knob is `spark.sql.files.maxPartitionBytes`, not row count; feature
@@ -56,27 +63,90 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_synthetic_png_media(docs: DataFrame) -> DataFrame:
+    """Real, decodable PNG payloads built deterministically from doc_id —
+    the distributed image-generation stage behind the real-decode gate
+    (and any test needing actual images without a dataset). Each doc
+    becomes a constant-luminance grayscale PNG whose dimensions and
+    pixel value are pure functions of doc_id:
+
+        w = 40 + doc_id % 32,  h = 30 + doc_id % 24,  pixel = doc_id % 256
+
+    so an analytic oracle can predict the decoded histogram and resized
+    dimensions without being able to read PNG. Generation runs inside
+    mapInPandas (one numpy fill + encode per row, no driver loop)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ecollector_spark.datapipe.png_codec import encode_png
+
+        for pdf in batches:
+            blobs, widths, heights, nbytes = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 40 + d % 32, 30 + d % 24, d % 256
+                png = encode_png(np.full((h, w), v, dtype=np.uint8))
+                blobs.append(png)
+                widths.append(w)
+                heights.append(h)
+                nbytes.append(len(png))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_type": ["image/png"] * len(blobs),
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     With the stub, the "feature" is a deterministic byte-histogram
-    projection (so tests can golden-check); the real path would decode
-    and run a model here.
-    """
+    projection over the raw payload (so tests can golden-check). With
+    ``decode_stub=False`` and ``media_type == 'image/png'`` the feature
+    is a REAL decoded-pixel luminance histogram: the PNG is decoded
+    (``png_codec.decode_png``), luminance = pixel for grayscale /
+    integer mean for RGB(A), bucketed ``lum * dim // 256`` and
+    normalized — exact small-int quotients in double, so the Arrow path
+    stays value-hash checkable. Non-PNG types on the real path raise
+    NotImplementedError (no ffmpeg/Pillow here)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires Pillow/ffmpeg (not available); "
-                    "use decode_stub=True"
-                )
             feats = []
-            for blob in pdf["media"]:
+            for blob, mtype in zip(pdf["media"], pdf["media_type"]):
                 buf = bytes(blob or b"")
-                hist = [0.0] * dim
-                for i, byte in enumerate(buf):
-                    hist[byte % dim] += 1.0
+                if decode_stub:
+                    hist = [0.0] * dim
+                    for byte in buf:
+                        hist[byte % dim] += 1.0
+                else:
+                    if mtype != "image/png":
+                        raise NotImplementedError(
+                            f"real decode for {mtype!r} requires Pillow/ffmpeg "
+                            "(not available); use decode_stub=True"
+                        )
+                    from ecollector_spark.datapipe.png_codec import decode_png
+
+                    img = decode_png(buf)
+                    lum = (
+                        img.astype(np.int64)
+                        if img.ndim == 2
+                        else img[:, :, :3].astype(np.int64).sum(axis=2) // 3
+                    )
+                    buckets = (lum * dim) // 256
+                    hist = [float(c) for c in np.bincount(
+                        buckets.ravel(), minlength=dim
+                    )[:dim]]
                 total = sum(hist) or 1.0
                 feats.append([h / total for h in hist])
             yield pd.DataFrame(
@@ -96,20 +166,45 @@ def resize_media(
 ) -> DataFrame:
     """Arrow-batched resize stage: scales (width, height) to fit within
     (max_w, max_h) preserving aspect ratio, never upscaling. With the
-    stub the pixel work is a byte passthrough (real path would call
-    Pillow's ``Image.resize`` and raises NotImplementedError here); the
-    metadata math is the real contract and is exact double arithmetic,
-    so a SQL oracle can verify the mapInPandas stage end to end."""
+    stub the pixel work is a byte passthrough and the metadata math is
+    the contract (exact double arithmetic, SQL-oracle checkable). With
+    ``decode_stub=False`` and PNG payloads the resize is REAL: decode,
+    nearest-neighbor resample to the scaled dims (integer index math,
+    deterministic), re-encode — width/height/n_bytes come from the
+    actual output image. Non-PNG types on the real path raise
+    NotImplementedError."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real media resize requires Pillow (not available); "
-                    "use decode_stub=True"
+                from ecollector_spark.datapipe.png_codec import (
+                    decode_png,
+                    encode_png,
+                    resize_nearest,
                 )
+
+                blobs, widths, heights, nbytes = [], [], [], []
+                for blob, mtype in zip(pdf["media"], pdf["media_type"]):
+                    if mtype != "image/png":
+                        raise NotImplementedError(
+                            f"real resize for {mtype!r} requires Pillow/ffmpeg "
+                            "(not available); use decode_stub=True"
+                        )
+                    img = decode_png(bytes(blob))
+                    h0, w0 = img.shape[:2]
+                    s = min(max_w / w0, max_h / h0, 1.0)
+                    nw, nh = max(1, math.floor(w0 * s)), max(1, math.floor(h0 * s))
+                    out = encode_png(resize_nearest(img, nw, nh))
+                    blobs.append(out)
+                    widths.append(nw)
+                    heights.append(nh)
+                    nbytes.append(len(out))
+                yield pdf.assign(
+                    media=blobs, width=widths, height=heights, n_bytes=nbytes
+                )
+                continue
             scales = [
                 min(max_w / w, max_h / h, 1.0)
                 for w, h in zip(pdf["width"], pdf["height"])

@@ -64,16 +64,29 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: ts_agg_min/ts_agg_first (percentile95 + count/mean/linear keep A14),
 #: dedup_decontaminate, ann_ivf_append_topk (ann_ivf_topk stays),
 #: text_rolling_fingerprint, sketch_stratified_sample (kmv stays).
-#: Remaining never-on-driver candidates for round 7+:
+#: Round-7 rotation (VERDICT r6 #3), executed: six never-on-driver gates
+#: onto the hard signal — influxql_selector_arith (plan_multi arithmetic
+#: combine), influxql_tz_clause (wall-clock bucketing + fill spine),
+#: influxql_group_by_star (tag-set expansion), lifecycle_tiered_query
+#: (the composed ingest->preagg->cascade->tiered-query->TTL flow, never
+#: on driver budget before), ts_raw_derivative_by_tag (per-tag chunked
+#: raw window) and datapipe_mix_weights (weighted corpus mixing).
+#: Rotated out to shelved, each with a same-family main twin remaining:
+#: ts_transform_difference_max (ts_raw_difference + the arith gate keep
+#: A15), ts_agg_mean_fill_linear (count_fill_zero + tag_fill_previous +
+#: tz keep A16), dedup_simhash (five dedup main gates remain),
+#: downsample_cascade_10m (lifecycle_tiered_query runs the full cascade
+#: inside it), text_token_counts (langid + quality keep the text family),
+#: events_top3_users_per_type (asof/interval/tpch keep §2.6; the top-n
+#: window twin ts_selector_top3 stays in the shelved sweep).
+#: Remaining never-on-driver candidates for round 8+:
 #: ts_agg_{stddev_by_tag,spread,mode,integral_1h,count_distinct,distinct},
 #: ts_transform_{cumulative_sum,nn_derivative,moving_average,elapsed},
-#: ts_selector_top3, ts_raw_{derivative_by_tag,cumulative_sum},
-#: influxql_{multi_select,field_predicate,delete_window},
-#: ts_group_by_time_offset, datapipe_{pack_manifest,mix_weights,
-#: export_shards,leakage_safe_split,epoch_order,streaming_ingest},
-#: and the r6-added shelved gates: influxql_{selector_arith,value_scale,
-#: tz_clause,group_by_star} (arithmetic/tz/star planner paths) and
-#: lifecycle_tiered_query (the composed ingest->cascade->expiry flow).
+#: ts_selector_top3, ts_raw_cumulative_sum,
+#: influxql_{multi_select,field_predicate,delete_window,multi_from,
+#: value_scale}, ts_scalar_sqrt, ts_group_by_time_offset,
+#: datapipe_{pack_manifest,export_shards,leakage_safe_split,epoch_order,
+#: streaming_ingest}.
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",
@@ -81,7 +94,6 @@ _PRIORITY = [
     # dedup family (datapipe; incremental = the cross-batch manifest path)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_incremental",
     "dedup_embedding_cosine",
@@ -91,16 +103,16 @@ _PRIORITY = [
     # text family
     "text_langid",
     "text_quality",
-    "text_token_counts",
     # multimodal family
     "mm_resize_metadata",
     "mm_feature_hist",
-    # aggregation / rollup operators
+    # aggregation / rollup operators (r7: the composed lifecycle flow —
+    # ingest -> preagg -> cascade -> tiered query -> TTL — carries A20)
     "preagg_30s_directives",
     "counter_difference_10m",
     "outlier_fence",
     "hour_reattribution",
-    "downsample_cascade_10m",
+    "lifecycle_tiered_query",
     "energy_rollup",
     "two_level_group_energy",
     # joins / enrichment
@@ -111,28 +123,33 @@ _PRIORITY = [
     "filter_engine_chain",
     "topic_wildcard_match",
     "routing_branches",
-    # fill + agg variants (+r6: parameterized percentile, chunked raw window)
+    # fill + agg variants (+r6: parameterized percentile, chunked raw
+    # window; r7: per-tag raw derivative)
     "ts_group_by_time_tag_fill_previous",
     "ts_agg_count_fill_zero",
-    "ts_agg_mean_fill_linear",
     "ts_agg_percentile95",
     "ts_raw_difference",
+    "ts_raw_derivative_by_tag",
     "ts_filtered_devices_raw",
-    "ts_transform_difference_max",
-    # InfluxQL clause closure (r6: plan_tree subquery + INTO write path)
+    # InfluxQL clause closure (r6: plan_tree subquery + INTO write path;
+    # r7: selector arithmetic, wall-clock tz bucketing, GROUP BY *)
     "influxql_subquery",
     "influxql_select_into",
+    "influxql_selector_arith",
+    "influxql_tz_clause",
+    "influxql_group_by_star",
     # sessions / sketches / streaming (r5: the session-window slot moved
     # from the batch shape to the real streaming replay of the same op)
     "streaming_session_replay",
     "sketch_kmv_distinct_users",
     "streaming_preagg_replay",
     "streaming_counter_diff_replay",
-    # training-data assembly (r6: the two-level distributed prefix sum)
+    # training-data assembly (r6: the two-level distributed prefix sum;
+    # r7: weighted corpus mixing)
     "datapipe_pack_sequences",
+    "datapipe_mix_weights",
     # SQL surface + grouped top-n
     "raw_sql_query",
-    "events_top3_users_per_type",
     # storage boundary (S3/S4/S7 — sink outputs + replay parse as value gates)
     "sink_parquet_roundtrip",
     "sink_csv_canonical",

@@ -62,6 +62,7 @@ GROUP BY measurement, dev_id, dev_type, dir, location_id, service, topic, domain
          CAST(floor(epoch(ts)/600) AS BIGINT)*600
 ORDER BY measurement, dev_id, time
 """,
+    shelved=True,
 )
 def downsample_cascade_10m(spark, sf_dir):
     """A20 CQ step: mean of value per (measurement, all tags, 10m bucket)
@@ -137,7 +138,7 @@ ORDER BY phase, time
 """
 
 
-@register("lifecycle_tiered_query", _LIFECYCLE_SQL, shelved=True)
+@register("lifecycle_tiered_query", _LIFECYCLE_SQL)
 def lifecycle_tiered_query(spark, sf_dir):
     """Day-in-the-life value gate. The Spark side runs the REAL
     machinery end to end on a scratch warehouse:

@@ -379,6 +379,7 @@ SELECT time, dev_id, round(value - lag(value) OVER (PARTITION BY dev_id ORDER BY
 FROM agg QUALIFY lag(value) OVER (PARTITION BY dev_id ORDER BY time) IS NOT NULL
 ORDER BY time, dev_id
 """,
+    shelved=True,
 )
 def ts_transform_difference_max(spark, sf_dir):
     """SURVEY A15: transform wrap difference(max(value)) per dev_id —
@@ -679,6 +680,7 @@ SELECT event_type, user_id, n_events, CAST(rnk AS INT) AS rnk FROM (
   FROM c)
 WHERE rnk <= 3 ORDER BY event_type, rnk
 """,
+    shelved=True,
 )
 def events_top3_users_per_type(spark, sf_dir):
     """Grouped top-n (top 3 users by event count per type): pre-aggregate

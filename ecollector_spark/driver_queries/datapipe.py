@@ -202,6 +202,7 @@ FROM votes ORDER BY doc_id"""
 tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
 {_SIMHASH_SQL}
 """,
+    shelved=True,
 )
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash per document (signed projection over md5 token
@@ -809,6 +810,7 @@ def text_quality(spark, sf_dir):
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_pieces
 FROM documents ORDER BY doc_id
 """,
+    shelved=True,
 )
 def text_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish token counting."""
@@ -1041,6 +1043,68 @@ def mm_feature_extract(spark, sf_dir):
     byte-histogram features; real decode raises NotImplementedError)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return extract_features(attach_fake_media(docs))
+
+
+@register(
+    "mm_real_decode",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+m AS (SELECT doc_id,
+             40 + doc_id % 32 AS w0, 30 + doc_id % 24 AS h0,
+             doc_id % 256 AS v
+      FROM d),
+s AS (SELECT *, least(32.0 / w0, 32.0 / h0, 1.0) AS sc FROM m)
+SELECT doc_id,
+       CAST(greatest(1, floor(w0 * sc)) AS INT) AS width,
+       CAST(greatest(1, floor(h0 * sc)) AS INT) AS height,
+       CAST((v * 8) // 256 AS INT) AS lum_bucket,
+       1.0 AS bucket_mass
+FROM s ORDER BY doc_id
+""",
+    shelved=True,
+)
+def mm_real_decode(spark, sf_dir):
+    """REAL image decode, value-gated (r7, VERDICT r6 #5): synthetic
+    constant-luminance PNGs are built per doc_id inside mapInPandas
+    (``attach_synthetic_png_media``), resized for real (decode →
+    nearest-neighbor → re-encode, ``resize_media(decode_stub=False)``),
+    then decoded AGAIN by the real feature path
+    (``extract_features(decode_stub=False)``) — so the gate's width/
+    height come from the re-decoded output image and the luminance
+    histogram from its actual pixels. The DuckDB twin predicts both
+    analytically (constant image: one histogram bucket carries mass
+    1.0; dims follow the documented floor math) — if any codec stage
+    (filters, CRC, resample, re-encode) corrupted a pixel or a
+    dimension, the histogram or dims shift and the hash breaks. The
+    doc_id % 7 slice keeps the gate ~14% of the corpus (pixel work is
+    the cost, and the driver budget is shared)."""
+    from ecollector_spark.datapipe.multimodal import (
+        attach_synthetic_png_media,
+        resize_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 7 == 0
+    )
+    media = attach_synthetic_png_media(docs)
+    resized = resize_media(media, max_w=32, max_h=32, decode_stub=False)
+    feats = extract_features(resized, decode_stub=False, dim=8)
+    # bucket index + its mass from the feature vector; dims from the
+    # resized (re-encoded) metadata — both are decode-derived
+    bucket = (F.expr(
+        "array_position(feature, array_max(feature))"
+    ) - 1).cast("int")
+    return (
+        resized.select("doc_id", "width", "height")
+        .join(
+            feats.select(
+                "doc_id",
+                bucket.alias("lum_bucket"),
+                F.array_max("feature").alias("bucket_mass"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "width", "height", "lum_bucket", "bucket_mass")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -308,7 +308,6 @@ d AS (SELECT t AS time, location_id,
 SELECT time, location_id, value FROM d WHERE value IS NOT NULL AND value >= 0
 ORDER BY time, location_id
 """,
-    shelved=True,
 )
 def ts_raw_derivative_by_tag(spark, sf_dir):
     """``non_negative_derivative("value", 1m)`` per tag over raw points:
@@ -582,7 +581,6 @@ agg AS (SELECT {_bucket(43200)} AS time, location_id,
 SELECT time, location_id, (mx - mn) * 2 + 1 AS value
 FROM agg ORDER BY time, location_id
 """,
-    shelved=True,
 )
 def influxql_selector_arith(spark, sf_dir):
     """Binary arithmetic BETWEEN selectors (public InfluxQL:
@@ -630,7 +628,6 @@ agg AS (SELECT CAST(floor(wall/86400) AS BIGINT)*86400 AS wb,
 SELECT epoch(timezone('{_LA}', make_timestamp(wb*1000000))) AS time, value
 FROM agg ORDER BY time
 """,
-    shelved=True,
 )
 def influxql_tz_clause(spark, sf_dir):
     """``tz('America/Los_Angeles')`` (public InfluxQL): GROUP BY
@@ -656,7 +653,6 @@ SELECT {_bucket(86400)} AS time, {_STAR_TAGS}, round(avg(value_f), 3) AS value
 FROM src GROUP BY time, {_STAR_TAGS}
 ORDER BY time, {_STAR_TAGS}
 """,
-    shelved=True,
 )
 def influxql_group_by_star(spark, sf_dir):
     """``GROUP BY time(1d), *`` (public InfluxQL): * expands to every

@@ -70,6 +70,7 @@ SELECT time,
              ELSE pv + (nv - pv) * (time - pt) / (nt - pt) END, 6) AS value
 FROM w ORDER BY time
 """,
+    shelved=True,
 )
 def ts_agg_mean_fill_linear(spark, sf_dir):
     """A16 FILL(linear): empty buckets interpolated between neighbors;

@@ -565,10 +565,50 @@ class TestMultimodal:
         assert out[0]["feature"] == out[1]["feature"]
         assert out[1]["n_bytes"] == 6
 
-    def test_decode_stub_raises(self, spark):
-        docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
-        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    def test_decode_stub_raises_for_non_png(self, spark):
+        # doc_id 1 -> audio/wav: the real path has no audio codec and
+        # must say so (PNG is the only REAL decode; r7)
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(Exception, match="NotImplementedError|real decode"):
             extract_features(attach_fake_media(docs), decode_stub=False).collect()
+
+    def test_real_png_decode_feature_histogram(self, spark):
+        """r7 real decode: constant-luminance synthetic PNGs produce a
+        single-bucket histogram from ACTUAL decoded pixels."""
+        from ecollector_spark.datapipe.multimodal import attach_synthetic_png_media
+
+        docs = spark.createDataFrame([(0,), (100,), (255,)], "doc_id long")
+        media = attach_synthetic_png_media(docs)
+        out = {
+            r["doc_id"]: r["feature"]
+            for r in extract_features(media, decode_stub=False).collect()
+        }
+        for d, feat in out.items():
+            bucket = (d % 256) * 8 // 256
+            assert feat[bucket] == 1.0 and sum(feat) == 1.0
+
+    def test_real_png_resize_changes_pixels_and_dims(self, spark):
+        """Real resize decodes, resamples and re-encodes: output dims
+        follow the floor math and the payload re-decodes to the scaled
+        image (constant image stays constant)."""
+        import numpy as np
+
+        from ecollector_spark.datapipe.multimodal import (
+            attach_synthetic_png_media,
+            resize_media,
+        )
+        from ecollector_spark.datapipe.png_codec import decode_png
+
+        docs = spark.createDataFrame([(5,)], "doc_id long")  # 45x35, v=5
+        out = resize_media(
+            attach_synthetic_png_media(docs), max_w=32, max_h=32, decode_stub=False
+        ).collect()[0]
+        s = min(32 / 45, 32 / 35, 1.0)
+        assert (out["width"], out["height"]) == (int(45 * s), int(35 * s))
+        img = decode_png(bytes(out["media"]))
+        assert img.shape == (out["height"], out["width"])
+        assert np.all(img == 5)
+        assert out["n_bytes"] == len(bytes(out["media"]))
 
     def test_frame_sampling(self, spark):
         docs = spark.createDataFrame([(0, "x" * 130)], "doc_id long, text string")
