@@ -134,7 +134,8 @@ def main() -> None:
                        ("headline_scale_salted_1000x", "HEADLINE_SCALE_SALTED_1000X.json"),
                        ("streaming_scale", "STREAMING_SCALE.json"),
                        ("ts_scale", "TS_SCALE.json"),
-                       ("newops_scale", "NEWOPS_SCALE.json")):
+                       ("newops_scale", "NEWOPS_SCALE.json"),
+                       ("r7_scale", "R7_SCALE.json")):
         p = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
         if os.path.isfile(p):
             try:

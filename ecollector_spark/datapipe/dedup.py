@@ -86,7 +86,15 @@ def jaccard_pairs(
 def jaccard_candidates(sh: DataFrame, max_df: int = 100) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) from the df-capped inverted
     shingle index — the pre-verification stage, exposed separately so the
-    scale probe (bench.py) can measure candidate growth vs corpus size."""
+    scale probe (bench.py) can measure candidate growth vs corpus size.
+
+    The index key is ``xxhash64(shingle)`` (r7): document frequency and
+    postings-list equality over the hashes match the string key exactly
+    short of a 64-bit collision (which could only ADD a candidate pair —
+    immediately rejected by exact verification), and both the df
+    aggregate and the postings self-join — the two big shuffles of this
+    operator — move fixed-width longs instead of shingle text."""
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).where(
             F.col("df") <= max_df
@@ -107,10 +115,21 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFra
     is a small array), then each candidate pair needs just TWO doc_id
     equi-joins and an `array_intersect` — versus the alternative
     intersection-count-by-shingle-join shape, which costs three joins and
-    re-shuffles the full exploded shingle table. Only candidate docs'
-    sets travel through the join."""
+    re-shuffles the full exploded shingle table.
+
+    The collected sets hold ``xxhash64(shingle)`` longs, not the shingle
+    strings (r7): per-doc shingles are already distinct
+    (``shingles_expr`` ends in array_distinct), so |A∩B| and |A∪B| over
+    the hashes equal the string-set values unless two DISTINCT shingles
+    of one candidate pair collide in 64 bits (P ≈ |A∪B|²/2⁶⁵ ≈ 1e-15 —
+    far below the float rounding already applied to the quotient), while
+    the groupBy/join shuffles and their spill move 8-byte fixed-width
+    elements instead of ~20-byte UTF-8 strings. The 1000× rung showed
+    this stage's spill bandwidth — not signature width — is the minhash
+    wall (SCALE.md §r7)."""
     sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_set"), F.count("*").alias("n_sh")
+        F.collect_set(F.xxhash64("shingle")).alias("sh_set"),
+        F.count("*").alias("n_sh"),
     )
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("na")
@@ -359,11 +378,20 @@ def decontaminate(
     usual exploded shingle index, and the flagging is one semi-join-
     shaped equi-join on the shingle key followed by a doc_id count.
     Nothing is quadratic; a stop-shingle costs train-df rows, not df^2,
-    because the benchmark side is distinct."""
-    ts = _doc_shingles(train, text_col, k)
+    because the benchmark side is distinct.
+
+    The join key is ``xxhash64(shingle)`` (r7): at pretraining scale the
+    train-side shingle index is the single biggest shuffle input of the
+    hygiene pass, and an 8-byte key more than halves its shuffle row
+    width vs the k-token string. A 64-bit collision can only add a
+    (spurious) hit for one doc — n_hits counts distinct hashes, and the
+    published recipe tolerates over-flagging by construction."""
+    ts = _doc_shingles(train, text_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     bs = (
         _doc_shingles(benchmark, text_col, k)
-        .select("shingle")
+        .select(F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
     return (

@@ -115,12 +115,24 @@ def build_scaled(
         dst = os.path.join(out_dir, name)
         if os.path.isdir(dst) and os.path.isfile(os.path.join(dst, "_SUCCESS")):
             return  # already replicated (ladder dirs are content-stable)
-        df.repartition(int(_nfiles(name))).write.mode("overwrite").parquet(dst)
+        df.write.mode("overwrite").parquet(dst)
+
+    def _expand(fact, name):
+        """replicas × fact with ZERO shuffle: the replica range is
+        pre-partitioned to the rung's file count and the (small, ≤ tens
+        of MB) fact BROADCASTS, so each task generates its replica slice
+        and writes its output file directly. The previous shape —
+        ``fact.crossJoin(rep).repartition(n)`` — shuffled the ENTIRE
+        rung output through a 1-2-task map side (the small source's
+        partitioning): the lineitem×1000 build wrote >50 GB of shuffle
+        temp and nearly filled the disk before producing a byte of
+        parquet (r7). Same rows, same files, no shuffle bytes."""
+        return rep.repartition(int(_nfiles(name))).crossJoin(F.broadcast(fact))
 
     if "events" in tables:
         ev = read_events(spark, base_dir)
         write(
-            ev.crossJoin(rep).select(
+            _expand(ev, "events.parquet").select(
                 (F.col("event_id") + EVENT_OFFSET * F.col("_k")).alias("event_id"),
                 "ts",
                 (F.col("user_id") + USER_OFFSET * F.col("_k")).alias("user_id"),
@@ -154,7 +166,7 @@ def build_scaled(
             else F.col("text")
         ).alias("text")
         write(
-            d.crossJoin(rep).select(
+            _expand(d, "documents.parquet").select(
                 (F.col("doc_id") + DOC_OFFSET * F.col("_k")).alias("doc_id"),
                 text_col,
                 *[c for c in d.columns if c not in ("doc_id", "text")],
@@ -164,7 +176,7 @@ def build_scaled(
     if "embeddings" in tables:
         e = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
         write(
-            e.crossJoin(rep).select(
+            _expand(e, "embeddings.parquet").select(
                 (F.col("vec_id") + VEC_OFFSET * F.col("_k")).alias("vec_id"),
                 *[c for c in e.columns if c != "vec_id"],
             ),
@@ -173,7 +185,7 @@ def build_scaled(
     if "lineitem" in tables:
         li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
         write(
-            li.crossJoin(rep).select(
+            _expand(li, "lineitem.parquet").select(
                 (F.col("l_orderkey") + ORDER_OFFSET * F.col("_k")).alias("l_orderkey"),
                 *[c for c in li.columns if c != "l_orderkey"],
             ),
@@ -182,7 +194,7 @@ def build_scaled(
     if "orders" in tables:
         o = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
         write(
-            o.crossJoin(rep).select(
+            _expand(o, "orders.parquet").select(
                 (F.col("o_orderkey") + ORDER_OFFSET * F.col("_k")).alias("o_orderkey"),
                 *[c for c in o.columns if c != "o_orderkey"],
             ),
