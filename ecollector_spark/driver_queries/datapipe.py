@@ -1107,6 +1107,58 @@ def mm_real_decode(spark, sf_dir):
     )
 
 
+@register(
+    "mm_audio_features",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+p AS (SELECT doc_id,
+             800 + doc_id % 640 AS n,
+             1 + doc_id % 16 AS half,
+             1000 + doc_id % 9000 AS amp
+      FROM d)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n AS DOUBLE) / 8000 AS duration_sec,
+       CAST(amp AS DOUBLE) AS rms,
+       CAST((n - 1) // half AS DOUBLE) / (n - 1) AS zero_cross_rate,
+       CAST(amp AS INT) AS peak
+FROM p ORDER BY doc_id
+""",
+    shelved=True,
+)
+def mm_audio_features(spark, sf_dir):
+    """REAL audio decode, value-gated (r7): synthetic 16-bit PCM WAV
+    square waves are built per doc_id inside mapInPandas
+    (``attach_synthetic_wav_media``), then decoded for real
+    (``wav_codec.decode_wav`` parses RIFF/fmt/data chunks) and reduced
+    to duration/RMS/zero-cross-rate/peak from the actual samples
+    (``extract_audio_features``). The DuckDB twin predicts every value
+    analytically: a ±amp square wave has RMS exactly amp (sqrt of an
+    exact perfect square is exact in IEEE double), zero crossings
+    floor((n-1)/half_period), duration n/8000 — if the encoder wrote a
+    wrong chunk size or the decoder misparsed the sample layout, RMS or
+    the crossing count shifts and the hash breaks. The doc_id % 5 slice
+    keeps the gate ~20% of the corpus (waveform synthesis is the
+    cost)."""
+    from ecollector_spark.datapipe.multimodal import (
+        attach_synthetic_wav_media,
+        extract_audio_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return extract_audio_features(attach_synthetic_wav_media(docs)).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_sec",
+        "rms",
+        "zero_cross_rate",
+        "peak",
+    )
+
+
 # ---------------------------------------------------------------------------
 # composed curation pipeline (datapipe/curation.py)
 # ---------------------------------------------------------------------------

@@ -121,7 +121,7 @@ class MqttBridge:
         self.flush()
         return n
 
-    # -- paho transport (optional) -----------------------------------------
+    # -- live transport (paho when installed, stdlib client otherwise) ------
     def connect(
         self,
         host: str,
@@ -131,13 +131,30 @@ class MqttBridge:
         client_id: str = "ec_bridge",
         qos: int = 1,
     ):
-        """Connect with paho-mqtt and subscribe the selector topics
-        (QoS 1 like the reference transport, process.go:112). Returns the
-        connected client; call ``client.loop_forever()`` (or
-        ``loop_start()``) to run. Raises ImportError when paho-mqtt is
-        not installed — the bridge core still works via
-        ``handle_message``/``replay_session``."""
-        import paho.mqtt.client as mqtt  # gated: optional dependency
+        """Connect to a live broker and subscribe the selector topics
+        (QoS 1 like the reference transport, process.go:112). Uses
+        paho-mqtt when installed; otherwise falls back to the built-in
+        stdlib MQTT 3.1.1 client (``sources.mqtt_broker.MiniMqttClient``
+        — no authentication support), so the live path works with zero
+        external dependencies. Returns the connected client with its
+        read loop started; messages land via ``handle_message``."""
+        try:
+            import paho.mqtt.client as mqtt  # gated: optional dependency
+        except ImportError:
+            if username:
+                raise NotImplementedError(
+                    "broker authentication needs paho-mqtt (not installed)"
+                )
+            from ecollector_spark.sources.mqtt_broker import MiniMqttClient
+
+            client = MiniMqttClient(
+                host, port, client_id=client_id, clean_session=False
+            )
+            client.on_message = self.handle_message
+            client.loop_start()
+            for t in self.topics:
+                client.subscribe(t, qos=qos)
+            return client
 
         client = mqtt.Client(client_id=client_id, clean_session=False)
         if username:
