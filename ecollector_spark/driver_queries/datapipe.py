@@ -1159,6 +1159,72 @@ def mm_audio_features(spark, sf_dir):
     )
 
 
+@register(
+    "mm_video_frames",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+p AS (SELECT doc_id,
+             4 + doc_id % 12 AS n,
+             16 + doc_id % 16 AS w,
+             12 + doc_id % 12 AS h
+      FROM d),
+fr AS (SELECT doc_id, n, w, h,
+              unnest(generate_series(0, CAST(n - 1 AS BIGINT), 3)) AS f
+       FROM p),
+a AS (SELECT *, (doc_id + 17 * f) % 256 AS a0 FROM fr),
+s AS (SELECT *,
+             h * a0 + h * (h - 1) // 2 - 256 * greatest(0, a0 + h - 256) AS row_sum
+      FROM a)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames,
+       CAST(10 AS INT) AS fps,
+       CAST(n AS DOUBLE) / 10 AS duration_sec,
+       CAST(a0 AS INT) AS top_row_lum,
+       CAST(row_sum * w * 3 AS DOUBLE) / (h * w * 3) AS mean_lum
+FROM s ORDER BY doc_id, frame_idx
+""",
+    shelved=True,
+)
+def mm_video_frames(spark, sf_dir):
+    """REAL video decode, value-gated (r7): synthetic uncompressed-AVI
+    clips (bottom-up BGR DIB frames, 4-byte row padding) are built per
+    doc_id inside mapInPandas (``attach_synthetic_avi_media`` — every
+    frame a VERTICAL gradient ``(doc_id + 17·frame + row) % 256``),
+    then decoded for real (``avi_codec.decode_avi`` walks
+    RIFF/hdrl/movi, un-pads rows, flips bottom-up, swaps BGR) and
+    sampled every 3rd frame with per-frame stats from the actual pixels
+    (``extract_video_frames``). The DuckDB twin predicts every value in
+    closed form: the top row of frame f is ``(doc_id + 17f) % 256``
+    (a forgotten DIB flip reads the BOTTOM row and shifts it by h−1),
+    and the full-frame mean follows the one-wrap gradient sum
+    ``h·a + h(h−1)/2 − 256·max(0, a+h−256)`` (a mis-strided un-pad
+    bleeds pad bytes into the sum) — both sides divide identical
+    integer operands, so the doubles are bit-equal. The doc_id % 11
+    slice keeps the gate ~9% of the corpus (pixel synthesis is the
+    cost). Widths 16–31 sweep all four row-pad phases."""
+    from ecollector_spark.datapipe.multimodal import (
+        attach_synthetic_avi_media,
+        extract_video_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 11 == 0
+    )
+    return extract_video_frames(attach_synthetic_avi_media(docs), every_n=3).select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        "duration_sec",
+        "top_row_lum",
+        "mean_lum",
+    )
+
+
 # ---------------------------------------------------------------------------
 # composed curation pipeline (datapipe/curation.py)
 # ---------------------------------------------------------------------------

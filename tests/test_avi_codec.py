@@ -1,0 +1,105 @@
+"""AVI codec unit pins (r7 real video decode): round-trips across all
+row-pad phases, header probe, chunk-walk robustness, refusal of
+compressed/non-video variants, and the two decode-bug detectors the
+``mm_video_frames`` oracle relies on (bottom-up flip, row stride)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ecollector_spark.datapipe.avi_codec import (
+    _row_stride,
+    avi_header,
+    decode_avi,
+    encode_avi,
+)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("w", [16, 17, 18, 19])  # all four pad phases of 3·w
+    def test_gray_identity_all_pad_phases(self, w):
+        rng = np.random.default_rng(w)
+        g = rng.integers(0, 256, size=(4, 5, w), dtype=np.uint8)
+        frames, fps = decode_avi(encode_avi(g, fps=10))
+        assert fps == 10
+        assert frames.shape == (4, 5, w, 3)
+        assert np.array_equal(frames, np.repeat(g[:, :, :, None], 3, axis=3))
+
+    def test_rgb_identity(self):
+        rng = np.random.default_rng(3)
+        c = rng.integers(0, 256, size=(2, 6, 9, 3), dtype=np.uint8)
+        frames, fps = decode_avi(encode_avi(c, fps=25))
+        assert fps == 25
+        assert np.array_equal(frames, c)
+
+    def test_single_frame_single_pixel(self):
+        frames, _ = decode_avi(encode_avi(np.array([[[200]]], dtype=np.uint8)))
+        assert frames.shape == (1, 1, 1, 3)
+        assert int(frames[0, 0, 0, 0]) == 200
+
+    def test_header_probe(self):
+        data = encode_avi(np.zeros((7, 12, 17), dtype=np.uint8), fps=12)
+        assert avi_header(data) == (17, 12, 7, 12)
+
+    def test_rejects_non_avi_compressed_and_truncated(self):
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_avi(b"definitely not video")
+        data = encode_avi(np.zeros((2, 4, 4), dtype=np.uint8))
+        bad = bytearray(data)
+        i = data.find(b"strf")
+        bad[i + 8 + 16 : i + 8 + 20] = struct.pack("<I", 0x34363248)  # 'H264'
+        with pytest.raises(NotImplementedError, match="ffmpeg|BI_RGB"):
+            decode_avi(bytes(bad))
+        with pytest.raises(ValueError):
+            decode_avi(data[: len(data) // 2])
+
+    def test_frame_count_mismatch_detected(self):
+        # header promises 4 frames, movi holds 3 -> decode must refuse
+        data = encode_avi(np.zeros((3, 2, 4), dtype=np.uint8))
+        bad = bytearray(data)
+        i = data.find(b"avih")
+        assert struct.unpack_from("<I", bad, i + 8 + 16)[0] == 3  # dwTotalFrames
+        struct.pack_into("<I", bad, i + 8 + 16, 4)
+        with pytest.raises(ValueError, match="frames"):
+            decode_avi(bytes(bad))
+
+
+class TestDecodeBugDetectors:
+    """The mm_video_frames oracle's gradient makes two classic DIB bugs
+    visible; pin that a CORRECT decode produces the analytic values a
+    buggy one cannot."""
+
+    @pytest.mark.parametrize("doc_id", [0, 11, 154, 253, 1023])
+    def test_gradient_identities(self, doc_id):
+        d = doc_id
+        n, w, h = 4 + d % 12, 16 + d % 16, 12 + d % 12
+        f = np.arange(n)[:, None]
+        r = np.arange(h)[None, :]
+        rows = ((d + 17 * f + r) % 256).astype(np.uint8)
+        frames, fps = decode_avi(encode_avi(np.repeat(rows[:, :, None], w, axis=2), fps=10))
+        for idx in range(0, n, 3):
+            a0 = (d + 17 * idx) % 256
+            # top row = a0: a decoder that forgets the bottom-up flip
+            # would read (a0 + h - 1) % 256 here instead
+            assert int(frames[idx, 0, 0, 0]) == a0
+            # full-pixel sum matches the one-wrap closed form: a
+            # mis-strided un-pad would bleed pad zeros into the sum
+            row_sum = h * a0 + h * (h - 1) // 2 - 256 * max(0, a0 + h - 256)
+            assert int(frames[idx].astype(np.int64).sum()) == row_sum * w * 3
+
+    def test_stored_rows_are_actually_bottom_up_bgr(self):
+        # byte-level pin: frame 0 of a 1x2x1 gradient (top=10, bottom=11)
+        # must store row 11 FIRST in the file and in B,G,R order
+        img = np.zeros((1, 2, 1, 3), dtype=np.uint8)
+        img[0, 0] = [10, 20, 30]  # top row RGB
+        img[0, 1] = [11, 21, 31]  # bottom row RGB
+        data = encode_avi(img)
+        movi = data.find(b"movi")
+        payload = data[movi + 4 + 8 : movi + 4 + 8 + 8]
+        assert payload[:3] == bytes([31, 21, 11])  # bottom row, BGR
+        assert payload[4:7] == bytes([30, 20, 10])  # then top row, BGR
+        frames, _ = decode_avi(data)
+        assert np.array_equal(frames, img)

@@ -628,6 +628,42 @@ class TestMultimodal:
         assert (out[2019]["width"], out[2019]["height"]) == (100, 100)
         assert bytes(out[639]["media"]) == b"small"
 
+    def test_real_video_frame_sampling(self, spark):
+        """r7 real video decode: synthetic gradient AVIs decode through
+        the mapInPandas stage and the sampled-frame stats match the
+        analytic gradient identities from ACTUAL pixels."""
+        from ecollector_spark.datapipe.multimodal import (
+            attach_synthetic_avi_media,
+            extract_video_frames,
+        )
+
+        docs = spark.createDataFrame([(0,), (11,), (253,)], "doc_id long")
+        rows = extract_video_frames(
+            attach_synthetic_avi_media(docs), every_n=3
+        ).collect()
+        assert rows, "no frames sampled"
+        for r in rows:
+            d, f, h, w = r["doc_id"], r["frame_idx"], r["height"], r["width"]
+            assert (w, h) == (16 + d % 16, 12 + d % 12)
+            assert r["n_frames"] == 4 + d % 12 and r["fps"] == 10
+            a0 = (d + 17 * f) % 256
+            assert r["top_row_lum"] == a0
+            row_sum = h * a0 + h * (h - 1) // 2 - 256 * max(0, a0 + h - 256)
+            assert r["mean_lum"] == row_sum * w * 3 / (h * w * 3)
+        # doc 11 has 4 + 11 % 12 = 15 frames -> every 3rd from 0
+        idxs = sorted(r["frame_idx"] for r in rows if r["doc_id"] == 11)
+        assert idxs == [0, 3, 6, 9, 12]
+
+    def test_video_decode_refuses_compressed(self, spark):
+        from ecollector_spark.datapipe.multimodal import extract_video_frames
+
+        media = spark.createDataFrame(
+            [(1, b"xxxx", "video/mp4", 0, 0, 4)],
+            "doc_id long, media binary, media_type string, width int, height int, n_bytes long",
+        )
+        with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+            extract_video_frames(media).collect()
+
 
 class TestConnectedComponents:
     def test_chain_and_island(self, spark):
