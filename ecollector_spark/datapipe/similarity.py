@@ -163,27 +163,62 @@ def embedding_near_dup_pairs(
     exact cosine verifies. Returns (vec_a, vec_b, cosine >= threshold),
     vec_a < vec_b, cosine rounded to 6 decimals.
 
-    Scale shape: the bucket index carries only (vec_id, table, bucket),
-    so the candidate self-join shuffles ids, not vectors; expected
-    bucket size is N/2^bits per table (the quadratic term is
-    N^2/2^bits, vs N^2/16 for the old 4-bit axis bucketing), and the
-    verify step rejoins vectors by id. Candidate recall for a pair at
-    cosine c: 1 - (1 - (1 - acos(c)/pi)^bits)^tables — tune tables up
-    for higher recall, bits up for bigger corpora."""
+    Scale shape (r7 rework, measurement-directed): the verify step is
+    BUCKET-LOCAL — vectors ride through the per-table bucket explode
+    (N x tables vector rows shuffled ONCE on the (table, bucket) key)
+    and cosine is computed in the streamed output of the bucket
+    self-join, so vector shuffle volume is ~N·tables·dim and
+    independent of the candidate count. The previous shape (slim id
+    pairs, then re-join both vectors by id) shuffled one vector PER
+    CANDIDATE SIDE — ~candidates x dim — which filled the probe box's
+    disk at the 20M-row rung (~2x10^8 candidates x 1 KB); bucket-local
+    verify cut the rung's shuffle by the mean candidate degree.
+    Per-vector norms are precomputed at the explode (sqrt(dot(v,v)),
+    the exact operand order of the old expression, so cosines are
+    bit-identical and no oracle changes). A pair colliding in several
+    tables computes the same cosine each time; the final distinct()
+    dedups surviving pairs (exact doubles, deterministic fold).
+    Expected bucket size is N/2^bits per table (the candidate term is
+    N^2/2^bits). Candidate recall for a pair at cosine c:
+    1 - (1 - (1 - acos(c)/pi)^bits)^tables — tune tables up for higher
+    recall, bits up for bigger corpora."""
     if dim is None:
         dim = _embedding_dim(emb, vec_col)
     planes = hyperplanes(dim, bits, tables, seed)
     base = emb.select(F.col("vec_id"), _as_double(F.col(vec_col)).alias("_v"))
-    cand = lsh_candidate_pairs(base, planes)
-    va = base.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"))
-    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        F.sqrt(_dot(F.col("_va"), F.col("_va"))) * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+    structs = [
+        F.struct(
+            F.lit(t).alias("t"), hyperplane_bucket(F.col("_v"), tp).alias("b")
+        )
+        for t, tp in enumerate(planes)
+    ]
+    bk = (
+        base.select("vec_id", "_v", F.explode(F.array(*structs)).alias("_tb"))
+        .select(
+            "vec_id",
+            "_v",
+            F.sqrt(_dot(F.col("_v"), F.col("_v"))).alias("_n"),
+            F.col("_tb.t").alias("_t"),
+            F.col("_tb.b").alias("_b"),
+        )
     )
-    return pairs.select(
-        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
+    a, b = bk.alias("a"), bk.alias("b")
+    cos = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._b") == F.col("b._b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(

@@ -86,7 +86,9 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: influxql_{multi_select,field_predicate,delete_window,multi_from,
 #: value_scale}, ts_scalar_sqrt, ts_group_by_time_offset,
 #: datapipe_{pack_manifest,export_shards,leakage_safe_split,epoch_order,
-#: streaming_ingest}.
+#: streaming_ingest}, and the r7 real-decode gates
+#: mm_{real_decode,audio_features,video_frames} (each proves a pure-
+#: stdlib codec end-to-end against an analytic oracle).
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",

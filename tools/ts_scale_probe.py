@@ -70,6 +70,7 @@ def build_scaled(
     replicas: int,
     tables: set[str] | None = None,
     salt_docs: bool = False,
+    salt_vecs: bool = False,
 ) -> None:
     """Fact tables x replicas under offset key ranges; dims symlinked.
 
@@ -175,10 +176,29 @@ def build_scaled(
         )
     if "embeddings" in tables:
         e = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+        emb_col = (
+            # replica-salt for PAIR-EMITTING embedding ops: a per-replica
+            # diagonal +/-1 sign flip (sign of xxhash64(_k, dim)) is an
+            # ORTHOGONAL transform — every within-replica cosine (and so
+            # each replica's planted near-dup structure) is preserved
+            # EXACTLY, while cross-replica cosines scatter to ~N(0, 1/64)
+            # and stay under any near-dup threshold. Plain replication
+            # would make every base vector an r-member duplicate group
+            # and grow the correct pair output as C(r,2) — the same
+            # ladder artifact --salt-docs exists for.
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                * (1 - 2 * F.pmod(F.xxhash64(F.col("_k"), i), F.lit(2))).cast("float"),
+            )
+            if salt_vecs
+            else F.col("embedding")
+        ).alias("embedding")
         write(
             _expand(e, "embeddings.parquet").select(
                 (F.col("vec_id") + VEC_OFFSET * F.col("_k")).alias("vec_id"),
-                *[c for c in e.columns if c != "vec_id"],
+                emb_col,
+                *[c for c in e.columns if c not in ("vec_id", "embedding")],
             ),
             "embeddings.parquet",
         )
@@ -205,7 +225,7 @@ def build_scaled(
 #: headline queries that build an on-disk cache (ANN index) on first
 #: touch: run once untimed per ladder rung so the measurement is the
 #: steady-state probe, not the one-time build
-WARM_ONCE = {"ann_ivf_topk"}
+WARM_ONCE = {"ann_ivf_topk", "ann_lsh_indexed"}
 
 #: which fact tables the headline set reads (everything else symlinks)
 HEADLINE_TABLES = {"events", "documents", "embeddings", "lineitem", "orders"}
