@@ -773,29 +773,38 @@ def lsh_bucketed_search(
     """Approximate search: score only vectors sharing the query's
     hyperplane-LSH bucket in ANY table. Same output shape as
     cosine_threshold; recall < 1 by design (see module docstring for
-    the recall formula). The probe is an id-only broadcast semi-join —
-    at scale, (table, bucket) partition pruning."""
+    the recall formula).
+
+    Scale shape (r7 rework, measurement-directed): the ANN rung showed
+    the old shape — explode to (vec_id, table, bucket), semi-join,
+    distinct, then RE-JOIN candidate ids to full-width vectors —
+    going superlinear (exponent 1.27 to 20M vectors: the id→vector join
+    shuffles ~¼ of the corpus's vectors per query). Now the bucket
+    match is a pure MAP-SIDE filter: the query row broadcasts with its
+    per-table buckets precomputed, each corpus row compares its own
+    bucket per table inline (each row evaluated exactly once, so no
+    distinct is needed), and survivors flow straight into the cosine —
+    zero shuffles, strictly one corpus scan. The materialized twin
+    (:func:`lsh_search_indexed`) remains the real scale path (it scans
+    only the query's (table, bucket) partitions); this in-plan form is
+    for ad-hoc one-shot queries where no index exists."""
     if dim is None:
         dim = _embedding_dim(emb, vec_col)
     planes = hyperplanes(dim, bits, tables, seed)
     base = emb.select(F.col("vec_id"), _as_double(F.col(vec_col)).alias("_v"))
-    buckets = _table_buckets(base, planes)
-    qb = buckets.where(F.col("vec_id") == query_id).select(
-        F.col("_t").alias("_qt"), F.col("_b").alias("_qb")
+    q = base.where(F.col("vec_id") == query_id).select(
+        F.col("_v").alias("_q"),
+        *[
+            hyperplane_bucket(F.col("_v"), tp).alias(f"_qb{t}")
+            for t, tp in enumerate(planes)
+        ],
     )
-    cand_ids = (
-        buckets.join(
-            F.broadcast(qb),
-            (F.col("_t") == F.col("_qt")) & (F.col("_b") == F.col("_qb")),
-            "left_semi",
-        )
-        .select("vec_id")
-        .distinct()
-    )
-    q = base.where(F.col("vec_id") == query_id).select(F.col("_v").alias("_q"))
-    scored = cosine_scores(
-        base.join(cand_ids, "vec_id").crossJoin(F.broadcast(q)), F.col("_q"), "_v"
-    )
+    joined = base.crossJoin(F.broadcast(q))
+    match = None
+    for t, tp in enumerate(planes):
+        c = hyperplane_bucket(F.col("_v"), tp) == F.col(f"_qb{t}")
+        match = c if match is None else (match | c)
+    scored = cosine_scores(joined.where(match), F.col("_q"), "_v")
     return (
         scored.where(F.col("vec_id") != query_id)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))

@@ -80,6 +80,14 @@ CHECKS = {
         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
         "!CartesianProduct",
     ],
+    # in-plan LSH search (r7 rework): the bucket match is a MAP-SIDE
+    # filter against the broadcast query row — one scan, zero shuffles
+    # (the old id->vector re-join shape measured exponent 1.27 at 20M)
+    "ann_lsh_bucketed": [
+        "!SortMergeJoin",
+        "!ShuffledHashJoin",
+        "!Exchange hashpartitioning",
+    ],
     # transform: the price fan-out rides the same scan as every other
     # branch — exactly one parquet scan, no Union (built pre-checkpoint)
     "_raw_transform": ["!Union", "Generate explode"],
