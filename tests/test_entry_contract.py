@@ -127,6 +127,29 @@ def test_operators_doc_covers_registry(registry):
     assert not stale, f"doc references unknown gates: {stale}"
 
 
+def test_no_oracle_uses_icu_functions(registry):
+    """Oracle-portability contract (VERDICT r7 #1): the one r7 hash-red
+    gate was the only main oracle calling DuckDB's ICU extension —
+    ``timezone()`` / ``make_timestamp()`` results depend on the driver
+    container's DuckDB/ICU build, so a version skew moves the ORACLE
+    while the engine is right. Zone math must be precomputed in Python
+    (zoneinfo) and injected as literal integer arithmetic (see
+    influx_funcs._fixed_zone_offset). This bans ICU-dependent calls in
+    every registered oracle string, main and shelved."""
+    import re
+
+    from ecollector_spark import driver_queries as dq
+
+    banned = re.compile(r"\b(timezone|make_timestamp|make_timestamptz|icu_\w+)\s*\(",
+                        re.IGNORECASE)
+    offenders = {
+        name: banned.search(sql).group(0)
+        for name, sql in {**dq.ORACLES, **dq.SHELVED_ORACLES}.items()
+        if banned.search(sql)
+    }
+    assert not offenders, f"ICU-dependent DuckDB calls in oracles: {offenders}"
+
+
 def test_every_oracle_parses_in_duckdb(registry, sf_dir):
     """Parse+bind each oracle against the real table schemas (EXPLAIN
     runs DuckDB's binder without executing)."""
