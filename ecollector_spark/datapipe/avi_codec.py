@@ -54,6 +54,13 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     real players expect."""
     arr = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
     if arr.ndim == 3:
+        # a single RGB frame passed as (h, w, 3) would be silently
+        # misread as h grayscale 3-pixel-wide frames — reject it
+        if arr.shape[2] == 3:
+            raise ValueError(
+                "ambiguous (h, w, 3) input: a single RGB frame needs a "
+                "leading frame axis — pass frames[None] for (1, h, w, 3)"
+            )
         arr = np.repeat(arr[:, :, :, None], 3, axis=3)
     if arr.ndim != 4 or arr.shape[3] != 3 or min(arr.shape[:3]) < 1:
         raise ValueError(f"unsupported frame shape {np.asarray(frames).shape}")
@@ -161,7 +168,14 @@ def avi_header(data: bytes) -> tuple[int, int, int, int]:
             f"unsupported stream type {strh[:4]!r}; only 'vids' is implemented"
         )
     handler = strh[4:8]
+    if len(strh) < 28 or len(strf) < 40:
+        raise ValueError(
+            f"truncated strh/strf header (strh={len(strh)}B, strf={len(strf)}B)"
+        )
     _, _, _, _, scale, rate = struct.unpack("<IHHIII", strh[8:28])
+    # BITMAPINFOHEADER: biWidth/biHeight at 4/8 (signed), biBitCount at
+    # 14, biCompression at 16
+    bm_w, bm_h = struct.unpack("<ii", strf[4:12])
     bits, compression = struct.unpack("<HI", strf[14:20])
     if handler not in (b"DIB ", b"\x00\x00\x00\x00") or compression != 0 or bits != 24:
         raise NotImplementedError(
@@ -169,7 +183,18 @@ def avi_header(data: bytes) -> tuple[int, int, int, int]:
             f"{compression}, bits={bits}); only uncompressed 24-bit BI_RGB "
             "is implemented — compressed video genuinely needs ffmpeg"
         )
+    if bm_h < 0:
+        # a negative biHeight is a top-down DIB; decoding it with the
+        # bottom-up row flip would silently invert every frame
+        raise NotImplementedError(
+            "top-down DIB (negative biHeight) is not implemented; only "
+            "bottom-up uncompressed frames decode"
+        )
     w, h, n = avih[8], avih[9], avih[4]
+    if (bm_w, bm_h) != (w, h):
+        raise ValueError(
+            f"strf geometry {bm_w}x{bm_h} disagrees with avih {w}x{h}"
+        )
     fps = rate // scale if scale else 0
     return w, h, n, fps
 

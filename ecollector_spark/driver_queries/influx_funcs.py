@@ -758,3 +758,92 @@ def influxql_multi_from(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r8: DST fall-back gate (VERDICT r7 #2). The testdata events span January
+# 2024 only and NO tzdata zone has a January-2024 transition, so both
+# engines shift ts by +307 days — landing the corpus on the US 2024-11-03
+# fall-back (the repeated 01:00 wall hour) — before bucketing. The oracle
+# replicates timeutil.tz_bucket_expr's key formula with the transition
+# instant and both offsets precomputed via stdlib zoneinfo and injected as
+# literals (no ICU calls, per the portability contract).
+# ---------------------------------------------------------------------------
+
+_FB_SHIFT_DAYS = 307
+_FB_FROM = F_EPOCH + _FB_SHIFT_DAYS * 86400  # 2024-11-03T00:00:00Z
+_FB_TO = _FB_FROM + 30 * 86400  # 2024-12-03T00:00:00Z
+
+
+def _zone_transition(zone: str, from_epoch: int, to_epoch: int):
+    """(epoch, off_before, off_after) of the single offset change in the
+    range — asserted to exist and be unique (hourly scan; transitions are
+    hour-aligned and regimes last months)."""
+    from datetime import datetime, timezone as _tz
+    from zoneinfo import ZoneInfo
+
+    z = ZoneInfo(zone)
+    hits = []
+    prev = None
+    for t in range(from_epoch, to_epoch + 1, 3600):
+        o = int(datetime.fromtimestamp(t, tz=z).utcoffset().total_seconds())
+        if prev is not None and o != prev[1]:
+            hits.append((t, prev[1], o))
+        prev = (t, o)
+    if len(hits) != 1:
+        raise AssertionError(f"expected one {zone} transition in range, got {hits}")
+    return hits[0]
+
+
+_FB_TR, _FB_O1, _FB_O2 = _zone_transition(_LA, _FB_FROM, _FB_TO)
+
+from datetime import datetime as _dt, timezone as _utc  # noqa: E402
+
+_FB_NOW = _dt(2024, 12, 31, tzinfo=_utc.utc)
+
+
+@register(
+    "influxql_tz_fallback_hour",
+    f"""{_DP},
+src AS (SELECT ts + INTERVAL {_FB_SHIFT_DAYS} DAY AS ts2, value_f FROM dp
+        WHERE measurement = 'purchase'
+          AND epoch(ts + INTERVAL {_FB_SHIFT_DAYS} DAY) >= {_FB_FROM}
+          AND epoch(ts + INTERVAL {_FB_SHIFT_DAYS} DAY) <= {_FB_TO}),
+-- tz_bucket_expr's key formula with zoneinfo-precomputed literals:
+-- off(t) flips at the injected transition instant {_FB_TR}
+o AS (SELECT epoch(ts2) AS e, value_f,
+             CASE WHEN epoch(ts2) < {_FB_TR} THEN ({_FB_O1}) ELSE ({_FB_O2}) END AS off
+      FROM src),
+b AS (SELECT CAST(floor((e + off)/3600) AS BIGINT)*3600 AS wb, off, value_f FROM o),
+k AS (SELECT wb - (CASE WHEN (wb - off) < {_FB_TR} THEN ({_FB_O1}) ELSE ({_FB_O2}) END) AS time,
+             value_f
+      FROM b)
+SELECT time, CAST(round(avg(value_f) * 1000) AS BIGINT) AS value_milli
+FROM k GROUP BY 1 ORDER BY 1
+""",
+    shelved=True,
+)
+def influxql_tz_fallback_hour(spark, sf_dir):
+    """Hourly tz() buckets ACROSS the 2024-11-03 fall-back: the repeated
+    01:00 wall hour must emit two distinct rows (08:00Z and 09:00Z
+    instants) — the r7 deviation, closed by the sub-day UTC-instant key
+    (timeutil.tz_bucket_expr). Events are shifted +307 days on both
+    engines to land January data on the transition."""
+    from ecollector_spark.influxql import parse_influxql, plan_tree
+    from ecollector_spark.query import QueryPlanner
+    from ecollector_spark.sources.events_adapter import events_as_datapoints
+
+    dp = events_as_datapoints(spark, sf_dir).withColumn(
+        "ts", F.col("ts") + F.expr(f"INTERVAL {_FB_SHIFT_DAYS} DAYS")
+    )
+    q = (
+        'SELECT mean("value") FROM "purchase" '
+        "WHERE time >= '2024-11-03T00:00:00Z' AND time <= '2024-12-03T00:00:00Z' "
+        f"GROUP BY time(1h) FILL(none) tz('{_LA}')"
+    )
+    iq = parse_influxql(q)
+    df = plan_tree(QueryPlanner(lambda tier: dp), iq, now=_FB_NOW)
+    return df.select(
+        "time",
+        F.round(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )

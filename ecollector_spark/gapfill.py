@@ -49,18 +49,23 @@ def bucket_spine(
     groups_df: DataFrame | None = None,
     time_col: str = "time",
     offset_seconds: int = 0,
+    times_df: DataFrame | None = None,
 ) -> DataFrame:
     """All (bucket, group...) combinations in [from_epoch, to_epoch).
 
     ``groups_df`` defaults to the distinct group values present in
     ``df_any`` (InfluxDB's behavior: series that exist in the range).
     ``offset_seconds`` shifts bucket alignment (GROUP BY time(i, off)).
+    ``times_df`` (one ``time_col`` column) overrides the uniform sequence
+    — sub-day tz() buckets need a NON-uniform UTC spine (two instants per
+    wall label on DST fall-back, zero on spring-forward; see
+    timeutil.tz_spine_times).
     """
     spark = df_any.sparkSession
     n_from = int(
         (from_epoch - offset_seconds) // step_seconds * step_seconds + offset_seconds
     )
-    spine = spark.range(1).select(
+    spine = times_df if times_df is not None else spark.range(1).select(
         F.explode(
             F.sequence(
                 F.lit(n_from).cast("long"),
@@ -86,6 +91,7 @@ def gap_fill(
     time_col: str = "time",
     value_col: str = "value",
     offset_seconds: int = 0,
+    times_df: DataFrame | None = None,
 ) -> DataFrame:
     """Left-join ``agg_df`` onto the full spine and apply the fill policy."""
     if fill_type in (FILL_NONE, "", None) or step_seconds <= 0:
@@ -98,6 +104,7 @@ def gap_fill(
         group_cols,
         time_col=time_col,
         offset_seconds=offset_seconds,
+        times_df=times_df,
     )
     joined = spine.join(agg_df, on=[time_col, *group_cols], how="left")
 

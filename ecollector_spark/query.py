@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecollector_spark import tiers
-from ecollector_spark.functions.timeutil import parse_relative_duration, time_bucket
+from ecollector_spark.functions.timeutil import (
+    parse_relative_duration,
+    time_bucket,
+    tz_bucket_expr,
+    tz_spine_times,
+)
 from ecollector_spark.gapfill import gap_fill
 
 
@@ -737,42 +742,48 @@ class QueryPlanner:
                 from_epoch,
             ))
         # tz('<zone>') (public InfluxQL): buckets align to the zone's
-        # WALL clock. Everything downstream — groupBy, fill spine,
-        # chunked fill windows — runs in wall-second space (uniform even
-        # across DST, which UTC bucket epochs are not); the final select
-        # converts each wall bucket start back to its UTC instant. Raw
-        # (unbucketed) shapes are unaffected: tz only moves bucket
+        # WALL clock. Two regimes (both DST-exact, closing ADVICE r6's
+        # fall-back deviation):
+        #  - step >= 1d: a wall day legitimately SPANS a DST shift (23 or
+        #    25 real hours, one row), so groupBy + fill spine run in
+        #    uniform wall-second space and the final select converts each
+        #    wall bucket start back to its UTC instant.
+        #  - step < 1d: the bucket KEY is the UTC instant of the bucket's
+        #    wall start (timeutil.tz_bucket_expr), so the repeated wall
+        #    hour of a fall-back yields TWO distinct rows (InfluxDB
+        #    parity) and the spring-forward gap yields zero; the FILL
+        #    spine is the matching NON-uniform instant set
+        #    (timeutil.tz_spine_times), and no final conversion is needed
+        #    — keys are already UTC epochs, and previous/linear fill
+        #    order/interpolation run on true elapsed time.
+        # Raw (unbucketed) shapes are unaffected: tz only moves bucket
         # boundaries, and our wire format is epoch seconds either way.
-        #
-        # DOCUMENTED DEVIATION (ADVICE r6): wall space is many-to-one
-        # during a DST fall-back — the two UTC hours that share a wall
-        # label (01:00 PDT and 01:00 PST on 2024-11-03) map to ONE wall
-        # bucket for sub-day steps, so their aggregates merge into a
-        # single row where InfluxDB emits two distinct hourly buckets.
-        # The uniform wall spine is what makes every FILL mode exact
-        # everywhere else; keeping the repeated hour distinct requires a
-        # non-uniform UTC spine (one wall start -> two instants on
-        # fall-back, zero on spring-forward) threaded through gap_fill.
-        # Deviation scope: the one repeated wall hour per zone-year, for
-        # step < 1d only (daily+ buckets legitimately span the shift).
-        # Pinned by TestTzClause::test_dst_fall_back_merges_repeated_hour.
+        tz_subday = bool(req.tz) and bool(step) and step < 86400
         fill_from, fill_to = from_epoch, to_epoch
+        fill_times = None
         if req.tz and step:
             from zoneinfo import ZoneInfo
 
             zone = ZoneInfo(req.tz)  # raises on an unknown zone name
-
-            def _wall(e: int) -> int:
-                return e + int(
-                    datetime.fromtimestamp(e, tz=zone).utcoffset().total_seconds()
+            if tz_subday:
+                fill_times = tz_spine_times(
+                    df.sparkSession, req.tz, from_epoch, to_epoch, step, bucket_off
                 )
+            else:
+                def _wall(e: int) -> int:
+                    return e + int(
+                        datetime.fromtimestamp(e, tz=zone).utcoffset().total_seconds()
+                    )
 
-            fill_from, fill_to = _wall(from_epoch), _wall(to_epoch)
+                fill_from, fill_to = _wall(from_epoch), _wall(to_epoch)
         if step:
-            bucket_src = (
-                F.from_utc_timestamp("ts", req.tz) if req.tz else F.col("ts")
-            )
-            bucket = time_bucket(bucket_src, step, bucket_off).alias("time")
+            if tz_subday:
+                bucket = tz_bucket_expr("ts", req.tz, step, bucket_off).alias("time")
+            else:
+                bucket_src = (
+                    F.from_utc_timestamp("ts", req.tz) if req.tz else F.col("ts")
+                )
+                bucket = time_bucket(bucket_src, step, bucket_off).alias("time")
             if data_function == "mode":
                 agg = _mode_agg(df, [bucket], group_cols, value_col, ts_epoch)
             elif data_function == "integral":
@@ -832,13 +843,13 @@ class QueryPlanner:
                 step,
                 group_cols,
                 offset_seconds=bucket_off,
+                times_df=fill_times,
             )
         time_out = F.col("time").cast("long")
-        if req.tz and step:
-            # wall bucket start -> the UTC instant it names (DST-exact:
-            # to_utc_timestamp applies the zone's offset AT that wall
-            # time; the ambiguous fall-back hour resolves to the
-            # zone-standard offset, Spark/JDK behavior)
+        if req.tz and step and not tz_subday:
+            # daily+ wall bucket start -> the UTC instant it names
+            # (DST-exact: to_utc_timestamp applies the zone's offset AT
+            # that wall time; sub-day keys are already UTC instants)
             time_out = F.unix_timestamp(
                 F.to_utc_timestamp(F.timestamp_seconds(time_out), req.tz)
             )
@@ -903,10 +914,17 @@ class QueryPlanner:
             bucket_off = (
                 _parse_signed_duration(req.group_by_offset) if req.group_by_offset else 0
             )
-            # tz('<zone>'): same wall-clock bucket space as plan() —
-            # bucket + spine in wall seconds, convert at the end
+            # tz('<zone>'): same two-regime bucket space as plan() —
+            # daily+ in wall seconds (convert at the end), sub-day keyed
+            # by the UTC bucket-start instant with a non-uniform spine
+            tz_subday = bool(req.tz) and step < 86400
             spine_from, spine_to = ctx["from_epoch"], ctx["to_epoch"]
-            if req.tz:
+            spine_times = None
+            if req.tz and tz_subday:
+                spine_times = tz_spine_times(
+                    df.sparkSession, req.tz, spine_from, spine_to, step, bucket_off
+                )
+            elif req.tz:
                 from zoneinfo import ZoneInfo
 
                 zone = ZoneInfo(req.tz)
@@ -917,8 +935,11 @@ class QueryPlanner:
                     )
 
                 spine_from, spine_to = _wall(spine_from), _wall(spine_to)
-            bucket_src = F.from_utc_timestamp("ts", req.tz) if req.tz else F.col("ts")
-            bucket = time_bucket(bucket_src, step, bucket_off).alias("time")
+            if tz_subday:
+                bucket = tz_bucket_expr("ts", req.tz, step, bucket_off).alias("time")
+            else:
+                bucket_src = F.from_utc_timestamp("ts", req.tz) if req.tz else F.col("ts")
+                bucket = time_bucket(bucket_src, step, bucket_off).alias("time")
             agg = df.groupBy(bucket, *tag_cols).agg(*aggs)
             # FILL(null) is InfluxQL's default and must not silently
             # change when a second selector is added: spine-join every
@@ -935,6 +956,7 @@ class QueryPlanner:
                     step,
                     tag_cols,
                     offset_seconds=bucket_off,
+                    times_df=spine_times,
                 )
                 agg = spine.join(agg, on=["time", *tag_cols], how="left")
                 if fill_type == "0":
@@ -946,7 +968,7 @@ class QueryPlanner:
                 F.lit(from_epoch).cast("long").alias("time"), *tag_cols, *names
             )
         time_out = F.col("time").cast("long")
-        if req.tz and step:
+        if req.tz and step and not tz_subday:
             time_out = F.unix_timestamp(
                 F.to_utc_timestamp(F.timestamp_seconds(time_out), req.tz)
             )

@@ -103,3 +103,51 @@ class TestDecodeBugDetectors:
         assert payload[4:7] == bytes([30, 20, 10])  # then top row, BGR
         frames, _ = decode_avi(data)
         assert np.array_equal(frames, img)
+
+
+class TestHeaderValidation:
+    """r8 (ADVICE r7): malformed-input contracts — a documented error,
+    never a silently wrong decode."""
+
+    def test_single_rgb_frame_without_frame_axis_rejected(self):
+        img = np.zeros((4, 5, 3), dtype=np.uint8)  # (h, w, 3), no n axis
+        with pytest.raises(ValueError, match="leading frame axis"):
+            encode_avi(img)
+        # the documented fix works
+        frames, _ = decode_avi(encode_avi(img[None]))
+        assert frames.shape == (1, 4, 5, 3)
+
+    def test_grayscale_3d_still_accepted(self):
+        img = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+        frames, _ = decode_avi(encode_avi(img))
+        assert frames.shape == (2, 4, 6, 3)
+
+    def test_top_down_dib_refused_not_flipped(self):
+        data = bytearray(encode_avi(np.zeros((1, 4, 6), dtype=np.uint8)))
+        strf = data.find(b"strf")
+        h_off = strf + 8 + 8  # chunk header + biSize/biWidth -> biHeight
+        import struct as _s
+
+        (h,) = _s.unpack_from("<i", data, h_off)
+        _s.pack_into("<i", data, h_off, -h)
+        with pytest.raises(NotImplementedError, match="top-down"):
+            decode_avi(bytes(data))
+
+    def test_truncated_strh_raises_valueerror(self):
+        data = bytearray(encode_avi(np.zeros((1, 4, 6), dtype=np.uint8)))
+        strh = data.find(b"strh")
+        _list_trim = bytearray(data[: strh + 8 + 20])  # cut strh short
+        import struct as _s
+
+        _s.pack_into("<I", _list_trim, strh + 4, 20)
+        with pytest.raises(ValueError, match="truncated|missing"):
+            decode_avi(bytes(_list_trim))
+
+    def test_strf_geometry_must_match_avih(self):
+        data = bytearray(encode_avi(np.zeros((1, 4, 6), dtype=np.uint8)))
+        strf = data.find(b"strf")
+        import struct as _s
+
+        _s.pack_into("<i", data, strf + 8 + 4, 99)  # biWidth := 99
+        with pytest.raises(ValueError, match="disagrees"):
+            decode_avi(bytes(data))

@@ -1580,15 +1580,13 @@ class TestTzClause:
         with pytest.raises(InfluxQLParseError):
             parse_influxql("SELECT mean(\"value\") FROM \"m\" GROUP BY time(1h) tz('Not/AZone')")
 
-    def test_dst_fall_back_merges_repeated_hour(self, spark):
-        """DOCUMENTED DEVIATION (ADVICE r6): US DST fall-back 2024-11-03
-        — 08:00–09:00 UTC (01:xx PDT) and 09:00–10:00 UTC (01:xx PST)
-        share the wall label 01:00, so sub-day buckets MERGE them into
-        one row whose aggregate spans both UTC hours (InfluxDB emits two
-        distinct hourly buckets). The merged bucket's UTC stamp resolves
-        the ambiguous wall time to the EARLIER offset (08:00 UTC — JDK
-        ZonedDateTime rule via to_utc_timestamp). This pin exists so the
-        deviation is a choice, not an accident — see query.py tz notes."""
+    def test_dst_fall_back_repeated_hour_is_two_buckets(self, spark):
+        """InfluxDB parity (deviation closed, VERDICT r7 #2): US DST
+        fall-back 2024-11-03 — 08:00–09:00 UTC (01:xx PDT) and
+        09:00–10:00 UTC (01:xx PST) share the wall label 01:00 but are
+        DISTINCT hourly buckets, each stamped with its own UTC instant
+        (sub-day tz buckets key on the bucket-start instant, not the
+        wall label — timeutil.tz_bucket_expr)."""
         rows = [
             ("m1", datetime(2024, 11, 3, 8, 30, tzinfo=timezone.utc), "d", 10.0),  # 01:30 PDT
             ("m1", datetime(2024, 11, 3, 9, 30, tzinfo=timezone.utc), "d", 30.0),  # 01:30 PST
@@ -1603,8 +1601,48 @@ class TestTzClause:
         )
         vals = {r["time"]: r["value"] for r in out}
         wall_0100_dst = int(datetime(2024, 11, 3, 8, 0, tzinfo=timezone.utc).timestamp())
+        wall_0100_std = int(datetime(2024, 11, 3, 9, 0, tzinfo=timezone.utc).timestamp())
         wall_0200_std = int(datetime(2024, 11, 3, 10, 0, tzinfo=timezone.utc).timestamp())
-        assert vals == {wall_0100_dst: 20.0, wall_0200_std: 7.0}
+        assert vals == {wall_0100_dst: 10.0, wall_0100_std: 30.0, wall_0200_std: 7.0}
+
+    def test_dst_fall_back_fill_spine_has_both_instants(self, spark):
+        """FILL(null) across the fall-back: the spine enumerates BOTH
+        instants of the repeated wall hour — an empty 01:00 PST bucket
+        appears as its own null row at 09:00 UTC (the r6 wall spine
+        emitted one merged row here)."""
+        rows = [
+            ("m1", datetime(2024, 11, 3, 8, 30, tzinfo=timezone.utc), "d", 10.0),  # 01:30 PDT
+            ("m1", datetime(2024, 11, 3, 10, 30, tzinfo=timezone.utc), "d", 7.0),  # 02:30 PST
+        ]
+        out = self._run(
+            spark,
+            rows,
+            'SELECT mean("value") FROM "m1" '
+            "WHERE time >= '2024-11-03T08:00:00Z' AND time <= '2024-11-03T10:59:00Z' "
+            "GROUP BY time(1h) FILL(null) tz('America/Los_Angeles')",
+        )
+        vals = {r["time"]: r["value"] for r in out}
+        h = lambda hh: int(datetime(2024, 11, 3, hh, 0, tzinfo=timezone.utc).timestamp())
+        assert vals == {h(8): 10.0, h(9): None, h(10): 7.0}
+
+    def test_dst_spring_forward_fill_spine_skips_gap_hour(self, spark):
+        """FILL(null) across spring-forward 2024-03-10: wall 02:00 does
+        not exist — the hourly spine goes 01:00 PST (09:00 UTC) straight
+        to 03:00 PDT (10:00 UTC) with NO synthetic row between."""
+        rows = [
+            ("m1", datetime(2024, 3, 10, 9, 30, tzinfo=timezone.utc), "d", 1.0),  # 01:30 PST
+            ("m1", datetime(2024, 3, 10, 10, 30, tzinfo=timezone.utc), "d", 2.0),  # 03:30 PDT
+        ]
+        out = self._run(
+            spark,
+            rows,
+            'SELECT mean("value") FROM "m1" '
+            "WHERE time >= '2024-03-10T09:00:00Z' AND time <= '2024-03-10T10:59:00Z' "
+            "GROUP BY time(1h) FILL(null) tz('America/Los_Angeles')",
+        )
+        vals = {r["time"]: r["value"] for r in out}
+        h = lambda hh: int(datetime(2024, 3, 10, hh, 0, tzinfo=timezone.utc).timestamp())
+        assert vals == {h(9): 1.0, h(10): 2.0}
 
     def test_dst_fall_back_daily_bucket_spans_25_hours(self, spark):
         """The fall-back DAY is correct (25 wall hours, one bucket):

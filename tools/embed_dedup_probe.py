@@ -84,9 +84,12 @@ def main() -> None:
         # sigma of N(0, 1/64), so ~2e12 cross pairs swamp the true pairs
         # 7.5x at 1000x, measured). So the probe PLANTS its near-dups:
         # 1% of rows re-appear under an offset id with one coordinate
-        # nudged 1% (cosine ~0.9997) — at threshold 0.9 the output is
-        # exactly the planted pairs (null is ~7 sigma, vanishing), and
-        # true-pair growth is linear by construction.
+        # nudged 1% (cosine ~0.9997). The recorded EMB_DEDUP_SCALE.json
+        # runs used the default --threshold 0.3: the planted pairs
+        # dominate and a <0.1% chance-pair tail leaks in (20001/20000 at
+        # 2M, 200180/200000 at 20M — tolerated; the rung measures scaling
+        # of candidates/wall, not recall). --threshold 0.9 makes the
+        # output exactly the planted pairs (null is ~7 sigma there).
         planted = emb.where(F.pmod(F.col("vec_id"), 100) == 7).select(
             (F.col("vec_id") + 5_000_000).alias("vec_id"),
             F.transform(
