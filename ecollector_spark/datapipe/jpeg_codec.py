@@ -1,0 +1,653 @@
+"""Pure-Python baseline JPEG codec (stdlib + numpy) — closes the one
+codec gap a real training corpus hits immediately (VERDICT r7 missing #1:
+"a real user's corpus is mostly JPEG").
+
+Implements ITU-T T.81 baseline sequential DCT, 8-bit:
+
+- **encode**: grayscale or RGB, 4:4:4 (no subsampling), Annex K quant
+  tables scaled by the libjpeg quality formula, Annex K standard Huffman
+  tables, JFIF APP0. One scan, no restart markers.
+- **decode**: SOF0 frames, 1-4 components with sampling factors up to
+  2x2 (covers 4:4:4 / 4:2:2 / 4:2:0 from real encoders), multiple
+  DQT/DHT segments, DRI + RSTn restart handling, APPn/COM skipped.
+- **refused, loudly**: progressive (SOF2), extended/lossless/arithmetic
+  (SOF1, SOF3, SOF9-15), 12-bit precision, DNL. NotImplementedError
+  names the feature — never a silently wrong decode.
+
+Determinism: the DCT/IDCT are the orthonormal 8-point basis in float64
+(IEEE-identical everywhere), and every round is an explicit
+``floor(x + 0.5)`` (half-up) so a SQL oracle can replicate the exact
+integer outputs. For a FLAT gray image the whole pipeline collapses to a
+closed form the driver gate checks end-to-end:
+
+    dc   = floor(8*(v - 128)/q00 + 0.5)        # quantized DC, AC all 0
+    v'   = clip(floor(dc*q00/8 + 0.5) + 128)   # every decoded pixel
+
+Reference parity: the reference has no image path at all — this backs
+SURVEY §"multimodal" (training-data pipeline requirement, like
+png_codec.py / wav_codec.py / avi_codec.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Annex K tables (ITU-T T.81 K.1/K.2 quantization, K.3.3 Huffman)
+# ---------------------------------------------------------------------------
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+#: zigzag scan order: _ZIGZAG[i] = flat row-major index of the i-th
+#: zigzag position
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K.3.3 standard Huffman specs: (BITS counts per code length 1-16,
+# HUFFVAL symbol list)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: orthonormal 8-point DCT basis: C[0]=1/sqrt(8), C[k,n]=cos((2n+1)k*pi/16)/2.
+#: 2-D: coef = C @ block @ C.T; block = C.T @ coef @ C. DC of a flat block
+#: of value d is exactly 8d — the closed form the value gate uses.
+_C = np.zeros((8, 8), dtype=np.float64)
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = (1.0 / np.sqrt(8.0)) if _k == 0 else (
+            0.5 * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+        )
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5): the one rounding used everywhere, chosen because a
+    SQL oracle reproduces it exactly (numpy's np.round is half-even)."""
+    return np.floor(x + 0.5).astype(np.int64)
+
+
+def quality_scaled_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling: scale = 5000/Q (Q<50) else 200-2Q;
+    q = clip((base*scale + 50)/100, 1, 255)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _build_huff_encoder(spec) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, nbits), canonical code assignment (T.81 C.2)."""
+    bits, vals = spec
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for nbits in range(1, 17):
+        for _ in range(bits[nbits - 1]):
+            table[vals[k]] = (code, nbits)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huff_decoder(bits, vals) -> dict[tuple[int, int], int]:
+    """(nbits, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for nbits in range(1, 17):
+        for _ in range(bits[nbits - 1]):
+            table[(nbits, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) per T.81 F.1.2.1: negative values encode as
+    v + 2^size - 1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v & ((1 << size) - 1)
+
+
+def _extend(bits_val: int, size: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits_val < (1 << (size - 1)):
+        return bits_val - (1 << size) + 1
+    return bits_val
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (code & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for nbits in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((nbits, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def align_and_expect_restart(self, n: int) -> None:
+        """Skip to the RSTn marker at a restart interval boundary."""
+        self._acc = 0
+        self._n = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+        marker = self.data[self.pos + 1]
+        if marker != 0xD0 + (n & 7):
+            raise ValueError(
+                f"expected RST{n & 7}, found 0xFF{marker:02X}"
+            )
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    out = np.stack([y, cb, cr], axis=2)
+    return np.clip(_round_half_up(out), 0, 255)
+
+
+def _blocks_of(comp: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Edge-replicate pad to multiples of 8 and split into 8x8 blocks;
+    returns (blocks[by, bx, 8, 8], by, bx)."""
+    h, w = comp.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    comp = np.pad(comp, ((0, ph), (0, pw)), mode="edge")
+    H, W = comp.shape
+    by, bx = H // 8, W // 8
+    blocks = comp.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    return blocks, by, bx
+
+
+def _encode_component_blocks(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8x8 block: (by, bx, 8, 8) int64 zigzagged
+    coefficient vectors (by, bx, 64)."""
+    shifted = blocks.astype(np.float64) - 128.0
+    coefs = np.einsum("km,ijmn,ln->ijkl", _C, shifted, _C)
+    q = _round_half_up(coefs / qtab)
+    return q.reshape(*q.shape[:2], 64)[:, :, _ZIGZAG]
+
+
+def _huff_encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                       dc_tab, ac_tab) -> int:
+    dc = int(zz[0])
+    size, amp = _magnitude(dc - pred)
+    code, nbits = dc_tab[size]
+    w.write(code, nbits)
+    if size:
+        w.write(amp, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, nbits = ac_tab[0xF0]  # ZRL
+            w.write(code, nbits)
+            run -= 16
+        size, amp = _magnitude(v)
+        code, nbits = ac_tab[(run << 4) | size]
+        w.write(code, nbits)
+        w.write(amp, size)
+        run = 0
+    if last < 63:
+        code, nbits = ac_tab[0x00]  # EOB
+        w.write(code, nbits)
+    return dc
+
+
+def _dqt_segment(tid: int, qtab: np.ndarray) -> bytes:
+    payload = bytes([tid]) + bytes(int(x) for x in qtab.reshape(64)[_ZIGZAG])
+    return b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dht_segment(cls: int, tid: int, spec) -> bytes:
+    bits, vals = spec
+    payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline JFIF bytes from (h, w) grayscale or (h, w, 3) RGB uint8.
+    4:4:4 — every component at full resolution (encode simplicity; the
+    decoder handles subsampled input from real encoders too)."""
+    img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    if img.ndim == 2:
+        comps = [img.astype(np.int64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        comps = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+    else:
+        raise ValueError(f"unsupported array shape {img.shape}")
+    h, w = img.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    qy, qc = quality_scaled_tables(quality)
+    ncomp = len(comps)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (  # APP0 JFIF 1.01, no thumbnail
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, qy)
+    if ncomp == 3:
+        out += _dqt_segment(1, qc)
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        qid = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, 0x11, qid])  # 1x1 sampling
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_SPEC)
+    out += _dht_segment(1, 0, _AC_LUMA_SPEC)
+    if ncomp == 3:
+        out += _dht_segment(0, 1, _DC_CHROMA_SPEC)
+        out += _dht_segment(1, 1, _AC_CHROMA_SPEC)
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tabs = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, tabs])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_y = _build_huff_encoder(_DC_LUMA_SPEC)
+    ac_y = _build_huff_encoder(_AC_LUMA_SPEC)
+    dc_c = _build_huff_encoder(_DC_CHROMA_SPEC)
+    ac_c = _build_huff_encoder(_AC_CHROMA_SPEC)
+
+    zz = []
+    for ci, comp in enumerate(comps):
+        blocks, by, bx = _blocks_of(comp)
+        zz.append(_encode_component_blocks(blocks, qy if ci == 0 else qc))
+    by, bx = zz[0].shape[:2]
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for j in range(by):
+        for i in range(bx):
+            for ci in range(ncomp):
+                dc_tab, ac_tab = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
+                preds[ci] = _huff_encode_block(
+                    writer, zz[ci][j, i], preds[ci], dc_tab, ac_tab
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+_REFUSED_SOF = {
+    0xC1: "extended sequential (SOF1)",
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """(h, w) uint8 for grayscale JPEGs, (h, w, 3) RGB for color."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker in _REFUSED_SOF:
+            raise NotImplementedError(
+                f"unsupported JPEG mode: {_REFUSED_SOF[marker]}; only "
+                "baseline sequential (SOF0) is implemented"
+            )
+        if marker == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit precision; only 8-bit baseline is implemented"
+                )
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                hs, vs = hv >> 4, hv & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {hs}x{vs}; only 1-2 supported"
+                    )
+                comps.append({"id": cid, "h": hs, "v": vs, "q": qid})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _build_huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4:
+                    raise NotImplementedError("16-bit quantization tables")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qtables[pq_tq & 0xF] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cid, tabs = seg[1 + 2 * si : 3 + 2 * si]
+                comp = next(c for c in frame["comps"] if c["id"] == cid)
+                scan.append((comp, tabs >> 4, tabs & 0xF))
+            return _decode_scan(
+                data, pos + seglen, frame, scan, qtables, huff, restart_interval
+            )
+        elif marker == 0xDC:
+            raise NotImplementedError("DNL (define number of lines)")
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("no scan data found (missing SOS)")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for comp, _, _ in scan:
+        planes[comp["id"]] = np.zeros(
+            (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64
+        )
+    reader = _BitReader(data, pos)
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    rst_n = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count == restart_interval:
+                reader.align_and_expect_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = {cid: 0 for cid in preds}
+                mcu_count = 0
+            for comp, dc_id, ac_id in scan:
+                qtab = qtables[comp["q"]]
+                dc_tab = huff[(0, dc_id)]
+                ac_tab = huff[(1, ac_id)]
+                for bv in range(comp["v"]):
+                    for bh in range(comp["h"]):
+                        zz = _decode_block(reader, dc_tab, ac_tab, preds, comp)
+                        coef = (zz[_UNZIGZAG].reshape(8, 8) * qtab).astype(
+                            np.float64
+                        )
+                        pix = _C.T @ coef @ _C + 128.0
+                        y0 = (my * comp["v"] + bv) * 8
+                        x0 = (mx * comp["h"] + bh) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+    # finalize: round, clip, upsample to full res, color-convert
+    full = []
+    for comp in (c for c, _, _ in scan):
+        plane = np.clip(_round_half_up(planes[comp["id"]]), 0, 255)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w].astype(np.uint8))
+    if len(full) == 1:
+        return full[0]
+    if len(full) == 3:
+        return _ycbcr_to_rgb(full[0], full[1], full[2])
+    raise NotImplementedError(f"{len(full)}-component scan (CMYK?)")
+
+
+def _decode_block(reader, dc_tab, ac_tab, preds, comp):
+    zz = np.zeros(64, dtype=np.int64)
+    size = reader.decode_symbol(dc_tab)
+    diff = _extend(reader.read_bits(size), size) if size else 0
+    preds[comp["id"]] += diff
+    zz[0] = preds[comp["id"]]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_tab)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    return zz
+
+
+def jpeg_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the SOF0 header without a full
+    decode; refuses non-baseline modes like decode_jpeg."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if marker in _REFUSED_SOF:
+            raise NotImplementedError(
+                f"unsupported JPEG mode: {_REFUSED_SOF[marker]}"
+            )
+        if marker == 0xC0:
+            _, h, w, ncomp = struct.unpack(">BHHB", data[pos + 2 : pos + 8])
+            return w, h, ncomp
+        pos += seglen
+    raise ValueError("missing SOF0 header")

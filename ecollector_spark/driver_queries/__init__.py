@@ -79,16 +79,27 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: inside it), text_token_counts (langid + quality keep the text family),
 #: events_top3_users_per_type (asof/interval/tpch keep §2.6; the top-n
 #: window twin ts_selector_top3 stays in the shelved sweep).
-#: Remaining never-on-driver candidates for round 8+:
+#: Round-8 rotation (VERDICT r7 #3), executed: six never-on-driver gates
+#: onto the hard signal — the three r7 real-decode gates mm_real_decode /
+#: mm_audio_features / mm_video_frames (each proves a pure-stdlib codec
+#: end-to-end against an analytic oracle), influxql_multi_from (multi-
+#: measurement UNION plan), ts_scalar_sqrt (scalar transform wrap) and
+#: datapipe_streaming_ingest (the corpus ingest + compaction + replay
+#: heal flow). Rotated out to shelved, each with a same-family main twin
+#: remaining: mm_resize_metadata (mm_feature_hist + the three decode
+#: gates carry the family), dedup_clusters (exact/minhash/incremental/
+#: embedding stay), text_quality (text_langid stays), streaming_session_
+#: replay (preagg + counter-diff replays keep §2.8), influxql_subquery
+#: (multi_from + select_into keep plan_tree composition), ts_raw_
+#: difference (selector_arith + derivative_by_tag keep A15's window
+#: family).
+#: Remaining never-on-driver candidates for round 9+:
 #: ts_agg_{stddev_by_tag,spread,mode,integral_1h,count_distinct,distinct},
 #: ts_transform_{cumulative_sum,nn_derivative,moving_average,elapsed},
 #: ts_selector_top3, ts_raw_cumulative_sum,
-#: influxql_{multi_select,field_predicate,delete_window,multi_from,
-#: value_scale}, ts_scalar_sqrt, ts_group_by_time_offset,
-#: datapipe_{pack_manifest,export_shards,leakage_safe_split,epoch_order,
-#: streaming_ingest}, and the r7 real-decode gates
-#: mm_{real_decode,audio_features,video_frames} (each proves a pure-
-#: stdlib codec end-to-end against an analytic oracle).
+#: influxql_{multi_select,field_predicate,delete_window,value_scale,
+#: tz_fallback_hour}, ts_group_by_time_offset,
+#: datapipe_{pack_manifest,export_shards,leakage_safe_split,epoch_order}.
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",
@@ -96,7 +107,6 @@ _PRIORITY = [
     # dedup family (datapipe; incremental = the cross-batch manifest path)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_clusters",
     "dedup_incremental",
     "dedup_embedding_cosine",
     # ANN family
@@ -104,10 +114,11 @@ _PRIORITY = [
     "ann_lsh_bucketed",
     # text family
     "text_langid",
-    "text_quality",
     # multimodal family
-    "mm_resize_metadata",
     "mm_feature_hist",
+    "mm_real_decode",
+    "mm_audio_features",
+    "mm_video_frames",
     # aggregation / rollup operators (r7: the composed lifecycle flow —
     # ingest -> preagg -> cascade -> tiered query -> TTL — carries A20)
     "preagg_30s_directives",
@@ -130,19 +141,18 @@ _PRIORITY = [
     "ts_group_by_time_tag_fill_previous",
     "ts_agg_count_fill_zero",
     "ts_agg_percentile95",
-    "ts_raw_difference",
     "ts_raw_derivative_by_tag",
     "ts_filtered_devices_raw",
     # InfluxQL clause closure (r6: plan_tree subquery + INTO write path;
     # r7: selector arithmetic, wall-clock tz bucketing, GROUP BY *)
-    "influxql_subquery",
     "influxql_select_into",
+    "influxql_multi_from",
     "influxql_selector_arith",
     "influxql_tz_clause",
     "influxql_group_by_star",
+    "ts_scalar_sqrt",
     # sessions / sketches / streaming (r5: the session-window slot moved
     # from the batch shape to the real streaming replay of the same op)
-    "streaming_session_replay",
     "sketch_kmv_distinct_users",
     "streaming_preagg_replay",
     "streaming_counter_diff_replay",
@@ -150,6 +160,7 @@ _PRIORITY = [
     # r7: weighted corpus mixing)
     "datapipe_pack_sequences",
     "datapipe_mix_weights",
+    "datapipe_streaming_ingest",
     # SQL surface + grouped top-n
     "raw_sql_query",
     # storage boundary (S3/S4/S7 — sink outputs + replay parse as value gates)

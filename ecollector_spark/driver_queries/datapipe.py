@@ -171,6 +171,7 @@ reach AS (
 )
 SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1
 """,
+    shelved=True,  # rotated out r8 (family keeps a main-gate twin)
 )
 def dedup_clusters(spark, sf_dir):
     """Connected components over the LSH-verified near-dup pairs ->
@@ -797,6 +798,7 @@ SELECT doc_id, n AS n_tokens, floor(avg_len*1000000)/1000000 AS avg_token_len,
        floor((0.4*least(n/100.0, 1.0) + 0.3*(1.0 - stop_ratio) + 0.3*least(avg_len/8.0, 1.0))*1000000)/1000000 AS quality
 FROM m ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r8 (family keeps a main-gate twin)
 )
 def text_quality(spark, sf_dir):
     """Per-doc quality features + blended score (pretraining-corpus gate)."""
@@ -970,6 +972,7 @@ SELECT doc_id, media_type,
        n_bytes
 FROM s ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r8 (family keeps a main-gate twin)
 )
 def mm_resize_metadata(spark, sf_dir):
     """mapInPandas resize stage (fit-within-224x224, aspect preserved,
@@ -1060,7 +1063,6 @@ SELECT doc_id,
        1.0 AS bucket_mass
 FROM s ORDER BY doc_id
 """,
-    shelved=True,
 )
 def mm_real_decode(spark, sf_dir):
     """REAL image decode, value-gated (r7, VERDICT r6 #5): synthetic
@@ -1124,7 +1126,6 @@ SELECT doc_id,
        CAST(amp AS INT) AS peak
 FROM p ORDER BY doc_id
 """,
-    shelved=True,
 )
 def mm_audio_features(spark, sf_dir):
     """REAL audio decode, value-gated (r7): synthetic 16-bit PCM WAV
@@ -1185,7 +1186,6 @@ SELECT doc_id,
        CAST(row_sum * w * 3 AS DOUBLE) / (h * w * 3) AS mean_lum
 FROM s ORDER BY doc_id, frame_idx
 """,
-    shelved=True,
 )
 def mm_video_frames(spark, sf_dir):
     """REAL video decode, value-gated (r7): synthetic uncompressed-AVI
@@ -1357,7 +1357,6 @@ ORDER BY 1
 @register(
     "datapipe_streaming_ingest",
     _INGEST_SQL,
-    shelved=True,
 )
 def datapipe_streaming_ingest(spark, sf_dir):
     """The streaming corpus-ingest composition as a value gate: batch 1

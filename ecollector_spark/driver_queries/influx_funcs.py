@@ -287,6 +287,7 @@ p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value_f AS v FROM src),
 d AS (SELECT t AS time, v - lag(v) OVER (ORDER BY t, v) AS value FROM p)
 SELECT time, value FROM d WHERE value IS NOT NULL ORDER BY time
 """,
+    shelved=True,  # rotated out r8 (family keeps a main-gate twin)
 )
 def ts_raw_difference(spark, sf_dir):
     """``difference("value")`` over RAW points (no GROUP BY time): the
@@ -379,6 +380,7 @@ outer_q AS (SELECT CAST(floor(time/86400) AS BIGINT)*86400 AS time, location_id,
             FROM sub GROUP BY 1, 2)
 SELECT time, location_id, value FROM outer_q ORDER BY time, location_id
 """,
+    shelved=True,  # rotated out r8 (family keeps a main-gate twin)
 )
 def influxql_subquery(spark, sf_dir):
     """``FROM (SELECT ...)``: the outer statement plans against the
@@ -709,7 +711,6 @@ src AS ({_src_sql('purchase')})
 SELECT {_bucket(86400)} AS time, round(sqrt(avg(value_f)), 6) AS value
 FROM src GROUP BY 1 ORDER BY time
 """,
-    shelved=True,
 )
 def ts_scalar_sqrt(spark, sf_dir):
     """Scalar math wrap (public InfluxQL transformation functions, r6):
@@ -732,7 +733,6 @@ u AS (
   SELECT 'click', {_bucket(86400)}, round(avg(value_f), 3) FROM c GROUP BY 2)
 SELECT measurement, time, value FROM u ORDER BY measurement, time
 """,
-    shelved=True,
 )
 def influxql_multi_from(spark, sf_dir):
     """``FROM "purchase", "click"`` (public InfluxQL measurement lists,

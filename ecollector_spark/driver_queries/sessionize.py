@@ -84,7 +84,9 @@ ORDER BY user_id, session_start
 """
 
 
-@register("streaming_session_replay", _SESSION_ORACLE)
+@register("streaming_session_replay", _SESSION_ORACLE,
+    shelved=True,  # rotated out r8 (family keeps a main-gate twin)
+)
 def streaming_session_replay(spark, sf_dir):
     """§2.8 session windows through the REAL streaming path: file-source
     replay -> watermarked ``session_window`` aggregation (merging state,
