@@ -318,9 +318,16 @@ def _blocks_of(comp: np.ndarray) -> tuple[np.ndarray, int, int]:
 
 def _encode_component_blocks(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     """FDCT + quantize every 8x8 block: (by, bx, 8, 8) int64 zigzagged
-    coefficient vectors (by, bx, 64)."""
+    coefficient vectors (by, bx, 64).
+
+    The DC term is computed EXACTLY as sum/8 (the DC basis is the
+    constant 1/8; an integer sum divided by a power of two is exact in
+    float64) instead of through the einsum — the matrix product loses an
+    ulp, which flips quantization on exact .5 boundaries and would break
+    the flat-image closed form the value gate's oracle predicts."""
     shifted = blocks.astype(np.float64) - 128.0
     coefs = np.einsum("km,ijmn,ln->ijkl", _C, shifted, _C)
+    coefs[:, :, 0, 0] = shifted.sum(axis=(2, 3)) / 8.0
     q = _round_half_up(coefs / qtab)
     return q.reshape(*q.shape[:2], 64)[:, :, _ZIGZAG]
 
@@ -367,23 +374,49 @@ def _dht_segment(cls: int, tid: int, spec) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+def _box_downsample(plane: np.ndarray) -> np.ndarray:
+    """2x2 box average with half-up rounding (edge-replicated to even
+    dims first) — the 4:2:0 chroma reduction."""
+    h, w = plane.shape
+    plane = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    s = (
+        plane[0::2, 0::2] + plane[0::2, 1::2]
+        + plane[1::2, 0::2] + plane[1::2, 1::2]
+    )
+    return _round_half_up(s / 4.0)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline JFIF bytes from (h, w) grayscale or (h, w, 3) RGB uint8.
-    4:4:4 — every component at full resolution (encode simplicity; the
-    decoder handles subsampled input from real encoders too)."""
+
+    ``subsampling``: "4:4:4" (every component full-resolution) or
+    "4:2:0" (chroma box-averaged 2x2; 16x16 MCUs). ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that-many MCUs."""
     img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
     if img.ndim == 2:
-        comps = [img.astype(np.int64)]
+        planes = [img.astype(np.int64)]
     elif img.ndim == 3 and img.shape[2] == 3:
         ycc = _rgb_to_ycbcr(img)
-        comps = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+        planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
     else:
         raise ValueError(f"unsupported array shape {img.shape}")
     h, w = img.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty image")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    ncomp = len(planes)
+    if subsampling == "4:2:0" and ncomp == 3:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _box_downsample(planes[1]), _box_downsample(planes[2])]
+    else:
+        samp = [(1, 1)] * ncomp
     qy, qc = quality_scaled_tables(quality)
-    ncomp = len(comps)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -398,13 +431,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         qid = 0 if ci == 0 else 1
-        sof += bytes([ci + 1, 0x11, qid])  # 1x1 sampling
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qid])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _DC_LUMA_SPEC)
     out += _dht_segment(1, 0, _AC_LUMA_SPEC)
     if ncomp == 3:
         out += _dht_segment(0, 1, _DC_CHROMA_SPEC)
         out += _dht_segment(1, 1, _AC_CHROMA_SPEC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -418,20 +454,47 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     dc_c = _build_huff_encoder(_DC_CHROMA_SPEC)
     ac_c = _build_huff_encoder(_AC_CHROMA_SPEC)
 
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     zz = []
-    for ci, comp in enumerate(comps):
-        blocks, by, bx = _blocks_of(comp)
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        # pad this component's plane so it holds mcuy*vs x mcux*hs blocks
+        need_h, need_w = mcuy * vs * 8, mcux * hs * 8
+        ph, pw = need_h - plane.shape[0], need_w - plane.shape[1]
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        blocks, _, _ = _blocks_of(plane)
         zz.append(_encode_component_blocks(blocks, qy if ci == 0 else qc))
-    by, bx = zz[0].shape[:2]
+
     writer = _BitWriter()
     preds = [0] * ncomp
-    for j in range(by):
-        for i in range(bx):
+    rst_n = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count == restart_interval:
+                out_bits = writer.flush()
+                out += out_bits
+                out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                writer = _BitWriter()
+                preds = [0] * ncomp
+                mcu_count = 0
             for ci in range(ncomp):
+                hs, vs = samp[ci]
                 dc_tab, ac_tab = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
-                preds[ci] = _huff_encode_block(
-                    writer, zz[ci][j, i], preds[ci], dc_tab, ac_tab
-                )
+                for bv in range(vs):
+                    for bh in range(hs):
+                        preds[ci] = _huff_encode_block(
+                            writer,
+                            zz[ci][my * vs + bv, mx * hs + bh],
+                            preds[ci],
+                            dc_tab,
+                            ac_tab,
+                        )
+            mcu_count += 1
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -583,7 +646,13 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
                         coef = (zz[_UNZIGZAG].reshape(8, 8) * qtab).astype(
                             np.float64
                         )
-                        pix = _C.T @ coef @ _C + 128.0
+                        # DC handled exactly (dq/8, a power-of-two
+                        # division) — the matrix product's ulp error
+                        # flips the final half-up round on exact .5
+                        # reconstructions; mirrors the encoder
+                        dc_exact = coef[0, 0] / 8.0
+                        coef[0, 0] = 0.0
+                        pix = _C.T @ coef @ _C + dc_exact + 128.0
                         y0 = (my * comp["v"] + bv) * 8
                         x0 = (mx * comp["h"] + bh) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix

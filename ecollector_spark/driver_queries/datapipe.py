@@ -1110,6 +1110,65 @@ def mm_real_decode(spark, sf_dir):
 
 
 @register(
+    "mm_jpeg_decode",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+m AS (SELECT doc_id,
+             24 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
+             doc_id % 256 AS v, 75 + doc_id % 21 AS q
+      FROM d),
+-- libjpeg quality scaling (q >= 50 branch: scale = 200 - 2q) applied to
+-- the Annex-K luma table's DC entry (16), then the DC-only closed form
+-- from jpeg_codec's module docstring: every rounding is floor(x + 0.5)
+t AS (SELECT *, greatest(1, least(255, (16 * (200 - 2*q) + 50) // 100)) AS q00 FROM m),
+r AS (SELECT doc_id, w, h, q00,
+             floor(8.0 * (v - 128) / q00 + 0.5) AS dc
+      FROM t)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(greatest(0, least(255, floor(dc * q00 / 8.0 + 0.5) + 128)) AS INT)
+         AS lum_decoded,
+       1.0 AS bucket_mass
+FROM r ORDER BY doc_id
+""",
+    shelved=True,  # r9 rotation candidate (mm family has 4 main gates)
+)
+def mm_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode, value-gated (r8, VERDICT r7 missing
+    #1): constant-luminance grayscale JPEGs at per-doc quality are built
+    inside mapInPandas (``attach_synthetic_jpeg_media`` — FDCT, Annex-K
+    quantization, Huffman entropy coding), then decoded by the real
+    feature path (``extract_features(decode_stub=False)``) with a
+    256-bin histogram, so ``array_position(max)`` - 1 IS the decoded
+    pixel value, exact to the unit. The DuckDB twin predicts it in
+    closed form — quality→quant-table scaling, DC quantization, dequant
+    + IDCT rounding — so any error in table scaling, Huffman coding,
+    bit stuffing, DC prediction or the IDCT shifts the value and breaks
+    the hash. width/height re-parse the produced bytes (jpeg_header),
+    pinning marker framing too."""
+    from ecollector_spark.datapipe.multimodal import attach_synthetic_jpeg_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 3 == 0
+    )
+    media = attach_synthetic_jpeg_media(docs)
+    feats = extract_features(media, decode_stub=False, dim=256)
+    lum = (F.expr("array_position(feature, array_max(feature))") - 1).cast("int")
+    return (
+        media.select("doc_id", "width", "height")
+        .join(
+            feats.select(
+                "doc_id",
+                lum.alias("lum_decoded"),
+                F.array_max("feature").alias("bucket_mass"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "width", "height", "lum_decoded", "bucket_mass")
+    )
+
+
+@register(
     "mm_audio_features",
     """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
 p AS (SELECT doc_id,

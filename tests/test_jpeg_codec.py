@@ -1,0 +1,199 @@
+"""Pins for the pure-stdlib baseline JPEG codec (r8, VERDICT r7 missing
+#1). Strategy mirrors test_png_codec.py: closed-form oracles where the
+math collapses (flat images are DC-only), bounded round-trip error for
+general content (JPEG is lossy by design), and loud refusal of the
+modes the codec does not implement."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from ecollector_spark.datapipe.jpeg_codec import (
+    _UNZIGZAG,
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_header,
+    quality_scaled_tables,
+)
+
+
+def _flat_closed_form(v: int, quality: int) -> int:
+    """The module-docstring DC-only prediction (also the DuckDB oracle
+    of the mm_jpeg_decode gate)."""
+    qy, _ = quality_scaled_tables(quality)
+    q00 = int(qy[0, 0])
+    dc = math.floor(8.0 * (v - 128) / q00 + 0.5)
+    return max(0, min(255, math.floor(dc * q00 / 8.0 + 0.5) + 128))
+
+
+class TestClosedForm:
+    @pytest.mark.parametrize("v", [0, 1, 7, 63, 127, 128, 129, 200, 254, 255])
+    @pytest.mark.parametrize("quality", [50, 75, 90, 95, 100])
+    def test_flat_gray_decodes_to_predicted_constant(self, v, quality):
+        img = np.full((19, 26), v, dtype=np.uint8)  # non-multiple-of-8 dims
+        out = decode_jpeg(encode_jpeg(img, quality=quality))
+        assert out.shape == (19, 26)
+        uniq = np.unique(out)
+        assert uniq.tolist() == [_flat_closed_form(v, quality)]
+
+    def test_quality_table_scaling_formula(self):
+        # libjpeg formula pins: Q=50 -> base tables exactly; Q=100 -> all 1
+        qy50, qc50 = quality_scaled_tables(50)
+        assert int(qy50[0, 0]) == 16 and int(qc50[0, 0]) == 17
+        qy100, _ = quality_scaled_tables(100)
+        assert int(qy100.max()) == 1
+        # Q=10 (scale=500): 16*500/100 = 80
+        qy10, _ = quality_scaled_tables(10)
+        assert int(qy10[0, 0]) == (16 * 500 + 50) // 100
+
+    def test_zigzag_is_a_permutation_and_inverts(self):
+        assert sorted(_ZIGZAG.tolist()) == list(range(64))
+        ident = np.arange(64)
+        assert np.array_equal(ident[_ZIGZAG][_UNZIGZAG], ident)
+        # spec pins: zigzag position 1 is (0,1), position 2 is (1,0)
+        assert _ZIGZAG[1] == 1 and _ZIGZAG[2] == 8
+
+
+class TestRoundTrip:
+    def test_smooth_gradient_error_bounded(self):
+        img = np.clip(
+            np.add.outer(np.arange(40) * 3, np.arange(60) * 2), 0, 255
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 3
+
+    def test_noise_error_bounded_at_q95(self):
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (37, 53), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+    def test_rgb_flat_color_round_trips_tightly(self):
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[:] = [200, 30, 90]
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == (8, 8, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    def test_420_subsampling_decodes(self):
+        base = np.clip(
+            np.add.outer(np.arange(41) * 3, np.arange(59) * 2), 0, 255
+        ).astype(np.uint8)
+        rgb = np.stack([base, base[::-1], np.roll(base, 7, axis=0)], axis=2)
+        d420 = encode_jpeg(rgb, quality=95, subsampling="4:2:0")
+        d444 = encode_jpeg(rgb, quality=95)
+        assert len(d420) < len(d444)  # subsampling must actually shrink
+        out = decode_jpeg(d420)
+        assert out.shape == rgb.shape
+        # luma is full-res: grayscale regions survive within quant error
+        err = np.abs(out.astype(int).mean(axis=2) - rgb.astype(int).mean(axis=2))
+        assert err.mean() < 4
+
+    def test_restart_markers_decode_identically(self):
+        base = np.clip(
+            np.add.outer(np.arange(24) * 5, np.arange(48) * 3), 0, 255
+        ).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(base, quality=85))
+        with_rst = decode_jpeg(encode_jpeg(base, quality=85, restart_interval=2))
+        assert np.array_equal(plain, with_rst)
+
+    def test_byte_stuffing_round_trips(self):
+        # low quality + noise reliably produces 0xFF bytes in the
+        # entropy stream; the encoder must stuff and the decoder unstuff
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+        data = encode_jpeg(img, quality=8)
+        scan = data[data.find(b"\xff\xda") :]
+        assert b"\xff\x00" in scan  # stuffing actually exercised
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+
+
+class TestHeaderAndRefusals:
+    def test_header_parses_without_decode(self):
+        img = np.zeros((19, 26), np.uint8)
+        assert jpeg_header(encode_jpeg(img)) == (26, 19, 1)
+        rgb = np.zeros((10, 12, 3), np.uint8)
+        assert jpeg_header(encode_jpeg(rgb)) == (12, 10, 3)
+
+    def test_progressive_refused_by_name(self):
+        data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(data))
+        with pytest.raises(NotImplementedError, match="progressive"):
+            jpeg_header(bytes(data))
+
+    def test_arithmetic_refused_by_name(self):
+        data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC9
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            decode_jpeg(bytes(data))
+
+    def test_12bit_precision_refused(self):
+        data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 4] = 12  # precision byte
+        with pytest.raises(NotImplementedError, match="12-bit"):
+            decode_jpeg(bytes(data))
+
+    def test_not_a_jpeg_rejected(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+    def test_appn_segments_skipped(self):
+        # splice an APP1 (EXIF-style) segment after SOI; decode unchanged
+        img = np.full((9, 9), 77, np.uint8)
+        data = encode_jpeg(img, quality=90)
+        app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+        spliced = data[:2] + app1 + data[2:]
+        assert np.array_equal(decode_jpeg(spliced), decode_jpeg(data))
+
+    def test_empty_image_rejected(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((0, 4), np.uint8))
+
+
+class TestMultimodalIntegration:
+    def test_resize_real_path_handles_jpeg(self, spark):
+        from ecollector_spark.datapipe.multimodal import (
+            attach_synthetic_jpeg_media,
+            resize_media,
+        )
+
+        docs = spark.range(12).withColumnRenamed("id", "doc_id")
+        media = attach_synthetic_jpeg_media(docs)
+        out = resize_media(media, max_w=16, max_h=16, decode_stub=False).collect()
+        assert len(out) == 12
+        for r in out:
+            assert r["width"] <= 16 and r["height"] <= 16
+            # re-encoded payload must itself parse as a JPEG of those dims
+            from ecollector_spark.datapipe.jpeg_codec import jpeg_header
+
+            w, h, n = jpeg_header(bytes(r["media"]))
+            assert (w, h, n) == (r["width"], r["height"], 1)
+
+    def test_feature_real_path_matches_closed_form(self, spark):
+        from ecollector_spark.datapipe.multimodal import (
+            attach_synthetic_jpeg_media,
+            extract_features,
+        )
+
+        docs = spark.range(9).withColumnRenamed("id", "doc_id")
+        feats = extract_features(
+            attach_synthetic_jpeg_media(docs), decode_stub=False, dim=256
+        ).collect()
+        for r in feats:
+            d = int(r["doc_id"])
+            expected = _flat_closed_form(d % 256, 75 + d % 21)
+            vec = r["feature"]
+            assert vec[expected] == 1.0
+            assert sum(vec) == 1.0
