@@ -372,10 +372,32 @@ def ivf_index_exists(index_path: str) -> bool:
     return os.path.isdir(os.path.join(index_path, "centroids"))
 
 
+def default_n_centroids(n_rows: int, floor: int = 8, cap: int = 4096) -> int:
+    """k ~= sqrt(N), rounded to the nearest power of two, clamped.
+
+    ANN_QUANTIZER.json follow-through (VERDICT r7 #7): the measured
+    20M-vector probe showed growing the quantizer (fixed nprobe) is what
+    holds per-query cost down — probed rows are nprobe * N / k, so
+    k = sqrt(N) keeps them at nprobe * sqrt(N), sublinear in corpus
+    size, while build cost (one O(N*k) assignment pass per Lloyd step)
+    stays a periodic-batch-job expense. The cap bounds the assignment
+    broadcast and the build pass; the floor keeps tiny corpora from
+    degenerate 1-2 list indexes."""
+    import math
+
+    k = max(1, int(round(math.sqrt(max(1, n_rows)))))
+    p = 1
+    while p * 2 <= k:
+        p *= 2
+    if k - p > 2 * p - k:  # nearest power of two
+        p *= 2
+    return max(floor, min(p, cap))
+
+
 def ivf_build(
     emb: DataFrame,
     index_path: str,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     n_iter: int = 2,
     vec_col: str = "embedding",
     overwrite: bool = False,
@@ -409,6 +431,11 @@ def ivf_build(
     if ivf_index_exists(index_path) and not overwrite:
         return index_path
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    if n_centroids is None:
+        # size the quantizer from the corpus (k ~= sqrt(N)); one
+        # column-pruned count, recorded in the sidecar below so probes
+        # can derive their default nprobe with zero knobs
+        n_centroids = default_n_centroids(e.count())
     cents = ivf_centroids(e, n_centroids, n_iter)
     tmp = f"{index_path}.building.{os.getpid()}"
     if os.path.isdir(tmp):
@@ -430,6 +457,10 @@ def ivf_build(
                 "mean_d2": st["mean_d2"],
                 "n_centroids": n_centroids,
                 "n_iter": n_iter,
+                # the probe default for this index (ANN_QUANTIZER.json:
+                # fixed nprobe over a sqrt(N) quantizer is the measured
+                # flat-cost configuration — probed rows ~ 2*sqrt(N))
+                "default_nprobe": 2,
             },
             f,
         )
@@ -558,7 +589,7 @@ def ivf_topk_indexed(
     index_path: str,
     query_vec: list[float],
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = 2,
     exclude_vec_id: int | None = None,
 ) -> DataFrame:
     """IVF search against a materialized index: NO training, no corpus
@@ -568,7 +599,20 @@ def ivf_topk_indexed(
     literal array, so the whole probe is one pruned scan + project +
     TakeOrdered (asserted in tools/explain_audit.py). Output
     (vec_id, cosine) ordered desc, ties by vec_id — same contract as
-    :func:`ivf_topk`."""
+    :func:`ivf_topk`.
+
+    ``nprobe=None`` reads the index's own recorded default from
+    ``stats.json`` (``default_nprobe``, written by :func:`ivf_build`) —
+    with an auto-sized sqrt(N) quantizer that is the zero-knob
+    configuration the quantizer probe measured as cost-flat."""
+    if nprobe is None:
+        import json as _json
+
+        try:
+            with open(os.path.join(index_path, "stats.json")) as f:
+                nprobe = int(_json.load(f).get("default_nprobe") or 2)
+        except FileNotFoundError:
+            nprobe = 2
     probes = ivf_probe_cids(spark, index_path, query_vec, nprobe)
     scan = spark.read.parquet(os.path.join(index_path, "assignments")).where(
         F.col("cid").isin([int(c) for c in probes])

@@ -28,8 +28,29 @@ def get_spark(
     master via spark-submit; all other conf still applies.
     """
     if master is None:
+        # SPARK_GRAFT_MASTER overrides entirely (e.g.
+        # "local-cluster[2,16,24576]" — real executor processes with
+        # network shuffle on one box, the multi-JVM validation mode)
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    if master.startswith("local-cluster"):
+        # executor JVMs need their memory set explicitly (the bracket
+        # number is the worker's, not the executor's), and executor
+        # Python workers need the package importable: local[N] shares
+        # the driver's cwd, separate worker processes do not. On a real
+        # cluster this is a wheel via --py-files; for the single-box
+        # multi-JVM validation mode the repo root on PYTHONPATH is the
+        # same package the driver imports.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra_conf = {
+            "spark.executor.memory": os.environ.get(
+                "SPARK_GRAFT_EXECUTOR_MEM", "20g"
+            ),
+            "spark.executorEnv.PYTHONPATH": repo_root,
+            **(extra_conf or {}),
+        }
     explicit_shuffle = shuffle_partitions is not None or "SPARK_GRAFT_SHUFFLE" in os.environ
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))

@@ -210,6 +210,44 @@ class TestSimilarity:
         similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
         assert os.stat(marker).st_mtime_ns == before
 
+    def test_ivf_auto_quantizer_defaults(self, corpus_emb, tmp_path_factory):
+        """r8 (VERDICT r7 #7): n_centroids=None sizes the quantizer
+        k ~= sqrt(N) at build time, records it plus default_nprobe in the
+        sidecar, and nprobe=None probes with the recorded default — zero
+        knobs end to end."""
+        import json
+        import os
+
+        from ecollector_spark.datapipe.similarity import default_n_centroids
+
+        # the formula itself: sqrt -> nearest pow2, floored and capped
+        assert default_n_centroids(200) == 16       # sqrt=14.1 -> 16
+        assert default_n_centroids(50) == 8         # floor
+        assert default_n_centroids(1_000_000) == 1024
+        assert default_n_centroids(10**12) == 4096  # cap
+        assert default_n_centroids(20_000_000) == 4096
+
+        idx = str(tmp_path_factory.mktemp("ivf_auto") / "index")
+        similarity.ivf_build(corpus_emb, idx, n_centroids=None, n_iter=2)
+        with open(os.path.join(idx, "stats.json")) as f:
+            stats = json.load(f)
+        assert stats["n_centroids"] == 16  # sized from the 200-vector corpus
+        assert stats["default_nprobe"] == 2
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        auto = similarity.ivf_topk_indexed(
+            corpus_emb.sparkSession, idx, qv, k=10, nprobe=None, exclude_vec_id=0
+        ).collect()
+        explicit = similarity.ivf_topk_indexed(
+            corpus_emb.sparkSession, idx, qv, k=10, nprobe=2, exclude_vec_id=0
+        ).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in auto] == [
+            (r["vec_id"], r["cosine"]) for r in explicit
+        ]
+
     def test_ivf_indexed_probe_prunes_partitions(self, corpus_emb, tmp_path_factory):
         """The probe must READ only the nprobe cid= directories — the
         whole point of materializing the index (partition pruning, not a
