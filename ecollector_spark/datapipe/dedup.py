@@ -126,10 +126,30 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFra
     the groupBy/join shuffles and their spill move 8-byte fixed-width
     elements instead of ~20-byte UTF-8 strings. The 1000× rung showed
     this stage's spill bandwidth — not signature width — is the minhash
-    wall (SCALE.md §r7)."""
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set(F.xxhash64("shingle")).alias("sh_set"),
-        F.count("*").alias("n_sh"),
+    wall (SCALE.md §r7).
+
+    r8: the sets are collected ONLY for docs that appear in a candidate
+    pair (left-semi join before the groupBy). The r7 shape collected
+    every doc's set — the whole corpus's shingles shuffled and spilled
+    even when candidates touch a fraction of it; now the verify shuffle
+    is proportional to |candidate docs|, not |corpus|. ``cand`` is
+    materialized once (localCheckpoint) since it now feeds three plan
+    branches (the doc filter + the a/b joins) — without it the banded
+    self-join would execute three times. Results are bit-identical:
+    docs outside every pair contributed no output row before."""
+    cand = cand.localCheckpoint(eager=False)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set(F.xxhash64("shingle")).alias("sh_set"),
+            F.count("*").alias("n_sh"),
+        )
     )
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("na")
@@ -201,18 +221,91 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    verify: str = "exact",
+    margin: float = 0.35,
 ) -> DataFrame:
-    """MinHash LSH: band signatures -> bucket join -> exact-Jaccard
-    verification of colliding pairs. Returns (doc_a, doc_b, jaccard >=
-    threshold).
+    """MinHash LSH: band signatures -> bucket join -> verification of
+    colliding pairs. Returns (doc_a, doc_b, jaccard >= threshold).
 
     Bands are unpivoted to long form (doc_id, band, sig) so candidate
     generation is ONE self-equi-join on (band, sig) — the only pairwise
     step, touching only colliding docs; at 100 TB this is a shuffle on
-    band signatures whose buckets are near-dup clusters by construction."""
+    band signatures whose buckets are near-dup clusters by construction.
+
+    ``verify`` (r8, VERDICT r7 #9 — the verify shuffle is the operator's
+    measured spill wall at 1000×):
+
+    - ``"exact"`` (default, the gate semantics): exact Jaccard over the
+      full shingle sets of every candidate pair.
+    - ``"hybrid"``: the already-computed signatures decide first — slice
+      agreement a/num_hashes estimates J (E[agree] = J per slice), so
+      pairs with agreement >= threshold+margin are accepted and pairs
+      <= threshold-margin rejected WITHOUT touching shingle sets; only
+      the borderline band pays the exact-Jaccard set shuffle. The
+      ``jaccard`` column carries the exact value for borderline pairs
+      and the floor6 signature estimate for high-agreement accepts —
+      callers that need exact values everywhere use ``"exact"``.
+      (The estimator-primary shape is the dedup_incremental near-pass
+      semantics, already oracle-green there.)"""
     sh = _doc_shingles(docs, text_col, k, materialize=True)
-    cand = minhash_lsh_candidates(sh, num_hashes, bands)
-    return _verify_jaccard(sh, cand, threshold)
+    sig = _signatures_from_shingles(sh, num_hashes)
+    bands_long = _bands_long(sig, num_hashes, bands)
+    x, y = bands_long.alias("x"), bands_long.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if verify == "exact":
+        return _verify_jaccard(sh, cand, threshold)
+    if verify != "hybrid":
+        raise ValueError(f"unknown verify mode {verify!r}")
+    return _verify_hybrid(sh, sig, cand, threshold, num_hashes, margin)
+
+
+def _verify_hybrid(
+    sh: DataFrame,
+    sig: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    margin: float,
+) -> DataFrame:
+    """Signature-agreement primary verdict + exact Jaccard only for the
+    borderline band (see minhash_lsh_pairs). The signature join moves
+    ``num_hashes`` longs per doc — fixed width, no collect_set, no
+    spill; the shingle-set machinery runs only for pairs whose estimate
+    sits within ``margin`` of the threshold."""
+    cand = cand.localCheckpoint(eager=False)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    agree_n = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = (agree_n.cast("double") / num_hashes).alias("est")
+    scored = (
+        cand.join(sig_a, "doc_a").join(sig_b, "doc_b").select("doc_a", "doc_b", est)
+    ).localCheckpoint(eager=False)
+    hi, lo = min(1.0, threshold + margin), max(0.0, threshold - margin)
+    sure = scored.where(F.col("est") >= hi).select(
+        "doc_a", "doc_b", _floor6(F.col("est")).alias("jaccard")
+    )
+    border = scored.where((F.col("est") < hi) & (F.col("est") > lo)).select(
+        "doc_a", "doc_b"
+    )
+    return sure.unionByName(_verify_jaccard(sh, border, threshold))
 
 
 def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
