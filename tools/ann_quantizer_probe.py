@@ -33,6 +33,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/ec_ts_scale_x10000")
     ap.add_argument("--centroids", default="8,64")
+    ap.add_argument(
+        "--auto",
+        action="store_true",
+        help=(
+            "r8 zero-knob mode (VERDICT r7 #7): build with "
+            "n_centroids=None (k ~= sqrt(N) sized at build time, recorded "
+            "in the sidecar) and probe with nprobe=None (the sidecar's "
+            "recorded default) — measures the flat-per-query-cost claim "
+            "with no hand-set constants at all"
+        ),
+    )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="ANN_QUANTIZER.json")
     args = ap.parse_args()
@@ -65,37 +76,47 @@ def main() -> None:
         "total_rows": total,
         "configs": {},
     }
-    for k in [int(c) for c in args.centroids.split(",")]:
+    if args.auto:
+        configs = [("auto", None)]
+    else:
+        configs = [(str(c), int(c)) for c in args.centroids.split(",")]
+    for label, k in configs:
         idx = os.path.join(
-            os.path.dirname(args.dir.rstrip("/")), f"ec_ann_quant_{k}"
+            os.path.dirname(args.dir.rstrip("/")), f"ec_ann_quant_{label}_{total}"
         )
         if os.path.isdir(idx):
             shutil.rmtree(idx)
         t0 = time.perf_counter()
         similarity.ivf_build(emb, idx, n_centroids=k, n_iter=2)
         build_s = time.perf_counter() - t0
+        with open(os.path.join(idx, "stats.json")) as f:
+            sidecar = json.load(f)
+        nprobe_arg = None if args.auto else 2
+        eff_nprobe = sidecar.get("default_nprobe", 2) if args.auto else 2
         ts, probed = [], None
         for _ in range(args.runs):
             t0 = time.perf_counter()
             res = similarity.ivf_topk_indexed(
-                spark, idx, qv, k=10, nprobe=2, exclude_vec_id=0
+                spark, idx, qv, k=10, nprobe=nprobe_arg, exclude_vec_id=0
             )
             res.write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
-        cids = similarity.ivf_probe_cids(spark, idx, qv, nprobe=2)
+        cids = similarity.ivf_probe_cids(spark, idx, qv, nprobe=eff_nprobe)
         probed = (
             spark.read.parquet(os.path.join(idx, "assignments"))
             .where(F.col("cid").isin(cids))
             .count()
         )
-        out["configs"][str(k)] = {
+        out["configs"][label] = {
+            "n_centroids": sidecar.get("n_centroids"),
+            "nprobe": eff_nprobe,
             "build_s": round(build_s, 3),
             "probe_s_median": round(statistics.median(ts), 3),
             "probe_runs": [round(t, 3) for t in ts],
             "probed_rows": probed,
             "probed_fraction": round(probed / total, 4),
         }
-        print(k, out["configs"][str(k)], flush=True)
+        print(label, out["configs"][label], flush=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", args.out)

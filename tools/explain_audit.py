@@ -42,9 +42,17 @@ CHECKS = {
         "partial_",
     ],
     # dedup: the minhash aggregate must be partial (map-side min); built
-    # via _raw_minhash below (the driver query wraps a localCheckpoint
-    # before its cosmetic sort, which hides the upstream plan)
-    "_raw_minhash": ["partial_min", "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+    # via _raw_minhash_candidates below (r8: the verify stage now
+    # materializes candidates with a localCheckpoint — it feeds three
+    # plan branches — which truncates the explained plan above it, so
+    # the partial_min assert moved to the pre-checkpoint candidates
+    # shape). The full pairs plan instead pins the r8 verify contract:
+    # shingle sets are collected only for candidate docs (LeftSemi).
+    "_raw_minhash_candidates": [
+        "partial_min",
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+    ],
+    "_raw_minhash": ["LeftSemi", "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
     # text ops are one map-side pass: no shuffle except the explicit sort
     "text_quality": ["^((?!Exchange hashpartitioning).)*$"],
     # ANN brute force: the query vector is a broadcast, the scan is pruned
@@ -294,6 +302,17 @@ def main():
 
         return minhash_lsh_pairs(dedup_corpus(spark, sf_dir))
 
+    def _raw_minhash_candidates(spark, sf_dir):
+        from ecollector_spark.datapipe.dedup import (
+            _doc_shingles,
+            minhash_lsh_candidates,
+        )
+        from ecollector_spark.driver_queries.datapipe import dedup_corpus
+
+        return minhash_lsh_candidates(
+            _doc_shingles(dedup_corpus(spark, sf_dir), "text", 3)
+        )
+
     def _raw_embedding_near_dup(spark, sf_dir):
         from ecollector_spark.datapipe.similarity import embedding_near_dup_pairs
 
@@ -308,6 +327,7 @@ def main():
 
     builders = {**driver_queries.QUERIES, **driver_queries.SHELVED_QUERIES}
     builders["_raw_minhash"] = _raw_minhash
+    builders["_raw_minhash_candidates"] = _raw_minhash_candidates
     builders["_raw_embedding_near_dup"] = _raw_embedding_near_dup
     builders["_raw_transform"] = _raw_transform
 
