@@ -249,18 +249,7 @@ def minhash_lsh_pairs(
       semantics, already oracle-green there.)"""
     sh = _doc_shingles(docs, text_col, k, materialize=True)
     sig = _signatures_from_shingles(sh, num_hashes)
-    bands_long = _bands_long(sig, num_hashes, bands)
-    x, y = bands_long.alias("x"), bands_long.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = minhash_lsh_candidates(sh, num_hashes, bands, sig=sig)
     if verify == "exact":
         return _verify_jaccard(sh, cand, threshold)
     if verify != "hybrid":
@@ -344,12 +333,15 @@ def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 
 def minhash_lsh_candidates(
-    sh: DataFrame, num_hashes: int = 8, bands: int = 4
+    sh: DataFrame, num_hashes: int = 8, bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-signature candidate pairs (doc_a < doc_b) — the
     pre-verification stage of :func:`minhash_lsh_pairs`, exposed so the
-    scale probe can measure candidate growth vs corpus size."""
-    sig = _signatures_from_shingles(sh, num_hashes)
+    scale probe can measure candidate growth vs corpus size. ``sig``
+    passes a precomputed signature table (the hybrid verify reuses it)."""
+    if sig is None:
+        sig = _signatures_from_shingles(sh, num_hashes)
     bands_long = _bands_long(sig, num_hashes, bands)
     x, y = bands_long.alias("x"), bands_long.alias("y")
     return (
