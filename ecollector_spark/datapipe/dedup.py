@@ -109,7 +109,12 @@ def jaccard_candidates(sh: DataFrame, max_df: int = 100) -> DataFrame:
     )
 
 
-def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(
+    sh: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    cand_docs: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard over ALL shingles of each candidate pair: the shingle
     set of each doc is collected once (docs are bounded-length, so the set
     is a small array), then each candidate pair needs just TWO doc_id
@@ -128,28 +133,27 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFra
     this stage's spill bandwidth — not signature width — is the minhash
     wall (SCALE.md §r7).
 
-    r8: the sets are collected ONLY for docs that appear in a candidate
-    pair (left-semi join before the groupBy). The r7 shape collected
-    every doc's set — the whole corpus's shingles shuffled and spilled
-    even when candidates touch a fraction of it; now the verify shuffle
-    is proportional to |candidate docs|, not |corpus|. ``cand`` is
-    materialized once (localCheckpoint) since it now feeds three plan
-    branches (the doc filter + the a/b joins) — without it the banded
-    self-join would execute three times. Results are bit-identical:
-    docs outside every pair contributed no output row before."""
-    cand = cand.localCheckpoint(eager=False)
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        sh.join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.collect_set(F.xxhash64("shingle")).alias("sh_set"),
-            F.count("*").alias("n_sh"),
-        )
+    r8: the sets are collected ONLY for docs that can appear in a
+    candidate pair (left-semi join on ``cand_docs`` before the groupBy).
+    The r7 shape collected every doc's set — the whole corpus's shingles
+    shuffled and spilled even when candidates touch a fraction of it;
+    now the verify shuffle is proportional to |candidate docs|, not
+    |corpus|. Callers pass ``cand_docs`` derived UPSTREAM of the pair
+    join (minhash: docs in a >=2-doc LSH bucket — one aggregate on the
+    band keys' existing shuffle) so the expensive pair join still has
+    exactly its r7 two consumers; deriving the filter from ``cand``
+    itself would give the join a third consumer, which measured +25-50%
+    at the salted 100x rung (plan-identical exchanges are not reused
+    across the union branches) and an explicit localCheckpoint of the
+    pairs GC-stalled the 48g driver past the heartbeat timeout at
+    1000x. A superset filter is harmless (extra sets join to no pair);
+    ``None`` skips the filter (the r7 shape)."""
+    sets = sh
+    if cand_docs is not None:
+        sets = sh.join(cand_docs, "doc_id", "left_semi")
+    sets = sets.groupBy("doc_id").agg(
+        F.collect_set(F.xxhash64("shingle")).alias("sh_set"),
+        F.count("*").alias("n_sh"),
     )
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("na")
@@ -248,13 +252,29 @@ def minhash_lsh_pairs(
       (The estimator-primary shape is the dedup_incremental near-pass
       semantics, already oracle-green there.)"""
     sh = _doc_shingles(docs, text_col, k, materialize=True)
-    sig = _signatures_from_shingles(sh, num_hashes)
-    cand = minhash_lsh_candidates(sh, num_hashes, bands, sig=sig)
+    # the signature table is PER-DOC and fixed-width (num_hashes longs)
+    # — small enough to checkpoint lazily, unlike the pair table whose
+    # materialization GC-killed the 1000x driver. Every band-side branch
+    # below (pair join's two sides, the hot-bucket aggregate, the
+    # candidate-doc semi-join) then replays only a cheap explode over
+    # the cached signatures instead of re-running the shingle aggregate.
+    sig = _signatures_from_shingles(sh, num_hashes).localCheckpoint(eager=False)
+    bl = _bands_long(sig, num_hashes, bands)
+    cand = _pairs_from_bands(bl)
+    # docs that can appear in any pair = members of a >=2-doc bucket —
+    # ONE aggregate on the band keys (upstream of the pair join, so the
+    # join keeps exactly its r7 single consumer; see _verify_jaccard)
+    hot = bl.groupBy("band", "sig").agg(F.count("*").alias("_c")).where(
+        F.col("_c") >= 2
+    )
+    cand_docs = (
+        bl.join(hot, ["band", "sig"], "left_semi").select("doc_id").distinct()
+    )
     if verify == "exact":
-        return _verify_jaccard(sh, cand, threshold)
+        return _verify_jaccard(sh, cand, threshold, cand_docs=cand_docs)
     if verify != "hybrid":
         raise ValueError(f"unknown verify mode {verify!r}")
-    return _verify_hybrid(sh, sig, cand, threshold, num_hashes, margin)
+    return _verify_hybrid(sh, sig, cand, threshold, num_hashes, margin, cand_docs)
 
 
 def _verify_hybrid(
@@ -264,13 +284,14 @@ def _verify_hybrid(
     threshold: float,
     num_hashes: int,
     margin: float,
+    cand_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Signature-agreement primary verdict + exact Jaccard only for the
     borderline band (see minhash_lsh_pairs). The signature join moves
     ``num_hashes`` longs per doc — fixed width, no collect_set, no
     spill; the shingle-set machinery runs only for pairs whose estimate
-    sits within ``margin`` of the threshold."""
-    cand = cand.localCheckpoint(eager=False)
+    sits within ``margin`` of the threshold. Multi-branch reuse is by
+    ReuseExchange (cand ends in a distinct), same as _verify_jaccard."""
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
@@ -286,7 +307,7 @@ def _verify_hybrid(
     est = (agree_n.cast("double") / num_hashes).alias("est")
     scored = (
         cand.join(sig_a, "doc_a").join(sig_b, "doc_b").select("doc_a", "doc_b", est)
-    ).localCheckpoint(eager=False)
+    )
     hi, lo = min(1.0, threshold + margin), max(0.0, threshold - margin)
     sure = scored.where(F.col("est") >= hi).select(
         "doc_a", "doc_b", _floor6(F.col("est")).alias("jaccard")
@@ -294,7 +315,9 @@ def _verify_hybrid(
     border = scored.where((F.col("est") < hi) & (F.col("est") > lo)).select(
         "doc_a", "doc_b"
     )
-    return sure.unionByName(_verify_jaccard(sh, border, threshold))
+    return sure.unionByName(
+        _verify_jaccard(sh, border, threshold, cand_docs=cand_docs)
+    )
 
 
 def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -332,17 +355,8 @@ def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(
-    sh: DataFrame, num_hashes: int = 8, bands: int = 4,
-    sig: DataFrame | None = None,
-) -> DataFrame:
-    """Banded-signature candidate pairs (doc_a < doc_b) — the
-    pre-verification stage of :func:`minhash_lsh_pairs`, exposed so the
-    scale probe can measure candidate growth vs corpus size. ``sig``
-    passes a precomputed signature table (the hybrid verify reuses it)."""
-    if sig is None:
-        sig = _signatures_from_shingles(sh, num_hashes)
-    bands_long = _bands_long(sig, num_hashes, bands)
+def _pairs_from_bands(bands_long: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) pairs colliding in any (band, sig) bucket."""
     x, y = bands_long.alias("x"), bands_long.alias("y")
     return (
         x.join(
@@ -354,6 +368,19 @@ def minhash_lsh_candidates(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_candidates(
+    sh: DataFrame, num_hashes: int = 8, bands: int = 4,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """Banded-signature candidate pairs (doc_a < doc_b) — the
+    pre-verification stage of :func:`minhash_lsh_pairs`, exposed so the
+    scale probe can measure candidate growth vs corpus size. ``sig``
+    passes a precomputed signature table."""
+    if sig is None:
+        sig = _signatures_from_shingles(sh, num_hashes)
+    return _pairs_from_bands(_bands_long(sig, num_hashes, bands))
 
 
 def connected_components(
