@@ -252,28 +252,38 @@ def minhash_lsh_pairs(
       (The estimator-primary shape is the dedup_incremental near-pass
       semantics, already oracle-green there.)"""
     sh = _doc_shingles(docs, text_col, k, materialize=True)
-    # the signature table is PER-DOC and fixed-width (num_hashes longs)
-    # — small enough to checkpoint lazily, unlike the pair table whose
-    # materialization GC-killed the 1000x driver. Every band-side branch
-    # below (pair join's two sides, the hot-bucket aggregate, the
-    # candidate-doc semi-join) then replays only a cheap explode over
-    # the cached signatures instead of re-running the shingle aggregate.
+    if verify == "exact":
+        # the plain chain (sets for every doc, single-consumer pair
+        # join). A candidate-doc filter was tried here in r8 and
+        # REGRESSED the salted 1000x rung 1238.6 s vs hybrid's 687.8 s
+        # same-session (the filter's extra band-key aggregate + semi
+        # join land in the already-spill-bound regime, and on a
+        # dup-heavy corpus they filter nothing); it pays only inside
+        # hybrid, where the border is small.
+        cand = minhash_lsh_candidates(sh, num_hashes, bands)
+        return _verify_jaccard(sh, cand, threshold)
+    if verify != "hybrid":
+        raise ValueError(f"unknown verify mode {verify!r}")
+    # hybrid: the signature table is PER-DOC and fixed-width
+    # (num_hashes longs) — small enough to checkpoint lazily, unlike
+    # the pair table whose materialization GC-killed the 1000x driver.
+    # Every band-side branch below (pair join's two sides, the
+    # hot-bucket aggregate, the candidate-doc semi-join) then replays a
+    # cheap explode over the cached signatures instead of re-running
+    # the shingle aggregate.
     sig = _signatures_from_shingles(sh, num_hashes).localCheckpoint(eager=False)
     bl = _bands_long(sig, num_hashes, bands)
     cand = _pairs_from_bands(bl)
     # docs that can appear in any pair = members of a >=2-doc bucket —
-    # ONE aggregate on the band keys (upstream of the pair join, so the
-    # join keeps exactly its r7 single consumer; see _verify_jaccard)
+    # ONE aggregate on the band keys, upstream of the pair join (so the
+    # join keeps its single consumer); bounds the border verify's
+    # shingle-set collection (see _verify_jaccard)
     hot = bl.groupBy("band", "sig").agg(F.count("*").alias("_c")).where(
         F.col("_c") >= 2
     )
     cand_docs = (
         bl.join(hot, ["band", "sig"], "left_semi").select("doc_id").distinct()
     )
-    if verify == "exact":
-        return _verify_jaccard(sh, cand, threshold, cand_docs=cand_docs)
-    if verify != "hybrid":
-        raise ValueError(f"unknown verify mode {verify!r}")
     return _verify_hybrid(sh, sig, cand, threshold, num_hashes, margin, cand_docs)
 
 

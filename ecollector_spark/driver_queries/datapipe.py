@@ -154,6 +154,58 @@ def dedup_minhash_lsh(spark, sf_dir):
     return pairs.localCheckpoint(eager=False)
 
 
+_AGREE_SQL = " + ".join(f"CAST(a.mh_{i} = b.mh_{i} AS INT)" for i in range(8))
+
+
+@register(
+    "dedup_minhash_hybrid",
+    f"""WITH {_CORPUS},
+{_SHINGLED},
+{_BANDS_SQL.replace('{sh3}', _SH3)},
+-- hybrid verify (dedup._verify_hybrid): slice agreement over the
+-- signatures is the primary verdict (E[agree] = J per slice; hex-slice
+-- equality == the engine's int64-slice equality, fixed-width bijection);
+-- only the borderline band pays the exact-Jaccard shingle intersection
+scored AS (
+  SELECT c.doc_a, c.doc_b, ({_AGREE_SQL}) / 8.0 AS est
+  FROM cand c JOIN mh a ON a.doc_id = c.doc_a JOIN mh b ON b.doc_id = c.doc_b),
+sure AS (SELECT doc_a, doc_b, floor(est*1000000)/1000000 AS jaccard
+         FROM scored WHERE est >= 0.85),
+border AS (SELECT doc_a, doc_b FROM scored WHERE est < 0.85 AND est > 0.15),
+binter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM sh x JOIN border ON x.doc_id = border.doc_a
+  JOIN sh y ON y.doc_id = border.doc_b AND x.shingle = y.shingle
+  GROUP BY 1, 2),
+bexact AS (
+  SELECT i.doc_a, i.doc_b,
+         floor((i.inter/(sa.n_sh + sb.n_sh - i.inter))*1000000)/1000000 AS jaccard
+  FROM binter i JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE floor((i.inter/(sa.n_sh + sb.n_sh - i.inter))*1000000)/1000000 >= 0.5)
+SELECT doc_a, doc_b, jaccard FROM sure
+UNION ALL SELECT doc_a, doc_b, jaccard FROM bexact
+ORDER BY 1, 2
+""",
+    shelved=True,  # r9 rotation candidate — the measured 1000x scale path
+)
+def dedup_minhash_hybrid(spark, sf_dir):
+    """minhash_lsh_pairs(verify='hybrid') — the r8 scale path: signature
+    agreement decides high/low-agreement pairs without touching shingle
+    sets; exact Jaccard only for the borderline band. Same-session
+    salted-1000x A/B: hybrid 687.8 s vs exact 1238.6 s (SCALE.md §r8c).
+    The oracle mirrors the two-path verdict exactly, so the estimate-
+    valued jaccard column of sure-accepts is value-checked too."""
+    pairs = dedup.minhash_lsh_pairs(
+        dedup_corpus(spark, sf_dir),
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+        verify="hybrid",
+    )
+    return pairs.localCheckpoint(eager=False)
+
+
 @register(
     "dedup_clusters",
     f"""WITH RECURSIVE {_CORPUS},
