@@ -42,17 +42,33 @@ CHECKS = {
         "partial_",
     ],
     # dedup: the minhash aggregate must be partial (map-side min); built
-    # via _raw_minhash_candidates below (r8: the verify stage now
-    # materializes candidates with a localCheckpoint — it feeds three
-    # plan branches — which truncates the explained plan above it, so
-    # the partial_min assert moved to the pre-checkpoint candidates
-    # shape). The full pairs plan instead pins the r8 verify contract:
-    # shingle sets are collected only for candidate docs (LeftSemi).
+    # via _raw_minhash_candidates below. The DEFAULT pairs path is
+    # verify='exact' and its shipped contract is the PLAIN chain: pair
+    # equi-join on band keys, no candidate-doc semi-join — the LeftSemi
+    # filter was tried on the exact path in r8 and REVERTED by
+    # measurement (salted 1000x: +25-50 %; dedup.py:255 documents it),
+    # so !LeftSemi here pins that decision against silent re-adds.
     "_raw_minhash_candidates": [
         "partial_min",
         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
     ],
-    "_raw_minhash": ["LeftSemi", "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+    "_raw_minhash": [
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        "!LeftSemi",
+        "!CartesianProduct",
+    ],
+    # verify='hybrid' (r8): signature-agreement primary verdict (sure
+    # accepts union border exact-verify), signatures replayed from a
+    # lazy localCheckpoint (Scan ExistingRDD) instead of re-running the
+    # shingle aggregate per branch, and the border's shingle-set
+    # collection bounded to candidate docs via LeftSemi
+    "_raw_minhash_hybrid": [
+        "Union",
+        "LeftSemi",
+        "Scan ExistingRDD",
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        "!CartesianProduct",
+    ],
     # text ops are one map-side pass: no shuffle except the explicit sort
     "text_quality": ["^((?!Exchange hashpartitioning).)*$"],
     # ANN brute force: the query vector is a broadcast, the scan is pruned
@@ -287,64 +303,83 @@ def unpartitioned_windows(plan: str) -> list[str]:
     return out
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.001"
-    verbose = "-v" in sys.argv
+def _raw_minhash(spark, sf_dir):
+    from ecollector_spark.datapipe.dedup import minhash_lsh_pairs
+    from ecollector_spark.driver_queries.datapipe import dedup_corpus
 
+    return minhash_lsh_pairs(dedup_corpus(spark, sf_dir))
+
+
+def _raw_minhash_hybrid(spark, sf_dir):
+    from ecollector_spark.datapipe.dedup import minhash_lsh_pairs
+    from ecollector_spark.driver_queries.datapipe import dedup_corpus
+
+    return minhash_lsh_pairs(dedup_corpus(spark, sf_dir), verify="hybrid")
+
+
+def _raw_minhash_candidates(spark, sf_dir):
+    from ecollector_spark.datapipe.dedup import (
+        _doc_shingles,
+        minhash_lsh_candidates,
+    )
+    from ecollector_spark.driver_queries.datapipe import dedup_corpus
+
+    return minhash_lsh_candidates(
+        _doc_shingles(dedup_corpus(spark, sf_dir), "text", 3)
+    )
+
+
+def _raw_embedding_near_dup(spark, sf_dir):
+    from ecollector_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+def _raw_transform(spark, sf_dir):
+    from ecollector_spark.sources.fimp_adapter import fimp_from_events
+    from ecollector_spark.transform import default_transform
+
+    return default_transform(fimp_from_events(spark, sf_dir))
+
+
+def _raw_dedup_incremental(spark, sf_dir):
+    from ecollector_spark.datapipe import dedup
+    from ecollector_spark.driver_queries.datapipe import incremental_batch
+
+    old = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return dedup.dedup_incremental(
+        incremental_batch(spark, sf_dir),
+        dedup.exact_manifest(old),
+        dedup.minhash_signatures(old),
+    )
+
+
+def audit_builders():
+    """Every audited plan builder: driver gates + the raw shapes above."""
     from ecollector_spark import driver_queries
-    from ecollector_spark.session import get_spark
 
     driver_queries.load_all()
+    return {
+        **driver_queries.QUERIES,
+        **driver_queries.SHELVED_QUERIES,
+        "_raw_minhash": _raw_minhash,
+        "_raw_minhash_hybrid": _raw_minhash_hybrid,
+        "_raw_minhash_candidates": _raw_minhash_candidates,
+        "_raw_embedding_near_dup": _raw_embedding_near_dup,
+        "_raw_transform": _raw_transform,
+        "_raw_dedup_incremental": _raw_dedup_incremental,
+    }
 
-    def _raw_minhash(spark, sf_dir):
-        from ecollector_spark.datapipe.dedup import minhash_lsh_pairs
-        from ecollector_spark.driver_queries.datapipe import dedup_corpus
 
-        return minhash_lsh_pairs(dedup_corpus(spark, sf_dir))
+def run_audit(spark, sf_dir, verbose=False, out=print):
+    """Execute every CHECKS assertion; returns the failure count.
 
-    def _raw_minhash_candidates(spark, sf_dir):
-        from ecollector_spark.datapipe.dedup import (
-            _doc_shingles,
-            minhash_lsh_candidates,
-        )
-        from ecollector_spark.driver_queries.datapipe import dedup_corpus
-
-        return minhash_lsh_candidates(
-            _doc_shingles(dedup_corpus(spark, sf_dir), "text", 3)
-        )
-
-    def _raw_embedding_near_dup(spark, sf_dir):
-        from ecollector_spark.datapipe.similarity import embedding_near_dup_pairs
-
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return embedding_near_dup_pairs(emb, threshold=0.3)
-
-    def _raw_transform(spark, sf_dir):
-        from ecollector_spark.sources.fimp_adapter import fimp_from_events
-        from ecollector_spark.transform import default_transform
-
-        return default_transform(fimp_from_events(spark, sf_dir))
-
-    builders = {**driver_queries.QUERIES, **driver_queries.SHELVED_QUERIES}
-    builders["_raw_minhash"] = _raw_minhash
-    builders["_raw_minhash_candidates"] = _raw_minhash_candidates
-    builders["_raw_embedding_near_dup"] = _raw_embedding_near_dup
-    builders["_raw_transform"] = _raw_transform
-
-    def _raw_dedup_incremental(spark, sf_dir):
-        from ecollector_spark.datapipe import dedup
-        from ecollector_spark.driver_queries.datapipe import incremental_batch
-
-        old = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-        return dedup.dedup_incremental(
-            incremental_batch(spark, sf_dir),
-            dedup.exact_manifest(old),
-            dedup.minhash_signatures(old),
-        )
-
-    builders["_raw_dedup_incremental"] = _raw_dedup_incremental
-
-    spark = get_spark("explain_audit")
+    Importable so the pytest suite runs the SAME audit the round-close
+    claim cites (VERDICT r8 #1: a stale assert must never again coexist
+    with a 'plan audit PASS' claim — tests/test_plan_audit.py wires this
+    into `pytest tests/`)."""
+    builders = audit_builders()
     failures = 0
 
     # VERDICT r6 #1: shuffle parallelism must be data-proportional ENGINE
@@ -364,44 +399,56 @@ def main():
             spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
         )
         if _aqe != "true" or _coal != "true" or _init < _want:
-            print(
+            out(
                 f"FAIL session-conf: AQE wide-start missing (aqe={_aqe}, "
                 f"coalesce={_coal}, initialPartitionNum={_init}, want >= {_want})"
             )
             failures += 1
         else:
-            print(f"OK session-conf (AQE wide-start, initialPartitionNum={_init})")
+            out(f"OK session-conf (AQE wide-start, initialPartitionNum={_init})")
     for name, patterns in CHECKS.items():
         df = builders[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if verbose:
-            print(f"\n===== {name} =====\n{plan}")
+            out(f"\n===== {name} =====\n{plan}")
+        before = failures
         for pat in patterns:
             if pat.startswith("!"):
                 if re.search(pat[1:], plan, re.MULTILINE | re.DOTALL):
-                    print(f"FAIL {name}: plan contains forbidden /{pat[1:]}/")
+                    out(f"FAIL {name}: plan contains forbidden /{pat[1:]}/")
                     failures += 1
             elif not re.search(pat, plan, re.MULTILINE | re.DOTALL):
-                print(f"FAIL {name}: plan lacks /{pat}/")
+                out(f"FAIL {name}: plan lacks /{pat}/")
                 failures += 1
         for pat in FORBIDDEN_EVERYWHERE:
             if re.search(pat, plan):
-                print(f"FAIL {name}: plan contains forbidden {pat}")
+                out(f"FAIL {name}: plan contains forbidden {pat}")
                 failures += 1
         allowed = BOUNDED_WINDOWS.get(name, [])
         for spec in unpartitioned_windows(plan):
             for pat, bound in allowed:
                 if re.search(pat, spec):
-                    print(f"  bounded-window {name}: ordered by [{spec}] — {bound}")
+                    out(f"  bounded-window {name}: ordered by [{spec}] — {bound}")
                     break
             else:
-                print(
+                out(
                     f"FAIL {name}: UNPARTITIONED window over [{spec}] with no "
                     "declared bound (single-task funnel at scale)"
                 )
                 failures += 1
-        if not failures:
-            print(f"OK {name}")
+        if failures == before:
+            out(f"OK {name}")
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.001"
+    verbose = "-v" in sys.argv
+
+    from ecollector_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    failures = run_audit(spark, sf_dir, verbose=verbose)
     print(f"\n{'FAIL' if failures else 'PASS'} ({failures} failures)")
     sys.exit(1 if failures else 0)
 
