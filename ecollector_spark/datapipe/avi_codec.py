@@ -47,19 +47,27 @@ def _row_stride(width: int) -> int:
     return (width * 3 + 3) & ~3
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+def encode_avi(frames: np.ndarray, fps: int = 10, grayscale: bool | None = None) -> bytes:
     """Uncompressed AVI bytes from (n, h, w) grayscale or (n, h, w, 3)
     RGB uint8 frames: BI_RGB 24-bit DIB payloads (bottom-up BGR rows,
     4-byte row padding) in ``00db`` chunks, plus the ``idx1`` index
-    real players expect."""
+    real players expect.
+
+    ``grayscale`` disambiguates 3-D input whose last dim is 3, which is
+    otherwise rejected (ADVICE r8: the bare guard also lost legitimate
+    n-frame stacks of width-3 grayscale): True reads (n, h, 3) as n
+    grayscale frames of width 3; False reads (h, w, 3) as ONE RGB frame."""
     arr = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
-    if arr.ndim == 3:
+    if arr.ndim == 3 and arr.shape[2] == 3 and grayscale is not None:
+        arr = np.repeat(arr[:, :, :, None], 3, axis=3) if grayscale else arr[None]
+    elif arr.ndim == 3:
         # a single RGB frame passed as (h, w, 3) would be silently
         # misread as h grayscale 3-pixel-wide frames — reject it
         if arr.shape[2] == 3:
             raise ValueError(
                 "ambiguous (h, w, 3) input: a single RGB frame needs a "
-                "leading frame axis — pass frames[None] for (1, h, w, 3)"
+                "leading frame axis — pass frames[None] for (1, h, w, 3), "
+                "or pass grayscale=True for n grayscale frames of width 3"
             )
         arr = np.repeat(arr[:, :, :, None], 3, axis=3)
     if arr.ndim != 4 or arr.shape[3] != 3 or min(arr.shape[:3]) < 1:

@@ -250,7 +250,22 @@ def minhash_lsh_pairs(
       and the floor6 signature estimate for high-agreement accepts —
       callers that need exact values everywhere use ``"exact"``.
       (The estimator-primary shape is the dedup_incremental near-pass
-      semantics, already oracle-green there.)"""
+      semantics, already oracle-green there.)
+
+      Hybrid accept error is bounded by the binomial tail of the
+      ``num_hashes`` agreement estimate (ADVICE r8): a pair is
+      mis-ACCEPTED without exact verification only when true J <
+      threshold yet agreement >= threshold+margin. At the defaults
+      (num_hashes=8, threshold=0.5, margin=0.35 -> accept needs >= 7/8
+      slices agreeing) that is P[Bin(8, J) >= 7]: ~1.8 % at J = 0.45,
+      ~0.13 % at J = 0.30, <0.01 % at J <= 0.20 — and symmetric
+      mis-REJECTS (J >= threshold, agreement <= threshold-margin, i.e.
+      <= 1/8 slices) are ~3.5 % at J = 0.5 exactly (9/256), falling to
+      ~0.4 % at J = 0.65. Raising num_hashes
+      tightens both tails exponentially; shrinking margin widens the
+      exactly-verified border instead. Pairs inside the border band
+      always get the exact Jaccard, so the error budget applies ONLY
+      to pairs the 8-slice estimate places far from the threshold."""
     sh = _doc_shingles(docs, text_col, k, materialize=True)
     if verify == "exact":
         # the plain chain (sets for every doc, single-consumer pair

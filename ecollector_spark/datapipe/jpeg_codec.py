@@ -234,8 +234,12 @@ class _BitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy stream exhausted mid-scan")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: dangling 0xFF at end of scan")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -273,8 +277,12 @@ class _BitReader:
         """Skip to the RSTn marker at a restart interval boundary."""
         self._acc = 0
         self._n = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        while self.pos + 1 < len(self.data) and (
+            self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: scan ended before RST marker")
         marker = self.data[self.pos + 1]
         if marker != 0xD0 + (n & 7):
             raise ValueError(
@@ -531,6 +539,20 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
 
 
+def _seglen(data: bytes, pos: int) -> int:
+    """Validated marker-segment length. Corrupt/truncated input must
+    surface as the documented loud ValueError (ADVICE r8), never as a
+    struct.error / IndexError from an unchecked slice."""
+    if pos + 2 > len(data):
+        raise ValueError("truncated JPEG: marker segment length missing")
+    (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+    if seglen < 2 or pos + seglen > len(data):
+        raise ValueError(
+            f"truncated JPEG: segment length {seglen} at offset {pos} overruns data"
+        )
+    return seglen
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(h, w) uint8 for grayscale JPEGs, (h, w, 3) RGB for color."""
     if data[:2] != b"\xff\xd8":
@@ -543,13 +565,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: dangling 0xFF at end of data")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
-        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seglen = _seglen(data, pos)
         seg = data[pos + 2 : pos + seglen]
         if marker in _REFUSED_SOF:
             raise NotImplementedError(
@@ -557,7 +581,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "baseline sequential (SOF0) is implemented"
             )
         if marker == 0xC0:  # SOF0
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG: short SOF0 segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG: SOF0 component list short")
             if prec != 8:
                 raise NotImplementedError(
                     f"{prec}-bit precision; only 8-bit baseline is implemented"
@@ -575,15 +603,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG: short DHT segment")
                 tc_th = seg[p]
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG: DHT value list short")
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc_th >> 4, tc_th & 0xF)] = _build_huff_decoder(bits, vals)
                 p += 17 + n
         elif marker == 0xDB:  # DQT (possibly several tables)
             p = 0
             while p < len(seg):
+                if p + 65 > len(seg):
+                    raise ValueError("truncated JPEG: short DQT segment")
                 pq_tq = seg[p]
                 if pq_tq >> 4:
                     raise NotImplementedError("16-bit quantization tables")
@@ -594,15 +628,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 qtables[pq_tq & 0xF] = tab.reshape(8, 8)
                 p += 65
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG: short DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated JPEG: short SOS segment")
             ns = seg[0]
             scan = []
             for si in range(ns):
                 cid, tabs = seg[1 + 2 * si : 3 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cid)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cid), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"SOS references unknown component id {cid}"
+                    )
                 scan.append((comp, tabs >> 4, tabs & 0xF))
             return _decode_scan(
                 data, pos + seglen, frame, scan, qtables, huff, restart_interval
@@ -625,8 +669,48 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
         planes[comp["id"]] = np.zeros(
             (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64
         )
+    for comp, dc_id, ac_id in scan:
+        for key, kind in (
+            (comp["q"], "quantization"),
+            ((0, dc_id), "DC Huffman"),
+            ((1, ac_id), "AC Huffman"),
+        ):
+            table = qtables if kind == "quantization" else huff
+            if key not in table:
+                raise ValueError(f"scan references undefined {kind} table {key}")
     reader = _BitReader(data, pos)
     preds = {comp["id"]: 0 for comp, _, _ in scan}
+    try:
+        _decode_mcus(
+            reader, frame, scan, qtables, huff, restart_interval, planes,
+            preds, mcux, mcuy,
+        )
+    except _RestartMarker as e:
+        # un-stuffed RSTn outside a restart boundary (corrupt stream or a
+        # DRI/segment mismatch): keep the documented loud-ValueError
+        # contract instead of leaking the internal control-flow class
+        raise ValueError(
+            f"unexpected restart marker RST{e.marker & 7} in scan data"
+        ) from None
+    # finalize: round, clip, upsample to full res, color-convert
+    full = []
+    for comp in (c for c, _, _ in scan):
+        plane = np.clip(_round_half_up(planes[comp["id"]]), 0, 255)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w].astype(np.uint8))
+    if len(full) == 1:
+        return full[0]
+    if len(full) == 3:
+        return _ycbcr_to_rgb(full[0], full[1], full[2])
+    raise NotImplementedError(f"{len(full)}-component scan (CMYK?)")
+
+
+def _decode_mcus(
+    reader, frame, scan, qtables, huff, restart_interval, planes, preds,
+    mcux, mcuy,
+):
     rst_n = 0
     mcu_count = 0
     for my in range(mcuy):
@@ -634,7 +718,7 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
             if restart_interval and mcu_count == restart_interval:
                 reader.align_and_expect_restart(rst_n)
                 rst_n = (rst_n + 1) & 7
-                preds = {cid: 0 for cid in preds}
+                preds.update({cid: 0 for cid in preds})
                 mcu_count = 0
             for comp, dc_id, ac_id in scan:
                 qtab = qtables[comp["q"]]
@@ -657,19 +741,6 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
                         x0 = (mx * comp["h"] + bh) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    # finalize: round, clip, upsample to full res, color-convert
-    full = []
-    for comp in (c for c, _, _ in scan):
-        plane = np.clip(_round_half_up(planes[comp["id"]]), 0, 255)
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        full.append(plane[:h, :w].astype(np.uint8))
-    if len(full) == 1:
-        return full[0]
-    if len(full) == 3:
-        return _ycbcr_to_rgb(full[0], full[1], full[2])
-    raise NotImplementedError(f"{len(full)}-component scan (CMYK?)")
 
 
 def _decode_block(reader, dc_tab, ac_tab, preds, comp):
@@ -710,12 +781,14 @@ def jpeg_header(data: bytes) -> tuple[int, int, int]:
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
-        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seglen = _seglen(data, pos)
         if marker in _REFUSED_SOF:
             raise NotImplementedError(
                 f"unsupported JPEG mode: {_REFUSED_SOF[marker]}"
             )
         if marker == 0xC0:
+            if seglen < 8:
+                raise ValueError("truncated JPEG: short SOF0 segment")
             _, h, w, ncomp = struct.unpack(">BHHB", data[pos + 2 : pos + 8])
             return w, h, ncomp
         pos += seglen

@@ -645,7 +645,24 @@ def _fixed_zone_offset(zone: str, from_epoch: int, to_epoch: int) -> int:
 
 
 #: January 2024 is all-PST: −28800 s, stable across tzdata versions.
-_LA_OFF = _fixed_zone_offset(_LA, F_EPOCH, T_EPOCH)
+#: Guarded (ADVICE r8): a host-tzdata skew must fail ONLY the tz gates
+#: with a clear error at run time, never the module import (which would
+#: take every registered gate down). On failure the expected value keeps
+#: the oracle SQL syntactically valid; the builder raises before any
+#: comparison can happen.
+try:
+    _LA_OFF = _fixed_zone_offset(_LA, F_EPOCH, T_EPOCH)
+    _TZ_LIT_ERR = None
+except Exception as _e:  # pragma: no cover - requires a skewed tzdata
+    _LA_OFF, _TZ_LIT_ERR = -28800, _e
+
+
+def _require_tz_literals(err):
+    if err is not None:
+        raise RuntimeError(
+            f"tz oracle literals unavailable (host tzdata disagrees with the "
+            f"expected zone history): {err}"
+        )
 
 
 @register(
@@ -673,6 +690,7 @@ def influxql_tz_clause(spark, sf_dir):
     through the zone; see also the DST-crossing pytest). The gate hashes
     CAST(round(value*1000) AS BIGINT) — an integer — on both sides, so
     driver-side float canonicalization can't flip it."""
+    _require_tz_literals(_TZ_LIT_ERR)
     q = (
         f'SELECT mean("value") FROM "purchase" {_RANGE} '
         f"GROUP BY time(1d) FILL(none) tz('{_LA}')"
@@ -795,7 +813,14 @@ def _zone_transition(zone: str, from_epoch: int, to_epoch: int):
     return hits[0]
 
 
-_FB_TR, _FB_O1, _FB_O2 = _zone_transition(_LA, _FB_FROM, _FB_TO)
+#: Same import-survival guard as _LA_OFF: placeholders are the expected
+#: 2024-11-03 09:00Z fall-back (PDT −25200 -> PST −28800); the builder
+#: raises via _require_tz_literals before the oracle is ever compared.
+try:
+    _FB_TR, _FB_O1, _FB_O2 = _zone_transition(_LA, _FB_FROM, _FB_TO)
+    _FB_LIT_ERR = None
+except Exception as _e:  # pragma: no cover - requires a skewed tzdata
+    (_FB_TR, _FB_O1, _FB_O2), _FB_LIT_ERR = (1730624400, -25200, -28800), _e
 
 from datetime import datetime as _dt, timezone as _utc  # noqa: E402
 
@@ -829,6 +854,7 @@ def influxql_tz_fallback_hour(spark, sf_dir):
     instants) — the r7 deviation, closed by the sub-day UTC-instant key
     (timeutil.tz_bucket_expr). Events are shifted +307 days on both
     engines to land January data on the transition."""
+    _require_tz_literals(_FB_LIT_ERR)
     from ecollector_spark.influxql import parse_influxql, plan_tree
     from ecollector_spark.query import QueryPlanner
     from ecollector_spark.sources.events_adapter import events_as_datapoints

@@ -151,3 +151,27 @@ class TestHeaderValidation:
         _s.pack_into("<i", data, strf + 8 + 4, 99)  # biWidth := 99
         with pytest.raises(ValueError, match="disagrees"):
             decode_avi(bytes(data))
+
+
+def test_grayscale_escape_hatch_for_width3():
+    """ADVICE r8: the (·,·,3) ambiguity guard must not strand legitimate
+    width-3 grayscale stacks — grayscale=True encodes them, and
+    grayscale=False encodes a single (h, w, 3) RGB frame directly."""
+    import numpy as np
+    from ecollector_spark.datapipe.avi_codec import decode_avi, encode_avi
+
+    gray = (np.arange(4 * 6 * 3, dtype=np.uint8)).reshape(4, 6, 3)
+    frames, _fps = decode_avi(encode_avi(gray, grayscale=True))
+    assert frames.shape == (4, 6, 3, 3)
+    assert np.array_equal(frames[..., 0], gray)
+    assert np.array_equal(frames[..., 1], gray)
+
+    rgb = (np.arange(5 * 7 * 3, dtype=np.uint8)).reshape(5, 7, 3)
+    one, _fps = decode_avi(encode_avi(rgb, grayscale=False))
+    assert one.shape == (1, 5, 7, 3)
+    assert np.array_equal(one[0], rgb)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        encode_avi(rgb)

@@ -197,3 +197,62 @@ class TestMultimodalIntegration:
             vec = r["feature"]
             assert vec[expected] == 1.0
             assert sum(vec) == 1.0
+
+
+class TestCorruptInput:
+    """Corrupt/truncated input must fail with the documented loud
+    ValueError / NotImplementedError — never struct.error, IndexError,
+    or the internal _RestartMarker control-flow class (ADVICE r8)."""
+
+    def _valid(self):
+        img = (np.arange(24 * 16, dtype=np.uint8) % 251).reshape(24, 16)
+        return encode_jpeg(img, quality=85)
+
+    def test_truncated_mid_segment(self):
+        data = self._valid()
+        for cut in (3, 5, 9, 20, len(data) // 2):
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_jpeg(data[:cut])
+
+    def test_truncated_scan_data(self):
+        data = self._valid()
+        with pytest.raises(ValueError, match="truncated|exhausted|Huffman"):
+            decode_jpeg(data[:-8])
+
+    def test_header_truncated(self):
+        data = self._valid()
+        with pytest.raises(ValueError):
+            jpeg_header(data[:5])
+
+    def test_overrunning_seglen(self):
+        data = bytearray(self._valid())
+        # first marker segment starts at 2; blow its length past the data
+        data[4:6] = struct.pack(">H", 0xFFFF)
+        with pytest.raises(ValueError, match="overruns"):
+            decode_jpeg(bytes(data))
+
+    def test_unexpected_restart_marker_is_valueerror(self):
+        data = self._valid()
+        sos = data.index(b"\xff\xda")
+        seglen = struct.unpack(">H", data[sos + 2 : sos + 4])[0]
+        scan_at = sos + 2 + seglen
+        corrupt = bytearray(data)
+        # splice an un-announced RST0 a little into the entropy stream
+        # (no DRI was written, so any RSTn is unexpected)
+        corrupt[scan_at + 6 : scan_at + 6] = b"\xff\xd0"
+        with pytest.raises(ValueError, match="restart marker|Huffman|truncated"):
+            decode_jpeg(bytes(corrupt))
+
+    def test_undefined_table_reference(self):
+        data = bytearray(self._valid())
+        sos = bytes(data).index(b"\xff\xda")
+        # point the scan's DC/AC table selector at undefined table 3
+        data[sos + 6] = 0x33
+        with pytest.raises(ValueError, match="undefined"):
+            decode_jpeg(bytes(data))
+
+    def test_garbage_is_not_a_jpeg(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x00\x01\x02\x03")
+        with pytest.raises(ValueError):
+            jpeg_header(b"\xff\xd8\xff")
