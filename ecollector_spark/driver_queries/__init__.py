@@ -93,30 +93,50 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: (multi_from + select_into keep plan_tree composition), ts_raw_
 #: difference (selector_arith + derivative_by_tag keep A15's window
 #: family).
-#: Remaining never-on-driver candidates for round 9+:
+#: Round-9 rotation (VERDICT r8 #2), executed: the three r8-proven gates
+#: onto the hard signal — mm_jpeg_decode (the from-scratch T.81 baseline
+#: codec, exact-to-the-unit value gate), dedup_minhash_hybrid (the
+#: measured-in verify path: signature-agreement primary + border exact),
+#: influxql_tz_fallback_hour (the DST repeated-hour fix, two rows) —
+#: plus three never-on-driver veterans: text_pii_scrub (regex scrub +
+#: counts), ann_lsh_indexed (the materialized (_t,_b)-partitioned bucket
+#: store probe) and datapipe_export_shards (md5-sharded export + XOR
+#: manifest). Rotated out to shelved, each with a same-family main twin
+#: remaining: dedup_exact (minhash/hybrid/incremental/embedding stay;
+#: incremental's manifest path IS the md5 groupBy), mm_feature_hist (the
+#: four real-decode gates carry §2.9), sink_csv_canonical
+#: (sink_parquet_roundtrip keeps S4/S7/S8's write path), topic_wildcard_
+#: match (filter_engine_chain + routing_branches + fimp pipeline keep
+#: the filter/topic family; the pure function stays pytest-pinned),
+#: ts_agg_percentile95 (same _AGG_BUILDERS dispatch as mean/count gates),
+#: tpch_q9_profit_by_nation (q1 + asof + interval keep §2.6 on signal).
+#: Remaining never-on-driver candidates for round 10+:
 #: ts_agg_{stddev_by_tag,spread,mode,integral_1h,count_distinct,distinct},
 #: ts_transform_{cumulative_sum,nn_derivative,moving_average,elapsed},
 #: ts_selector_top3, ts_raw_cumulative_sum,
 #: influxql_{multi_select,field_predicate,delete_window,value_scale,
-#: tz_fallback_hour}, ts_group_by_time_offset,
-#: datapipe_{pack_manifest,export_shards,leakage_safe_split,epoch_order}.
+#: multi_field}, ts_group_by_time_offset,
+#: datapipe_{pack_manifest,leakage_safe_split,epoch_order}.
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",
     "fimp_transform_pipeline",
-    # dedup family (datapipe; incremental = the cross-batch manifest path)
-    "dedup_exact",
+    # dedup family (datapipe; incremental = the cross-batch manifest path;
+    # r9: hybrid verify on signal, exact-md5 gate shelved)
     "dedup_minhash_lsh",
+    "dedup_minhash_hybrid",
     "dedup_incremental",
     "dedup_embedding_cosine",
-    # ANN family
+    # ANN family (r9: the materialized bucket-store probe joins)
     "ann_ivf_topk",
     "ann_lsh_bucketed",
-    # text family
+    "ann_lsh_indexed",
+    # text family (r9: PII scrub)
     "text_langid",
-    # multimodal family
-    "mm_feature_hist",
+    "text_pii_scrub",
+    # multimodal family (r9: jpeg codec on signal, feature-hist shelved)
     "mm_real_decode",
+    "mm_jpeg_decode",
     "mm_audio_features",
     "mm_video_frames",
     # aggregation / rollup operators (r7: the composed lifecycle flow —
@@ -134,13 +154,11 @@ _PRIORITY = [
     "interval_join_post_purchase",
     # filters / transform / topics / sink routing (A11)
     "filter_engine_chain",
-    "topic_wildcard_match",
     "routing_branches",
     # fill + agg variants (+r6: parameterized percentile, chunked raw
     # window; r7: per-tag raw derivative)
     "ts_group_by_time_tag_fill_previous",
     "ts_agg_count_fill_zero",
-    "ts_agg_percentile95",
     "ts_raw_derivative_by_tag",
     "ts_filtered_devices_raw",
     # InfluxQL clause closure (r6: plan_tree subquery + INTO write path;
@@ -149,6 +167,7 @@ _PRIORITY = [
     "influxql_multi_from",
     "influxql_selector_arith",
     "influxql_tz_clause",
+    "influxql_tz_fallback_hour",
     "influxql_group_by_star",
     "ts_scalar_sqrt",
     # sessions / sketches / streaming (r5: the session-window slot moved
@@ -161,18 +180,17 @@ _PRIORITY = [
     "datapipe_pack_sequences",
     "datapipe_mix_weights",
     "datapipe_streaming_ingest",
+    "datapipe_export_shards",
     # SQL surface + grouped top-n
     "raw_sql_query",
     # storage boundary (S3/S4/S7 — sink outputs + replay parse as value gates)
     "sink_parquet_roundtrip",
-    "sink_csv_canonical",
     "replay_tai64n_load",
     # flagship composed LLM-pipeline flow
     "datapipe_curation",
     # §2.6 relational surface (q1 + q9 span scan-agg and 5-way join-agg;
     # the other TPC-H shapes are shelved, still checked via --shelved)
     "tpch_q1_pricing_summary",
-    "tpch_q9_profit_by_nation",
 ]
 
 

@@ -565,6 +565,7 @@ SELECT topic, count(*) AS n FROM dp
 WHERE regexp_matches(topic, '{_ROUTE_REGEX}')
 GROUP BY topic ORDER BY topic
 """,
+    shelved=True,  # rotated out r9 (family keeps a main-gate twin)
 )
 def topic_wildcard_match(spark, sf_dir):
     """SURVEY S2: MQTT +/# wildcard route compiled to an anchored regex

@@ -85,6 +85,7 @@ def dedup_corpus(spark, sf_dir):
 SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_docs
 FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
 """,
+    shelved=True,  # rotated out r9 (family keeps a main-gate twin)
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on md5(text), keep min doc_id."""
@@ -187,7 +188,6 @@ SELECT doc_a, doc_b, jaccard FROM sure
 UNION ALL SELECT doc_a, doc_b, jaccard FROM bexact
 ORDER BY 1, 2
 """,
-    shelved=True,  # r9 rotation candidate — the measured 1000x scale path
 )
 def dedup_minhash_hybrid(spark, sf_dir):
     """minhash_lsh_pairs(verify='hybrid') — the r8 scale path: signature
@@ -530,7 +530,6 @@ SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
 FROM cand JOIN e USING (vec_id), q
 WHERE vec_id <> 0 AND round({_cos_sql('v', 'qv')}, 6) >= 0.2
 """,
-    shelved=True,  # same operator family as ann_lsh_bucketed (index twin)
 )
 def ann_lsh_indexed(spark, sf_dir):
     """The MATERIALIZED LSH index path on the value signal (previously
@@ -912,7 +911,6 @@ def text_repetition(spark, sf_dir):
       '{text.URL_RE}')) AS INT) AS n_urls
 FROM documents ORDER BY doc_id
 """,
-    shelved=True,
 )
 def text_pii_scrub(spark, sf_dir):
     """Email/URL redaction with hit counts (map-side pre-tokenization
@@ -1053,6 +1051,7 @@ _F_COLS = ", ".join(
   FROM documents)
 SELECT doc_id, {_F_COLS} FROM c ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r9 (family keeps a main-gate twin)
 )
 def mm_feature_hist(spark, sf_dir):
     """The mapInPandas byte-histogram feature vector, value-matched: the
@@ -1183,7 +1182,6 @@ SELECT doc_id,
        1.0 AS bucket_mass
 FROM r ORDER BY doc_id
 """,
-    shelved=True,  # r9 rotation candidate (mm family has 4 main gates)
 )
 def mm_jpeg_decode(spark, sf_dir):
     """REAL baseline JPEG decode, value-gated (r8, VERDICT r7 missing

@@ -50,6 +50,7 @@ i AS (SELECT time, arr, n, CAST(floor(n * 95.0 / 100.0 + 0.5) AS INT) AS idx FRO
 SELECT time, CASE WHEN idx BETWEEN 1 AND n THEN arr[idx] END AS value
 FROM i ORDER BY time
 """,
+    shelved=True,  # rotated out r9 (family keeps a main-gate twin)
 )
 def ts_agg_percentile95(spark, sf_dir):
     """InfluxQL ``percentile(field, 95)``: nearest-rank (an actual field
@@ -846,7 +847,6 @@ k AS (SELECT wb - (CASE WHEN (wb - off) < {_FB_TR} THEN ({_FB_O1}) ELSE ({_FB_O2
 SELECT time, CAST(round(avg(value_f) * 1000) AS BIGINT) AS value_milli
 FROM k GROUP BY 1 ORDER BY 1
 """,
-    shelved=True,
 )
 def influxql_tz_fallback_hour(spark, sf_dir):
     """Hourly tz() buckets ACROSS the 2024-11-03 fall-back: the repeated

@@ -109,7 +109,6 @@ FROM documents)
 SELECT shard, count(*) AS n_rows, bit_xor(rh) AS checksum
 FROM h GROUP BY shard ORDER BY shard
 """,
-    shelved=True,
 )
 def datapipe_export_shards(spark, sf_dir):
     """Sharded export boundary as a value gate: documents -> 8

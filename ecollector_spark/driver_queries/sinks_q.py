@@ -141,6 +141,7 @@ SELECT m AS name, CAST(floor(epoch(ts)) AS BIGINT) AS time,
        't/' || CAST(user_id AS VARCHAR) AS topic,
        value AS value, 'W' AS unit
 FROM p""",
+    shelved=True,  # rotated out r9 (family keeps a main-gate twin)
 )
 def sink_csv_canonical(spark, sf_dir):
     """S7 CSV sink as a value gate: points through ``write_csv`` (the

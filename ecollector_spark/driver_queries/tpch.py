@@ -788,6 +788,7 @@ JOIN part ON p_partkey = l_partkey
 WHERE p_name LIKE '%widget%'
 GROUP BY 1, 2 ORDER BY nation, o_year DESC
 """,
+    shelved=True,  # rotated out r9 (family keeps a main-gate twin)
 )
 def tpch_q9_profit_by_nation(spark, sf_dir):
     """Q9 shape: the widest join tree in the suite — two fact-fact
