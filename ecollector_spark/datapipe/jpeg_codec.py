@@ -2,17 +2,22 @@
 codec gap a real training corpus hits immediately (VERDICT r7 missing #1:
 "a real user's corpus is mostly JPEG").
 
-Implements ITU-T T.81 baseline sequential DCT, 8-bit:
+Implements ITU-T T.81 Huffman DCT modes, 8-bit:
 
-- **encode**: grayscale or RGB, 4:4:4 (no subsampling), Annex K quant
-  tables scaled by the libjpeg quality formula, Annex K standard Huffman
-  tables, JFIF APP0. One scan, no restart markers.
-- **decode**: SOF0 frames, 1-4 components with sampling factors up to
+- **encode**: grayscale or RGB, 4:4:4 or 4:2:0, Annex K quant tables
+  scaled by the libjpeg quality formula, Annex K standard Huffman
+  tables, JFIF APP0; baseline single-scan (optionally with DRI/RSTn) or
+  progressive (SOF2) via a fixed scan script covering all four Annex-G
+  scan modes.
+- **decode**: SOF0 baseline, SOF1 extended sequential (identical syntax
+  at 8-bit), and SOF2 progressive frames — spectral selection +
+  successive approximation, DC/AC first and refinement scans, general
+  EOBn end-of-band runs — 1-4 components with sampling factors up to
   2x2 (covers 4:4:4 / 4:2:2 / 4:2:0 from real encoders), multiple
   DQT/DHT segments, DRI + RSTn restart handling, APPn/COM skipped.
-- **refused, loudly**: progressive (SOF2), extended/lossless/arithmetic
-  (SOF1, SOF3, SOF9-15), 12-bit precision, DNL. NotImplementedError
-  names the feature — never a silently wrong decode.
+- **refused, loudly**: lossless (SOF3), arithmetic coding (SOF9-15),
+  differential modes, 12-bit precision, DNL. NotImplementedError names
+  the feature — never a silently wrong decode.
 
 Determinism: the DCT/IDCT are the orthonormal 8-point basis in float64
 (IEEE-identical everywhere), and every round is an explicit
@@ -371,6 +376,172 @@ def _huff_encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
+def _emit_ac_first(w: _BitWriter, zzb, ss, se, al, ac_tab) -> None:
+    """AC-first progressive block (T.81 G.1.2.2): baseline RLE over the
+    band with the point transform (divide by 2^al toward zero); runs past
+    the last significant coefficient end in a plain EOB0."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zzb[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, nb = ac_tab[0xF0]
+            w.write(code, nb)
+            run -= 16
+        sv = t if v > 0 else -t
+        size, amp = _magnitude(sv)
+        code, nb = ac_tab[(run << 4) | size]
+        w.write(code, nb)
+        w.write(amp, size)
+        run = 0
+    if run > 0:
+        code, nb = ac_tab[0x00]
+        w.write(code, nb)
+
+
+def _emit_ac_refine(w: _BitWriter, zzb, ss, se, al, ac_tab) -> None:
+    """AC-refinement progressive block (T.81 G.1.2.3): one correction bit
+    per already-nonzero coefficient, (run, 1)+sign insertions for newly
+    significant ones, correction bits buffered and flushed after the next
+    emitted symbol so the decoder reads them in k order during its
+    advance; trailing state ends in EOB0 + the remaining buffered bits."""
+    absv = [abs(int(zzb[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            code, nb = ac_tab[0xF0]
+            w.write(code, nb)
+            run -= 16
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+        if t > 1:  # already significant: correction bit only
+            pending.append(t & 1)
+            continue
+        code, nb = ac_tab[(run << 4) | 1]
+        w.write(code, nb)
+        w.write(1 if int(zzb[k]) > 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, nb = ac_tab[0x00]
+        w.write(code, nb)
+        for b in pending:
+            w.write(b, 1)
+
+
+def _encode_progressive_scans(planes, samp, qy, qc, h, w) -> bytes:
+    """All SOS segments of the fixed progressive scan script (see
+    encode_jpeg): DC first interleaved at Al=1 -> per-component AC first
+    (luma band split 1-5 / 6-63) at Al=1 -> DC refinement bit-plane ->
+    per-component AC refinement to Al=0."""
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    zz = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        need_h, need_w = mcuy * vs * 8, mcux * hs * 8
+        ph, pw = need_h - plane.shape[0], need_w - plane.shape[1]
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        blocks, _, _ = _blocks_of(plane)
+        zz.append(_encode_component_blocks(blocks, qy if ci == 0 else qc))
+
+    def scan_dims(ci):
+        hs, vs = samp[ci]
+        return -(-(-(-h * vs // vmax)) // 8), -(-(-(-w * hs // hmax)) // 8)
+
+    enc = {
+        (0, 0): _build_huff_encoder(_DC_LUMA_SPEC),
+        (1, 0): _build_huff_encoder(_AC_LUMA_SPEC),
+        (0, 1): _build_huff_encoder(_DC_CHROMA_SPEC),
+        (1, 1): _build_huff_encoder(_AC_CHROMA_SPEC),
+    }
+
+    def sos_header(comps, ss, se, ah, al):
+        seg = bytes([len(comps)])
+        for ci in comps:
+            seg += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    out = bytearray()
+    al = 1
+
+    def dc_walk(emit):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    for bv in range(vs):
+                        for bh in range(hs):
+                            emit(ci, int(zz[ci][my * vs + bv, mx * hs + bh, 0]))
+
+    # DC first (interleaved, diff-coded on the >> al point transform)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, al)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+
+    def _dc_first(ci, dc):
+        v = dc >> al  # arithmetic shift per T.81 G.1.2.1
+        size, amp = _magnitude(v - preds[ci])
+        code, nb = enc[(0, 0 if ci == 0 else 1)][size]
+        wtr.write(code, nb)
+        if size:
+            wtr.write(amp, size)
+        preds[ci] = v
+
+    dc_walk(_dc_first)
+    out += wtr.flush()
+
+    # AC first scans at Al=1 (luma split into two spectral bands)
+    for ci in range(ncomp):
+        ac_tab = enc[(1, 0 if ci == 0 else 1)]
+        nbh, nbw = scan_dims(ci)
+        for band in ([(1, 5), (6, 63)] if ci == 0 else [(1, 63)]):
+            out += sos_header([ci], band[0], band[1], 0, al)
+            wtr = _BitWriter()
+            for by in range(nbh):
+                for bx in range(nbw):
+                    _emit_ac_first(wtr, zz[ci][by, bx], band[0], band[1],
+                                   al, ac_tab)
+            out += wtr.flush()
+
+    # DC refinement bit-plane (interleaved, one raw bit per block)
+    out += sos_header(list(range(ncomp)), 0, 0, al, 0)
+    wtr = _BitWriter()
+    dc_walk(lambda ci, dc: wtr.write(dc & 1, 1))
+    out += wtr.flush()
+
+    # AC refinement to Al=0
+    for ci in range(ncomp):
+        ac_tab = enc[(1, 0 if ci == 0 else 1)]
+        nbh, nbw = scan_dims(ci)
+        out += sos_header([ci], 1, 63, al, 0)
+        wtr = _BitWriter()
+        for by in range(nbh):
+            for bx in range(nbw):
+                _emit_ac_refine(wtr, zz[ci][by, bx], 1, 63, 0, ac_tab)
+        out += wtr.flush()
+    return bytes(out)
+
+
 def _dqt_segment(tid: int, qtab: np.ndarray) -> bytes:
     payload = bytes([tid]) + bytes(int(x) for x in qtab.reshape(64)[_ZIGZAG])
     return b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
@@ -399,12 +570,24 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF bytes from (h, w) grayscale or (h, w, 3) RGB uint8.
+    """JFIF bytes from (h, w) grayscale or (h, w, 3) RGB uint8.
 
     ``subsampling``: "4:4:4" (every component full-resolution) or
     "4:2:0" (chroma box-averaged 2x2; 16x16 MCUs). ``restart_interval``
-    > 0 emits a DRI segment and RSTn markers every that-many MCUs."""
+    > 0 emits a DRI segment and RSTn markers every that-many MCUs.
+
+    ``progressive`` (r9) emits a SOF2 frame with a fixed scan script
+    covering all four Annex-G scan modes — interleaved DC first at Al=1,
+    per-component AC first scans over split spectral bands at Al=1, a DC
+    refinement bit-plane, then AC refinement to Al=0. The script ends at
+    Al=0 everywhere, so the transmitted coefficients equal the baseline
+    encoder's EXACTLY and the decode is pixel-identical to the baseline
+    encoding of the same image (the round-trip pin the tests assert).
+    End-of-band runs are always coded as plain EOB0 — spec-valid (an
+    encoder may flush its EOB run after every block) and the Annex-K AC
+    tables carry no EOBn>0 symbols; the decoder handles general EOBn."""
     img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
     if img.ndim == 2:
         planes = [img.astype(np.int64)]
@@ -435,18 +618,28 @@ def encode_jpeg(
     out += _dqt_segment(0, qy)
     if ncomp == 3:
         out += _dqt_segment(1, qc)
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         qid = 0 if ci == 0 else 1
         hs, vs = samp[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, qid])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", len(sof) + 2
+    ) + sof
     out += _dht_segment(0, 0, _DC_LUMA_SPEC)
     out += _dht_segment(1, 0, _AC_LUMA_SPEC)
     if ncomp == 3:
         out += _dht_segment(0, 1, _DC_CHROMA_SPEC)
         out += _dht_segment(1, 1, _AC_CHROMA_SPEC)
+    if progressive:
+        if restart_interval:
+            raise NotImplementedError(
+                "restart markers are not emitted in progressive mode"
+            )
+        out += _encode_progressive_scans(planes, samp, qy, qc, h, w)
+        out += b"\xff\xd9"
+        return bytes(out)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
@@ -512,9 +705,14 @@ def encode_jpeg(
 # decoder
 # ---------------------------------------------------------------------------
 
+#: Huffman-coded SOF markers this decoder ACCEPTS (r9: SOF1 extended
+#: sequential is syntactically identical to SOF0 at 8-bit precision —
+#: only 12-bit input and the 4-table allowance differ, both checked
+#: downstream — and SOF2 progressive is fully implemented via the
+#: multi-scan accumulation path below).
+_ACCEPTED_SOF = {0xC0, 0xC1, 0xC2}
+
 _REFUSED_SOF = {
-    0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -554,7 +752,14 @@ def _seglen(data: bytes, pos: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """(h, w) uint8 for grayscale JPEGs, (h, w, 3) RGB for color."""
+    """(h, w) uint8 for grayscale JPEGs, (h, w, 3) RGB for color.
+
+    Handles baseline sequential (SOF0), 8-bit extended sequential (SOF1)
+    and progressive (SOF2) frames; progressive scans — spectral selection
+    + successive approximation, DC/AC first and refinement passes with
+    EOB-run coding per T.81 Annex G — accumulate into per-component
+    coefficient arrays that are dequantized and inverse-transformed once
+    at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -562,6 +767,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # progressive: comp id -> (by,bx,64)
+    progressive_scans = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -578,17 +785,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in _REFUSED_SOF:
             raise NotImplementedError(
                 f"unsupported JPEG mode: {_REFUSED_SOF[marker]}; only "
-                "baseline sequential (SOF0) is implemented"
+                "Huffman sequential (SOF0/SOF1) and progressive (SOF2) "
+                "are implemented"
             )
-        if marker == 0xC0:  # SOF0
+        if marker in _ACCEPTED_SOF:  # SOF0 / SOF1 / SOF2
             if len(seg) < 6:
-                raise ValueError("truncated JPEG: short SOF0 segment")
+                raise ValueError("truncated JPEG: short SOF segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if len(seg) < 6 + 3 * ncomp:
-                raise ValueError("truncated JPEG: SOF0 component list short")
+                raise ValueError("truncated JPEG: SOF component list short")
             if prec != 8:
                 raise NotImplementedError(
-                    f"{prec}-bit precision; only 8-bit baseline is implemented"
+                    f"{prec}-bit precision; only 8-bit is implemented"
                 )
             comps = []
             for ci in range(ncomp):
@@ -599,7 +807,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"sampling factor {hs}x{vs}; only 1-2 supported"
                     )
                 comps.append({"id": cid, "h": hs, "v": vs, "q": qid})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(seg):
@@ -633,8 +842,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
-            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("SOS before SOF")
+            if not seg or len(seg) < 4 + 2 * seg[0]:
                 raise ValueError("truncated JPEG: short SOS segment")
             ns = seg[0]
             scan = []
@@ -648,13 +857,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"SOS references unknown component id {cid}"
                     )
                 scan.append((comp, tabs >> 4, tabs & 0xF))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qtables, huff, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qtables, huff,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            if not coefs:
+                for c in frame["comps"]:
+                    nby, nbx = _comp_mcu_blocks(frame, c)
+                    coefs[c["id"]] = np.zeros((nby, nbx, 64), dtype=np.int64)
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, scan, huff, restart_interval,
+                coefs, ss, se, ah_al >> 4, ah_al & 0xF,
             )
+            progressive_scans += 1
+            continue
         elif marker == 0xDC:
             raise NotImplementedError("DNL (define number of lines)")
         # APPn / COM / others: skip
         pos += seglen
+    if progressive_scans:
+        return _reconstruct(frame, coefs, qtables)
     raise ValueError("no scan data found (missing SOS)")
 
 
@@ -766,6 +991,255 @@ def _decode_block(reader, dc_tab, ac_tab, preds, comp):
     return zz
 
 
+def _comp_mcu_blocks(frame, comp) -> tuple[int, int]:
+    """Block-grid dims of a component's MCU-padded coefficient store
+    (the grid interleaved scans cover)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return mcuy * comp["v"], mcux * comp["h"]
+
+
+def _comp_scan_blocks(frame, comp) -> tuple[int, int]:
+    """Block-grid dims a NON-interleaved scan codes (T.81 A.2.2: the
+    component's true sample dims rounded up to blocks — smaller than the
+    MCU-padded store when sampling factors differ)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _scan_skip_to_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker after entropy-coded data
+    (skipping stuffed 0xFF00 and any stray RSTn)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, huff, restart_interval, coefs, ss, se, ah, al
+):
+    """One progressive SOS (T.81 Annex G.2): accumulate into ``coefs``
+    (zigzag-indexed per-component arrays) and return the data position of
+    the marker following the entropy segment.
+
+    Four modes by (ss, ah): DC first (diff-coded, values << al), DC
+    refinement (one raw bit sets bit al), AC first (baseline RLE over
+    [ss, se] plus EOBn end-of-band runs), AC refinement (correction bits
+    for already-nonzero coefficients interleaved with newly-significant
+    +-1<<al insertions — the libjpeg-documented G.1.2.3 bit order).
+    Restart markers reset DC predictors and the EOB run."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if se > 63 or ss > se:
+        raise ValueError(f"bad spectral selection {ss}..{se}")
+    reader = _BitReader(data, pos)
+    p1 = 1 << al
+
+    if ss == 0 and ah == 0:  # DC first
+        for comp, dc_id, _ in scan:
+            if (0, dc_id) not in huff:
+                raise ValueError(f"scan references undefined DC table {dc_id}")
+        preds = {c["id"]: 0 for c, _, _ in scan}
+
+        def _dc_first(comp, dc_id, by, bx):
+            size = reader.decode_symbol(huff[(0, dc_id)])
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            preds[comp["id"]] += diff
+            coefs[comp["id"]][by, bx, 0] = preds[comp["id"]] << al
+
+        def _reset():
+            preds.update({k: 0 for k in preds})
+
+        _walk_scan_blocks(frame, scan, reader, restart_interval, _dc_first, _reset)
+    elif ss == 0:  # DC refinement: one raw bit per block
+
+        def _dc_refine(comp, dc_id, by, bx):
+            if reader.read_bit():
+                coefs[comp["id"]][by, bx, 0] |= p1
+
+        _walk_scan_blocks(
+            frame, scan, reader, restart_interval, _dc_refine, lambda: None
+        )
+    else:  # AC scans (single component)
+        comp, _, ac_id = scan[0]
+        if (1, ac_id) not in huff:
+            raise ValueError(f"scan references undefined AC table {ac_id}")
+        ac_tab = huff[(1, ac_id)]
+        block = coefs[comp["id"]]
+        state = {"eobrun": 0}
+
+        if ah == 0:  # AC first
+
+            def _ac_block(by, bx):
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    return
+                zz = block[by, bx]
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(ac_tab)
+                    r, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past spectral band")
+                    zz[k] = _extend(reader.read_bits(size), size) << al
+                    k += 1
+        else:  # AC refinement
+            m1 = -p1
+
+            def _correct(zz, k):
+                if reader.read_bit() and not (int(zz[k]) & p1):
+                    zz[k] += p1 if zz[k] >= 0 else m1
+
+            def _ac_block(by, bx):
+                zz = block[by, bx]
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        rs = reader.decode_symbol(ac_tab)
+                        r, size = rs >> 4, rs & 0xF
+                        val = 0
+                        if size:
+                            if size != 1:
+                                raise ValueError(
+                                    "AC refinement amplitude must be 1"
+                                )
+                            val = p1 if reader.read_bit() else m1
+                        elif r != 15:
+                            state["eobrun"] = (1 << r)
+                            if r:
+                                state["eobrun"] += reader.read_bits(r)
+                            break
+                        # advance over r zero-history positions, applying
+                        # correction bits to nonzero ones along the way
+                        while k <= se:
+                            if zz[k] != 0:
+                                _correct(zz, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise ValueError("AC refinement run past band")
+                            zz[k] = val
+                        k += 1
+                if state["eobrun"] > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            _correct(zz, k)
+                        k += 1
+                    state["eobrun"] -= 1
+
+        def _reset_ac():
+            state["eobrun"] = 0
+
+        nbh, nbw = _comp_scan_blocks(frame, comp)
+        n_since_rst, rst_n = 0, 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and n_since_rst == restart_interval:
+                    reader.align_and_expect_restart(rst_n)
+                    rst_n = (rst_n + 1) & 7
+                    _reset_ac()
+                    n_since_rst = 0
+                _ac_block(by, bx)
+                n_since_rst += 1
+    return _scan_skip_to_marker(data, reader.pos)
+
+
+def _walk_scan_blocks(frame, scan, reader, restart_interval, visit, reset):
+    """Drive a DC-scan block walk: MCU-interleaved when the scan has
+    several components, the component's true block raster otherwise;
+    restart markers handled at interval boundaries."""
+    n_since_rst, rst_n = 0, 0
+    if len(scan) > 1:
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n_since_rst == restart_interval:
+                    reader.align_and_expect_restart(rst_n)
+                    rst_n = (rst_n + 1) & 7
+                    reset()
+                    n_since_rst = 0
+                for comp, dc_id, _ in scan:
+                    for bv in range(comp["v"]):
+                        for bh in range(comp["h"]):
+                            visit(comp, dc_id, my * comp["v"] + bv,
+                                  mx * comp["h"] + bh)
+                n_since_rst += 1
+    else:
+        comp, dc_id, _ = scan[0]
+        nbh, nbw = _comp_scan_blocks(frame, comp)
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and n_since_rst == restart_interval:
+                    reader.align_and_expect_restart(rst_n)
+                    rst_n = (rst_n + 1) & 7
+                    reset()
+                    n_since_rst = 0
+                visit(comp, dc_id, by, bx)
+                n_since_rst += 1
+
+
+def _reconstruct(frame, coefs, qtables) -> np.ndarray:
+    """Dequantize + IDCT every component's accumulated coefficient array
+    and finalize (round half-up, clip, upsample, crop, color-convert) —
+    the progressive twin of _decode_scan's tail, vectorized over blocks.
+    The DC term keeps the exact dq/8 handling (module docstring)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    full = []
+    for comp in frame["comps"]:
+        if comp["q"] not in qtables:
+            raise ValueError(f"undefined quantization table {comp['q']}")
+        qtab = qtables[comp["q"]]
+        zz = coefs[comp["id"]]
+        nby, nbx = zz.shape[:2]
+        c = (zz[:, :, _UNZIGZAG].reshape(nby, nbx, 8, 8) * qtab).astype(
+            np.float64
+        )
+        dc_exact = c[:, :, 0, 0] / 8.0
+        c[:, :, 0, 0] = 0.0
+        pix = np.einsum("mk,ijmn,nl->ijkl", _C, c, _C)
+        pix += dc_exact[:, :, None, None] + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.clip(_round_half_up(plane), 0, 255)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w].astype(np.uint8))
+    if len(full) == 1:
+        return full[0]
+    if len(full) == 3:
+        return _ycbcr_to_rgb(full[0], full[1], full[2])
+    raise NotImplementedError(f"{len(full)}-component frame (CMYK?)")
+
+
 def jpeg_header(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from the SOF0 header without a full
     decode; refuses non-baseline modes like decode_jpeg."""
@@ -786,10 +1260,10 @@ def jpeg_header(data: bytes) -> tuple[int, int, int]:
             raise NotImplementedError(
                 f"unsupported JPEG mode: {_REFUSED_SOF[marker]}"
             )
-        if marker == 0xC0:
+        if marker in _ACCEPTED_SOF:
             if seglen < 8:
-                raise ValueError("truncated JPEG: short SOF0 segment")
+                raise ValueError("truncated JPEG: short SOF segment")
             _, h, w, ncomp = struct.unpack(">BHHB", data[pos + 2 : pos + 8])
             return w, h, ncomp
         pos += seglen
-    raise ValueError("missing SOF0 header")
+    raise ValueError("missing SOF header")
