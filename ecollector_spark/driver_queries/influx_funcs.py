@@ -616,6 +616,69 @@ def influxql_value_scale(spark, sf_dir):
     return _run_tree(spark, sf_dir, q)
 
 
+@register(
+    "influxql_multi_field",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+-- the engine sees dir/measurement TWIN rows (import = value, export =
+-- value * 0.25 — exact in IEEE) and re-assembles the multi-field point
+-- by pivoting on the dir suffix of each mangled field name; the oracle
+-- predicts the pivot directly from the per-(ts, dev) max (duplicate
+-- points collapse last-write-wins, engine uses max for determinism)
+g AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, dev_id,
+             max(value_f) AS v
+      FROM src GROUP BY 1, 2)
+SELECT time, v AS e_import, v * 0.25 AS e_export
+FROM g ORDER BY time, e_import
+""",
+    shelved=True,
+)
+def influxql_multi_field(spark, sf_dir):
+    """Multi-FIELD select (r9, VERDICT r8 missing #2): the reference
+    writes multi-field points (transform.go:115-184, names dir-mangled
+    per mapping.go:48-61) which the engine stores as dir twin rows;
+    ``SELECT "e_import", "e_export" FROM "electricity_meter_energy"``
+    re-assembles the point via QueryPlanner.plan_fields — one scan, one
+    conditional-aggregate groupBy on the point identity, no join. The
+    gate synthesizes twin rows from the purchase events (export =
+    import * 0.25, exact) with ONE explode over one scan, then runs the
+    raw InfluxQL string through parse -> plan_tree -> plan_fields."""
+    from ecollector_spark.influxql import parse_influxql, plan_tree
+    from ecollector_spark.query import QueryPlanner
+    from ecollector_spark.sources.events_adapter import events_as_datapoints
+    from ecollector_spark.transform import M_ENERGY
+
+    dp = events_as_datapoints(spark, sf_dir).where(
+        F.col("measurement") == "purchase"
+    )
+    twin = (
+        dp.withColumn(
+            "_d",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("import").alias("dir"),
+                        F.col("value_f").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("export").alias("dir"),
+                        (F.col("value_f") * 0.25).alias("v"),
+                    ),
+                )
+            ),
+        )
+        .withColumn("measurement", F.lit(M_ENERGY))
+        .withColumn("dir", F.col("_d.dir"))
+        .withColumn("value_f", F.col("_d.v"))
+        .drop("_d")
+    )
+    q = (
+        f'SELECT "e_import", "e_export" FROM "{M_ENERGY}" '
+        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}'"
+    )
+    return plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q), now=NOW)
+
+
 _LA = "America/Los_Angeles"
 
 

@@ -24,7 +24,11 @@ follow a small documented grammar:
     (``derivative``/``moving_average``/``cumulative_sum``/...), and a
     multi-selector list (``mean(v) AS a, max(v), count(v)`` — all
     single-stage aggregates, computed by ONE groupBy via
-    ``QueryPlanner.plan_multi``, FILL(none) only).
+    ``QueryPlanner.plan_multi``, FILL(none) only), and — r9 — a
+    multi-FIELD raw select over dir-mangled names
+    (``SELECT "e_import", "e_export"`` — the reference's own multi-field
+    write shape, transform.go:115-184 — re-assembled from the
+    dir/measurement twin rows by ``QueryPlanner.plan_fields``).
 
 ``parse_influxql`` compiles that into a :class:`DataPointsRequest`, so the
 docs/README examples run verbatim through ``EcollectorApi.run_query`` on
@@ -115,6 +119,9 @@ _STMT_RE = re.compile(
 )
 
 _ORDER_RE = re.compile(r'^"?time"?(?:\s+(?P<dir>ASC|DESC))?$', re.IGNORECASE)
+
+#: dir-mangled field names (mapping.go:48-61): e_import, p_export, ...
+_MULTI_FIELD_RE = re.compile(r"^[\w.]+_(import|export)$", re.IGNORECASE)
 
 _TIME_RE = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*(?P<rhs>.+)$", re.IGNORECASE)
 _NOW_RE = re.compile(r"^now\(\)\s*-\s*(?P<dur>\w+)$", re.IGNORECASE)
@@ -420,6 +427,12 @@ class InfluxQLQuery:
     #: listed measurement, planned one statement each like regex FROM —
     #: one result series per measurement; None for a single FROM
     measurement_list: "list[str] | None" = None
+    #: multi-FIELD raw select (r9: ``SELECT "e_import", "e_export" FROM
+    #: "electricity_meter_energy"`` — the reference's own multi-field
+    #: write shape): [(field, output column)] answered from the
+    #: dir/measurement twin rows by ``QueryPlanner.plan_fields``; None
+    #: for every other shape
+    multi_fields: "list[tuple[str, str]] | None" = None
     #: selector arithmetic (public InfluxQL: ``SELECT mean("value") * 2``,
     #: ``max("value") - min("value")``, ``"value" * 1000``): expression
     #: AST over the select value — ``("num", x)``, ``("sel", i)`` (the
@@ -538,8 +551,12 @@ def _parse_selector(sm: "re.Match") -> tuple[str, str, str, str, str, str]:
     else:  # bare field -> raw points (influxdb_v1.go:163,180)
         fn, fld = "", sm.group("rawfield")
         # SELECT is statement-shaped but bare-SELECT of a non-"value"
-        # word is far more likely Spark SQL: only accept known fields
-        if fld.lower() not in ("value",):
+        # word is far more likely Spark SQL: only accept known fields —
+        # "value" (the canonical single field) or a dir-mangled
+        # multi-field name (<name>_import/_export — the reference's own
+        # multi-field write shape, transform.go:115-184, answered from
+        # the dir twin rows by QueryPlanner.plan_fields since r9)
+        if fld.lower() not in ("value",) and not _MULTI_FIELD_RE.match(fld):
             raise InfluxQLParseError(f"not a raw-field selector: {fld!r}")
     if fn and fn not in _FUNCS and fn != "count_distinct":
         raise InfluxQLParseError(f"unsupported function: {fn}")
@@ -724,7 +741,27 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         parsed = [_parse_selector(sm) for sm in sel_ms]
         fn, fn_param, tf, tf_param, fld, alias = parsed[0]
         selectors = None
-    if value_arith is None and len(parsed) > 1:
+    multi_fields = None
+    if value_arith is None and any(
+        not p[0] and not p[2] and p[4].lower() != "value" for p in parsed
+    ):
+        # dir-mangled multi-FIELD select (r9, QueryPlanner.plan_fields):
+        # every entry must be a bare mangled field — mixing with
+        # aggregates or "value" has no single-plan answer shape
+        for p_fn, _, p_tf, _, p_fld, _ in parsed:
+            if p_fn or p_tf or p_fld.lower() == "value":
+                raise InfluxQLParseError(
+                    "a multi-field select lists bare dir-mangled fields "
+                    f"only (e_import, e_export, ...): {(p_fn or p_tf or p_fld)!r}"
+                )
+        multi_fields = [(p[4], p[5] or p[4]) for p in parsed]
+    elif value_arith is not None and len(arith_leaves) == 1 and not arith_leaves[0][0] \
+            and not arith_leaves[0][2] and arith_leaves[0][4].lower() != "value":
+        raise InfluxQLParseError(
+            "arithmetic over a mangled multi-field name is not supported; "
+            'select the field bare ("e_import") or aggregate "value"'
+        )
+    if value_arith is None and multi_fields is None and len(parsed) > 1:
         # hand-written multi-select: every entry must be a single-stage
         # aggregate (one groupBy computes them side by side; transforms,
         # raw fields and two-stage shapes stay single-selector); each
@@ -889,6 +926,27 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             raise InfluxQLParseError(f"unknown time zone: {tz_name!r}") from None
 
     fill = (m.group("fill") or "").lower()
+    if multi_fields is not None:
+        # raw-points shape only, like InfluxDB (bare fields under GROUP
+        # BY time are rejected there too); fills need a bucket spine
+        if group_by_time or group_tags:
+            raise InfluxQLParseError(
+                "a multi-field select returns raw points; GROUP BY does "
+                "not apply (aggregate one field per selector instead)"
+            )
+        if fill not in ("", "none"):
+            raise InfluxQLParseError(
+                f"FILL has no bucket spine on a raw multi-field select: {fill}"
+            )
+        if flt.field_predicates:
+            raise InfluxQLParseError(
+                "numeric field predicates are not supported with a "
+                "multi-field select"
+            )
+        if inner_q is not None:
+            raise InfluxQLParseError(
+                "a multi-field select over a subquery is not supported"
+            )
     if selectors is not None and fill not in ("", "none", "null", "0"):
         # plan_multi spine-joins for null/0 (InfluxQL's default must not
         # change when a second selector is added); previous/linear carry
@@ -952,6 +1010,11 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             raise InfluxQLParseError(
                 "INTO supports a single selector (one value field per point)"
             )
+        if multi_fields is not None:
+            raise InfluxQLParseError(
+                "INTO with a multi-field select is not supported (the "
+                "canonical point schema carries one value per row)"
+            )
     return InfluxQLQuery(
         request=req,
         measurement=measurement,
@@ -970,6 +1033,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         into_rp=into_rp,
         value_arith=value_arith,
         measurement_list=measurement_list,
+        multi_fields=multi_fields,
     )
 
 
@@ -1020,6 +1084,8 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
         )
 
     if iq.subquery is None:
+        if iq.multi_fields is not None:
+            return planner.plan_fields(iq.request, iq.multi_fields, now=now)
         if iq.selectors is not None:
             return _with_arith(planner.plan_multi(iq.request, iq.selectors, now=now), iq.request)
         return planner.plan(iq.request, now=now, post_agg=_single_leaf_post_agg())

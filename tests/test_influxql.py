@@ -1848,3 +1848,111 @@ class TestScalarMathAndMultiFrom:
         ]
         assert series[0]["values"][0][1] == 100.0
         assert series[1]["values"][0][1] == 5.0
+
+
+class TestMultiField:
+    """Multi-FIELD select (r9): dir-mangled field names pivoted from the
+    twin rows by QueryPlanner.plan_fields — parse + plan + rejections."""
+
+    def _twin(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = []
+        for dev in range(3):
+            for t in range(4):
+                e = 1704067200 + t * 60
+                rows.append(("electricity_meter_energy", e, str(dev), "import", 100.0 + dev * 10 + t))
+                if not (dev == 1 and t == 2):  # one missing export point
+                    rows.append(("electricity_meter_energy", e, str(dev), "export", 5.0 + dev + t))
+        df = spark.createDataFrame(
+            rows, "measurement string, e long, dev_id string, dir string, value_f double"
+        )
+        return df.select(
+            "measurement",
+            F.timestamp_seconds("e").alias("ts"),
+            "dev_id",
+            "dir",
+            "value_f",
+            F.lit("meter.main_elec").alias("dev_type"),
+            F.lit("1").alias("location_id"),
+            F.lit("meter_elec").alias("service"),
+            F.lit("t").alias("topic"),
+            F.lit("site1").alias("domain"),
+        )
+
+    _RANGE = "WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T01:00:00Z'"
+
+    def test_parse_detects_multi_fields(self):
+        iq = parse_influxql(f'SELECT "e_import", "e_export" FROM "m" {self._RANGE}')
+        assert iq.multi_fields == [("e_import", "e_import"), ("e_export", "e_export")]
+        iq2 = parse_influxql(f'SELECT "p_export" AS pe FROM "m" {self._RANGE}')
+        assert iq2.multi_fields == [("p_export", "pe")]
+
+    def test_pivot_reassembles_the_point(self, spark):
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import plan_tree
+        from ecollector_spark.query import QueryPlanner
+
+        planner = QueryPlanner(lambda tier: self._twin(spark))
+        iq = parse_influxql(
+            f'SELECT "e_import", "e_export" FROM "electricity_meter_energy" {self._RANGE}'
+        )
+        out = plan_tree(planner, iq, now=datetime(2024, 1, 2, tzinfo=timezone.utc))
+        assert out.columns == ["time", "e_import", "e_export"]
+        rows = out.collect()
+        assert len(rows) == 12  # 3 devices x 4 timestamps, merged
+        missing = [r for r in rows if r["e_export"] is None]
+        assert len(missing) == 1 and missing[0]["e_import"] == 112.0
+
+    def test_single_named_field_filters_its_dir(self, spark):
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import plan_tree
+        from ecollector_spark.query import QueryPlanner
+
+        planner = QueryPlanner(lambda tier: self._twin(spark))
+        iq = parse_influxql(
+            f'SELECT "e_export" FROM "electricity_meter_energy" {self._RANGE}'
+        )
+        out = plan_tree(planner, iq, now=datetime(2024, 1, 2, tzinfo=timezone.utc))
+        rows = out.collect()
+        assert len(rows) == 11  # the missing export point emits no row
+        assert all(r["e_export"] is not None for r in rows)
+
+    def test_plan_is_one_scan_no_join(self, spark):
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import plan_tree
+        from ecollector_spark.query import QueryPlanner
+
+        planner = QueryPlanner(lambda tier: self._twin(spark))
+        iq = parse_influxql(
+            f'SELECT "e_import", "e_export" FROM "electricity_meter_energy" {self._RANGE}'
+        )
+        plan = (
+            plan_tree(planner, iq, now=datetime(2024, 1, 2, tzinfo=timezone.utc))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for forbidden in ("Join", "Union", "CartesianProduct"):
+            assert forbidden not in plan, f"{forbidden} in multi-field plan"
+        assert "partial_max" in plan  # map-side combine before the shuffle
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            'SELECT "e_import", mean("value") FROM "m"',
+            'SELECT "e_import" FROM "m" GROUP BY time(1h)',
+            'SELECT "e_import" FROM "m" GROUP BY dev_id',
+            'SELECT "e_import" * 2 FROM "m"',
+            'SELECT "e_import", "e_export" INTO "t" FROM "m"',
+            'SELECT "bogusfield" FROM "m"',
+            'SELECT "e_import" FROM "m" WHERE "e_import" > 3',
+            'SELECT "e_import" FROM "m" FILL(previous)',
+        ],
+    )
+    def test_rejections_are_loud(self, bad):
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql(bad)
