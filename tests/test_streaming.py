@@ -690,3 +690,91 @@ class TestStatePartitionSizing:
             assert vals == [1.0, 2.0]
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+class TestSiteIdOverride:
+    """SiteId domain override (r9, VERDICT r8 missing #3 —
+    process.go:137-139 + model.go:102): a configured SiteId REPLACES the
+    topic-derived global prefix before filtering and tagging."""
+
+    def _events(self, spark, tmp_path):
+        import json as _json
+
+        env = {
+            "topic": "site_abc/pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7",
+            "type": "evt.meter.report",
+            "serv": "meter_elec",
+            "val_t": "float",
+            "val": "2.0",
+            "props": {"unit": "W"},
+            "src": "t",
+            "ctime": "2024-01-01T00:00:01",
+            "uid": "u1",
+        }
+        p = tmp_path / "e.json"
+        p.write_text(_json.dumps(env) + "\n")
+        from ecollector_spark.schema import FIMP_EVENT_SCHEMA
+
+        ev = spark.read.schema(FIMP_EVENT_SCHEMA).json(str(p))
+        from pyspark.sql import functions as F
+
+        return ev.withColumn("ts", F.col("ctime").cast("timestamp"))
+
+    def test_site_id_replaces_topic_domain(self, spark, tmp_path):
+        from ecollector_spark.streaming.pipeline import build_points
+
+        ev = self._events(spark, tmp_path)
+        # without the override: domain = topic global prefix
+        base = build_points(ev).select("domain").distinct().collect()
+        assert [r.domain for r in base] == ["site_abc"]
+        # with the override: every point carries the configured SiteId
+        over = build_points(ev, site_id="site_override").select("domain").distinct().collect()
+        assert [r.domain for r in over] == ["site_override"]
+
+    def test_filters_compare_against_the_override(self, spark, tmp_path):
+        """The reference applies the override BEFORE pr.filter — a domain
+        filter must match the configured SiteId, not the topic prefix."""
+        from ecollector_spark.filters import FilterRecord
+        from ecollector_spark.streaming.pipeline import build_points
+
+        ev = self._events(spark, tmp_path)
+        want_site = [FilterRecord(id=1, domain="site_override")]
+        # no override: the domain filter matches nothing
+        assert build_points(ev, filters=want_site).count() == 0
+        # override set: the same filter passes every event
+        assert build_points(ev, filters=want_site, site_id="site_override").count() > 0
+
+    def test_process_config_e2e_through_command_bus(self, spark, tmp_path):
+        """cmd.tsdb.proc_add with a SiteId config -> start_fn builds the
+        pipeline via pipeline_options -> emitted points carry the
+        override (the reference's per-process config path)."""
+        from ecollector_spark.streaming.pipeline import build_points, pipeline_options
+
+        ev = self._events(spark, tmp_path)
+        opts = pipeline_options(
+            {"SiteId": "site_cfg", "Filters": [], "Profile": "optimized", "BatchMaxSize": 500}
+        )
+        assert opts == {"site_id": "site_cfg"}
+        from ecollector_spark.api import ProcessManager
+
+        pm = ProcessManager()
+        pm.add("1", {"SiteId": "site_cfg"})
+        domains = []
+
+        def start_fn(config):
+            pts = build_points(ev, **pipeline_options(config))
+            domains.extend(r.domain for r in pts.select("domain").distinct().collect())
+            return []
+
+        pm.start("1", start_fn)
+        assert domains == ["site_cfg"]
+
+    def test_filters_config_key_builds_records(self):
+        from ecollector_spark.filters import FilterRecord
+        from ecollector_spark.streaming.pipeline import pipeline_options
+
+        opts = pipeline_options(
+            {"Filters": [{"id": 1, "service": "meter_elec"}, FilterRecord(id=2)]}
+        )
+        assert [f.id for f in opts["filters"]] == [1, 2]
+        assert opts["filters"][0].service == "meter_elec"
