@@ -123,11 +123,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=4_000_000)
     ap.add_argument("--out", default=os.path.join(repo, "STREAMING_SERIES_SCALE.json"))
+    ap.add_argument(
+        "--rungs",
+        default="10k,100k,1M,1M_sized",
+        help="comma-separated rung labels from RUNG_SPECS (r9 adds "
+        "100k_sized128 for the local-cluster state-distribution point)",
+    )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="update rung records inside an existing --out file (keyed "
+        "by label + master) instead of overwriting it",
+    )
     args = ap.parse_args()
 
     from ecollector_spark.session import get_spark
 
     spark = get_spark("streaming_series_scale")
+    master = spark.conf.get("spark.master")
     out = {
         "note": (
             "SERIES-cardinality ladder: total events fixed, series 10k->1M "
@@ -139,15 +152,27 @@ def main() -> None:
         ),
         "rungs": {},
     }
-    for label, n_series, target in [
-        ("10k", 10_000, None),
-        ("100k", 100_000, None),
-        ("1M", 1_000_000, None),
-        ("1M_sized", 1_000_000, 10_000),
-    ]:
+    RUNG_SPECS = {
+        "10k": (10_000, None),
+        "100k": (100_000, None),
+        "1M": (1_000_000, None),
+        "1M_sized": (1_000_000, 10_000),
+        # r9 (VERDICT r8 #7): the 128-wide state point the sizing lever
+        # exists for — run it under SPARK_GRAFT_MASTER=local-cluster[2,16]
+        # so the state store actually distributes across executor JVMs
+        "100k_sized128": (100_000, 782),
+    }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+        out.setdefault("rungs", {})
+    for label in [r.strip() for r in args.rungs.split(",") if r.strip()]:
+        n_series, target = RUNG_SPECS[label]
         rec = run_rung(spark, args.events, n_series, label, sized_target=target)
-        out["rungs"][label] = rec
-        print(label, rec, flush=True)
+        rec["master"] = master
+        key = label if master.startswith("local[") or master == "local" else f"{label}@{master}"
+        out["rungs"][key] = rec
+        print(key, rec, flush=True)
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
