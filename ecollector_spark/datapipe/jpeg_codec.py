@@ -868,10 +868,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 for c in frame["comps"]:
                     nby, nbx = _comp_mcu_blocks(frame, c)
                     coefs[c["id"]] = np.zeros((nby, nbx, 64), dtype=np.int64)
-            pos = _decode_progressive_scan(
-                data, pos + seglen, frame, scan, huff, restart_interval,
-                coefs, ss, se, ah_al >> 4, ah_al & 0xF,
-            )
+            try:
+                pos = _decode_progressive_scan(
+                    data, pos + seglen, frame, scan, huff, restart_interval,
+                    coefs, ss, se, ah_al >> 4, ah_al & 0xF,
+                )
+            except _RestartMarker as e:
+                # same loud-ValueError contract as the baseline scan
+                raise ValueError(
+                    f"unexpected restart marker RST{e.marker & 7} in scan data"
+                ) from None
             progressive_scans += 1
             continue
         elif marker == 0xDC:

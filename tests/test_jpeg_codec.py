@@ -481,3 +481,17 @@ class TestProgressiveEOBRuns:
         zz2[1] = -2
         want = self._expected([zz0, [0] * 64, zz2, [0] * 64])
         assert np.array_equal(out, want)
+
+
+def test_progressive_unexpected_rst_is_valueerror():
+    """An un-announced RSTn inside a progressive scan must surface as the
+    documented loud ValueError, never the internal control-flow class."""
+    img = (np.arange(16 * 16, dtype=np.uint8)).reshape(16, 16)
+    data = encode_jpeg(img, quality=85, progressive=True)
+    sos = data.index(b"\xff\xda")
+    seglen = struct.unpack(">H", data[sos + 2 : sos + 4])[0]
+    scan_at = sos + 2 + seglen
+    corrupt = bytearray(data)
+    corrupt[scan_at + 2 : scan_at + 2] = b"\xff\xd3"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(corrupt))
