@@ -645,13 +645,68 @@ def influxql_multi_field(spark, sf_dir):
     raw InfluxQL string through parse -> plan_tree -> plan_fields."""
     from ecollector_spark.influxql import parse_influxql, plan_tree
     from ecollector_spark.query import QueryPlanner
+    from ecollector_spark.transform import M_ENERGY
+
+    twin = _twin_energy_rows(spark, sf_dir)
+    q = (
+        f'SELECT "e_import", "e_export" FROM "{M_ENERGY}" '
+        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}'"
+    )
+    return plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q), now=NOW)
+
+
+@register(
+    "influxql_multi_field_agg",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+-- engine side aggregates the dir twin rows per mangled field (import =
+-- value, export = value * 0.25 — exact scaling): mean over the import
+-- twins is mean(value_f); max over the export twins is max(value_f)/4
+-- (max commutes with exact positive scaling)
+b AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS time,
+             round(avg(value_f), 3) AS mi,
+             max(value_f) * 0.25 AS me
+      FROM src GROUP BY 1)
+SELECT time, mi, me FROM b ORDER BY time
+""",
+    shelved=True,
+)
+def influxql_multi_field_agg(spark, sf_dir):
+    """Aggregates over dir-mangled multi-field names (r9, completing
+    VERDICT r8 missing #2): ``SELECT mean("e_import"), max("e_export")
+    ... GROUP BY time(1d)`` — each selector aggregates ITS direction's
+    twin rows via a projected conditional column inside ONE plan_multi
+    groupBy (no join, no per-field re-plan); single-selector aggregates,
+    transform wraps and selector arithmetic over mangled fields ride the
+    ordinary plan() path through _prepare's pushed dir predicate. The
+    gate reuses influxql_multi_field's synthesized twin corpus."""
+    from ecollector_spark.influxql import parse_influxql, plan_tree
+    from ecollector_spark.query import QueryPlanner
+    from ecollector_spark.transform import M_ENERGY
+
+    twin = _twin_energy_rows(spark, sf_dir)
+    q = (
+        f'SELECT mean("e_import") AS mi, max("e_export") AS me '
+        f'FROM "{M_ENERGY}" '
+        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}' "
+        "GROUP BY time(1d) FILL(none)"
+    )
+    df = plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q), now=NOW)
+    return df.withColumn("mi", F.round("mi", 3))
+
+
+def _twin_energy_rows(spark, sf_dir):
+    """Shared twin-row corpus of the multi-field gates: each purchase
+    event becomes an import point (value) and an export point
+    (value * 0.25, exact in IEEE) under the energy measurement — ONE
+    explode over one scan."""
     from ecollector_spark.sources.events_adapter import events_as_datapoints
     from ecollector_spark.transform import M_ENERGY
 
     dp = events_as_datapoints(spark, sf_dir).where(
         F.col("measurement") == "purchase"
     )
-    twin = (
+    return (
         dp.withColumn(
             "_d",
             F.explode(
@@ -672,11 +727,6 @@ def influxql_multi_field(spark, sf_dir):
         .withColumn("value_f", F.col("_d.v"))
         .drop("_d")
     )
-    q = (
-        f'SELECT "e_import", "e_export" FROM "{M_ENERGY}" '
-        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}'"
-    )
-    return plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q), now=NOW)
 
 
 _LA = "America/Los_Angeles"

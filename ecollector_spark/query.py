@@ -111,6 +111,14 @@ class DataPointsRequest:
     tz: str = ""
 
 
+def _mangled_dir(field_name: str) -> str | None:
+    """dir of a dir-mangled multi-field name (``e_import`` -> "import",
+    mapping.go:48-61), None for ordinary fields. Aggregating such a
+    field means aggregating the twin rows of that direction."""
+    base, _, d = (field_name or "").rpartition("_")
+    return d if base and d in ("import", "export") else None
+
+
 _AGG_BUILDERS = {
     "mean": lambda v, ts: F.avg(v),
     "sum": lambda v, ts: F.sum(v),
@@ -595,6 +603,16 @@ class QueryPlanner:
             if rel_to_epoch is not None:
                 df = df.where(ts_epoch < rel_to_epoch)
 
+        # dir-mangled field (r9): selecting/aggregating "e_import" means
+        # the import-direction twin rows of the measurement — ONE pushed
+        # dir predicate, then the query is an ordinary single-field plan
+        # over the canonical value column (every downstream shape —
+        # aggregates, transforms, fills, tags — works unchanged)
+        mangled = _mangled_dir(field_name)
+        if mangled is not None:
+            df = df.where(F.col("dir") == mangled)
+            field_name = "value"
+
         # tag predicates (influxdb_v1.go:145-156; list bug fixed to IN)
         flt = req.filters
         for k, v in flt.tags.items():
@@ -907,10 +925,13 @@ class QueryPlanner:
                 raise ValueError(f"duplicate output column {name!r}")
             seen.add(name)
             mapped.append((name, d))
-        df, ctx = self._prepare(req, now)
+        from dataclasses import replace as _dc_replace
+
+        # neutralize the request's field_name (the FIRST mangled name)
+        # before _prepare — the raw pivot reads BOTH directions itself;
+        # _prepare's single-dir mangled-field shortcut must not fire
+        df, ctx = self._prepare(_dc_replace(req, field_name="value"), now)
         ts_epoch = ctx["ts_epoch"]
-        # every mangled field reads the canonical value column — the
-        # request's field_name is the mangled NAME, not a column
         value_col = "value_f"
         df = df.where(F.col("dir").isin(sorted({d for _, d in mapped})))
         keys = [c for c in DATAPOINT_TAG_COLUMNS if c != "dir" and c in df.columns]
@@ -950,9 +971,24 @@ class QueryPlanner:
         # request handed to routing carries a non-upgrading function.
         if not all(s.data_function == "mean" for s in selectors):
             req = _dc_replace(req, data_function="last")
+        # per-selector fields handle their own dir below — _prepare's
+        # single-dir mangled-field shortcut must not fire on the first
+        # selector's field and starve the others (r9)
+        if _mangled_dir(req.field_name) is not None:
+            req = _dc_replace(req, field_name="value")
         df, ctx = self._prepare(req, now)
         tag_cols = ctx["tag_cols"]
         step, from_epoch = ctx["step"], ctx["from_epoch"]
+
+        # dir-mangled selector fields (r9): mean("e_import"),
+        # mean("e_export") side by side — each aggregates ITS direction's
+        # twin rows via a projected conditional column (nulls are ignored
+        # by every aggregate here), still ONE scan + ONE groupBy; when
+        # every selector is mangled the dir set is pushed to the scan
+        sel_dirs = [_mangled_dir(s.field or "value") for s in selectors]
+        if all(d is not None for d in sel_dirs):
+            df = df.where(F.col("dir").isin(sorted(set(sel_dirs))))
+        proj: dict[str, object] = {}
 
         names: list[str] = []
         aggs = []
@@ -967,7 +1003,13 @@ class QueryPlanner:
                     f"multi-select supports single-stage aggregates only: {fn!r}"
                 )
             # each selector aggregates ITS OWN field column
-            sel_col = {"value": "value_f"}.get(sel.field or "value", sel.field)
+            fld = sel.field or "value"
+            d = _mangled_dir(fld)
+            if d is not None:
+                sel_col = f"_f_{fld}"
+                proj[sel_col] = F.when(F.col("dir") == d, F.col("value_f"))
+            else:
+                sel_col = {"value": "value_f"}.get(fld, fld)
             base = sel.alias or fn
             name = base
             i = 0
@@ -976,6 +1018,8 @@ class QueryPlanner:
                 name = f"{base}_{i}"
             names.append(name)
             aggs.append(builder(sel_col, "ts").alias(name))
+        if proj:
+            df = df.withColumns(proj)
 
         if step:
             bucket_off = (

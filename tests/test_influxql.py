@@ -1956,3 +1956,87 @@ class TestMultiField:
     def test_rejections_are_loud(self, bad):
         with pytest.raises(InfluxQLParseError):
             parse_influxql(bad)
+
+
+class TestMultiFieldAggregates:
+    """Aggregates over dir-mangled field names (r9): each selector reads
+    ITS direction's twin rows — multi-selector via projected conditional
+    columns in one plan_multi groupBy, single-selector via _prepare's
+    pushed dir predicate (so transforms/fills/arith compose unchanged)."""
+
+    NOW = None
+
+    def _planner(self, spark):
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.query import QueryPlanner
+
+        rows = []
+        for dev in range(2):
+            for t in range(6):
+                e = 1704067200 + t * 3600 * 6
+                rows.append(("electricity_meter_energy", e, str(dev), "import", 100.0 + dev * 10 + t))
+                rows.append(("electricity_meter_energy", e, str(dev), "export", 5.0 + dev + t))
+        df = spark.createDataFrame(
+            rows, "measurement string, e long, dev_id string, dir string, value_f double"
+        )
+        dp = df.select(
+            "measurement", F.timestamp_seconds("e").alias("ts"), "dev_id", "dir", "value_f"
+        )
+        return QueryPlanner(lambda tier: dp)
+
+    _RANGE = "WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-02T12:00:00Z'"
+
+    def _run(self, spark, q):
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import parse_influxql, plan_tree
+
+        return plan_tree(
+            self._planner(spark), parse_influxql(q),
+            now=datetime(2024, 1, 3, tzinfo=timezone.utc),
+        )
+
+    def test_multi_selector_each_direction(self, spark):
+        out = self._run(
+            spark,
+            f'SELECT mean("e_import") AS mi, max("e_export") AS me '
+            f'FROM "electricity_meter_energy" {self._RANGE} GROUP BY time(1d) FILL(none)',
+        )
+        r = {x["time"]: (x["mi"], x["me"]) for x in out.collect()}
+        assert abs(r[1704067200][0] - 106.5) < 1e-9
+        assert r[1704067200][1] == 9.0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Union" not in plan
+        assert "partial_" in plan
+
+    def test_single_selector_pushes_dir_predicate(self, spark):
+        out = self._run(
+            spark,
+            f'SELECT mean("e_export") FROM "electricity_meter_energy" '
+            f"{self._RANGE} GROUP BY time(1d) FILL(none)",
+        )
+        r = {x["time"]: x["value"] for x in out.collect()}
+        assert abs(r[1704067200] - 7.0) < 1e-9
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "dir" in plan and "Join" not in plan
+
+    def test_transform_wrap_and_arith_compose(self, spark):
+        r3 = [
+            (x["time"], x["value"])
+            for x in self._run(
+                spark,
+                f'SELECT difference(max("e_import")) FROM "electricity_meter_energy" '
+                f"{self._RANGE} GROUP BY time(1d) FILL(none)",
+            ).collect()
+        ]
+        assert r3 == [(1704153600, 2.0)]  # day-max 113 -> 115
+        r4 = {
+            x["time"]: x["value"]
+            for x in self._run(
+                spark,
+                f'SELECT mean("e_import") * 4 FROM "electricity_meter_energy" '
+                f"{self._RANGE} GROUP BY time(1d) FILL(none)",
+            ).collect()
+        }
+        assert abs(r4[1704067200] - 426.0) < 1e-9
