@@ -179,6 +179,49 @@ def attach_synthetic_jpeg_media(docs: DataFrame, progressive: bool = False) -> D
     return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def attach_synthetic_gif_media(docs: DataFrame) -> DataFrame:
+    """Real, decodable GIF payloads built deterministically from doc_id
+    (r9) — the generation stage behind the GIF value gate. Each doc is a
+    constant-luminance grayscale GIF; odd doc_ids are 4-pass INTERLACED,
+    so the gate pins the interlace inversion too. GIF is lossless, so
+    the oracle's prediction is simply the input value:
+
+        w = 20 + doc_id % 23,  h = 12 + doc_id % 11,
+        v = doc_id % 256,      interlace = doc_id % 2 == 1
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ecollector_spark.datapipe.gif_codec import encode_gif, gif_header
+
+        for pdf in batches:
+            blobs, widths, heights, nbytes = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 20 + d % 23, 12 + d % 11, d % 256
+                data = encode_gif(
+                    np.full((h, w), v, dtype=np.uint8), interlace=d % 2 == 1
+                )
+                pw, ph = gif_header(data)
+                blobs.append(data)
+                widths.append(pw)
+                heights.append(ph)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_type": ["image/gif"] * len(blobs),
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def attach_synthetic_wav_media(docs: DataFrame) -> DataFrame:
     """Real, decodable 16-bit PCM WAV payloads built deterministically
     from doc_id — the distributed audio-generation stage behind the
@@ -446,6 +489,14 @@ def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -
                         from ecollector_spark.datapipe.jpeg_codec import decode_jpeg
 
                         img = decode_jpeg(buf)
+                    elif mtype == "image/gif":
+                        from ecollector_spark.datapipe.gif_codec import decode_gif
+
+                        img = decode_gif(buf)
+                    elif mtype == "image/bmp":
+                        from ecollector_spark.datapipe.bmp_codec import decode_bmp
+
+                        img = decode_bmp(buf)
                     else:
                         raise NotImplementedError(
                             f"real decode for {mtype!r} requires Pillow/ffmpeg "
@@ -506,6 +557,14 @@ def resize_media(
                         from ecollector_spark.datapipe.jpeg_codec import decode_jpeg
 
                         img = decode_jpeg(bytes(blob))
+                    elif mtype == "image/gif":
+                        from ecollector_spark.datapipe.gif_codec import decode_gif
+
+                        img = decode_gif(bytes(blob))
+                    elif mtype == "image/bmp":
+                        from ecollector_spark.datapipe.bmp_codec import decode_bmp
+
+                        img = decode_bmp(bytes(blob))
                     else:
                         raise NotImplementedError(
                             f"real resize for {mtype!r} requires Pillow/ffmpeg "
@@ -519,6 +578,16 @@ def resize_media(
                         from ecollector_spark.datapipe.jpeg_codec import encode_jpeg
 
                         out = encode_jpeg(resized, quality=90)
+                    elif mtype == "image/gif":
+                        # nearest-neighbor selects existing pixels only,
+                        # so the resized image keeps a <=256 palette
+                        from ecollector_spark.datapipe.gif_codec import encode_gif
+
+                        out = encode_gif(resized)
+                    elif mtype == "image/bmp":
+                        from ecollector_spark.datapipe.bmp_codec import encode_bmp
+
+                        out = encode_bmp(resized)
                     else:
                         out = encode_png(resized)
                     blobs.append(out)

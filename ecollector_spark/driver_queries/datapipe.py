@@ -1277,6 +1277,58 @@ def mm_jpeg_progressive(spark, sf_dir):
 
 
 @register(
+    "mm_gif_decode",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+m AS (SELECT doc_id,
+             20 + doc_id % 23 AS w, 12 + doc_id % 11 AS h,
+             doc_id % 256 AS v
+      FROM d)
+-- GIF is LOSSLESS: the decoded pixel of a flat image IS the input
+-- value — any error in LZW coding/decoding, sub-block framing,
+-- palette lookup or the interlace inversion (odd doc_ids) shifts it
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(v AS INT) AS lum_decoded,
+       1.0 AS bucket_mass
+FROM m ORDER BY doc_id
+""",
+    shelved=True,
+)
+def mm_gif_decode(spark, sf_dir):
+    """REAL GIF decode, value-gated (r9): constant-luminance grayscale
+    GIFs at per-doc geometry are built inside mapInPandas
+    (``attach_synthetic_gif_media`` — real LZW, sub-block framing, odd
+    doc_ids 4-pass interlaced), then decoded by the real feature path
+    (``extract_features(decode_stub=False)``) with a 256-bin histogram
+    whose argmax IS the decoded pixel. GIF is lossless, so the DuckDB
+    twin predicts the value with no math — which makes the gate a pure
+    pin of the CODEC plumbing (LZW, framing, palette, interlace) and
+    the Spark plumbing around it. width/height re-parse the produced
+    bytes (gif_header), pinning header framing too."""
+    from ecollector_spark.datapipe.multimodal import attach_synthetic_gif_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 4 == 2
+    )
+    media = attach_synthetic_gif_media(docs)
+    feats = extract_features(media, decode_stub=False, dim=256)
+    lum = (F.expr("array_position(feature, array_max(feature))") - 1).cast("int")
+    return (
+        media.select("doc_id", "width", "height")
+        .join(
+            feats.select(
+                "doc_id",
+                lum.alias("lum_decoded"),
+                F.array_max("feature").alias("bucket_mass"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "width", "height", "lum_decoded", "bucket_mass")
+    )
+
+
+@register(
     "mm_audio_features",
     """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
 p AS (SELECT doc_id,
