@@ -704,3 +704,59 @@ def fold_manifests(
         minhash_signatures(kept_docs, text_col, k, num_hashes)
     )
     return new_exact, new_sigs
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_dups: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-paragraph removal (r9) — the public
+    LLM-pipeline stage (Dolma / Gopher / Falcon style) that strips
+    boilerplate paragraphs repeated across documents: every paragraph
+    whose exact text occurs in >= ``min_dups`` DISTINCT documents is
+    removed from ALL of them; each document's surviving paragraphs
+    re-join in their original order, and documents with no surviving
+    paragraph drop out entirely. Paragraphs shorter than ``min_chars``
+    (after trim) are exempt — never counted, never removed — so blank
+    separators don't dedup each other away.
+
+    Scale shape (100 TB posture): one explode, one partial-aggregated
+    groupBy on an xxhash64 long (count of DISTINCT doc ids — the dup
+    set is tiny relative to the corpus by construction), one LEFT ANTI
+    hash join back on the long key, and one per-doc groupBy whose
+    order-preserving reassembly is an array_sort over that document's
+    own paragraphs (bounded per group) — never a corpus-wide window,
+    never a pairwise comparison. Returns (doc_id, text).
+    """
+    pid = F.col("doc_id")
+    paras = docs.select(
+        pid,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = F.length(F.trim(F.col("para"))) >= min_chars
+    dup = (
+        paras.where(eligible)
+        .groupBy(F.xxhash64("para").alias("_h"))
+        .agg(F.count_distinct("doc_id").alias("_docs"))
+        .where(F.col("_docs") >= min_dups)
+        .select("_h")
+    )
+    keep = paras.withColumn("_h", F.xxhash64("para")).join(
+        dup, "_h", "left_anti"
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+        .select("doc_id", text_col)
+    )

@@ -93,6 +93,54 @@ def dedup_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_paragraphs",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+-- synthesized 3-paragraph docs: a mostly-unique head, a boilerplate
+-- line shared by ~1/5 of the corpus, a mostly-unique tail
+d2 AS (SELECT doc_id,
+              array_to_string(ws[1:6], ' ') || chr(10) ||
+              'shared boilerplate ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+              array_to_string(ws[7:18], ' ') AS text
+       FROM w),
+p AS (SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS para,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM d2),
+dup AS (SELECT para FROM p WHERE length(trim(para)) >= 1
+        GROUP BY para HAVING count(DISTINCT doc_id) >= 3),
+keep AS (SELECT doc_id, para, pos FROM p
+         WHERE para NOT IN (SELECT para FROM dup))
+SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+FROM keep GROUP BY doc_id ORDER BY doc_id
+""",
+    shelved=True,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Corpus-level repeated-paragraph removal (r9 — the Dolma/Gopher
+    boilerplate-stripping stage, a first-class LLM-pipeline operator):
+    paragraphs occurring in >= 3 distinct documents are removed from
+    ALL of them, survivors re-join in original order, emptied documents
+    drop out. The gate synthesizes 3-paragraph documents (unique head,
+    1-of-5 shared boilerplate line, unique tail) so the dup set is
+    non-trivial and deterministic; the boilerplate lines vanish, the
+    heads/tails survive except incidental cross-doc repeats — which the
+    oracle computes identically. One explode, one count-distinct
+    groupBy on an xxhash64 long, one left-anti join, one per-doc
+    reassembly — never a corpus-wide window (dedup.dedup_paragraphs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split("text", " ")
+    text2 = F.concat_ws(
+        "\n",
+        F.array_join(F.slice(words, 1, 6), " "),
+        F.concat(F.lit("shared boilerplate "), (F.col("doc_id") % 5).cast("string")),
+        F.array_join(F.slice(words, 7, 12), " "),
+    )
+    d2 = docs.select("doc_id", text2.alias("text"))
+    return dedup.dedup_paragraphs(d2, min_dups=3).orderBy("doc_id")
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""WITH {_CORPUS},
 {_SHINGLED},

@@ -1409,3 +1409,72 @@ class TestStreamingIngestCompaction:
         assert ing.compact_corpus(target_files=1)
         assert {r["doc_id"] for r in ing.corpus().collect()} == before
         assert ing._corpus_file_count() == 1
+
+
+class TestParagraphDedup:
+    """dedup_paragraphs (r9): corpus-level repeated-paragraph removal."""
+
+    def test_boilerplate_removed_order_kept_empty_dropped(self, spark):
+        from ecollector_spark.datapipe.dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha one\nBOILER\nomega one"),
+                (2, "alpha two\nBOILER\nomega two"),
+                (3, "BOILER\nalpha three"),
+                (4, "BOILER"),  # nothing survives -> doc drops out
+                (5, "solo paragraph\nanother solo"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.text for r in dedup_paragraphs(docs, min_dups=3).collect()}
+        assert out == {
+            1: "alpha one\nomega one",
+            2: "alpha two\nomega two",
+            3: "alpha three",
+            5: "solo paragraph\nanother solo",
+        }
+
+    def test_min_dups_threshold_and_noop(self, spark):
+        from ecollector_spark.datapipe.dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(1, "twice\nunique a"), (2, "twice\nunique b")],
+            "doc_id long, text string",
+        )
+        # appears in only 2 docs: below min_dups=3 -> untouched
+        out = {r.doc_id: r.text for r in dedup_paragraphs(docs, min_dups=3).collect()}
+        assert out == {1: "twice\nunique a", 2: "twice\nunique b"}
+        # at min_dups=2 the shared paragraph goes
+        out2 = {r.doc_id: r.text for r in dedup_paragraphs(docs, min_dups=2).collect()}
+        assert out2 == {1: "unique a", 2: "unique b"}
+
+    def test_short_paragraphs_exempt(self, spark):
+        from ecollector_spark.datapipe.dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(1, "a\n\nkeep one"), (2, "a\n\nkeep two"), (3, "a\n\nkeep three")],
+            "doc_id long, text string",
+        )
+        # min_chars=2 exempts both the 1-char 'a' and the blank line,
+        # so every document survives byte-identical
+        out = {
+            r.doc_id: r.text
+            for r in dedup_paragraphs(docs, min_dups=2, min_chars=2).collect()
+        }
+        assert out == {
+            1: "a\n\nkeep one",
+            2: "a\n\nkeep two",
+            3: "a\n\nkeep three",
+        }
+
+    def test_within_doc_repeats_do_not_count_across(self, spark):
+        from ecollector_spark.datapipe.dedup import dedup_paragraphs
+
+        # the repeated paragraph lives in ONE doc only: count(DISTINCT
+        # doc_id) = 1 < 2, so within-doc repetition alone never dedups
+        docs = spark.createDataFrame(
+            [(1, "same\nsame\nsame"), (2, "other")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.text for r in dedup_paragraphs(docs, min_dups=2).collect()}
+        assert out == {1: "same\nsame\nsame", 2: "other"}
