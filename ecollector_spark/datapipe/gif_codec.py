@@ -265,6 +265,10 @@ def decode_gif(data: bytes) -> np.ndarray:
         if pos + 9 > len(data):
             raise ValueError("truncated GIF: short image descriptor")
         left, top, w, h = struct.unpack("<HHHH", data[pos : pos + 8])
+        if w * h > (1 << 27) or w < 1 or h < 1:
+            # LZW legitimately expands far beyond its input — a crafted
+            # descriptor must not become a multi-GB decode target
+            raise ValueError(f"unreasonable GIF dimensions {w}x{h}")
         ipacked = data[pos + 8]
         pos += 9
         table = gct

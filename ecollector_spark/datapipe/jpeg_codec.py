@@ -798,6 +798,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"{prec}-bit precision; only 8-bit is implemented"
                 )
+            if h * w > (1 << 27) or h < 1 or w < 1:
+                # a crafted header must not become a multi-GB plane
+                # allocation before any pixel data is validated
+                raise ValueError(f"unreasonable JPEG dimensions {w}x{h}")
             comps = []
             for ci in range(ncomp):
                 cid, hv, qid = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -977,6 +981,11 @@ def _decode_mcus(
 def _decode_block(reader, dc_tab, ac_tab, preds, comp):
     zz = np.zeros(64, dtype=np.int64)
     size = reader.decode_symbol(dc_tab)
+    if size > 15:
+        # a corrupt DHT can map codes to arbitrary byte symbols; a DC
+        # size past the spec's 0-11 range would read `size` raw bits and
+        # overflow the int64 coefficient store (fuzz pin, r9)
+        raise ValueError(f"corrupt JPEG: DC size category {size} out of range")
     diff = _extend(reader.read_bits(size), size) if size else 0
     preds[comp["id"]] += diff
     zz[0] = preds[comp["id"]]
@@ -1060,6 +1069,10 @@ def _decode_progressive_scan(
 
         def _dc_first(comp, dc_id, by, bx):
             size = reader.decode_symbol(huff[(0, dc_id)])
+            if size > 15:
+                raise ValueError(
+                    f"corrupt JPEG: DC size category {size} out of range"
+                )
             diff = _extend(reader.read_bits(size), size) if size else 0
             preds[comp["id"]] += diff
             coefs[comp["id"]][by, bx, 0] = preds[comp["id"]] << al

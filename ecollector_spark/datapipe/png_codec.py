@@ -75,6 +75,8 @@ def png_header(data: bytes) -> tuple[int, int, int]:
         raise ValueError("not a PNG (bad signature)")
     if data[12:16] != b"IHDR":
         raise ValueError("IHDR is not the first chunk")
+    if len(data) < 29:
+        raise ValueError("truncated PNG: short IHDR")
     w, h, depth, ctype, _comp, _filt, inter = struct.unpack(">IIBBBBB", data[16:29])
     if depth != 8 or inter != 0 or ctype not in _CHANNELS:
         raise NotImplementedError(
@@ -92,6 +94,12 @@ def decode_png(data: bytes) -> np.ndarray:
     pos, idat = 8, bytearray()
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            # corrupt/truncated chunk length must fail loud, not as a
+            # struct.error from the short CRC slice (fuzz pin, r9)
+            raise ValueError(
+                f"truncated PNG: chunk length {length} at offset {pos} overruns data"
+            )
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
@@ -102,7 +110,10 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG: zlib inflate failed ({e})") from None
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("pixel data length mismatch")
