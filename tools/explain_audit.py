@@ -69,6 +69,35 @@ CHECKS = {
         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
         "!CartesianProduct",
     ],
+    # paragraph dedup (r9): the dup set comes from a partial-aggregated
+    # count-distinct on a long key, paragraphs leave via LEFT ANTI — no
+    # pairwise enumeration and no corpus-wide window
+    "dedup_paragraphs": [
+        "LeftAnti",
+        "partial_count",
+        "!CartesianProduct",
+        "!Window",
+    ],
+    # multi-FIELD select (r9): the dir-twin pivot is ONE scan + ONE
+    # conditional-aggregate groupBy — no join of any kind, no union
+    "influxql_multi_field": [
+        "partial_max",
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!ShuffledHashJoin",
+        "!Union",
+        "!CartesianProduct",
+    ],
+    # aggregates over mangled fields (r9): same one-groupBy contract as
+    # plan_multi, conditional columns instead of per-field re-plans
+    "influxql_multi_field_agg": [
+        "partial_",
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!ShuffledHashJoin",
+        "!Union",
+        "!CartesianProduct",
+    ],
     # text ops are one map-side pass: no shuffle except the explicit sort
     "text_quality": ["^((?!Exchange hashpartitioning).)*$"],
     # ANN brute force: the query vector is a broadcast, the scan is pruned
