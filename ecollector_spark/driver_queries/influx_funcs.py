@@ -695,6 +695,45 @@ def influxql_multi_field_agg(spark, sf_dir):
     return df.withColumn("mi", F.round("mi", 3))
 
 
+@register(
+    "influxql_multi_field_arith",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+-- the engine pivots the dir twin rows (import = value, export =
+-- value * 0.25, exact in IEEE) per point identity and combines the
+-- pivoted columns per point: _f0 + _f1 = v + v * 0.25 in the same
+-- IEEE evaluation order the Spark expression uses
+g AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, dev_id,
+             max(value_f) AS v
+      FROM src GROUP BY 1, 2)
+SELECT time, v + v * 0.25 AS value
+FROM g ORDER BY time, value
+""",
+    shelved=True,
+)
+def influxql_multi_field_arith(spark, sf_dir):
+    """FIELD arithmetic over dir-mangled names (r9 late, completing
+    VERDICT r8 missing #2): ``SELECT "e_import" + "e_export" FROM
+    "electricity_meter_energy"`` — InfluxDB's per-point binary
+    expression across the fields of one multi-field point (the write
+    shape of transform.go:115-184). plan_fields pivots the twin rows
+    once (one scan, one conditional-aggregate groupBy, no join), then
+    arith_column combines the pivoted columns per point; null results
+    (a point missing an operand field) drop, InfluxDB's null-result
+    rule. The gate reuses influxql_multi_field's synthesized twin
+    corpus, where export = import * 0.25 exactly."""
+    from ecollector_spark.influxql import parse_influxql, plan_tree
+    from ecollector_spark.query import QueryPlanner
+    from ecollector_spark.transform import M_ENERGY
+
+    twin = _twin_energy_rows(spark, sf_dir)
+    q = (
+        f'SELECT "e_import" + "e_export" FROM "{M_ENERGY}" '
+        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}'"
+    )
+    return plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q), now=NOW)
+
+
 def _twin_energy_rows(spark, sf_dir):
     """Shared twin-row corpus of the multi-field gates: each purchase
     event becomes an import point (value) and an export point

@@ -440,6 +440,14 @@ class InfluxQLQuery:
     #: when two or more distinct aggregates combine), or
     #: ``("op", "+|-|*|/", lhs, rhs)``. None = plain select.
     value_arith: tuple | None = None
+    #: FIELD arithmetic over dir-mangled names (r9 late:
+    #: ``SELECT "e_import" + "e_export"`` — InfluxDB's per-point binary
+    #: expression across fields of one multi-field point): the leaf
+    #: field name for each ``("sel", i)`` node of ``value_arith``, in
+    #: leaf order; ``multi_fields`` carries the deduped (field, column)
+    #: pivot list for plan_fields and the expression combines the
+    #: pivoted columns per point. None for every other arith shape.
+    arith_fields: "list[str] | None" = None
 
 
 def _split_from_list(frm: str) -> list[str]:
@@ -718,12 +726,34 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                     break
             raise InfluxQLParseError(f"unrecognized selector: {piece.strip()!r}")
         sel_ms.append(sm)
+    arith_fields = None
     if value_arith is not None:
         parsed = arith_leaves  # 6-tuples from _parse_selector; leaf aliases unused
         fn, fn_param, tf, tf_param, fld, _ = parsed[0]
         alias = arith_alias
         selectors = None
-        if len(parsed) > 1:
+        bare = [not p[0] and not p[2] and p[4].lower() != "value" for p in parsed]
+        if all(bare):
+            # FIELD arithmetic over dir-mangled names (r9 late:
+            # ``SELECT "e_import" + "e_export"`` — InfluxDB's per-point
+            # expression across the fields of one multi-field point,
+            # the write shape of transform.go:115-184): pivot the dir
+            # twin rows once (plan_fields) and combine the pivoted
+            # columns per point — still one scan, one groupBy, no join.
+            # Rows where the expression is null (a missing operand
+            # field) are dropped, InfluxDB's null-result rule.
+            arith_fields = [p[4] for p in parsed]
+            cols: dict[str, str] = {}
+            for f_ in arith_fields:
+                cols.setdefault(f_, f"_f{len(cols)}")
+            parse_multi_fields = list(cols.items())
+        elif any(bare):
+            raise InfluxQLParseError(
+                "an expression mixes bare fields with aggregates; "
+                'combine aggregates (mean("e_import") + mean("e_export")) '
+                'or bare fields ("e_import" + "e_export"), not both'
+            )
+        elif len(parsed) > 1:
             # two or more distinct selectors combine per bucket — ride
             # plan_multi with synthesized column names; the same
             # single-stage restriction as the comma multi-select applies
@@ -741,7 +771,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         parsed = [_parse_selector(sm) for sm in sel_ms]
         fn, fn_param, tf, tf_param, fld, alias = parsed[0]
         selectors = None
-    multi_fields = None
+    multi_fields = parse_multi_fields if arith_fields is not None else None
     if value_arith is None and any(
         not p[0] and not p[2] and p[4].lower() != "value" for p in parsed
     ):
@@ -755,12 +785,6 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                     f"only (e_import, e_export, ...): {(p_fn or p_tf or p_fld)!r}"
                 )
         multi_fields = [(p[4], p[5] or p[4]) for p in parsed]
-    elif value_arith is not None and len(arith_leaves) == 1 and not arith_leaves[0][0] \
-            and not arith_leaves[0][2] and arith_leaves[0][4].lower() != "value":
-        raise InfluxQLParseError(
-            "arithmetic over a mangled multi-field name is not supported; "
-            'select the field bare ("e_import") or aggregate "value"'
-        )
     if value_arith is None and multi_fields is None and len(parsed) > 1:
         # hand-written multi-select: every entry must be a single-stage
         # aggregate (one groupBy computes them side by side; transforms,
@@ -1034,6 +1058,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         value_arith=value_arith,
         measurement_list=measurement_list,
         multi_fields=multi_fields,
+        arith_fields=arith_fields,
     )
 
 
@@ -1085,7 +1110,26 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
 
     if iq.subquery is None:
         if iq.multi_fields is not None:
-            return planner.plan_fields(iq.request, iq.multi_fields, now=now)
+            df = planner.plan_fields(iq.request, iq.multi_fields, now=now)
+            if iq.arith_fields is None:
+                return df
+            # FIELD arithmetic (r9 late): combine the pivoted twin
+            # columns per point; null results (a missing operand field
+            # at that point) drop, InfluxDB's null-result rule
+            from pyspark.sql import functions as F
+
+            colmap = dict(iq.multi_fields)
+            leaf_cols = [F.col(colmap[f]) for f in iq.arith_fields]
+            return (
+                df.select(
+                    "time",
+                    arith_column(iq.value_arith, leaf_cols)
+                    .cast("double")
+                    .alias("value"),
+                )
+                .where(F.col("value").isNotNull())
+                .orderBy("time", "value")
+            )
         if iq.selectors is not None:
             return _with_arith(planner.plan_multi(iq.request, iq.selectors, now=now), iq.request)
         return planner.plan(iq.request, now=now, post_agg=_single_leaf_post_agg())

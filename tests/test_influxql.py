@@ -1946,7 +1946,7 @@ class TestMultiField:
             'SELECT "e_import", mean("value") FROM "m"',
             'SELECT "e_import" FROM "m" GROUP BY time(1h)',
             'SELECT "e_import" FROM "m" GROUP BY dev_id',
-            'SELECT "e_import" * 2 FROM "m"',
+            'SELECT "e_import" + mean("value") FROM "m"',
             'SELECT "e_import", "e_export" INTO "t" FROM "m"',
             'SELECT "bogusfield" FROM "m"',
             'SELECT "e_import" FROM "m" WHERE "e_import" > 3',
@@ -1956,6 +1956,89 @@ class TestMultiField:
     def test_rejections_are_loud(self, bad):
         with pytest.raises(InfluxQLParseError):
             parse_influxql(bad)
+
+
+class TestMultiFieldArithmetic:
+    """FIELD arithmetic over dir-mangled names (r9 late):
+    ``SELECT "e_import" + "e_export"`` pivots the twin rows once
+    (plan_fields) and combines the pivoted columns per point —
+    InfluxDB's per-point binary expression across the fields of one
+    multi-field point. Null results (a missing operand field) drop."""
+
+    _twin = TestMultiField._twin
+    _RANGE = TestMultiField._RANGE
+
+    def _run(self, spark, q):
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import plan_tree
+        from ecollector_spark.query import QueryPlanner
+
+        return plan_tree(
+            QueryPlanner(lambda tier: self._twin(spark)),
+            parse_influxql(q),
+            now=datetime(2024, 1, 2, tzinfo=timezone.utc),
+        )
+
+    def test_parse_builds_pivot_and_leaf_order(self):
+        iq = parse_influxql(
+            f'SELECT ("e_export" - "e_import") / "e_import" AS r FROM "m" {self._RANGE}'
+        )
+        assert iq.multi_fields == [("e_export", "_f0"), ("e_import", "_f1")]
+        # one entry per LEAF (repeats repeat); the pivot list dedups
+        assert iq.arith_fields == ["e_export", "e_import", "e_import"]
+        assert iq.alias == "r"
+        assert iq.value_arith is not None
+
+    def test_per_point_combine_drops_null_results(self, spark):
+        rows = self._run(
+            spark,
+            f'SELECT "e_import" + "e_export" FROM "electricity_meter_energy" {self._RANGE}',
+        ).collect()
+        # 12 points, one missing its export twin -> null sum -> dropped
+        assert len(rows) == 11
+        assert all(r["value"] is not None for r in rows)
+        # dev 0, t 0: import 100.0 + export 5.0
+        assert any(abs(r["value"] - 105.0) < 1e-9 for r in rows)
+
+    def test_single_leaf_scale_now_plans(self, spark):
+        rows = self._run(
+            spark,
+            f'SELECT "e_export" * 2 FROM "electricity_meter_energy" {self._RANGE}',
+        ).collect()
+        assert len(rows) == 11  # the missing export point emits no row
+        assert any(abs(r["value"] - 10.0) < 1e-9 for r in rows)  # 5.0 * 2
+
+    def test_plan_is_one_scan_no_join(self, spark):
+        plan = (
+            self._run(
+                spark,
+                f'SELECT "e_import" - "e_export" FROM "electricity_meter_energy" {self._RANGE}',
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for forbidden in ("Join", "Union", "CartesianProduct"):
+            assert forbidden not in plan, f"{forbidden} in field-arith plan"
+        assert "partial_max" in plan  # map-side combine before the shuffle
+
+    def test_subquery_composes_over_field_arith(self, spark):
+        out = self._run(
+            spark,
+            'SELECT max("value") FROM '
+            f'(SELECT "e_import" + "e_export" FROM "electricity_meter_energy" {self._RANGE})',
+        )
+        rows = out.collect()
+        assert len(rows) == 1
+        # max over the 11 sums: dev 2, t 3 -> import 123.0 + export 10.0
+        assert abs(rows[0]["value"] - 133.0) < 1e-9
+
+    def test_mixing_bare_fields_with_aggregates_refuses(self):
+        with pytest.raises(InfluxQLParseError, match="mixes bare fields"):
+            parse_influxql(
+                f'SELECT "e_import" + mean("value") FROM "m" {self._RANGE}'
+            )
 
 
 class TestMultiFieldAggregates:
