@@ -272,6 +272,55 @@ def attach_synthetic_wav_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def attach_synthetic_flac_media(docs: DataFrame) -> DataFrame:
+    """Real, decodable FLAC payloads built deterministically from
+    doc_id — the compressed-audio twin of
+    :func:`attach_synthetic_wav_media`. Channel 1 is the SAME square
+    wave family (n/half/amp pure functions of doc_id), so the analytic
+    oracle of the WAV gate carries over unchanged (features read the
+    first channel). Channel 2 = channel1 // 3 (floor), and the stereo
+    decorrelation mode rotates by doc_id % 3 over
+    independent / left_side / mid_side — every decode path (incl. the
+    17-bit side subframes and the mid/side parity reconstruction) runs
+    inside the gate, not just in unit tests. FLAC is lossless, so the
+    decoded channel-1 samples are bit-identical to the WAV case."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ecollector_spark.datapipe.flac_codec import encode_flac
+
+        modes = ("independent", "left_side", "mid_side")
+        for pdf in batches:
+            blobs, nbytes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, half, amp = 800 + d % 640, 1 + d % 16, 1000 + d % 9000
+                i = np.arange(n)
+                ch1 = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+                ch2 = (ch1 // 3).astype(np.int16)
+                flac = encode_flac(
+                    np.stack([ch1, ch2], axis=1),
+                    rate=8000,
+                    block_size=512,
+                    stereo_mode=modes[d % 3],
+                )
+                blobs.append(flac)
+                nbytes.append(len(flac))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_type": ["audio/flac"] * len(blobs),
+                    "width": [0] * len(blobs),
+                    "height": [0] * len(blobs),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def attach_synthetic_avi_media(docs: DataFrame) -> DataFrame:
     """Real, decodable uncompressed-AVI payloads built deterministically
     from doc_id — the distributed video-generation stage behind the
@@ -408,24 +457,31 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     - ``zero_cross_rate`` = sign-change count / (n_samples - 1)
     - ``peak``          = max(|x|)
 
-    Compressed audio (mp3/aac/flac) raises NotImplementedError — those
-    genuinely need ffmpeg. Embarrassingly parallel, no shuffle; project
-    the binary column away before any downstream join."""
+    ``audio/flac`` decodes for real too (``flac_codec.decode_flac`` —
+    from-scratch Rice/fixed-predictor/LPC decode, r9); lossy compressed
+    audio (mp3/aac) raises NotImplementedError — those genuinely need
+    ffmpeg. Embarrassingly parallel, no shuffle; project the binary
+    column away before any downstream join."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from ecollector_spark.datapipe.flac_codec import decode_flac
         from ecollector_spark.datapipe.wav_codec import decode_wav
 
         for pdf in batches:
             rates, counts, durs, rmss, zcrs, peaks = [], [], [], [], [], []
             for blob, mtype in zip(pdf["media"], pdf["media_type"]):
-                if mtype != "audio/wav":
+                if mtype == "audio/wav":
+                    x, rate = decode_wav(bytes(blob))
+                elif mtype == "audio/flac":
+                    x, rate = decode_flac(bytes(blob))
+                else:
                     raise NotImplementedError(
                         f"audio decode for {mtype!r} requires ffmpeg "
-                        "(not available); only PCM audio/wav is implemented"
+                        "(not available); PCM audio/wav and audio/flac "
+                        "are implemented"
                     )
-                x, rate = decode_wav(bytes(blob))
                 if x.ndim > 1:
                     x = x[:, 0]
                 n = len(x)

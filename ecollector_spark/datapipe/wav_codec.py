@@ -6,9 +6,9 @@ container is a RIFF chunk list (RIFF/WAVE, `fmt ` describing the PCM
 layout, `data` holding little-endian samples). This module implements
 the 16-bit integer-PCM subset — mono or interleaved multi-channel —
 which is enough to run REAL audio decode and feature extraction
-through the mapInPandas stages instead of a stub. Compressed codecs
-(mp3/aac/flac) stay honestly unimplemented: those genuinely need
-external libraries.
+through the mapInPandas stages instead of a stub. FLAC has its own
+from-scratch codec (``flac_codec``, r9); lossy codecs (mp3/aac) stay
+honestly unimplemented: those genuinely need external libraries.
 
 Everything is exact integer/IEEE math, so decode outputs are
 bit-identical across engines and a DuckDB oracle can predict features
