@@ -760,3 +760,87 @@ def dedup_paragraphs(
         )
         .select("doc_id", text_col)
     )
+
+
+def dedup_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_dups: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (r9) — the fine-grained twin of
+    :func:`dedup_paragraphs`, after the public exact-substring dedup
+    stage of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): every token position
+    covered by a ``k``-token shingle that occurs in >= ``min_dups``
+    DISTINCT documents is removed from ALL of them (the suffix-array
+    step of the paper re-expressed as shingle marking — token-level
+    granularity instead of byte-level, removal from every copy instead
+    of all-but-one, both deviations documented here). Surviving tokens
+    re-join in original order with single spaces (tokenization is
+    whitespace splitting, so runs of whitespace normalize); documents
+    with no surviving token drop out. Documents shorter than ``k``
+    tokens carry no shingle and pass through untouched (modulo the
+    whitespace normalization).
+
+    Scale shape (100 TB posture): expression-only — one shingle
+    explode (n-k+1 rows/doc, xxhash64 longs), one partial-aggregated
+    count-DISTINCT-docs groupBy on the long, one equi-join of doc
+    shingles against the (small by construction) dup set, one
+    bounded explode of hits to the <= k covered positions each, one
+    LEFT ANTI join on (doc_id, pos), and a per-doc bounded array_sort
+    reassembly. Never a corpus-wide window, never a suffix array in
+    driver memory, no UDFs. Matching is on the 64-bit shingle hash
+    (collisions over-remove with probability ~n_shingles^2 / 2^64 —
+    the standard trade documented on every xxhash64 key in this
+    module). Returns (doc_id, text)."""
+    toks_arr = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    t = docs.select(F.col("doc_id"), toks_arr.alias("_toks"))
+    shingle = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+    )
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.struct(i.alias("pos"), shingle(i).alias("_h")),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,_h:bigint>>"))
+        ).alias("_s"),
+    ).select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s._h").alias("_h"))
+    dup = (
+        sh.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_docs"))
+        .where(F.col("_docs") >= min_dups)
+        .select("_h")
+    )
+    covered = (
+        sh.join(dup, "_h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    tokens = t.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    )
+    keep = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias(text_col)
+        )
+        .select("doc_id", text_col)
+    )

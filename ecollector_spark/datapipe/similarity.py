@@ -221,6 +221,65 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic deduplication of an embedded corpus by k-means clustering
+    + within-cluster cosine pruning. Returns the SURVIVORS as
+    (vec_id, cluster_id), ordered by vec_id.
+
+    Semantics (deterministic, order-free): a vector DROPS iff some
+    LOWER-ID vector in the SAME cluster has cosine >= ``threshold``
+    with it (rounded to 6 decimals, the repo's cross-engine cosine
+    convention). The paper keeps the member with the lowest distance
+    to the centroid inside each epsilon-ball; lowest-id is the
+    deterministic twin of that choice (documented deviation — the kept
+    EXEMPLAR differs, the dedup rate does not), and unlike iterative
+    exemplar selection it is expressible as one relational predicate
+    on both engines.
+
+    Scale shape: clustering is the IVF coarse quantizer
+    (:func:`ivf_centroids` — one broadcast-argmin scan per Lloyd step,
+    exact-decimal means, bit-identical to the SQL oracle). The pairwise
+    step shuffles the corpus ONCE on ``cid`` and self-joins inside each
+    cluster, so the comparison count is sum(c_i^2) over cluster sizes —
+    never corpus^2. The knob that keeps that bounded at 100 TB is
+    ``n_centroids``: the paper's regime is many small clusters (k
+    scales WITH the corpus; :func:`default_n_centroids`'s k ~ sqrt(N)
+    gives ~sqrt(N)-sized clusters and ~N^1.5 worst-case comparisons,
+    larger k lowers it further). Vectors ride the join with
+    precomputed norms; no id-pair re-join (the r7
+    ``embedding_near_dup_pairs`` lesson)."""
+    a = ivf_assignments(
+        emb, n_centroids=n_centroids, vec_col=vec_col, n_iter=n_iter
+    )
+    withn = a.select(
+        "vec_id", "cid", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("_n")
+    )
+    lo, hi = withn.alias("lo"), withn.alias("hi")
+    cos = _dot(F.col("lo.v"), F.col("hi.v")) / (F.col("lo._n") * F.col("hi._n"))
+    drops = (
+        lo.join(
+            hi,
+            (F.col("lo.cid") == F.col("hi.cid"))
+            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
+        )
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col("hi.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        withn.join(drops, "vec_id", "left_anti")
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
 def lsh_candidate_pairs(
     base: DataFrame, planes: list[list[list[float]]]
 ) -> DataFrame:

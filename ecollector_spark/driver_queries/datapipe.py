@@ -141,6 +141,61 @@ def dedup_paragraphs(spark, sf_dir):
 
 
 @register(
+    "dedup_span_removal",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+-- synthesized docs: 6 mostly-unique head words, a 5-token span shared
+-- by ~1/4 of the corpus, 12 mostly-unique tail words
+d2 AS (SELECT doc_id,
+              array_to_string(ws[1:6], ' ') ||
+              ' promo promo code alpha ' || CAST(doc_id % 4 AS VARCHAR) ||
+              ' ' || array_to_string(ws[7:18], ' ') AS text
+       FROM w),
+t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM d2),
+shi AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t),
+sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS s
+       FROM shi),
+dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT sh.doc_id, sh.pos + o.off AS pos
+        FROM sh JOIN dup USING (s), generate_series(0, 4) o(off)),
+toki AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM toki),
+keep AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+         ANTI JOIN cov USING (doc_id, pos))
+SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+FROM keep GROUP BY doc_id ORDER BY doc_id
+""",
+    shelved=True,
+)
+def dedup_span_removal(spark, sf_dir):
+    """Exact duplicated-SPAN removal (r9 — the Lee et al. 2021
+    exact-substring dedup stage, arXiv:2107.06499, re-expressed as
+    token-shingle marking): every token position covered by a 5-gram
+    occurring in >= 2 distinct documents is removed from all of them,
+    survivors re-join in order, emptied documents drop. The gate
+    synthesizes documents with a 5-token promo span shared by ~1/4 of
+    the corpus mid-document; those spans (plus any incidental natural
+    cross-doc 5-grams, which the oracle computes identically) vanish
+    while the per-doc head/tail words survive. Expression-only plan:
+    shingle explode -> count-distinct-docs groupBy on an xxhash64
+    long -> hit join -> bounded position explode -> anti join ->
+    bounded per-doc reassembly (dedup.dedup_ngram_spans)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split("text", " ")
+    text2 = F.concat_ws(
+        " ",
+        F.array_join(F.slice(words, 1, 6), " "),
+        F.concat(
+            F.lit("promo promo code alpha "), (F.col("doc_id") % 4).cast("string")
+        ),
+        F.array_join(F.slice(words, 7, 12), " "),
+    )
+    d2 = docs.select("doc_id", text2.alias("text"))
+    return dedup.dedup_ngram_spans(d2, k=5, min_dups=2).orderBy("doc_id")
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""WITH {_CORPUS},
 {_SHINGLED},
@@ -762,6 +817,51 @@ def datapipe_cluster_assign(spark, sf_dir):
         similarity.ivf_assignments(emb, n_centroids=8, n_iter=2)
         .select("vec_id", F.col("cid").alias("cluster_id"))
         .orderBy("vec_id")
+    )
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.3, n_centroids: int = 8, n_iter: int = 2
+) -> str:
+    """SemDeDup oracle: the _ivf_sql Lloyd head (bit-identical cluster
+    assignment) + the drop rule — a vector survives iff no lower-id
+    same-cluster vector is >= threshold cosine-similar (rounded 6, both
+    engines). Join + ANTI JOIN rather than a correlated NOT EXISTS:
+    DuckDB's list lambdas cannot reference correlated outer columns."""
+    full = _ivf_sql(n_centroids=n_centroids, n_iter=n_iter)
+    head, _, _ = full.partition("q AS (")
+    return (
+        head.rstrip().rstrip(",")
+        + f""",
+drops AS (SELECT DISTINCT hi.vec_id
+          FROM assign lo JOIN assign hi
+            ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+          WHERE round({_cos_sql('lo.v', 'hi.v')}, 6) >= {threshold})
+SELECT vec_id, cid AS cluster_id FROM assign ANTI JOIN drops USING (vec_id)
+ORDER BY vec_id
+"""
+    )
+
+
+@register(
+    "dedup_semantic",
+    _semantic_dedup_sql(),
+    shelved=True,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster cosine pruning —
+    ``similarity.semantic_dedup``. Clustering is the same exact-decimal
+    Lloyd quantizer as ``ann_ivf_topk`` (bit-identical centroids on both
+    engines); the drop rule (exists a lower-id same-cluster vector at
+    cosine >= 0.3) is one cid-shuffled self-join on the engine and one
+    correlated NOT EXISTS in the oracle. Survivors keep their cluster
+    label, so downstream balancing composes. Threshold 0.3 matches the
+    synthetic corpus's near-dup density (same as
+    ``dedup_embedding_cosine``)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.semantic_dedup(
+        emb, threshold=0.3, n_centroids=8, n_iter=2
     )
 
 
@@ -1417,6 +1517,58 @@ def mm_audio_features(spark, sf_dir):
         F.col("doc_id") % 5 == 0
     )
     return extract_audio_features(attach_synthetic_wav_media(docs)).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_sec",
+        "rms",
+        "zero_cross_rate",
+        "peak",
+    )
+
+
+@register(
+    "mm_flac_decode",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 1),
+p AS (SELECT doc_id,
+             800 + doc_id % 640 AS n,
+             1 + doc_id % 16 AS half,
+             1000 + doc_id % 9000 AS amp
+      FROM d)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n AS DOUBLE) / 8000 AS duration_sec,
+       CAST(amp AS DOUBLE) AS rms,
+       CAST((n - 1) // half AS DOUBLE) / (n - 1) AS zero_cross_rate,
+       CAST(amp AS INT) AS peak
+FROM p ORDER BY doc_id
+""",
+    shelved=True,
+)
+def mm_flac_decode(spark, sf_dir):
+    """REAL compressed-audio decode, value-gated (r9): stereo FLAC
+    clips are encoded per doc_id inside mapInPandas
+    (``attach_synthetic_flac_media`` — channel 1 the WAV gate's square
+    wave family, channel 2 = ch1 // 3, stereo decorrelation rotating
+    independent / left_side / mid_side by doc_id % 3), then decoded for
+    real (``flac_codec.decode_flac`` — frame sync, CRC-8/16, Rice
+    residuals, fixed predictors, 17-bit side subframes, mid/side parity
+    reconstruction, MD5 verify) and reduced to the same per-clip
+    features from channel 1. FLAC is LOSSLESS, so the oracle is the WAV
+    gate's analytic formula UNCHANGED — any decode defect in any of the
+    three decorrelation paths shifts RMS/crossings and breaks the hash.
+    The doc_id % 7 slice keeps the gate ~14% of the corpus (encode is
+    the cost)."""
+    from ecollector_spark.datapipe.multimodal import (
+        attach_synthetic_flac_media,
+        extract_audio_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 7 == 1
+    )
+    return extract_audio_features(attach_synthetic_flac_media(docs)).select(
         "doc_id",
         "sample_rate",
         "n_samples",

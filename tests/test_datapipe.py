@@ -131,6 +131,31 @@ class TestSimilarity:
         assert all(a < b for a, b in pairs)
         assert all(c >= 0.9 for c in pairs.values())
 
+    def test_semantic_dedup_drop_rule(self, spark):
+        """SemDeDup: within each k-means cluster, a vector drops iff a
+        LOWER-ID same-cluster vector is >= threshold cosine-similar —
+        and near-dups in DIFFERENT clusters both survive."""
+        rows = [
+            # cluster around +x: 0 survives (lowest id); 1 and 2 are
+            # near-dups of 0 (tiny angle off +x) -> both drop
+            (0, [10.0, 0.0, 0.0, 0.1]),
+            (1, [10.0, 0.0, 0.0, 0.3]),
+            (2, [10.0, 0.1, 0.0, 0.5]),
+            # cluster around +y: 3 survives; 4 is orthogonal-ish to 3
+            # within the cluster (below threshold) -> survives too
+            (3, [0.0, 10.0, 0.0, 0.0]),
+            (4, [0.0, 10.0, 9.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = similarity.semantic_dedup(
+            emb, threshold=0.9, n_centroids=2, n_iter=2
+        ).collect()
+        survivors = {r["vec_id"] for r in out}
+        assert survivors == {0, 3, 4}
+        # survivors carry their cluster label; 3 and 4 share one
+        labels = {r["vec_id"]: r["cluster_id"] for r in out}
+        assert labels[3] == labels[4] != labels[0]
+
     @pytest.fixture(scope="class")
     def corpus_emb(self, spark):
         """200 deterministic pseudo-random 16-dim vectors (no RNG)."""
@@ -1478,3 +1503,79 @@ class TestParagraphDedup:
         )
         out = {r.doc_id: r.text for r in dedup_paragraphs(docs, min_dups=2).collect()}
         assert out == {1: "same\nsame\nsame", 2: "other"}
+
+
+class TestNgramSpanRemoval:
+    """dedup_ngram_spans (r9): Lee et al. 2021 exact-substring dedup as
+    token-shingle marking — duplicated k-gram spans cut from every doc."""
+
+    def _run(self, spark, rows, **kw):
+        from ecollector_spark.datapipe.dedup import dedup_ngram_spans
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r.text for r in dedup_ngram_spans(docs, **kw).collect()}
+
+    def test_shared_span_cut_everywhere_order_kept(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "head one AA BB CC head tail"),
+                (2, "intro AA BB CC other words here"),
+                (3, "unrelated text with no overlap at all"),
+            ],
+            k=3,
+            min_dups=2,
+        )
+        # the shared 3-gram 'AA BB CC' (and only it) vanishes from both
+        assert out[1] == "head one head tail"
+        assert out[2] == "intro other words here"
+        assert out[3] == "unrelated text with no overlap at all"
+
+    def test_overlapping_spans_union_their_positions(self, spark):
+        # 'AA BB CC' and 'BB CC DD' both duplicated: covered positions
+        # union to the 4-token run AA BB CC DD — no double removal, no
+        # survivor in between
+        out = self._run(
+            spark,
+            [
+                (1, "x AA BB CC DD y"),
+                (2, "p AA BB CC q"),
+                (3, "r BB CC DD s"),
+            ],
+            k=3,
+            min_dups=2,
+        )
+        assert out[1] == "x y"
+        assert out[2] == "p q"
+        assert out[3] == "r s"
+
+    def test_fully_covered_doc_drops_out(self, spark):
+        out = self._run(
+            spark,
+            [(1, "AA BB CC"), (2, "AA BB CC"), (3, "safe harbor words")],
+            k=3,
+            min_dups=2,
+        )
+        assert 1 not in out and 2 not in out
+        assert out[3] == "safe harbor words"
+
+    def test_short_docs_pass_through_and_whitespace_normalizes(self, spark):
+        out = self._run(
+            spark,
+            [(1, "one  two"), (2, "one two three four five six"), (3, "zz")],
+            k=5,
+            min_dups=2,
+        )
+        # below k tokens -> no shingles -> untouched modulo whitespace
+        assert out[1] == "one two"
+        assert out[3] == "zz"
+        assert out[2] == "one two three four five six"
+
+    def test_within_doc_repeat_does_not_count(self, spark):
+        out = self._run(
+            spark,
+            [(1, "AA BB CC AA BB CC"), (2, "other words entirely okay")],
+            k=3,
+            min_dups=2,
+        )
+        assert out[1] == "AA BB CC AA BB CC"  # one distinct doc only
