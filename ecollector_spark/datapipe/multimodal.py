@@ -272,6 +272,47 @@ def attach_synthetic_wav_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def attach_synthetic_g711_media(docs: DataFrame, law: str = "ulaw") -> DataFrame:
+    """Real G.711-companded WAV payloads (telephony audio — format 7
+    mu-law / 6 A-law) built deterministically from doc_id: the SAME
+    square-wave family as :func:`attach_synthetic_wav_media`, companded
+    on encode. G.711 is LOSSY but closed-form — the decoded amplitude
+    is exactly ``expand(compress(amp))``, plain shift/mask arithmetic a
+    SQL oracle mirrors — so the value gate still predicts RMS/peak
+    analytically (a ±amp square wave stays a ±amp' square wave)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ecollector_spark.datapipe.wav_codec import encode_wav
+
+        for pdf in batches:
+            blobs, nbytes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, half, amp = 800 + d % 640, 1 + d % 16, 1000 + d % 9000
+                i = np.arange(n)
+                wav = encode_wav(
+                    np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16),
+                    rate=8000,
+                    fmt=law,
+                )
+                blobs.append(wav)
+                nbytes.append(len(wav))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_type": ["audio/wav"] * len(blobs),
+                    "width": [0] * len(blobs),
+                    "height": [0] * len(blobs),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def attach_synthetic_flac_media(docs: DataFrame) -> DataFrame:
     """Real, decodable FLAC payloads built deterministically from
     doc_id — the compressed-audio twin of

@@ -1528,6 +1528,66 @@ def mm_audio_features(spark, sf_dir):
 
 
 @register(
+    "mm_g711_decode",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 2),
+p AS (SELECT doc_id,
+             800 + doc_id % 640 AS n,
+             1 + doc_id % 16 AS half,
+             1000 + doc_id % 9000 AS amp
+      FROM d),
+-- the G.711 mu-law companding chain as plain integer arithmetic:
+-- bias, segment by magnitude range, 4-bit mantissa, exact expansion
+g AS (SELECT *, amp + 132 AS m FROM p),
+e AS (SELECT *, CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+                     WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+                     WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+                     WHEN m >= 256 THEN 1 ELSE 0 END AS ex
+      FROM g),
+dec AS (SELECT doc_id, n, half,
+               (((((m >> (ex + 3)) & 15) << 3) + 132) << ex) - 132 AS amp2
+        FROM e)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n AS DOUBLE) / 8000 AS duration_sec,
+       CAST(amp2 AS DOUBLE) AS rms,
+       CAST((n - 1) // half AS DOUBLE) / (n - 1) AS zero_cross_rate,
+       CAST(amp2 AS INT) AS peak
+FROM dec ORDER BY doc_id
+""",
+    shelved=True,
+)
+def mm_g711_decode(spark, sf_dir):
+    """REAL G.711 telephony-audio decode, value-gated (r9): mu-law WAV
+    square waves (format 7) are companded per doc_id inside mapInPandas
+    (``attach_synthetic_g711_media``), then expanded for real
+    (``wav_codec.ulaw_decode`` — bias/segment/mantissa arithmetic) and
+    reduced to the same per-clip features. G.711 is LOSSY but
+    CLOSED-FORM: a ±amp square wave decodes to exactly ±expand(
+    compress(amp)), and the oracle computes that chain as integer
+    CASE/shift arithmetic — a wrong segment boundary, bias, or sign
+    convention in either direction shifts RMS/peak and breaks the
+    hash. The doc_id % 9 slice keeps the gate ~11% of the corpus."""
+    from ecollector_spark.datapipe.multimodal import (
+        attach_synthetic_g711_media,
+        extract_audio_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 9 == 2
+    )
+    return extract_audio_features(attach_synthetic_g711_media(docs)).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_sec",
+        "rms",
+        "zero_cross_rate",
+        "peak",
+    )
+
+
+@register(
     "mm_flac_decode",
     """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 1),
 p AS (SELECT doc_id,

@@ -76,3 +76,72 @@ class TestAnalyticFeatureContract:
         assert crossings == (n - 1) // half
         assert int(np.max(np.abs(y.astype(np.int64)))) == amp
         assert n / rate == n / 8000
+
+
+class TestExtendedFormats:
+    """r9: 8/24/32-bit and float PCM + G.711 companding (formats 6/7)."""
+
+    def test_pcm24_pcm32_float32_roundtrip(self):
+        rng = np.random.default_rng(5)
+        x24 = rng.integers(-(1 << 23), 1 << 23, 500).astype(np.int32)
+        y, _ = decode_wav(encode_wav(x24, fmt="pcm24"))
+        assert y.dtype == np.int32 and np.array_equal(y, x24)
+        x32 = rng.integers(-(1 << 31), 1 << 31, 500).astype(np.int32)
+        y32, _ = decode_wav(encode_wav(x32, fmt="pcm32"))
+        assert np.array_equal(y32, x32)
+        xf = (rng.random(500) * 2 - 1).astype(np.float32)
+        yf, _ = decode_wav(encode_wav(xf, fmt="float32"))
+        assert yf.dtype == np.float32 and np.array_equal(yf, xf)
+
+    def test_pcm8_quantizes_to_the_8bit_grid(self):
+        x = np.array([-32768, -129, -128, 0, 255, 256, 32767], dtype=np.int16)
+        y, _ = decode_wav(encode_wav(x, fmt="pcm8"))
+        assert np.array_equal(
+            y.astype(np.int64), (x.astype(np.int64) >> 8) << 8
+        )
+
+    def test_g711_published_anchors(self):
+        """The classic G.711 facts pin the companding conventions:
+        mu-law max 32124 with a true zero at byte 0xFF; A-law max
+        32256, smallest magnitude 8 (no true zero)."""
+        from ecollector_spark.datapipe.wav_codec import (
+            alaw_decode,
+            alaw_encode,
+            ulaw_decode,
+            ulaw_encode,
+        )
+
+        all_bytes = np.arange(256, dtype=np.uint8)
+        ud, ad = ulaw_decode(all_bytes), alaw_decode(all_bytes)
+        assert int(ud.max()) == 32124 and int(ud.min()) == -32124
+        assert int(ulaw_encode(np.array([0]))[0]) == 0xFF
+        assert int(ulaw_decode(np.array([0xFF], dtype=np.uint8))[0]) == 0
+        assert int(ad.max()) == 32256 and int(np.abs(ad).min()) == 8
+        # codebook idempotency + monotone expansion over the full range
+        assert np.array_equal(ulaw_decode(ulaw_encode(ud)), ud)
+        assert np.array_equal(alaw_decode(alaw_encode(ad)), ad)
+        x = np.arange(-32768, 32768, dtype=np.int64)
+        ue = ulaw_decode(ulaw_encode(x)).astype(np.int64)
+        ae = alaw_decode(alaw_encode(x)).astype(np.int64)
+        assert np.all(np.diff(ue) >= 0) and np.all(np.diff(ae) >= 0)
+        # quantization error bounded by half the widest segment cell
+        assert int(np.abs(ue - np.clip(x, -32635, 32635)).max()) <= 512
+        assert int(np.abs(ae - x).max()) <= 512
+
+    def test_g711_through_container_and_unknown_fmt(self):
+        rng = np.random.default_rng(6)
+        x = rng.integers(-30000, 30000, 300).astype(np.int16)
+        from ecollector_spark.datapipe.wav_codec import alaw_decode, alaw_encode, ulaw_decode, ulaw_encode
+
+        yu, rate = decode_wav(encode_wav(x, 16000, fmt="ulaw"))
+        assert rate == 16000 and np.array_equal(yu, ulaw_decode(ulaw_encode(x)))
+        ya, _ = decode_wav(encode_wav(x, fmt="alaw"))
+        assert np.array_equal(ya, alaw_decode(alaw_encode(x)))
+        with pytest.raises(ValueError, match="unknown WAV sample format"):
+            encode_wav(x, fmt="opus")
+
+    def test_unsupported_variant_refused_by_name(self):
+        data = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+        data[34] = 12  # bits-per-sample -> 12 (never valid here)
+        with pytest.raises(NotImplementedError, match="format=1, bits=12"):
+            decode_wav(bytes(data))
