@@ -514,8 +514,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     pos = 4
     md5_expect = b"\x00" * 16
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
         last, btype = data[pos] >> 7, data[pos] & 0x7F
         length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if pos + 4 + length > len(data):
+            raise ValueError("truncated FLAC metadata block")
         if btype == 0:
             md5_expect = data[pos + 4 + 18 : pos + 4 + 34]
         pos += 4 + length

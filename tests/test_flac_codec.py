@@ -233,12 +233,33 @@ class TestRefusalsAndCorruption:
         with pytest.raises(ValueError):
             decode_flac(data[: len(data) - 10])
 
+    def test_multi_block_metadata_truncation_is_loud(self):
+        """Metadata blocks AFTER STREAMINFO (padding etc.) must be
+        bounds-checked too — a truncated chain is a ValueError, never
+        an IndexError."""
+        x = np.arange(100, dtype=np.int16)
+        data = bytearray(encode_flac(x))
+        data[4] &= 0x7F  # STREAMINFO no longer the last block
+        head = bytes(data[: 4 + 4 + 34])
+        pad = bytes([0x01]) + (200).to_bytes(3, "big") + b"\x00" * 200
+        with pytest.raises(ValueError):
+            decode_flac(head)  # chain ends with no last-flagged block
+        with pytest.raises(ValueError):
+            decode_flac(head + pad[:50])  # padding block truncated
+
     def test_mutation_fuzz_only_documented_exceptions(self):
         """Seeded byte-level mutants must surface only ValueError /
-        NotImplementedError (the repo codec contract)."""
+        NotImplementedError (the repo codec contract). The seed stream
+        carries a padding metadata block so the metadata-chain walk is
+        fuzzed too."""
         rng = np.random.default_rng(42)
         x = rng.integers(-4000, 4000, 700).astype(np.int16)
-        data = encode_flac(x, block_size=256)
+        data = bytearray(encode_flac(x, block_size=256))
+        data[4] &= 0x7F  # STREAMINFO not last; append a real padding block
+        si_end = 4 + 4 + 34  # magic + block header + 34-byte STREAMINFO
+        pad = bytes([0x81]) + (16).to_bytes(3, "big") + b"\x00" * 16
+        data = bytes(data[:si_end]) + pad + bytes(data[si_end:])
+        assert decode_flac(data)[0].shape[0] == 700  # still decodes intact
         escaped = []
         for i in range(200):
             b = bytearray(data)

@@ -778,3 +778,79 @@ class TestSiteIdOverride:
         )
         assert [f.id for f in opts["filters"]] == [1, 2]
         assert opts["filters"][0].service == "meter_elec"
+
+
+class TestStreamStreamJoin:
+    """stream_interval_join (r9, SURVEY §2.8 extension): watermarked
+    stream-stream interval join — batch/stream row-set parity plus the
+    state-cleanup contract (the time range lives in the join condition,
+    so the symmetric hash state is evictable)."""
+
+    _SCHEMA = "dev string, ts timestamp, v double"
+
+    _L = [
+        {"dev": "a", "ts": "2024-01-01T00:00:00Z", "v": 1.0},
+        {"dev": "a", "ts": "2024-01-01T01:00:00Z", "v": 2.0},
+        {"dev": "b", "ts": "2024-01-01T00:00:00Z", "v": 3.0},
+    ]
+    _R = [
+        {"dev": "a", "ts": "2024-01-01T00:05:00Z", "v": 10.0},  # in window of L1
+        {"dev": "a", "ts": "2024-01-01T00:20:00Z", "v": 20.0},  # outside (>10m)
+        {"dev": "a", "ts": "2024-01-01T01:09:59Z", "v": 30.0},  # in window of L2
+        {"dev": "b", "ts": "2024-01-01T00:00:00Z", "v": 40.0},  # lower bound hit
+        {"dev": "c", "ts": "2024-01-01T00:01:00Z", "v": 50.0},  # key never joins
+    ]
+
+    def test_stream_batch_parity_and_stateful_plan(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ecollector_spark.streaming.joins import stream_interval_join
+
+        lsrc, rsrc = f"{tmp_path}/ssj_l", f"{tmp_path}/ssj_r"
+        _write_json(f"{lsrc}/part0.json", self._L)
+        _write_json(f"{rsrc}/part0.json", self._R)
+        ls = spark.readStream.schema(self._SCHEMA).json(lsrc)
+        rs = spark.readStream.schema(self._SCHEMA).json(rsrc)
+        out = stream_interval_join(
+            ls, rs, by=["dev"], upper_seconds=600, watermark="10 minutes"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ssj_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish"
+        # the join ran as a STATEFUL stream-stream join, not a rewrite
+        ops = [
+            so["operatorName"]
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        ]
+        q.stop()
+        assert "symmetricHashJoin" in ops, ops
+        got = {
+            (r["dev"], r["v"], r["r_v"])
+            for r in spark.table("ssj").collect()
+        }
+        assert got == {("a", 1.0, 10.0), ("a", 2.0, 30.0), ("b", 3.0, 40.0)}
+        # batch parity: identical operator call on static frames
+        bl = spark.read.schema(self._SCHEMA).json(lsrc)
+        br = spark.read.schema(self._SCHEMA).json(rsrc)
+        bout = stream_interval_join(
+            bl, br, by=["dev"], upper_seconds=600, watermark="10 minutes"
+        )
+        bgot = {(r["dev"], r["v"], r["r_v"]) for r in bout.collect()}
+        assert bgot == got
+        assert bout.columns == ["dev", "ts", "v", "r_ts", "r_v"]
+
+    def test_bad_args_refuse(self, spark):
+        from ecollector_spark.streaming.joins import stream_interval_join
+
+        bl = spark.createDataFrame([("a",)], "dev string")
+        with pytest.raises(ValueError, match="at least one key"):
+            stream_interval_join(bl, bl, by=[])
+        with pytest.raises(ValueError, match="empty interval"):
+            stream_interval_join(bl, bl, by=["dev"], lower_seconds=5, upper_seconds=1)
