@@ -762,6 +762,65 @@ def dedup_paragraphs(
     )
 
 
+def normalize_url(url):
+    """Canonical URL form for URL-level dedup (the CCNet / RefinedWeb
+    pipeline stage: one crawl record per page, however the link was
+    written). Pure Column expressions — Java-regex/RE2 common subset so
+    a DuckDB oracle can mirror every rule:
+
+    - scheme and host lowercase; leading ``www.`` stripped
+    - default port stripped (``:80`` for http, ``:443`` for https)
+    - fragment dropped; trailing slashes on the path dropped
+    - tracking query params dropped (utm_*, fbclid, gclid, ref);
+      surviving params sorted so ``?b=2&a=1`` == ``?a=1&b=2``
+    """
+    from pyspark.sql import functions as F
+
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    )
+    pathq = F.regexp_extract(rest, r"^[^/?]+(.*)$", 1)
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)="),
+        )
+    )
+    qnorm = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qnorm)
+
+
+def dedup_urls(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup on the normalized form: one survivor (the
+    lowest ``id_col``) per canonical URL. Returns
+    (id_col, url_norm), ordered by id. One normalization projection +
+    one groupBy on the canonical string (partial min map-side) — the
+    cheapest dedup stage in the pipeline and usually the first."""
+    from pyspark.sql import functions as F
+
+    norm = docs.select(
+        F.col(id_col), normalize_url(F.col(url_col)).alias("url_norm")
+    )
+    return (
+        norm.groupBy("url_norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "url_norm")
+        .orderBy(id_col)
+    )
+
+
 def dedup_ngram_spans(
     docs: DataFrame,
     text_col: str = "text",

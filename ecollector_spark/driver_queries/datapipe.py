@@ -196,6 +196,51 @@ def dedup_span_removal(spark, sf_dir):
 
 
 @register(
+    "dedup_urls",
+    """-- closed-form oracle: all five synthesized variants of a group
+-- normalize to ONE canonical form, so the survivors are exactly the
+-- lowest doc_id of each 5-group (ids are contiguous from 0) and the
+-- canonical string is constructible directly; any normalization rule
+-- the engine gets wrong (case, www, default port, trailing slash,
+-- fragment, tracking params, param order) leaves extra survivors or a
+-- different string and breaks the hash
+SELECT doc_id,
+       'https://example.com/a/' || CAST(doc_id // 5 AS VARCHAR) || '?x=1&y=2'
+         AS url_norm
+FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+""",
+    shelved=True,
+)
+def dedup_urls(spark, sf_dir):
+    """URL-level dedup on the normalized form (r9 — the CCNet /
+    RefinedWeb first-stage dedup): five messy spellings of each page
+    URL (scheme/host case, www., default :443 port, trailing slash,
+    fragment, utm_/gclid tracking params, shuffled param order) are
+    synthesized per doc 5-group; ``dedup.normalize_url`` canonicalizes
+    them to one string and ``dedup.dedup_urls`` keeps the lowest id per
+    canonical URL — one projection + one partial-min groupBy, the
+    cheapest dedup stage in the pipeline."""
+    from ecollector_spark.datapipe.dedup import dedup_urls as _dedup_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bp = F.concat(F.lit("/a/"), F.expr("doc_id DIV 5").cast("string"))
+    variants = F.array(
+        F.concat(F.lit("https://example.com"), bp, F.lit("?x=1&y=2")),
+        F.concat(F.lit("HTTPS://WWW.EXAMPLE.COM"), bp, F.lit("?y=2&x=1")),
+        F.concat(F.lit("https://example.com:443"), bp, F.lit("/?x=1&y=2")),
+        F.concat(
+            F.lit("https://example.com"), bp, F.lit("?utm_source=feed&x=1&y=2#top")
+        ),
+        F.concat(F.lit("https://example.com"), bp, F.lit("?x=1&y=2&gclid=abc")),
+    )
+    d2 = docs.select(
+        "doc_id",
+        F.element_at(variants, (F.col("doc_id") % 5 + 1).cast("int")).alias("url"),
+    )
+    return _dedup_urls(d2)
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""WITH {_CORPUS},
 {_SHINGLED},

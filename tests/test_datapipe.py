@@ -1505,6 +1505,61 @@ class TestParagraphDedup:
         assert out == {1: "same\nsame\nsame", 2: "other"}
 
 
+class TestUrlDedup:
+    """normalize_url / dedup_urls (r9): canonical URL form, one rule per
+    pin so a regression names itself."""
+
+    def _n(self, spark, url):
+        from ecollector_spark.datapipe.dedup import normalize_url
+
+        df = spark.createDataFrame([(url,)], "url string")
+        return df.select(normalize_url("url").alias("u")).first()["u"]
+
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("HTTPS://Example.COM/Path", "https://example.com/Path"),  # case: scheme+host only
+            ("https://www.example.com/x", "https://example.com/x"),  # www.
+            ("http://example.com:80/x", "http://example.com/x"),  # http default port
+            ("https://example.com:443/x", "https://example.com/x"),  # https default port
+            ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default kept
+            ("https://example.com/x/", "https://example.com/x"),  # trailing slash
+            ("https://example.com/x///", "https://example.com/x"),  # slash runs
+            ("https://example.com/x#frag", "https://example.com/x"),  # fragment
+            ("https://example.com/x?b=2&a=1", "https://example.com/x?a=1&b=2"),  # sort
+            (
+                "https://example.com/x?utm_source=f&a=1&fbclid=z&gclid=g&ref=r",
+                "https://example.com/x?a=1",
+            ),  # tracking params
+            ("https://example.com/x?utm_campaign=c", "https://example.com/x"),  # all dropped
+        ],
+    )
+    def test_rules(self, spark, raw, expected):
+        assert self._n(spark, raw) == expected
+
+    def test_idempotent(self, spark):
+        messy = "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#f"
+        once = self._n(spark, messy)
+        assert self._n(spark, once) == once
+
+    def test_dedup_keeps_lowest_id(self, spark):
+        from ecollector_spark.datapipe.dedup import dedup_urls
+
+        docs = spark.createDataFrame(
+            [
+                (3, "https://example.com/p?b=2&a=1"),
+                (7, "HTTPS://WWW.EXAMPLE.COM/p/?a=1&b=2#z"),
+                (5, "https://other.com/q"),
+            ],
+            "doc_id long, url string",
+        )
+        out = [(r["doc_id"], r["url_norm"]) for r in dedup_urls(docs).collect()]
+        assert out == [
+            (3, "https://example.com/p?a=1&b=2"),
+            (5, "https://other.com/q"),
+        ]
+
+
 class TestNgramSpanRemoval:
     """dedup_ngram_spans (r9): Lee et al. 2021 exact-substring dedup as
     token-shingle marking — duplicated k-gram spans cut from every doc."""
