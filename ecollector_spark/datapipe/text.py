@@ -11,6 +11,8 @@ twin in driver_queries.datapipe so results are value-hash checkable.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,6 +123,73 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ws = F.size(tokens_expr(text_col))
     bpe = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
     return docs.select("doc_id", ws.alias("ws_tokens"), bpe.cast("int").alias("bpe_pieces"))
+
+
+#: Gopher rule 7's required stop words (Rae et al. 2021, Table A1)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher quality-filter rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) as per-doc booleans — the standard
+    pretraining-corpus gate, expression-only, and every rule an EXACT
+    integer comparison (ratios are cross-multiplied, never floats), so
+    the oracle match is tolerance-free:
+
+    - r_word_count:   word count in [min_words, max_words]
+    - r_mean_len:     mean word length in [3, 10]
+    - r_symbol_ratio: ('#' + '...' occurrences) / words <= 0.1
+    - r_bullet:       <= 10% of lines start with a bullet (-, *, •)
+    - r_ellipsis:     <= 30% of lines end with '...' (or '…')
+    - r_alpha:        >= 80% of words contain an alphabetic character
+    - r_stopwords:    >= 2 distinct of {the be to of and that have with}
+    - pass:           all seven
+
+    Words are whitespace tokens; lines are newline splits with blanks
+    ignored (a doc with no non-blank line passes the two line rules
+    vacuously)."""
+    toks = tokens_expr(text_col)
+    text = F.col(text_col)
+    d = docs.select("doc_id", text.alias("_t"), toks.alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
+    sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    hashes = F.length(F.col("_t")) - F.length(F.regexp_replace("_t", "#", ""))
+    ellipses = F.regexp_count(F.col("_t"), F.lit(r"\.\.\.|…"))
+    lines = F.filter(
+        F.transform(F.split("_t", "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    nl = F.size(lines)
+    bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^[-*•]")))
+    ell_end = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    stops = F.size(
+        F.array_distinct(
+            F.filter(F.transform(w, F.lower), lambda x: x.isin(*GOPHER_STOPS))
+        )
+    )
+    r = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_len": (sum_len >= 3 * n) & (sum_len <= 10 * n) & (n > 0),
+        "r_symbol_ratio": (hashes + ellipses) * 10 <= n,
+        "r_bullet": bullet * 10 <= nl,
+        "r_ellipsis": ell_end * 10 <= 3 * nl,
+        "r_alpha": alpha * 5 >= 4 * n,
+        "r_stopwords": stops >= 2,
+    }
+    cols = [c.alias(name) for name, c in r.items()]
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        *cols,
+        functools.reduce(lambda a, b: a & b, r.values()).alias("pass"),
+    )
 
 
 def _floor6(c: Column) -> Column:

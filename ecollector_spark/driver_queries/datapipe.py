@@ -1051,6 +1051,51 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "text_gopher_rules",
+    f"""WITH t AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
+m AS (SELECT doc_id,
+  len(w) AS n,
+  coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sum_len,
+  length(text) - length(replace(text, '#', '')) AS hashes,
+  len(regexp_extract_all(text, '\\.\\.\\.|…')) AS ellipses,
+  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+              x -> x <> '') AS lf,
+  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+  len(list_distinct(list_filter(list_transform(w, x -> lower(x)),
+      x -> x IN ('the','be','to','of','and','that','have','with')))) AS stops
+  FROM t),
+r AS (SELECT doc_id, CAST(n AS INT) AS n_words,
+  (n >= 50 AND n <= 100000) AS r_word_count,
+  (sum_len >= 3*n AND sum_len <= 10*n AND n > 0) AS r_mean_len,
+  ((hashes + ellipses) * 10 <= n) AS r_symbol_ratio,
+  (len(list_filter(lf, x -> regexp_matches(x, '^[-*•]'))) * 10 <= len(lf))
+    AS r_bullet,
+  (len(list_filter(lf, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) * 10
+    <= 3 * len(lf)) AS r_ellipsis,
+  (alpha * 5 >= 4 * n) AS r_alpha,
+  (stops >= 2) AS r_stopwords
+  FROM m)
+SELECT doc_id, n_words, r_word_count, r_mean_len, r_symbol_ratio, r_bullet,
+       r_ellipsis, r_alpha, r_stopwords,
+       (r_word_count AND r_mean_len AND r_symbol_ratio AND r_bullet
+        AND r_ellipsis AND r_alpha AND r_stopwords) AS "pass"
+FROM r ORDER BY doc_id
+""",
+    shelved=True,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) as per-doc booleans
+    (``text.gopher_rules``): word count, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+    word fraction, required stop words. Every rule is an exact
+    cross-multiplied INTEGER comparison on both engines — no float in
+    any hashed column, so the gate is tolerance-free by construction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.gopher_rules(docs).orderBy("doc_id")
+
+
+@register(
     "text_token_counts",
     f"""SELECT doc_id, CAST(len({_TOKS}) AS INT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_pieces

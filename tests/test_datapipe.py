@@ -1505,6 +1505,62 @@ class TestParagraphDedup:
         assert out == {1: "same\nsame\nsame", 2: "other"}
 
 
+class TestGopherRules:
+    """text.gopher_rules (r9): the published Gopher filter set, one
+    boundary pin per rule (all integer comparisons, no floats)."""
+
+    def _run(self, spark, text, **kw):
+        from ecollector_spark.datapipe.text import gopher_rules
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return gopher_rules(df, **kw).first().asDict()
+
+    def test_good_doc_passes_all(self, spark):
+        good = "the quick brown fox jumps over that lazy dog with style and " * 6
+        r = self._run(spark, good.strip())
+        assert r["pass"] and all(v for k, v in r.items() if k.startswith("r_"))
+
+    def test_word_count_bounds(self, spark):
+        r = self._run(spark, "the of and that")  # 4 words < 50
+        assert not r["r_word_count"] and not r["pass"]
+        r2 = self._run(spark, "the of and that", min_words=4)
+        assert r2["r_word_count"]
+
+    def test_mean_word_length_bounds(self, spark):
+        # mean 2.0 < 3 fails; boundary mean exactly 3 passes
+        assert not self._run(spark, "ab cd ef gh", min_words=1)["r_mean_len"]
+        assert self._run(spark, "abc def ghi", min_words=1)["r_mean_len"]
+
+    def test_symbol_ratio(self, spark):
+        # 2 hashes + 1 ellipsis over 20 words: 3*10 > 20 -> fail
+        words = " ".join(["word"] * 20)
+        assert not self._run(spark, words + " ## ...", min_words=1)["r_symbol_ratio"]
+        # exactly 10%: 2 symbols over 20 words passes (2*10 <= 20)
+        assert self._run(spark, words + " # ...", min_words=1)["r_symbol_ratio"]
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        bullets = "\n".join(["- item"] * 2 + ["plain line"] * 8)
+        assert self._run(spark, bullets, min_words=1)["r_bullet"] is False
+        ok = "\n".join(["- item"] + ["plain line"] * 9)
+        assert self._run(spark, ok, min_words=1)["r_bullet"] is True
+        ell = "\n".join(["ends here..."] * 4 + ["plain"] * 6)
+        assert self._run(spark, ell, min_words=1)["r_ellipsis"] is False
+        ok2 = "\n".join(["ends here..."] * 3 + ["plain"] * 7)
+        assert self._run(spark, ok2, min_words=1)["r_ellipsis"] is True
+
+    def test_alpha_fraction_and_stopwords(self, spark):
+        # 3 of 5 words alphabetic: 3*5 < 4*5 -> fail
+        assert not self._run(spark, "one two 123 456 789", min_words=1)["r_alpha"]
+        # 4 of 5 passes exactly (4*5 >= 4*5)
+        assert self._run(spark, "one two three 123 four", min_words=1)["r_alpha"]
+        assert not self._run(spark, "lorem ipsum dolor sit", min_words=1)[
+            "r_stopwords"
+        ]
+        # 'The' counts case-insensitively; needs 2 DISTINCT stops
+        assert not self._run(spark, "The the THE word", min_words=1)["r_stopwords"]
+        assert self._run(spark, "The word of words", min_words=1)["r_stopwords"]
+
+
 class TestUrlDedup:
     """normalize_url / dedup_urls (r9): canonical URL form, one rule per
     pin so a regression names itself."""
