@@ -255,6 +255,52 @@ CHECKS = {
         "!Union",
         "!CartesianProduct",
     ],
+    # span removal (r9 second session): same no-pairwise contract as
+    # paragraph dedup — dup set from a partial count-distinct on longs,
+    # covered positions leave via LEFT ANTI, no corpus-wide window
+    "dedup_span_removal": [
+        "LeftAnti",
+        "partial_count",
+        "!CartesianProduct",
+        "!Window",
+    ],
+    # URL dedup (r9 second session): one normalization projection + ONE
+    # partial-min groupBy — no join of any kind, no window
+    "dedup_urls": [
+        "partial_min",
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!ShuffledHashJoin",
+        "!CartesianProduct",
+        "!Window",
+    ],
+    # SemDeDup (r9 second session): the centroid argmin is a broadcast
+    # of the collapsed one-row centroid array (never an exploded
+    # corpus x k shuffle), within-cluster pairing is a hash equi-join
+    # on cid, drops leave via LEFT ANTI — never a cartesian enumeration
+    "dedup_semantic": [
+        "BroadcastNestedLoopJoin",
+        "LeftAnti",
+        "!CartesianProduct",
+    ],
+    # field arithmetic over mangled names (r9 second session): same
+    # one-scan one-groupBy contract as the multi-field pivot — the
+    # expression combines pivoted columns in a projection, never a join
+    # or per-field re-plan
+    "influxql_multi_field_arith": [
+        "partial_max",
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!ShuffledHashJoin",
+        "!Union",
+        "!CartesianProduct",
+    ],
+    # Gopher rules (r9 second session): expression-only map pass — no
+    # hash shuffle at all (the gate's cosmetic sort is range, not hash)
+    "text_gopher_rules": [
+        "!Exchange hashpartitioning",
+        "!CartesianProduct",
+    ],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
