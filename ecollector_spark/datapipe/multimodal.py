@@ -222,6 +222,51 @@ def attach_synthetic_gif_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def attach_synthetic_tiff_media(docs: DataFrame) -> DataFrame:
+    """Real, decodable baseline-TIFF payloads built deterministically
+    from doc_id (r9 second session) — constant-luminance grayscale;
+    odd doc_ids PACKBITS-compressed (pinning the RLE inversion), even
+    uncompressed. TIFF is lossless here, so the oracle's prediction is
+    simply the input value:
+
+        w = 18 + doc_id % 29,  h = 10 + doc_id % 13,
+        v = doc_id % 256,      packbits = doc_id % 2 == 1
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ecollector_spark.datapipe.tiff_codec import encode_tiff, tiff_header
+
+        for pdf in batches:
+            blobs, widths, heights, nbytes = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 18 + d % 29, 10 + d % 13, d % 256
+                data = encode_tiff(
+                    np.full((h, w), v, dtype=np.uint8),
+                    packbits=d % 2 == 1,
+                    rows_per_strip=4,
+                )
+                pw, ph, _ = tiff_header(data)
+                blobs.append(data)
+                widths.append(pw)
+                heights.append(ph)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_type": ["image/tiff"] * len(blobs),
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def attach_synthetic_wav_media(docs: DataFrame) -> DataFrame:
     """Real, decodable 16-bit PCM WAV payloads built deterministically
     from doc_id — the distributed audio-generation stage behind the
@@ -594,6 +639,10 @@ def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -
                         from ecollector_spark.datapipe.bmp_codec import decode_bmp
 
                         img = decode_bmp(buf)
+                    elif mtype == "image/tiff":
+                        from ecollector_spark.datapipe.tiff_codec import decode_tiff
+
+                        img = decode_tiff(buf)
                     else:
                         raise NotImplementedError(
                             f"real decode for {mtype!r} requires Pillow/ffmpeg "
@@ -662,6 +711,10 @@ def resize_media(
                         from ecollector_spark.datapipe.bmp_codec import decode_bmp
 
                         img = decode_bmp(bytes(blob))
+                    elif mtype == "image/tiff":
+                        from ecollector_spark.datapipe.tiff_codec import decode_tiff
+
+                        img = decode_tiff(bytes(blob))
                     else:
                         raise NotImplementedError(
                             f"real resize for {mtype!r} requires Pillow/ffmpeg "
@@ -685,6 +738,10 @@ def resize_media(
                         from ecollector_spark.datapipe.bmp_codec import encode_bmp
 
                         out = encode_bmp(resized)
+                    elif mtype == "image/tiff":
+                        from ecollector_spark.datapipe.tiff_codec import encode_tiff
+
+                        out = encode_tiff(resized, packbits=True)
                     else:
                         out = encode_png(resized)
                     blobs.append(out)

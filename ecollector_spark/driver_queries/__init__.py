@@ -122,22 +122,22 @@ _PRIORITY = [
     "ts_group_by_time_mean",
     "fimp_transform_pipeline",
     # dedup family (datapipe; incremental = the cross-batch manifest path;
-    # r9: hybrid verify on signal, exact-md5 gate shelved)
+    # r9: hybrid verify on signal; r9b: SemDeDup in, embedding-cosine shelved)
     "dedup_minhash_lsh",
     "dedup_minhash_hybrid",
     "dedup_incremental",
-    "dedup_embedding_cosine",
+    "dedup_semantic",
     # ANN family (r9: the materialized bucket-store probe joins)
     "ann_ivf_topk",
     "ann_lsh_bucketed",
     "ann_lsh_indexed",
-    # text family (r9: PII scrub)
-    "text_langid",
+    # text family (r9: PII scrub; r9b: Gopher rules in, langid shelved)
     "text_pii_scrub",
-    # multimodal family (r9: jpeg codec on signal, feature-hist shelved)
+    "text_gopher_rules",
+    # multimodal family (r9: jpeg codec on signal; r9b: FLAC in, wav features shelved)
     "mm_real_decode",
     "mm_jpeg_decode",
-    "mm_audio_features",
+    "mm_flac_decode",
     "mm_video_frames",
     # aggregation / rollup operators (r7: the composed lifecycle flow —
     # ingest -> preagg -> cascade -> tiered query -> TTL — carries A20)

@@ -718,6 +718,7 @@ SELECT vec_a, vec_b, round({_cos_sql('ea.v', 'eb.v')}, 6) AS cosine
 FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
 WHERE round({_cos_sql('ea.v', 'eb.v')}, 6) >= 0.3
 """,
+    shelved=True,  # rotated out r9b (family keeps minhash/semantic main twins)
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: hyperplane-LSH candidates (any of
@@ -891,7 +892,6 @@ ORDER BY vec_id
 @register(
     "dedup_semantic",
     _semantic_dedup_sql(),
-    shelved=True,
 )
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
@@ -1022,6 +1022,7 @@ SELECT doc_id, CASE WHEN {_BEST} = 0 THEN 'und'
   WHEN s_fr = {_BEST} THEN 'fr' WHEN s_es = {_BEST} THEN 'es' ELSE 'zh' END AS pred_lang
 FROM s ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r9b (family keeps pii_scrub/gopher main twins)
 )
 def text_langid(spark, sf_dir):
     """Marker-word language ID heuristic (argmax with fixed cascade)."""
@@ -1081,7 +1082,6 @@ SELECT doc_id, n_words, r_word_count, r_mean_len, r_symbol_ratio, r_bullet,
         AND r_ellipsis AND r_alpha AND r_stopwords) AS "pass"
 FROM r ORDER BY doc_id
 """,
-    shelved=True,
 )
 def text_gopher_rules(spark, sf_dir):
     """The published Gopher quality-filter rule set (Rae et al. 2021,
@@ -1583,6 +1583,7 @@ SELECT doc_id,
        CAST(amp AS INT) AS peak
 FROM p ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r9b (family keeps flac/real_decode main twins)
 )
 def mm_audio_features(spark, sf_dir):
     """REAL audio decode, value-gated (r7): synthetic 16-bit PCM WAV
@@ -1614,6 +1615,59 @@ def mm_audio_features(spark, sf_dir):
         "rms",
         "zero_cross_rate",
         "peak",
+    )
+
+
+@register(
+    "mm_tiff_decode",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 3),
+m AS (SELECT doc_id,
+             18 + doc_id % 29 AS w, 10 + doc_id % 13 AS h,
+             doc_id % 256 AS v
+      FROM d)
+-- baseline TIFF is LOSSLESS: the decoded pixel of a flat image IS the
+-- input value — any error in the IFD walk, strip assembly, PackBits
+-- inversion (odd doc_ids) or photometric handling shifts it
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(v AS INT) AS lum_decoded,
+       1.0 AS bucket_mass
+FROM m ORDER BY doc_id
+""",
+    shelved=True,
+)
+def mm_tiff_decode(spark, sf_dir):
+    """REAL baseline-TIFF decode, value-gated (r9 second session):
+    constant-luminance grayscale TIFFs at per-doc geometry are built
+    inside mapInPandas (``attach_synthetic_tiff_media`` — multi-strip,
+    odd doc_ids PackBits-compressed), then decoded by the real feature
+    path (``extract_features(decode_stub=False)``) with a 256-bin
+    histogram whose argmax IS the decoded pixel. The TIFF subset here
+    is lossless, so the DuckDB twin predicts the value with no math —
+    a pure pin of the codec plumbing (IFD walk, strip assembly,
+    PackBits RLE, photometric) and the Spark plumbing around it.
+    width/height re-parse the produced bytes (tiff_header), pinning
+    header framing too."""
+    from ecollector_spark.datapipe.multimodal import attach_synthetic_tiff_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 6 == 3
+    )
+    media = attach_synthetic_tiff_media(docs)
+    feats = extract_features(media, decode_stub=False, dim=256)
+    lum = (F.expr("array_position(feature, array_max(feature))") - 1).cast("int")
+    return (
+        media.select("doc_id", "width", "height")
+        .join(
+            feats.select(
+                "doc_id",
+                lum.alias("lum_decoded"),
+                F.array_max("feature").alias("bucket_mass"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "width", "height", "lum_decoded", "bucket_mass")
     )
 
 
@@ -1694,7 +1748,6 @@ SELECT doc_id,
        CAST(amp AS INT) AS peak
 FROM p ORDER BY doc_id
 """,
-    shelved=True,
 )
 def mm_flac_decode(spark, sf_dir):
     """REAL compressed-audio decode, value-gated (r9): stereo FLAC

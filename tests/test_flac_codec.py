@@ -180,6 +180,46 @@ class TestHandAssembled:
         out, _ = decode_flac(data)
         assert out.tolist() == [1, -1, 2, 0, 4, -3, 7, -8]
 
+    def test_rice2_method(self):
+        """Residual coding method 0b01 (RICE2, 5-bit params) — the
+        in-repo encoder always writes method 0b00."""
+
+        def body(w):
+            w.write(0, 1)
+            w.write(0b001000, 6)  # FIXED order 0
+            w.write(0, 1)
+            w.write(0b01, 2)  # RICE2
+            w.write(0, 4)  # partition order 0
+            w.write(3, 5)  # 5-bit rice param = 3
+            for e in (9, -12, 0, 25):
+                u = (e << 1) if e >= 0 else (-e << 1) - 1
+                w.write_unary(u >> 3)
+                w.write(u, 3)
+
+        data = _hand_frame(body, n_total=4, blocksize=4)
+        out, _ = decode_flac(data)
+        assert out.tolist() == [9, -12, 0, 25]
+
+    def test_rice2_escape_is_5_bits_wide(self):
+        """RICE2's escape code is 0b11111 — a 4-bit-era 0b1111 param
+        (15) must decode as a plain parameter, not an escape."""
+
+        def body(w):
+            w.write(0, 1)
+            w.write(0b001000, 6)
+            w.write(0, 1)
+            w.write(0b01, 2)  # RICE2
+            w.write(0, 4)
+            w.write(15, 5)  # param 15 — NOT the escape (31)
+            for e in (1, -1):
+                u = (e << 1) if e >= 0 else (-e << 1) - 1
+                w.write_unary(u >> 15)
+                w.write(u, 15)
+
+        data = _hand_frame(body, n_total=2, blocksize=2)
+        out, _ = decode_flac(data)
+        assert out.tolist() == [1, -1]
+
     def test_escape_partition(self):
         """Rice escape code -> raw 6-bit residuals."""
 
