@@ -197,7 +197,10 @@ class EcollectorApi:
 
             try:
                 n = self.warehouse.delete_points(
-                    dele["measurement"], _epoch(dele["from"]), _epoch(dele["to"])
+                    dele["measurement"],
+                    _epoch(dele["from"]),
+                    _epoch(dele["to"]),
+                    tag_predicates=dele.get("tags") or None,
                 )
                 return _report(
                     [{"name": "result", "columns": ["deleted"], "values": [[n]]}]

@@ -617,6 +617,29 @@ def influxql_value_scale(spark, sf_dir):
 
 
 @register(
+    "influxql_select_star",
+    f"""{_DP},
+src AS ({_src_sql('purchase')})
+SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time,
+       dev_id, dev_type, dir, location_id, service, topic, domain,
+       value_f AS value
+FROM src
+ORDER BY time, dev_id, value
+""",
+    shelved=True,
+)
+def influxql_select_star(spark, sf_dir):
+    """``SELECT *`` (r9 second session — the first query every
+    migrating user types): raw points with EVERY tag column plus the
+    value, via ``QueryPlanner.plan_star`` — one pruned scan, a
+    projection, the result sort; no join, no shuffle beyond the sort.
+    GROUP BY / fills / INTO / ``*::field`` narrowing refuse loudly
+    (parser pins)."""
+    q = f'SELECT * FROM "purchase" {_RANGE}'
+    return _run_tree(spark, sf_dir, q)
+
+
+@register(
     "influxql_multi_field",
     f"""{_DP},
 src AS ({_src_sql('purchase')}),

@@ -336,11 +336,19 @@ def parse_delete(query: str) -> dict | None:
     statement.
     ``from`` is inclusive and ``to`` exclusive after the api layer
     resolves epochs (``<=``/``>`` shift by one second — the engine's
-    wire precision). Tag predicates in DELETE are not supported and
-    raise, rather than silently deleting more than asked."""
+    wire precision). Tag EQUALITY predicates (``"dev_id" = '7'`` /
+    ``!=``, public InfluxQL DELETE surface, r9 second session) are
+    returned under ``"tags"`` as ``(key, op, value)`` triples — the
+    warehouse restricts the rewrite to matching rows; regex and field
+    predicates raise, rather than silently deleting more than asked."""
     m = _DROP_SERIES_RE.match(query)
     if m:
-        return {"measurement": m.group("from").strip('"'), "from": None, "to": None}
+        return {
+            "measurement": m.group("from").strip('"'),
+            "from": None,
+            "to": None,
+            "tags": [],
+        }
     m = _DELETE_RE.match(query)
     if not m or (m.group("from") is None and m.group("where") is None):
         return None
@@ -348,6 +356,7 @@ def parse_delete(query: str) -> dict | None:
         "measurement": m.group("from").strip('"') if m.group("from") else None,
         "from": None,
         "to": None,
+        "tags": [],
     }
     for cond in re.split(r"\s+AND\s+", m.group("where") or "", flags=re.IGNORECASE):
         cond = cond.strip()
@@ -355,8 +364,21 @@ def parse_delete(query: str) -> dict | None:
             continue
         tm = _TIME_RE.match(cond)
         if not tm:
+            tg = _TAG_RE.match(cond)
+            if tg:
+                from ecollector_spark.schema import DATAPOINT_TAG_COLUMNS
+
+                key = tg.group("key")
+                if key not in DATAPOINT_TAG_COLUMNS:
+                    raise InfluxQLParseError(
+                        f"DELETE tag predicate on unknown tag {key!r} "
+                        f"(known: {', '.join(DATAPOINT_TAG_COLUMNS)})"
+                    )
+                op = "!=" if tg.group("op") in ("!=", "<>") else "="
+                out["tags"].append((key, op, tg.group("val")))
+                continue
             raise InfluxQLParseError(
-                f"DELETE supports time predicates only: {cond!r}"
+                f"DELETE supports time and tag-equality predicates only: {cond!r}"
             )
         rhs, op = tm.group("rhs").strip().strip("'"), tm.group("op")
         if re.fullmatch(r"now\(\)", rhs, re.IGNORECASE):
@@ -448,6 +470,9 @@ class InfluxQLQuery:
     #: pivot list for plan_fields and the expression combines the
     #: pivoted columns per point. None for every other arith shape.
     arith_fields: "list[str] | None" = None
+    #: ``SELECT *`` (r9 second session): raw points with every tag
+    #: column plus the value — QueryPlanner.plan_star; raw shape only
+    select_star: bool = False
 
 
 def _split_from_list(frm: str) -> list[str]:
@@ -713,6 +738,19 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     # parens — percentile("v", 95) — don't separate selectors)
     pieces = re.split(r",(?![^()]*\))", m.group("sel"))
     value_arith = None
+    select_star = False
+    if len(pieces) == 1 and pieces[0].strip() in ("*", "*::field", "*::tag"):
+        # SELECT * (public InfluxQL): raw points with every tag column
+        # and the value — QueryPlanner.plan_star. The ::field/::tag
+        # narrowing is not supported (the canonical schema has ONE
+        # field; bare * already returns tags + value).
+        if pieces[0].strip() != "*":
+            raise InfluxQLParseError(
+                f"{pieces[0].strip()!r} is not supported; bare * returns "
+                "every tag column plus the value field"
+            )
+        select_star = True
+        pieces = []
     sel_ms = []
     for piece in pieces:
         sm = _SEL_RE.match(piece)
@@ -767,6 +805,10 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                         f"single-stage aggregates only: {(s_tf or s_fn or s_fld)!r}"
                     )
                 selectors.append(Selector(s_fn, s_fp, f"_a{i}", field=s_fld))
+    elif select_star:
+        parsed = [("", "", "", "", "value", "")]
+        fn, fn_param, tf, tf_param, fld, alias = parsed[0]
+        selectors = None
     else:
         parsed = [_parse_selector(sm) for sm in sel_ms]
         fn, fn_param, tf, tf_param, fld, alias = parsed[0]
@@ -950,6 +992,18 @@ def parse_influxql(query: str) -> InfluxQLQuery:
             raise InfluxQLParseError(f"unknown time zone: {tz_name!r}") from None
 
     fill = (m.group("fill") or "").lower()
+    if select_star:
+        # raw-points shape only, like bare fields (InfluxDB rejects
+        # SELECT * under GROUP BY time without an aggregate too)
+        if group_by_time or group_tags:
+            raise InfluxQLParseError(
+                "SELECT * returns raw points; GROUP BY does not apply "
+                "(aggregate a named field instead)"
+            )
+        if fill not in ("", "none"):
+            raise InfluxQLParseError(
+                f"FILL has no bucket spine on a raw SELECT *: {fill}"
+            )
     if multi_fields is not None:
         # raw-points shape only, like InfluxDB (bare fields under GROUP
         # BY time are rejected there too); fills need a bucket spine
@@ -1039,6 +1093,11 @@ def parse_influxql(query: str) -> InfluxQLQuery:
                 "INTO with a multi-field select is not supported (the "
                 "canonical point schema carries one value per row)"
             )
+        if select_star:
+            raise InfluxQLParseError(
+                "INTO with SELECT * is not supported (write a named "
+                "field select instead)"
+            )
     return InfluxQLQuery(
         request=req,
         measurement=measurement,
@@ -1059,6 +1118,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         measurement_list=measurement_list,
         multi_fields=multi_fields,
         arith_fields=arith_fields,
+        select_star=select_star,
     )
 
 
@@ -1109,6 +1169,8 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
         )
 
     if iq.subquery is None:
+        if iq.select_star:
+            return planner.plan_star(iq.request, now=now)
         if iq.multi_fields is not None:
             df = planner.plan_fields(iq.request, iq.multi_fields, now=now)
             if iq.arith_fields is None:

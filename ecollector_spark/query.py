@@ -947,6 +947,32 @@ class QueryPlanner:
             .orderBy("time", *names)
         )
 
+    def plan_star(
+        self, req: DataPointsRequest, now: datetime | None = None
+    ) -> DataFrame:
+        """``SELECT *`` (public InfluxQL — the first query every
+        migrating user types): raw points with EVERY tag column and the
+        value. On the canonical one-field schema the star expands to
+        tags + ``value``; a dir-mangled multi-field measurement shows
+        its twin rows with the ``dir`` tag visible (select the mangled
+        names to re-assemble the point instead —
+        :meth:`plan_fields`). Raw-points shape only, like bare fields
+        (parser-enforced: no GROUP BY, no fill); tag and time
+        predicates, ORDER/LIMIT ride the normal result clauses. One
+        pruned scan, a projection, and the result sort — nothing
+        else."""
+        from dataclasses import replace as _dc_replace
+
+        from ecollector_spark.schema import DATAPOINT_TAG_COLUMNS
+
+        df, ctx = self._prepare(_dc_replace(req, field_name="value"), now)
+        keys = [c for c in DATAPOINT_TAG_COLUMNS if c in df.columns]
+        return df.select(
+            ctx["ts_epoch"].alias("time"),
+            *keys,
+            F.col("value_f").alias("value"),
+        ).orderBy("time", *keys, "value")
+
     def plan_multi(
         self,
         req: DataPointsRequest,

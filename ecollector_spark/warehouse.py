@@ -396,6 +396,7 @@ class Warehouse:
         measurement: str | None = None,
         from_epoch: int | None = None,
         to_epoch: int | None = None,
+        tag_predicates: "list[tuple[str, str, str]] | None" = None,
     ) -> int:
         """InfluxQL ``DELETE [FROM m] [WHERE time ...]``: remove the
         rows in the (optional) time window, returning the deleted count.
@@ -416,6 +417,15 @@ class Warehouse:
             match = match & (F.unix_timestamp("ts") >= int(from_epoch))
         if to_epoch is not None:
             match = match & (F.unix_timestamp("ts") < int(to_epoch))
+        # tag-equality restriction (public InfluxQL DELETE surface, r9
+        # second session): ``(key, "="|"!=", value)`` triples ANDed in.
+        # eqNullSafe so the match is total: under ``!=`` a null/absent
+        # tag DIFFERS from the literal and the row deletes (InfluxDB
+        # treats a missing tag as the empty value, not as unknown —
+        # plain SQL ``!=`` would silently skip those rows)
+        for key, op, val in tag_predicates or ():
+            cond = F.col(key).eqNullSafe(F.lit(val))
+            match = match & (cond if op == "=" else ~cond)
         deleted = 0
         for tier in TIERS:
             tp = self.tier_path(tier)

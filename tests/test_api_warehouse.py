@@ -133,9 +133,17 @@ class TestApi:
         assert rep["val"]["Results"][0]["Series"][0]["values"] == [[4]]
 
     def test_raw_sql_error_envelope(self, wh):
+        # a COLUMN-LIST select is Spark-SQL-shaped (InfluxQL has no
+        # grammar for it), so it falls through to the SQL path and the
+        # missing table surfaces in the error envelope. (Bare
+        # "SELECT * FROM x" is valid InfluxQL since r9b — plan_star —
+        # and an unknown measurement returns EMPTY series, InfluxDB's
+        # own behavior, covered below.)
         api = EcollectorApi(wh.spark, wh)
-        rep = api.run_query("SELECT * FROM no_such_table_xyz")
+        rep = api.run_query("SELECT a, b FROM no_such_table_xyz")
         assert rep["val"]["Results"] is None and "no_such_table_xyz" in rep["val"]["error"]
+        star = api.run_query("SELECT * FROM no_such_measurement")
+        assert star["val"]["Results"][0]["Series"] == []
 
     def test_structured_query_reads_downsampled_tier(self, wh):
         """Full loop: raw write -> CQ cascade -> the planner's tier upgrade

@@ -294,8 +294,12 @@ class TestParse:
                 parse_influxql(q)
 
     def test_spark_sql_rejected(self):
+        # NOTE r9 second session: "SELECT * FROM m" is now VALID
+        # InfluxQL (plan_star) and routes to the planner, like InfluxDB
+        # itself — so the SQL-shape detection pins use column lists and
+        # CTEs, which InfluxQL genuinely has no grammar for
         for q in (
-            "SELECT * FROM events",
+            "SELECT event_type, user_id FROM events",
             "SELECT event_type, count(*) FROM events GROUP BY event_type",
             "WITH x AS (SELECT 1) SELECT * FROM x",
         ):
@@ -1218,15 +1222,43 @@ class TestDelete:
         assert self._values(w, "electricity_meter_power") == [300.0]
         assert self._values(w, "sensor_temp.evt.sensor.report") == [22.5]
 
-    def test_drop_series_and_tag_predicate_rejected(self, spark, tmp_path):
+    def test_drop_series_and_bad_predicates_rejected(self, spark, tmp_path):
         api, w = self._api(spark, tmp_path)
         rsp = api.run_query('DROP SERIES FROM "electricity_meter_power"')
         assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[2]]
         assert self._values(w, "electricity_meter_power") == []
-        # measurement name still listed? the partition dir is gone, so
-        # it drops out of the catalog — like a full data delete
-        bad = api.run_query("DELETE FROM \"m\" WHERE \"dev_id\"='7'")
-        assert bad["val"]["Results"] is None and "time predicates" in bad["val"]["error"]
+        # unknown tags and field predicates still refuse loudly — a
+        # DELETE must never silently match more (or less) than asked
+        bad = api.run_query("DELETE FROM \"m\" WHERE \"nosuchtag\"='7'")
+        assert bad["val"]["Results"] is None and "unknown tag" in bad["val"]["error"]
+        bad2 = api.run_query('DELETE FROM "m" WHERE "value" > 3')
+        assert bad2["val"]["Results"] is None and "predicates" in bad2["val"]["error"]
+
+    def test_delete_with_tag_predicate(self, spark, tmp_path):
+        """Tag-equality DELETE (public InfluxQL surface, r9b): only the
+        matching device's rows go; != deletes the complement; a time
+        bound ANDs in."""
+        api, w = self._api(spark, tmp_path)
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:05:00", "8", 500.0),
+            ("electricity_meter_power", "2024-01-01T00:35:00", "8", 700.0),
+        ]))
+        rsp = api.run_query(
+            'DELETE FROM "electricity_meter_power" WHERE "dev_id" = \'7\'',
+            now=self.NOW,
+        )
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[2]]
+        assert self._values(w, "electricity_meter_power") == [500.0, 700.0]
+        # != with a time bound: early non-9 rows only -> the 00:05 dev-8
+        rsp2 = api.run_query(
+            'DELETE FROM "electricity_meter_power" '
+            "WHERE \"dev_id\" != '9' AND time < '2024-01-01T00:10:00Z'",
+            now=self.NOW,
+        )
+        assert rsp2["val"]["Results"][0]["Series"][0]["values"] == [[1]]
+        assert self._values(w, "electricity_meter_power") == [700.0]
+        # the sibling measurement is untouched throughout
+        assert self._values(w, "sensor_temp.evt.sensor.report") == [21.5, 22.5]
 
     def test_delete_bare_now_upper_bound(self, spark, tmp_path):
         """``WHERE time < now()`` (no offset) deletes everything up to
@@ -1951,6 +1983,50 @@ class TestMultiField:
             'SELECT "bogusfield" FROM "m"',
             'SELECT "e_import" FROM "m" WHERE "e_import" > 3',
             'SELECT "e_import" FROM "m" FILL(previous)',
+        ],
+    )
+    def test_rejections_are_loud(self, bad):
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql(bad)
+
+
+class TestSelectStar:
+    """SELECT * (r9 second session): raw points with every tag column
+    plus the value — parse + plan + rejections."""
+
+    _twin = TestMultiField._twin
+    _RANGE = TestMultiField._RANGE
+
+    def test_star_returns_tags_and_value(self, spark):
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import plan_tree
+        from ecollector_spark.query import QueryPlanner
+
+        planner = QueryPlanner(lambda tier: self._twin(spark))
+        iq = parse_influxql(
+            f'SELECT * FROM "electricity_meter_energy" {self._RANGE}'
+        )
+        out = plan_tree(planner, iq, now=datetime(2024, 1, 2, tzinfo=timezone.utc))
+        assert out.columns == [
+            "time", "dev_id", "dev_type", "dir", "location_id", "service",
+            "topic", "domain", "value",
+        ]
+        rows = out.collect()
+        assert len(rows) == 23  # every twin row (12 import + 11 export)
+        dirs = {r["dir"] for r in rows}
+        assert dirs == {"import", "export"}
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            'SELECT *::field FROM "m" WHERE time >= now() - 1h',
+            'SELECT *::tag FROM "m" WHERE time >= now() - 1h',
+            'SELECT * FROM "m" GROUP BY time(1h)',
+            'SELECT * FROM "m" GROUP BY dev_id',
+            'SELECT * FROM "m" FILL(0)',
+            'SELECT * INTO "t" FROM "m"',
+            'SELECT *, "value" FROM "m"',
         ],
     )
     def test_rejections_are_loud(self, bad):

@@ -301,6 +301,15 @@ CHECKS = {
         "!Exchange hashpartitioning",
         "!CartesianProduct",
     ],
+    # SELECT * (r9 second session): one pruned scan + projection + the
+    # result sort — no join, no hash shuffle
+    "influxql_select_star": [
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!ShuffledHashJoin",
+        "!CartesianProduct",
+        "!Exchange hashpartitioning",
+    ],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
