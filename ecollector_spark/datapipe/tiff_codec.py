@@ -6,12 +6,14 @@ refusals loud and by name like the other codecs):
 
 - decode: both byte orders (II little / MM big), 8-bit grayscale
   (PhotometricInterpretation 0 WhiteIsZero / 1 BlackIsZero) and 8-bit
-  RGB, Compression 1 (none) and 32773 (PackBits), multi-strip,
-  chunky planar layout; BitsPerSample other than 8, LZW/CCITT/JPEG
-  compression, PlanarConfiguration 2 and tiled files raise
-  ``NotImplementedError`` naming the feature.
+  RGB, Compression 1 (none), 32773 (PackBits) and 8/32946 (Deflate —
+  zlib per strip, the Adobe extension), multi-strip, chunky planar
+  layout; BitsPerSample other than 8, LZW/CCITT/JPEG compression,
+  PlanarConfiguration 2 and tiled files raise ``NotImplementedError``
+  naming the feature.
 - encode: little-endian, grayscale (n, h) or RGB (h, w, 3) uint8,
-  optional PackBits, configurable rows per strip.
+  compression none / "packbits" / "deflate", configurable rows per
+  strip.
 
 Both paths are LOSSLESS for the supported subset, so
 ``decode_tiff(encode_tiff(x)) == x`` exactly — the math-free oracle
@@ -93,10 +95,19 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def encode_tiff(
-    img: np.ndarray, packbits: bool = False, rows_per_strip: int = 32
+    img: np.ndarray,
+    packbits: bool = False,
+    rows_per_strip: int = 32,
+    compression: str | None = None,
 ) -> bytes:
     """Little-endian baseline TIFF from uint8 (h, w) grayscale or
-    (h, w, 3) RGB."""
+    (h, w, 3) RGB. ``compression``: None (or "none"), "packbits",
+    "deflate" (zlib per strip, tag value 8); the legacy ``packbits``
+    flag is equivalent to compression="packbits"."""
+    if compression is None:
+        compression = "packbits" if packbits else "none"
+    if compression not in ("none", "packbits", "deflate"):
+        raise ValueError(f"unknown TIFF compression {compression!r}")
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         spp, photometric = 1, 1  # BlackIsZero
@@ -110,11 +121,17 @@ def encode_tiff(
     rps = max(1, min(rows_per_strip, h))
     raw = np.ascontiguousarray(arr).tobytes()
     row_bytes = w * spp
+    import zlib
+
     strips = []
     for r0 in range(0, h, rps):
         chunk = raw[r0 * row_bytes : min(r0 + rps, h) * row_bytes]
-        strips.append(packbits_encode(chunk) if packbits else chunk)
-    compression = 32773 if packbits else 1
+        if compression == "packbits":
+            chunk = packbits_encode(chunk)
+        elif compression == "deflate":
+            chunk = zlib.compress(chunk)
+        strips.append(chunk)
+    compression = {"none": 1, "packbits": 32773, "deflate": 8}[compression]
 
     entries = []  # (tag, type, count, value) — SHORT/LONG inline values
 
@@ -259,11 +276,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             f"TIFF BitsPerSample {bps} is not implemented (8-bit only)"
         )
     comp = vals(_COMPRESSION, (1,))[0]
-    if comp not in (1, 32773):
-        names = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 2: "CCITT G3", 32946: "Deflate", 8: "Deflate"}
+    if comp not in (1, 32773, 8, 32946):
+        names = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 2: "CCITT G3"}
         raise NotImplementedError(
             f"TIFF compression {comp} ({names.get(comp, 'unknown')}) is not "
-            "implemented (none/PackBits only)"
+            "implemented (none/PackBits/Deflate only)"
         )
     if vals(_PLANAR, (1,))[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 is not implemented")
@@ -294,6 +311,24 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError("more strips than image rows")
         if comp == 32773:
             chunk = packbits_decode(chunk, n_rows * row_bytes)
+        elif comp in (8, 32946):
+            import zlib
+
+            try:
+                # max_length caps the inflate output — a crafted strip
+                # cannot balloon past the declared geometry
+                dec = zlib.decompressobj()
+                chunk = dec.decompress(bytes(chunk), n_rows * row_bytes)
+                overflow = bool(dec.unconsumed_tail) or bool(
+                    dec.decompress(b"", 1)
+                )
+            except zlib.error as e:
+                raise ValueError(f"strip {i}: bad Deflate stream ({e})") from None
+            if overflow or len(chunk) != n_rows * row_bytes:
+                raise ValueError(
+                    f"strip {i}: Deflate yields {len(chunk)}+ bytes, "
+                    f"expected exactly {n_rows * row_bytes}"
+                )
         elif len(chunk) != n_rows * row_bytes:
             raise ValueError(
                 f"strip {i}: {len(chunk)} bytes for {n_rows} rows of {row_bytes}"

@@ -1329,6 +1329,33 @@ def mm_frame_sampling(spark, sf_dir):
     return sample_frames(attach_fake_media(docs))
 
 
+@register("datapipe_bpe_encode", shelved=True)  # rows-only: the merge
+# recursion has no SQL form — value pins live in pytest (hand-derived
+# Sennrich-example merges, reference-encoder parity, round-trip property)
+def datapipe_bpe_encode(spark, sf_dir):
+    """Real BPE tokenization (r9 second session — Sennrich et al. 2016,
+    arXiv:1508.07909): merges trained via the scale-correct split
+    (distributed word counting -> local merge loop over the bounded
+    frequency dict), then the corpus encoded through the Arrow-batched
+    mapInPandas stage with the merge table broadcast in the closure and
+    a per-batch word cache. Returns (doc_id, n_words, n_tokens,
+    first_tokens); deterministic for a fixed corpus (tie-break rule
+    documented in the trainer), but the merge recursion is not
+    SQL-expressible, so this gate is rows-only — the value pins are
+    pytest's."""
+    from ecollector_spark.datapipe import tokenizer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = tokenizer.train_on_corpus(docs, num_merges=200)
+    enc = tokenizer.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.slice("tokens", 1, 5).alias("first_tokens"),
+    ).orderBy("doc_id")
+
+
 @register("mm_feature_extract", shelved=True)  # rows-only: Arrow/pandas stage kept as the raw-vector form
 def mm_feature_extract(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (stubbed

@@ -35,6 +35,33 @@ class TestRoundTrip:
         out = decode_tiff(encode_tiff(img, packbits=packbits))
         assert out.shape == img.shape and np.array_equal(out, img)
 
+    @pytest.mark.parametrize("shape", [(1, 1), (33, 40), (21, 17, 3)])
+    def test_deflate_exact(self, shape):
+        rng = np.random.default_rng(len(shape))
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        data = encode_tiff(img, compression="deflate", rows_per_strip=8)
+        out = decode_tiff(data)
+        assert out.shape == img.shape and np.array_equal(out, img)
+
+    def test_deflate_bomb_bounded(self):
+        """A deflate strip inflating past the declared geometry must
+        fail loud, never balloon."""
+        import struct as _s
+        import zlib
+
+        data = bytearray(encode_tiff(np.zeros((4, 4), np.uint8), rows_per_strip=4))
+        bomb = zlib.compress(b"\x00" * 100_000)
+        n = _s.unpack("<H", data[8:10])[0]
+        for i in range(n):
+            epos = 10 + i * 12
+            tag = _s.unpack("<H", data[epos : epos + 2])[0]
+            if tag == 259:  # compression -> deflate
+                data[epos + 8 : epos + 10] = _s.pack("<H", 8)
+            elif tag == 279:  # strip byte count
+                data[epos + 8 : epos + 12] = _s.pack("<I", len(bomb))
+        with pytest.raises(ValueError):
+            decode_tiff(bytes(data[: -16]) + bomb)
+
     def test_flat_image_compresses(self):
         flat = np.full((64, 64), 7, np.uint8)
         data = encode_tiff(flat, packbits=True)
