@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ecollector_spark.datapipe import text
+from ecollector_spark.datapipe import dedup, text
 
 
 def curate(
@@ -38,6 +38,41 @@ def curate(
         .join(lang, "doc_id")
         .select("doc_id", "pred_lang", "n_tokens", "quality")
     )
+
+def curate_text(
+    docs: DataFrame,
+    span_k: int = 5,
+    span_min_dups: int = 2,
+    min_words: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The TEXT-rewriting curation flow (r9 second session) — again a
+    pure composition of individually-gated operators, in the order the
+    public pipelines apply them:
+
+        corpus -> duplicated-SPAN removal   (dedup.dedup_ngram_spans —
+                  Lee et al. 2021 boilerplate cut)
+               -> Gopher rule filter        (text.gopher_rules — keep
+                  only docs passing all rules on the CLEANED text)
+               -> exact dedup               (lowest doc_id per
+                  byte-identical cleaned text)
+
+    Returns the surviving (doc_id, text), ordered. Each stage's scale
+    shape is its own gate's (shingle marking never pairwise, rules
+    expression-only, one md5-keyed groupBy); the composition adds one
+    doc_id join per stage, co-partitioned."""
+    cleaned = dedup.dedup_ngram_spans(
+        docs, text_col=text_col, k=span_k, min_dups=span_min_dups
+    )
+    passing = (
+        text.gopher_rules(cleaned, text_col=text_col, min_words=min_words)
+        .where(F.col("pass"))
+        .select("doc_id")
+    )
+    kept = cleaned.join(passing, "doc_id")
+    dd = kept.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
+    return dd.select("doc_id", text_col).orderBy("doc_id")
+
 
 def balance_by_cluster(
     assignments: "DataFrame", per_cluster_n: int, key_col: str = "vec_id"

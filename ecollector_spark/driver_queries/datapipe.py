@@ -140,16 +140,21 @@ def dedup_paragraphs(spark, sf_dir):
     return dedup.dedup_paragraphs(d2, min_dups=3).orderBy("doc_id")
 
 
-@register(
-    "dedup_span_removal",
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
--- synthesized docs: 6 mostly-unique head words, a 5-token span shared
--- by ~1/4 of the corpus, 12 mostly-unique tail words
-d2 AS (SELECT doc_id,
-              array_to_string(ws[1:6], ' ') ||
-              ' promo promo code alpha ' || CAST(doc_id % 4 AS VARCHAR) ||
-              ' ' || array_to_string(ws[7:18], ' ') AS text
-       FROM w),
+#: synthesized promo-span document expression (6 mostly-unique head
+#: words, a 5-token span shared by ~1/4 of the corpus, 12 mostly-unique
+#: tail words) — the input of the span-removal family oracles
+_SPAN_DOC = (
+    "array_to_string(ws[1:6], ' ') || ' promo promo code alpha ' || "
+    "CAST(doc_id % 4 AS VARCHAR) || ' ' || array_to_string(ws[7:18], ' ')"
+)
+
+
+def _span_ctes(doc_expr: str = _SPAN_DOC) -> str:
+    """Shared CTE chain of the span-removal oracles: synthesized docs
+    (``doc_expr``) -> shingle marking -> covered-position anti join ->
+    per-doc rebuilt text (the ``reb`` relation)."""
+    return f"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d2 AS (SELECT doc_id, {doc_expr} AS text FROM w),
 t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
       FROM d2),
@@ -162,9 +167,15 @@ cov AS (SELECT DISTINCT sh.doc_id, sh.pos + o.off AS pos
 toki AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
 tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM toki),
 keep AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
-         ANTI JOIN cov USING (doc_id, pos))
-SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
-FROM keep GROUP BY doc_id ORDER BY doc_id
+         ANTI JOIN cov USING (doc_id, pos)),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        FROM keep GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_span_removal",
+    f"""WITH {_span_ctes()}
+SELECT doc_id, text FROM reb ORDER BY doc_id
 """,
     shelved=True,
 )
@@ -193,6 +204,77 @@ def dedup_span_removal(spark, sf_dir):
     )
     d2 = docs.select("doc_id", text2.alias("text"))
     return dedup.dedup_ngram_spans(d2, k=5, min_dups=2).orderBy("doc_id")
+
+
+#: stop-word suffix variation for the composed curation gate: 2/3 of
+#: docs gain enough distinct Gopher stop words to pass r_stopwords, the
+#: rest keep the word-salad text and fail it — so the rule filter has
+#: real variance (the 2-token suffixes follow unique tail words, so
+#: they never form a shared 5-gram and span removal is unaffected)
+_CUR_SUFFIX_SQL = (
+    " || CASE WHEN doc_id % 3 = 0 THEN ' of the' "
+    "WHEN doc_id % 3 = 1 THEN ' and that' ELSE '' END"
+)
+
+
+@register(
+    "datapipe_curation_text",
+    f"""WITH {_span_ctes(_SPAN_DOC + _CUR_SUFFIX_SQL)},
+-- Gopher rules over the CLEANED text (min_words=8; same integer
+-- cross-multiplied comparisons as the text_gopher_rules oracle)
+gt AS (SELECT doc_id, text,
+              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS gw
+       FROM reb),
+gm AS (SELECT doc_id, text, len(gw) AS n,
+              coalesce(list_sum(list_transform(gw, x -> length(x))), 0) AS sum_len,
+              length(text) - length(replace(text, '#', '')) AS hashes,
+              len(regexp_extract_all(text, '\\.\\.\\.|…')) AS ellipses,
+              list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                          x -> x <> '') AS lf,
+              len(list_filter(gw, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+              len(list_distinct(list_filter(list_transform(gw, x -> lower(x)),
+                  x -> x IN ('the','be','to','of','and','that','have','with')))) AS stops
+       FROM gt),
+gpass AS (SELECT doc_id, text FROM gm
+          WHERE n >= 8 AND n <= 100000
+            AND sum_len >= 3*n AND sum_len <= 10*n AND n > 0
+            AND (hashes + ellipses) * 10 <= n
+            AND len(list_filter(lf, x -> regexp_matches(x, '^[-*•]'))) * 10 <= len(lf)
+            AND len(list_filter(lf, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) * 10
+                <= 3 * len(lf)
+            AND alpha * 5 >= 4 * n
+            AND stops >= 2)
+SELECT min(doc_id) AS doc_id, text FROM gpass GROUP BY text ORDER BY doc_id
+""",
+    shelved=True,
+)
+def datapipe_curation_text(spark, sf_dir):
+    """The composed TEXT-rewriting curation flow (r9 second session —
+    ``curation.curate_text``): duplicated-span removal (Lee et al.
+    2021) -> Gopher rule filter on the CLEANED text -> exact dedup
+    (lowest id per byte-identical survivor). Every stage is an
+    individually-gated operator; this gate pins that they COMPOSE —
+    the oracle chains the span-removal CTEs into the Gopher-rule
+    comparisons into a min-id group-by, so any stage-boundary mistake
+    (filtering before cleaning, deduping the dirty text, rule
+    thresholds on the wrong token set) breaks the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split("text", " ")
+    text2 = F.concat_ws(
+        " ",
+        F.array_join(F.slice(words, 1, 6), " "),
+        F.concat(
+            F.lit("promo promo code alpha "), (F.col("doc_id") % 4).cast("string")
+        ),
+        F.array_join(F.slice(words, 7, 12), " "),
+    )
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, " of the")
+        .when(F.col("doc_id") % 3 == 1, " and that")
+        .otherwise("")
+    )
+    d2 = docs.select("doc_id", F.concat(text2, suffix).alias("text"))
+    return curation.curate_text(d2, span_k=5, span_min_dups=2, min_words=8)
 
 
 @register(

@@ -1505,6 +1505,39 @@ class TestParagraphDedup:
         assert out == {1: "same\nsame\nsame", 2: "other"}
 
 
+class TestCurateText:
+    """curation.curate_text (r9): span removal -> Gopher filter on the
+    CLEANED text -> exact dedup, as one composition."""
+
+    def test_stage_order_and_dedup(self, spark):
+        from ecollector_spark.datapipe.curation import curate_text
+
+        # NOTE the composition's real semantics: a duplicated span is
+        # cut from EVERY doc, so only cleaned remainders SHORTER than k
+        # tokens can be byte-identical across docs (a shared 5-gram in
+        # the remainder would itself have been cut) — which is exactly
+        # the case the trailing exact-dedup stage exists for.
+        boiler = "AA BB CC DD EE"
+        docs = spark.createDataFrame(
+            [
+                # 1/2: same 4-token remainder on opposite sides of the
+                # shared span -> span cut, identical cleaned text,
+                # exact dedup keeps doc 1
+                (1, f"the of zebra quail {boiler}"),
+                (2, f"{boiler} the of zebra quail"),
+                # 3: unique text, no span hit -> survives intact
+                (3, "the quick brown fox jumps over that lazy dog uniquely"),
+                # 5: no Gopher stop words -> rule filter drops it
+                (5, "lorem ipsum dolor sit amet consectetur"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["text"] for r in curate_text(docs, min_words=4).collect()}
+        assert set(out) == {1, 3}
+        assert out[1] == "the of zebra quail"
+        assert out[3] == "the quick brown fox jumps over that lazy dog uniquely"
+
+
 class TestGopherRules:
     """text.gopher_rules (r9): the published Gopher filter set, one
     boundary pin per rule (all integer comparisons, no floats)."""
