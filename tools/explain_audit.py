@@ -301,6 +301,18 @@ CHECKS = {
         "!Exchange hashpartitioning",
         "!CartesianProduct",
     ],
+    # composed text curation (r9 second session): inherits every
+    # stage's contract — dup set via partial count-distinct, covered
+    # positions leave via LEFT ANTI, the final dedup is a partial-min
+    # groupBy, and nothing in the chain enumerates pairs or opens a
+    # corpus-wide window
+    "datapipe_curation_text": [
+        "LeftAnti",
+        "partial_count",
+        "partial_min",
+        "!CartesianProduct",
+        "!Window",
+    ],
     # SELECT * (r9 second session): one pruned scan + projection + the
     # result sort — no join, no hash shuffle
     "influxql_select_star": [
