@@ -64,6 +64,94 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "doc_id long, media_type string, n_bytes long, feature array<double>"
 
 
+PROBE_SCHEMA = (
+    "doc_id long, kind string, width int, height int, channels int, "
+    "sample_rate int, n_samples long, valid boolean, error string"
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Content-SNIFFING metadata probe (r9 second session) — the cheap
+    pre-decode stage every ingest pipeline runs: detect the real format
+    from magic bytes (never trusting the declared media_type — mislabeled
+    crawl payloads are the norm) and read dimensions/layout from the
+    headers alone via each codec's ``*_header`` probe, without decoding
+    a single pixel/sample. Output per blob:
+
+    - ``kind``: png | jpeg | gif | bmp | tiff | wav | avi | flac |
+      unknown (detected, not declared)
+    - images: width/height (+channels); audio: channels/sample_rate/
+      n_samples; video: width/height + n_samples = frame count
+    - ``valid``: header parsed cleanly; a corrupt or refused-by-name
+      header yields valid=false with the loud message in ``error``
+      (the probe NEVER raises — its job is triage)
+
+    Arrow-batched mapInPandas, embarrassingly parallel, reads only
+    header bytes of each payload."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ecollector_spark.datapipe.avi_codec import avi_header
+        from ecollector_spark.datapipe.bmp_codec import bmp_header
+        from ecollector_spark.datapipe.flac_codec import flac_header
+        from ecollector_spark.datapipe.gif_codec import gif_header
+        from ecollector_spark.datapipe.jpeg_codec import jpeg_header
+        from ecollector_spark.datapipe.png_codec import png_header
+        from ecollector_spark.datapipe.tiff_codec import tiff_header
+        from ecollector_spark.datapipe.wav_codec import wav_header
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "kind", "width", "height", "channels",
+                "sample_rate", "n_samples", "valid", "error",
+            )}
+
+            def emit(kind, w=None, h=None, ch=None, rate=None, n=None,
+                     valid=True, err=None):
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["valid"].append(valid)
+                out["error"].append(err)
+
+            for blob in pdf["media"]:
+                buf = bytes(blob or b"")
+                try:
+                    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, ch = png_header(buf)
+                        emit("png", w, h, ch)
+                    elif buf[:3] == b"\xff\xd8\xff":
+                        w, h, nc = jpeg_header(buf)
+                        emit("jpeg", w, h, nc)
+                    elif buf[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h = gif_header(buf)
+                        emit("gif", w, h)
+                    elif buf[:2] == b"BM":
+                        w, h, _bits = bmp_header(buf)
+                        emit("bmp", w, h)
+                    elif buf[:2] in (b"II", b"MM") and len(buf) >= 4 and buf[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+                        w, h, spp = tiff_header(buf)
+                        emit("tiff", w, h, spp)
+                    elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                        ch, rate, _bits, n = wav_header(buf)
+                        emit("wav", ch=ch, rate=rate, n=n)
+                    elif buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                        w, h, n_frames, _fps = avi_header(buf)
+                        emit("avi", w, h, n=n_frames)
+                    elif buf[:4] == b"fLaC":
+                        ch, rate, _bps, n = flac_header(buf)
+                        emit("flac", ch=ch, rate=rate, n=n)
+                    else:
+                        emit("unknown", valid=False, err="unrecognized magic bytes")
+                except (ValueError, NotImplementedError) as e:
+                    emit("unknown", valid=False, err=str(e)[:200])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return media.mapInPandas(op, schema=PROBE_SCHEMA)
+
+
 def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Wrap a text corpus as a media table (deterministic fake payloads):
     the binary column is the utf-8 text, the metadata is derived from it.

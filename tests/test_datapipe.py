@@ -1723,3 +1723,56 @@ class TestNgramSpanRemoval:
             min_dups=2,
         )
         assert out[1] == "AA BB CC AA BB CC"  # one distinct doc only
+
+
+class TestProbeMedia:
+    """probe_media (r9): content-sniffing header probe — detection by
+    magic bytes, never by the declared media_type; corrupt headers are
+    triaged (valid=false), never raised."""
+
+    def _probe(self, spark, blobs):
+        import pandas as pd
+
+        from ecollector_spark.datapipe.multimodal import probe_media
+
+        rows = [(i, b, "application/octet-stream", 0, 0, len(b)) for i, b in enumerate(blobs)]
+        media = spark.createDataFrame(
+            rows,
+            "doc_id long, media binary, media_type string, width int, height int, n_bytes long",
+        )
+        return {r["doc_id"]: r for r in probe_media(media).collect()}
+
+    def test_detects_by_magic_not_label(self, spark):
+        import numpy as np
+
+        from ecollector_spark.datapipe.flac_codec import encode_flac
+        from ecollector_spark.datapipe.png_codec import encode_png
+        from ecollector_spark.datapipe.tiff_codec import encode_tiff
+        from ecollector_spark.datapipe.wav_codec import encode_wav
+
+        out = self._probe(
+            spark,
+            [
+                encode_png(np.full((5, 9), 7, np.uint8)),
+                encode_wav(np.zeros(100, np.int16), rate=16000),
+                encode_flac(np.zeros((50, 2), np.int16), rate=44100),
+                encode_tiff(np.zeros((3, 4), np.uint8)),
+            ],
+        )
+        assert (out[0]["kind"], out[0]["width"], out[0]["height"]) == ("png", 9, 5)
+        assert (out[1]["kind"], out[1]["sample_rate"], out[1]["n_samples"]) == ("wav", 16000, 100)
+        assert (out[2]["kind"], out[2]["channels"], out[2]["n_samples"]) == ("flac", 2, 50)
+        assert (out[3]["kind"], out[3]["width"]) == ("tiff", 4)
+        assert all(r["valid"] for r in out.values())
+
+    def test_corrupt_and_unknown_triage_not_raise(self, spark):
+        import numpy as np
+
+        from ecollector_spark.datapipe.png_codec import encode_png
+
+        png = bytearray(encode_png(np.zeros((5, 5), np.uint8)))
+        png[12:16] = b"XXXX"  # break IHDR after valid magic
+        out = self._probe(spark, [b"", b"garbage bytes here", bytes(png)])
+        assert all(not r["valid"] for r in out.values())
+        assert out[1]["kind"] == "unknown" and "magic" in out[1]["error"]
+        assert out[2]["error"]  # the codec's loud message, captured
