@@ -769,17 +769,25 @@ def normalize_url(url):
     a DuckDB oracle can mirror every rule:
 
     - scheme and host lowercase; leading ``www.`` stripped
+    - userinfo (``user:pass@``) stripped from the authority
     - default port stripped (``:80`` for http, ``:443`` for https)
     - fragment dropped; trailing slashes on the path dropped
     - tracking query params dropped (utm_*, fbclid, gclid, ref);
       surviving params sorted so ``?b=2&a=1`` == ``?a=1&b=2``
-    """
+
+    A string with no ``scheme://`` prefix is NOT a canonicalizable URL
+    — it passes through UNCHANGED (r10, ADVICE: the old behavior folded
+    scheme-less crawl records into malformed ``://host...`` keys that
+    silently deduped against each other; unchanged pass-through keeps
+    each malformed record its own key so it surfaces downstream)."""
     from pyspark.sql import functions as F
 
+    url = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(F.trim(url), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^[^/?]*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
@@ -797,7 +805,9 @@ def normalize_url(url):
     qnorm = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qnorm)
+    return F.when(
+        scheme == "", url
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qnorm))
 
 
 def dedup_urls(

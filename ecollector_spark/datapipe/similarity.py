@@ -238,10 +238,13 @@ def semantic_dedup(
     with it (rounded to 6 decimals, the repo's cross-engine cosine
     convention). The paper keeps the member with the lowest distance
     to the centroid inside each epsilon-ball; lowest-id is the
-    deterministic twin of that choice (documented deviation — the kept
-    EXEMPLAR differs, the dedup rate does not), and unlike iterative
-    exemplar selection it is expressible as one relational predicate
-    on both engines.
+    deterministic twin of that choice (documented deviation: the kept
+    EXEMPLAR differs, and on similarity CHAINS the dedup RATE can too —
+    the lower-id witness may itself be dropped, so cos(1,2)>=t,
+    cos(2,3)>=t, cos(1,3)<t drops BOTH 2 and 3 here where iterative
+    exemplar selection would keep one of them; r10 ADVICE note), and
+    unlike iterative exemplar selection it is expressible as one
+    relational predicate on both engines.
 
     Scale shape: clustering is the IVF coarse quantizer
     (:func:`ivf_centroids` — one broadcast-argmin scan per Lloyd step,

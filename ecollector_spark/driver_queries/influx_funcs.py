@@ -624,7 +624,8 @@ SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time,
        dev_id, dev_type, dir, location_id, service, topic, domain,
        value_f AS value
 FROM src
-ORDER BY time, dev_id, value
+ORDER BY time, dev_id, dev_type, dir, location_id, service, topic, domain,
+         value
 """,
     shelved=True,
 )

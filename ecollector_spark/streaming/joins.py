@@ -53,6 +53,20 @@ def stream_interval_join(
         raise ValueError("stream_interval_join needs at least one key column")
     if lower_seconds > upper_seconds:
         raise ValueError(f"empty interval [{lower_seconds}, {upper_seconds}]")
+    # the prefix must not collide with an existing left column: a left
+    # stream already carrying e.g. ``r_ts`` would make the renamed right
+    # column ambiguous in the output (and, pre-r10, the unqualified
+    # F.col time condition failed analysis) — refuse loudly instead
+    clash = sorted(
+        (right_prefix + c)
+        for c in right.columns
+        if c not in by and (right_prefix + c) in left.columns
+    )
+    if clash:
+        raise ValueError(
+            f"right_prefix {right_prefix!r} collides with left columns {clash}; "
+            "pick a different right_prefix"
+        )
     l = left.withWatermark(left_ts, watermark)  # noqa: E741
     r = right.withWatermark(right_ts, watermark)
     for c in right.columns:
@@ -62,10 +76,13 @@ def stream_interval_join(
     key_cond = functools.reduce(
         lambda a, b: a & b, [l[k] == r[k] for k in by]
     )
+    # DataFrame-qualified refs (l[...]/r[...]), never bare F.col: with
+    # both sides in scope an unqualified name that exists on both would
+    # be ambiguous at analysis (r10, ADVICE)
     time_cond = (
-        F.col(rts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower_seconds} SECONDS")
+        r[rts] >= l[left_ts] + F.expr(f"INTERVAL {lower_seconds} SECONDS")
     ) & (
-        F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_seconds} SECONDS")
+        r[rts] <= l[left_ts] + F.expr(f"INTERVAL {upper_seconds} SECONDS")
     )
     joined = l.join(r, key_cond & time_cond, "inner")
     for k in by:

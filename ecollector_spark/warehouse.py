@@ -419,12 +419,15 @@ class Warehouse:
             match = match & (F.unix_timestamp("ts") < int(to_epoch))
         # tag-equality restriction (public InfluxQL DELETE surface, r9
         # second session): ``(key, "="|"!=", value)`` triples ANDed in.
-        # eqNullSafe so the match is total: under ``!=`` a null/absent
-        # tag DIFFERS from the literal and the row deletes (InfluxDB
-        # treats a missing tag as the empty value, not as unknown —
-        # plain SQL ``!=`` would silently skip those rows)
+        # InfluxDB treats a missing tag as the EMPTY value, not as
+        # unknown, so the column is coalesced to '' before comparing —
+        # that makes the match total in BOTH directions: ``!=`` deletes
+        # rows with absent tags (plain SQL ``!=`` would skip them) and
+        # ``= ''`` also hits rows whose tag column is NULL (r10,
+        # ADVICE: eqNullSafe(NULL, '') was false so empty-value deletes
+        # missed absent tags)
         for key, op, val in tag_predicates or ():
-            cond = F.col(key).eqNullSafe(F.lit(val))
+            cond = F.coalesce(F.col(key), F.lit("")) == F.lit(val)
             match = match & (cond if op == "=" else ~cond)
         deleted = 0
         for tier in TIERS:

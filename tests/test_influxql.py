@@ -1260,6 +1260,23 @@ class TestDelete:
         # the sibling measurement is untouched throughout
         assert self._values(w, "sensor_temp.evt.sensor.report") == [21.5, 22.5]
 
+    def test_delete_empty_value_hits_null_tags(self, spark, tmp_path):
+        """r10 ADVICE: InfluxDB treats a MISSING tag as the empty value,
+        so ``"location_id" = ''`` must also delete rows whose tag
+        column is NULL (eqNullSafe(NULL, '') was false pre-r10)."""
+        api, w = self._api(spark, tmp_path)
+        extra = _mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:05:00", "8", 500.0),
+        ]).withColumn("location_id", F.lit(None).cast("string"))
+        w.write_points(extra)
+        rsp = api.run_query(
+            'DELETE FROM "electricity_meter_power" WHERE "location_id" = \'\'',
+            now=self.NOW,
+        )
+        assert rsp["val"]["Results"][0]["Series"][0]["values"] == [[1]]
+        # the two fixture rows (location_id='1') survive
+        assert self._values(w, "electricity_meter_power") == [100.0, 300.0]
+
     def test_delete_bare_now_upper_bound(self, spark, tmp_path):
         """``WHERE time < now()`` (no offset) deletes everything up to
         the present — valid InfluxQL, resolved against the passed now."""

@@ -854,3 +854,24 @@ class TestStreamStreamJoin:
             stream_interval_join(bl, bl, by=[])
         with pytest.raises(ValueError, match="empty interval"):
             stream_interval_join(bl, bl, by=["dev"], lower_seconds=5, upper_seconds=1)
+
+    def test_prefix_collision_refuses(self, spark):
+        """r10 ADVICE: a left stream already carrying ``r_ts`` would make
+        the renamed right ts ambiguous — refuse loudly, and succeed with
+        a non-colliding prefix."""
+        from datetime import datetime
+
+        from ecollector_spark.streaming.joins import stream_interval_join
+
+        left = spark.createDataFrame(
+            [("a", datetime(2024, 1, 1), datetime(2024, 1, 1))],
+            "dev string, ts timestamp, r_ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("a", datetime(2024, 1, 1))], "dev string, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="collides with left columns"):
+            stream_interval_join(left, right, by=["dev"])
+        out = stream_interval_join(left, right, by=["dev"], right_prefix="rr_")
+        assert out.columns == ["dev", "ts", "r_ts", "rr_ts"]
+        assert out.count() == 1
