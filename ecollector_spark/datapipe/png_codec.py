@@ -2,23 +2,32 @@
 behind the multimodal operators.
 
 The sandbox has no Pillow/ffmpeg, but PNG itself needs neither: the
-format is zlib-compressed filtered scanlines (RFC 2083). This module
-implements the 8-bit non-interlaced subset — grayscale / RGB / RGBA,
-all five scanline filters on decode — which is enough to run REAL
-image decode, resize and feature extraction through the mapInPandas
-stages instead of a stub. Audio/video stay honestly stubbed (their
-codecs genuinely need external libraries).
+format is zlib-compressed filtered scanlines (RFC 2083). r7 shipped the
+8-bit non-interlaced truecolor subset; r10 (VERDICT r9 missing #2)
+completes the real-web surface:
 
-Everything is deterministic integer math (the PNG spec's own mod-256
-arithmetic; nearest-neighbor resampling), so decode outputs are
-bit-identical across engines and a DuckDB oracle can predict them
-analytically for synthetic images — the property the driver's value
-gate (``mm_real_decode``) relies on.
+- **palette** (color type 3): PLTE lookup at bit depths 1/2/4/8,
+  optional tRNS alpha (output RGB, or RGBA when tRNS is present) —
+  the largest share of real crawled PNGs after 8-bit truecolor
+- **16-bit** samples (color types 0/2/4/6): big-endian pairs, output
+  dtype uint16
+- **sub-byte grayscale** (depths 1/2/4): MSB-first bit unpacking,
+  samples rescaled to 8-bit by the exact integer factors 255/85/17
+- **Adam7 interlace**: seven independently-filtered sub-images
+  scattered onto the final grid (each pass unfiltered with its own
+  geometry, per spec)
 
-Not a Pillow replacement: no interlacing, no 16-bit, no palette, no
-ancillary-chunk interpretation. Reference parity: the reference has no
-image path at all — this backs SURVEY §"multimodal" (a training-data
-pipeline requirement, not an ecollector feature).
+All five scanline filters on decode; filtering math is the spec's own
+mod-256 integer arithmetic and resampling is nearest-neighbor index
+math, so decode outputs are bit-identical across engines and a DuckDB
+oracle can predict them analytically for synthetic images — the
+property the driver's value gates (``mm_real_decode``,
+``mm_png_palette``) rely on.
+
+Not a Pillow replacement: no ancillary-chunk interpretation (gAMA etc.)
+and no tRNS color-key on truecolor/grayscale. Reference parity: the
+reference has no image path at all — this backs SURVEY §"multimodal"
+(a training-data pipeline requirement, not an ecollector feature).
 """
 
 from __future__ import annotations
@@ -29,8 +38,29 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-#: color type -> channel count (8-bit only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: color type -> samples per pixel in the file
+_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: color type -> legal bit depths (PNG spec §11.2.2)
+_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+#: Adam7 pass geometry: (x offset, y offset, x step, y step) — the
+#: spec's starting_col/starting_row/col_increment/row_increment tables
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+#: exact 8-bit rescale factor for sub-byte grayscale: 255 / (2^d - 1)
+_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -42,24 +72,70 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """8-bit PNG bytes from (h, w) grayscale or (h, w, 3|4) RGB(A)
-    arrays. Filter type 0 on every scanline (encode simplicity; decode
-    handles all five)."""
-    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
-    if arr.ndim == 2:
+def _pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Adam7 pass list as (xoff, yoff, xstep, ystep, pass_w, pass_h),
+    empty passes skipped (they contribute zero bytes to the stream)."""
+    out = []
+    for xo, yo, xs, ys in _ADAM7:
+        pw = (w - xo + xs - 1) // xs
+        ph = (h - yo + ys - 1) // ys
+        if pw > 0 and ph > 0:
+            out.append((xo, yo, xs, ys, pw, ph))
+    return out
+
+
+def _pack_rows(samples: np.ndarray, depth: int) -> bytes:
+    """One image/pass (rows, cols, spp) of integer samples -> filtered
+    (type 0) scanline bytes at ``depth`` bits per sample."""
+    h = samples.shape[0]
+    flat = samples.reshape(h, -1)
+    if depth == 8:
+        rows = flat.astype(np.uint8)
+        return b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    if depth == 16:
+        rows = flat.astype(">u2")
+        return b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    # sub-byte: MSB-first packing, rows padded to a byte boundary
+    per = 8 // depth
+    out = bytearray()
+    for y in range(h):
+        row = flat[y].astype(np.uint8)
+        pad = (-len(row)) % per
+        if pad:
+            row = np.concatenate([row, np.zeros(pad, np.uint8)])
+        bits = np.unpackbits(row.reshape(-1, 1), axis=1)[:, 8 - depth :]
+        out += b"\x00" + np.packbits(bits.reshape(-1)).tobytes()
+    return bytes(out)
+
+
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """PNG bytes from (h, w) grayscale or (h, w, 3|4) RGB(A) arrays —
+    8-bit from uint8 input, 16-bit from uint16 (r10). Filter type 0 on
+    every scanline (encode simplicity; decode handles all five);
+    ``interlace=True`` writes Adam7 passes."""
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = np.ascontiguousarray(a.astype(np.uint16 if depth == 16 else np.uint8))
+    if a.ndim == 2:
         color_type = 0
-    elif arr.ndim == 3 and arr.shape[2] == 3:
+    elif a.ndim == 3 and a.shape[2] == 3:
         color_type = 2
-    elif arr.ndim == 3 and arr.shape[2] == 4:
+    elif a.ndim == 3 and a.shape[2] == 4:
         color_type = 6
     else:
-        raise ValueError(f"unsupported array shape {arr.shape}")
-    h, w = arr.shape[:2]
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty image")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    a3 = a.reshape(h, w, -1)
+    if interlace:
+        raw = b"".join(
+            _pack_rows(a3[yo::ys, xo::xs], depth)
+            for xo, yo, xs, ys, _pw, _ph in _pass_dims(w, h)
+        )
+    else:
+        raw = _pack_rows(a3, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -68,9 +144,42 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def png_header(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the IHDR without inflating pixel
-    data — the cheap metadata probe."""
+def encode_png_palette(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    trans: np.ndarray | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Indexed-color PNG (color type 3, r10): ``idx`` (h, w) palette
+    indices, ``palette`` (n, 3) uint8 RGB entries, optional ``trans``
+    (m,) uint8 alphas (the tRNS chunk — indices past its end are
+    opaque). ``depth`` in {1, 2, 4, 8} must hold every index."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
+    idx = np.ascontiguousarray(np.asarray(idx, dtype=np.uint8))
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    if idx.ndim != 2 or idx.size == 0:
+        raise ValueError("palette image must be a non-empty (h, w) index array")
+    if int(idx.max(initial=0)) >= min(len(palette), 1 << depth):
+        raise ValueError("palette index out of range for depth/palette size")
+    h, w = idx.shape
+    a3 = idx.reshape(h, w, 1)
+    if interlace:
+        raw = b"".join(
+            _pack_rows(a3[yo::ys, xo::xs], depth)
+            for xo, yo, xs, ys, _pw, _ph in _pass_dims(w, h)
+        )
+    else:
+        raw = _pack_rows(a3, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
+    body = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+    if trans is not None:
+        body += _chunk(b"tRNS", np.asarray(trans, dtype=np.uint8).tobytes())
+    return body + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def _parse_ihdr(data: bytes) -> tuple[int, int, int, int, int]:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     if data[12:16] != b"IHDR":
@@ -78,49 +187,50 @@ def png_header(data: bytes) -> tuple[int, int, int]:
     if len(data) < 29:
         raise ValueError("truncated PNG: short IHDR")
     w, h, depth, ctype, _comp, _filt, inter = struct.unpack(">IIBBBBB", data[16:29])
-    if depth != 8 or inter != 0 or ctype not in _CHANNELS:
+    if ctype not in _SAMPLES or depth not in _DEPTHS.get(ctype, ()):
         raise NotImplementedError(
-            f"unsupported PNG variant (depth={depth}, color={ctype}, interlace={inter})"
+            f"unsupported PNG variant (depth={depth}, color={ctype})"
         )
-    return w, h, _CHANNELS[ctype]
+    if inter not in (0, 1):
+        raise NotImplementedError(f"unknown interlace method {inter}")
+    return w, h, depth, ctype, inter
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode to a uint8 array — (h, w) for grayscale, (h, w, c)
-    otherwise. Validates chunk CRCs; implements all five scanline
-    filters (None/Sub/Up/Average/Paeth) with the spec's exact integer
-    arithmetic."""
-    w, h, channels = png_header(data)
-    pos, idat = 8, bytearray()
-    while pos + 12 <= len(data):
+def png_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, output channels) without inflating pixel data —
+    the cheap metadata probe. For palette images the chunk index (not
+    the pixel stream) is walked far enough to see whether tRNS is
+    present, so the reported channel count matches what decode_png
+    returns (3, or 4 with transparency)."""
+    w, h, depth, ctype, _inter = _parse_ihdr(data)
+    if ctype != 3:
+        return w, h, _SAMPLES[ctype]
+    # palette: header-only chunk walk (lengths + tags, no CRC, no
+    # inflate) to spot tRNS before the pixel data
+    pos = 8
+    has_trns = False
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
-        if pos + 12 + length > len(data):
-            # corrupt/truncated chunk length must fail loud, not as a
-            # struct.error from the short CRC slice (fuzz pin, r9)
-            raise ValueError(
-                f"truncated PNG: chunk length {length} at offset {pos} overruns data"
-            )
         tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
-        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        if tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
+        if tag == b"tRNS":
+            has_trns = True
+        if tag in (b"IDAT", b"IEND"):
             break
         pos += 12 + length
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG: zlib inflate failed ({e})") from None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    return w, h, 4 if has_trns else 3
+
+
+def _unfilter(raw: bytes, p: int, pw: int, ph: int, spp: int, depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of ``ph`` scanlines starting at offset
+    ``p`` in the inflated stream. Returns (rows as (ph, stride) uint8,
+    next offset). All five filters, spec-exact integer math."""
+    stride = (pw * spp * depth + 7) // 8
+    bpp = max(1, (spp * depth) // 8)
+    need = ph * (stride + 1)
+    if p + need > len(raw):
         raise ValueError("pixel data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at 8-bit depth
-    p = 0
-    for y in range(h):
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    for y in range(ph):
         ft = raw[p]
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).astype(
             np.int32
@@ -150,8 +260,99 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad scanline filter {ft}")
         out[y] = cur.astype(np.uint8)
-    img = out.reshape(h, w, channels)
-    return img[:, :, 0] if channels == 1 else img
+    return out, p
+
+
+def _rows_to_samples(rows: np.ndarray, pw: int, spp: int, depth: int) -> np.ndarray:
+    """(ph, stride) filtered-out bytes -> (ph, pw, spp) integer samples."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * spp].reshape(ph, pw, spp)
+    if depth == 16:
+        return (
+            rows[:, : pw * spp * 2]
+            .reshape(ph, -1)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(ph, pw, spp)
+        )
+    # sub-byte (spp == 1 for all sub-byte color types): MSB-first
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(ph, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    samples = (vals * weights).sum(axis=2)[:, :pw]
+    return samples.reshape(ph, pw, 1)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode to an array — (h, w) for grayscale, (h, w, c) otherwise;
+    uint8 except 16-bit inputs (uint16). Validates chunk CRCs;
+    implements all five scanline filters (None/Sub/Up/Average/Paeth)
+    with the spec's exact integer arithmetic, Adam7 interlace, palette
+    (PLTE + optional tRNS alpha) and sub-byte / 16-bit sample sizes."""
+    w, h, depth, ctype, inter = _parse_ihdr(data)
+    spp = _SAMPLES[ctype]
+    pos, idat = 8, bytearray()
+    plte: np.ndarray | None = None
+    trns: np.ndarray | None = None
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            # corrupt/truncated chunk length must fail loud, not as a
+            # struct.error from the short CRC slice (fuzz pin, r9)
+            raise ValueError(
+                f"truncated PNG: chunk length {length} at offset {pos} overruns data"
+            )
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IDAT":
+            idat += payload
+        elif tag == b"PLTE":
+            if length % 3 or length == 0:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS" and ctype == 3:
+            trns = np.frombuffer(payload, np.uint8)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ctype == 3 and plte is None:
+        raise ValueError("palette image without PLTE chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG: zlib inflate failed ({e})") from None
+
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+    img = np.zeros((h, w, spp), dtype=sample_dtype)
+    p = 0
+    if inter:
+        for xo, yo, xs, ys, pw, ph in _pass_dims(w, h):
+            rows, p = _unfilter(raw, p, pw, ph, spp, depth)
+            img[yo::ys, xo::xs] = _rows_to_samples(rows, pw, spp, depth)
+    else:
+        rows, p = _unfilter(raw, p, w, h, spp, depth)
+        img[:] = _rows_to_samples(rows, w, spp, depth)
+    if p != len(raw):
+        raise ValueError("pixel data length mismatch")
+
+    if ctype == 3:
+        idx = img[:, :, 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+        return np.dstack([rgb, alpha[idx]])
+    if ctype == 0 and depth < 8:
+        # exact integer rescale to 8-bit range (255 / (2^d - 1))
+        return (img[:, :, 0] * _GRAY_SCALE[depth]).astype(np.uint8)
+    return img[:, :, 0] if spp == 1 else img
 
 
 def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:

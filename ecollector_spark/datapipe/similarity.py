@@ -224,9 +224,11 @@ def embedding_near_dup_pairs(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_iter: int = 2,
     vec_col: str = "embedding",
+    flat_cap: int = 4096,
+    level1: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication of an embedded corpus by k-means clustering
@@ -246,21 +248,45 @@ def semantic_dedup(
     unlike iterative exemplar selection it is expressible as one
     relational predicate on both engines.
 
-    Scale shape: clustering is the IVF coarse quantizer
-    (:func:`ivf_centroids` — one broadcast-argmin scan per Lloyd step,
-    exact-decimal means, bit-identical to the SQL oracle). The pairwise
-    step shuffles the corpus ONCE on ``cid`` and self-joins inside each
-    cluster, so the comparison count is sum(c_i^2) over cluster sizes —
-    never corpus^2. The knob that keeps that bounded at 100 TB is
-    ``n_centroids``: the paper's regime is many small clusters (k
-    scales WITH the corpus; :func:`default_n_centroids`'s k ~ sqrt(N)
-    gives ~sqrt(N)-sized clusters and ~N^1.5 worst-case comparisons,
-    larger k lowers it further). Vectors ride the join with
+    Scale shape: the pairwise step shuffles the corpus ONCE on ``cid``
+    and self-joins inside each cluster, so the comparison count is
+    sum(c_i^2) over cluster sizes — never corpus^2. The knob that keeps
+    that bounded at 100 TB is ``n_centroids``: the paper's regime is
+    many small clusters (k scales WITH the corpus; k ~ sqrt(N) gives
+    ~sqrt(N)-sized clusters and ~N^1.5 worst-case comparisons, larger k
+    lowers it further). ``n_centroids=None`` (the default, r10 — the
+    fixed-8 default was VERDICT r9's #1 footgun) therefore AUTO-SIZES:
+    one metadata-cheap count() and :func:`default_n_centroids` with the
+    dedup cap of 2^24 lists, so posture stays ~N^1.5 to a ~3e14-vector
+    corpus instead of turning quadratic at the IVF broadcast cap.
+
+    Clustering is the IVF coarse quantizer for k <= ``flat_cap``
+    (:func:`ivf_assignments` — one broadcast-argmin scan per Lloyd
+    step, exact-decimal means, bit-identical to the SQL oracle); past
+    that, the broadcast of k centroids is what used to force the 4096
+    cap, so large k switches to the two-level quantizer
+    (:func:`hierarchical_assignments`): sqrt(k)-ish coarse centroids
+    broadcast-assigned, then per-coarse-cluster sub-centroids that ride
+    an ordinary cid1-keyed shuffle join — nothing broadcast is ever
+    bigger than ~sqrt(k) vectors, and the Lloyd math stays
+    exact-decimal/deterministic (same SQL-oracle property, see the
+    ``dedup_semantic_hier`` gate). Vectors ride the join with
     precomputed norms; no id-pair re-join (the r7
     ``embedding_near_dup_pairs`` lesson)."""
-    a = ivf_assignments(
-        emb, n_centroids=n_centroids, vec_col=vec_col, n_iter=n_iter
-    )
+    if n_centroids is None:
+        n_centroids = default_n_centroids(emb.count(), cap=1 << 24)
+    if n_centroids <= flat_cap:
+        a = ivf_assignments(
+            emb, n_centroids=n_centroids, vec_col=vec_col, n_iter=n_iter
+        )
+    else:
+        a = hierarchical_assignments(
+            emb,
+            n_centroids,
+            vec_col=vec_col,
+            n_iter=n_iter,
+            level1=level1,
+        )
     withn = a.select(
         "vec_id", "cid", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("_n")
     )
@@ -423,6 +449,115 @@ def ivf_assignments(
     pruning."""
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
     return _assign_to_centroids(e, ivf_centroids(e, n_centroids, n_iter))
+
+
+def _assign_to_subcentroids(e1: DataFrame, subc: DataFrame) -> DataFrame:
+    """(vec_id, v, cid1, cid2): nearest LEVEL-2 sub-centroid within the
+    row's coarse cluster, ties to the lowest cid2.
+
+    The level-1 twin (:func:`_assign_to_centroids`) broadcasts ALL
+    centroids; here only the sub-centroids of the SAME coarse cluster
+    are candidates, so they arrive grouped per ``cid1`` through an
+    ordinary equi-join — a shuffle keyed on cid1, never a broadcast of
+    the full k-vector codebook. Each corpus row then argmins over its
+    in-row array of ~fanout sub-centroids (map-side, no row blowup).
+    This is the piece that removes the flat quantizer's broadcast cap:
+    per-row candidate work is fanout ~ sqrt(k), total shuffled codebook
+    bytes are k vectors once per pass."""
+    grouped = subc.groupBy("cid1").agg(
+        F.collect_list(F.struct("cid2", "cvec")).alias("_sc")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_sc"),
+            lambda c: F.struct(
+                _l2sq(F.col("v"), c["cvec"]).alias("d2"), c["cid2"].alias("cid2")
+            ),
+        )
+    )
+    return e1.join(grouped, "cid1").select(
+        "vec_id", "v", "cid1", best["cid2"].alias("cid2")
+    )
+
+
+def hierarchical_assignments(
+    emb: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+    level1: int | None = None,
+) -> DataFrame:
+    """Two-level quantizer (VERDICT r9 #1): (vec_id, v, cid) with up to
+    ``n_centroids`` cells, none of it broadcast-bound by k.
+
+    Level 1 is the ordinary flat quantizer with ``level1`` (default:
+    power-of-two nearest sqrt(n_centroids), clamped to [2, 4096])
+    coarse centroids — a broadcast of at most ~sqrt(k) vectors. Level 2
+    trains ``fanout = ceil(n_centroids / level1)`` sub-centroids INSIDE
+    each coarse cluster: seeds are the lowest ``fanout`` vec_ids per
+    cluster (one bounded per-cluster window sort), refined by the same
+    fixed ``n_iter`` exact-decimal Lloyd steps, with assignment via
+    :func:`_assign_to_subcentroids` (cid1-keyed shuffle join + in-row
+    argmin). Final cid = cid1 * fanout + cid2 — disjoint cells, dense
+    enough for partition layout.
+
+    Determinism matches the flat path (seeded by lowest ids, means as
+    exact decimal / count, ties to the lowest sub-id), so a SQL oracle
+    replays it bit-identically — the ``dedup_semantic_hier`` gate does.
+    A coarse cluster smaller than ``fanout`` simply trains fewer
+    sub-centroids; an emptied sub-cluster keeps its previous position
+    (same rule as :func:`ivf_centroids`)."""
+    if level1 is None:
+        import math
+
+        # power of two nearest sqrt(k), clamped: big enough that fanout
+        # stays ~sqrt(k), small enough to broadcast at level 1
+        s = max(2, int(round(math.sqrt(n_centroids))))
+        p = 1
+        while p * 2 <= s:
+            p *= 2
+        if s - p > 2 * p - s:
+            p *= 2
+        level1 = max(2, min(p, 4096))
+    fanout = -(-n_centroids // level1)  # ceil
+    e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    e1 = _assign_to_centroids(e, ivf_centroids(e, level1, n_iter)).select(
+        "vec_id", "v", F.col("cid").alias("cid1")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cid1").orderBy("vec_id")
+    )
+    subc = (
+        e1.withColumn("_rn", rn)
+        .where(F.col("_rn") <= fanout)
+        .select("cid1", (F.col("_rn") - 1).alias("cid2"), F.col("v").alias("cvec"))
+    )
+    for _ in range(n_iter):
+        assigned = _assign_to_subcentroids(e1, subc)
+        comp = assigned.select("cid1", "cid2", F.posexplode("v").alias("pos", "x"))
+        means = comp.groupBy("cid1", "cid2", "pos").agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")
+            ).alias("m")
+        )
+        new = means.groupBy("cid1", "cid2").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("ncvec")
+        )
+        subc = (
+            subc.join(new, ["cid1", "cid2"], "left")
+            .select(
+                "cid1", "cid2", F.coalesce("ncvec", "cvec").alias("cvec")
+            )
+            .localCheckpoint(eager=False)
+        )
+    final = _assign_to_subcentroids(e1, subc)
+    return final.select(
+        "vec_id",
+        "v",
+        (F.col("cid1") * fanout + F.col("cid2")).alias("cid"),
+    )
 
 
 def ivf_index_exists(index_path: str) -> bool:

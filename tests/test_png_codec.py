@@ -43,11 +43,129 @@ class TestRoundTrip:
             decode_png(bytes(data))
 
     def test_unsupported_variants_refuse(self):
-        # 16-bit depth header
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        # spec-illegal combo: 16-bit palette (ctype 3 allows 1/2/4/8)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
         data = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
         with pytest.raises(NotImplementedError):
             png_header(data)
+        # unknown interlace method
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+        data = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            png_header(data)
+
+
+class TestPaletteInterlace16:
+    """r10 (VERDICT r9 missing #2): palette / Adam7 / 16-bit / sub-byte."""
+
+    def test_palette_roundtrip_all_depths(self):
+        from ecollector_spark.datapipe.png_codec import (
+            encode_png_palette,
+        )
+
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        for depth in (1, 2, 4, 8):
+            n = min(16, 1 << depth)
+            idx = rng.integers(0, n, (9, 7), dtype=np.uint8)
+            data = encode_png_palette(idx, pal, depth=depth)
+            got = decode_png(data)
+            assert got.shape == (9, 7, 3)
+            assert np.array_equal(got, pal[idx])
+
+    def test_palette_trns_alpha(self):
+        from ecollector_spark.datapipe.png_codec import (
+            encode_png_palette,
+        )
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        trans = np.array([0, 128], np.uint8)  # idx 2 implicitly opaque
+        idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+        data = encode_png_palette(idx, pal, trans=trans, depth=2)
+        got = decode_png(data)
+        assert got.shape == (2, 3, 4)
+        assert np.array_equal(got[:, :, :3], pal[idx])
+        want_a = np.array([[0, 128, 255], [255, 128, 0]], np.uint8)
+        assert np.array_equal(got[:, :, 3], want_a)
+        # header probe reports 4 channels when tRNS is present, 3 without
+        assert png_header(data) == (3, 2, 4)
+        assert png_header(encode_png_palette(idx, pal, depth=2)) == (3, 2, 3)
+
+    @pytest.mark.parametrize("shape", [(1, 1), (9, 7), (5, 11, 3), (4, 4, 4)])
+    def test_16bit_roundtrip(self, shape):
+        rng = np.random.default_rng(sum(shape))
+        arr = rng.integers(0, 1 << 16, shape, dtype=np.uint16)
+        got = decode_png(encode_png(arr))
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, arr)
+
+    @pytest.mark.parametrize(
+        "shape", [(1, 1), (8, 8), (13, 17, 3), (7, 9, 4), (3, 21)]
+    )
+    def test_adam7_roundtrip(self, shape):
+        rng = np.random.default_rng(sum(shape) + 1)
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = encode_png(arr, interlace=True)
+        assert np.array_equal(decode_png(data), arr)
+        # and interlaced 16-bit
+        arr16 = rng.integers(0, 1 << 16, shape, dtype=np.uint16)
+        assert np.array_equal(decode_png(encode_png(arr16, interlace=True)), arr16)
+
+    def test_adam7_palette(self):
+        from ecollector_spark.datapipe.png_codec import (
+            encode_png_palette,
+        )
+
+        rng = np.random.default_rng(12)
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        idx = rng.integers(0, 4, (10, 10), dtype=np.uint8)
+        data = encode_png_palette(idx, pal, depth=2, interlace=True)
+        assert np.array_equal(decode_png(data), pal[idx])
+
+    def test_subbyte_grayscale_rescales(self):
+        """Gray depth 1/2/4 samples rescale to 8-bit by the exact
+        integer factors 255/85/17 (spec sample-depth scaling)."""
+        for depth, factor in ((1, 255), (2, 85), (4, 17)):
+            n = 1 << depth
+            idx = np.arange(n, dtype=np.uint8).reshape(1, n)
+            # hand-build a grayscale sub-byte PNG via the pack helper
+            from ecollector_spark.datapipe.png_codec import _pack_rows
+
+            raw = _pack_rows(idx.reshape(1, n, 1), depth)
+            ihdr = struct.pack(">IIBBBBB", n, 1, depth, 0, 0, 0, 0)
+            data = (
+                _SIG
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(raw))
+                + _chunk(b"IEND", b"")
+            )
+            got = decode_png(data)
+            assert np.array_equal(got, idx * factor)
+
+    def test_palette_without_plte_refuses(self):
+        from ecollector_spark.datapipe.png_codec import (
+            _pack_rows,
+        )
+
+        raw = _pack_rows(np.zeros((1, 1, 1), np.uint8), 8)
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        data = (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png(data)
+
+    def test_palette_index_out_of_range_refuses(self):
+        from ecollector_spark.datapipe.png_codec import (
+            encode_png_palette,
+        )
+
+        pal = np.zeros((2, 3), np.uint8)
+        with pytest.raises(ValueError, match="out of range"):
+            encode_png_palette(np.array([[3]], np.uint8), pal, depth=2)
 
 
 def _ref_unfilter(rows, filters, bpp):
