@@ -378,13 +378,14 @@ def attach_synthetic_gif_media(docs: DataFrame) -> DataFrame:
 
 def attach_synthetic_tiff_media(docs: DataFrame) -> DataFrame:
     """Real, decodable baseline-TIFF payloads built deterministically
-    from doc_id (r9 second session) — constant-luminance grayscale;
-    odd doc_ids PACKBITS-compressed (pinning the RLE inversion), even
-    uncompressed. TIFF is lossless here, so the oracle's prediction is
-    simply the input value:
+    from doc_id (r9 second session; r10 adds the LZW arm) —
+    constant-luminance grayscale cycling through all four supported
+    compressions by doc_id % 4: none / PackBits / Deflate /
+    LZW+Predictor-2. TIFF is lossless here, so the oracle's prediction
+    is simply the input value regardless of the compression arm:
 
-        w = 18 + doc_id % 29,  h = 10 + doc_id % 13,
-        v = doc_id % 256,      packbits = doc_id % 2 == 1
+        w = 18 + doc_id % 29,  h = 10 + doc_id % 13,  v = doc_id % 256
+        compression = (none, packbits, deflate, lzw+pred)[doc_id % 4]
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -392,6 +393,7 @@ def attach_synthetic_tiff_media(docs: DataFrame) -> DataFrame:
 
         from ecollector_spark.datapipe.tiff_codec import encode_tiff, tiff_header
 
+        modes = ("none", "packbits", "deflate", "lzw")
         for pdf in batches:
             blobs, widths, heights, nbytes = [], [], [], []
             for doc_id in pdf["doc_id"]:
@@ -399,7 +401,8 @@ def attach_synthetic_tiff_media(docs: DataFrame) -> DataFrame:
                 w, h, v = 18 + d % 29, 10 + d % 13, d % 256
                 data = encode_tiff(
                     np.full((h, w), v, dtype=np.uint8),
-                    packbits=d % 2 == 1,
+                    compression=modes[d % 4],
+                    predictor=d % 4 == 3,
                     rows_per_strip=4,
                 )
                 pw, ph, _ = tiff_header(data)

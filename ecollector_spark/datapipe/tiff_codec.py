@@ -6,14 +6,16 @@ refusals loud and by name like the other codecs):
 
 - decode: both byte orders (II little / MM big), 8-bit grayscale
   (PhotometricInterpretation 0 WhiteIsZero / 1 BlackIsZero) and 8-bit
-  RGB, Compression 1 (none), 32773 (PackBits) and 8/32946 (Deflate —
-  zlib per strip, the Adobe extension), multi-strip, chunky planar
-  layout; BitsPerSample other than 8, LZW/CCITT/JPEG compression,
-  PlanarConfiguration 2 and tiled files raise ``NotImplementedError``
-  naming the feature.
+  RGB, Compression 1 (none), 32773 (PackBits), 8/32946 (Deflate —
+  zlib per strip, the Adobe extension) and 5 (LZW, r10 — MSB-first
+  variable-width codes with the spec's EARLY-CHANGE width bumps, §13),
+  Predictor 2 (horizontal differencing, §14, the usual LZW pairing),
+  multi-strip, chunky planar layout; BitsPerSample other than 8,
+  CCITT/JPEG compression, PlanarConfiguration 2 and tiled files raise
+  ``NotImplementedError`` naming the feature.
 - encode: little-endian, grayscale (n, h) or RGB (h, w, 3) uint8,
-  compression none / "packbits" / "deflate", configurable rows per
-  strip.
+  compression none / "packbits" / "deflate" / "lzw", optional
+  horizontal-differencing predictor, configurable rows per strip.
 
 Both paths are LOSSLESS for the supported subset, so
 ``decode_tiff(encode_tiff(x)) == x`` exactly — the math-free oracle
@@ -34,6 +36,7 @@ import numpy as np
 _WIDTH, _LENGTH, _BPS, _COMPRESSION = 256, 257, 258, 259
 _PHOTOMETRIC, _STRIP_OFFSETS, _SPP = 262, 273, 277
 _ROWS_PER_STRIP, _STRIP_COUNTS, _PLANAR = 278, 279, 284
+_PREDICTOR = 317
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -94,19 +97,157 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13). Same algorithm family as the GIF
+    codec's ``lzw_encode`` but with the format's three quirks: MSB-first
+    bit packing, fixed 8-bit symbols (Clear=256, EOI=257, first table
+    entry 258, codes start at 9 bits), and the EARLY-CHANGE convention —
+    the code width bumps when the table reaches 2^width - 1 entries, one
+    code earlier than GIF. The dictionary resets with a ClearCode as
+    soon as entry 4093 has been assigned (next would be 4094, the spec's
+    mandated reset point)."""
+    out = bytearray()
+    acc = n = 0
+
+    def write(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc = (acc << width) | code
+        n += width
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+            acc &= (1 << n) - 1
+
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code, width = 258, 9
+    write(CLEAR, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        write(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == 4094:
+            write(CLEAR, width)
+            table = fresh()
+            next_code, width = 258, 9
+        elif next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        prefix = bytes([b])
+    if prefix:
+        write(table[prefix], width)
+    write(EOI, width)
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """Decode ``expected`` bytes of TIFF LZW. Mirrors the encoder's
+    early-change rule from the DECODER's seat: the reader lags the
+    writer by exactly one table entry, so the width bumps when the
+    local table reaches 2^width - 2 entries (one less than the
+    encoder's threshold) — the classic off-by-one that makes naive
+    GIF-style decoders tear TIFF streams apart mid-image. Tolerant of a
+    missing EOI (strip byte counts bound the output), loud on bad
+    codes/truncation."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    pos = 0
+    total = 8 * len(data)
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total:
+            raise ValueError("truncated TIFF strip: LZW stream exhausted")
+        byte0 = pos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\x00"), "big")
+        v = (chunk >> (32 - (pos & 7) - width)) & ((1 << width) - 1)
+        pos += width
+        return v
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        code = read(width)
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if code < len(table) and code not in (CLEAR, EOI):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt TIFF strip: LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(
+            f"truncated TIFF strip: {len(out)} of {expected} bytes decoded"
+        )
+    return bytes(out[:expected])
+
+
+def _hdiff(rows: np.ndarray, spp: int) -> bytes:
+    """Horizontal differencing (Predictor 2, TIFF 6.0 §14): per row,
+    each sample becomes the mod-256 difference from the same channel of
+    the previous pixel."""
+    a = rows.astype(np.int16).reshape(rows.shape[0], -1, spp)
+    d = a.copy()
+    d[:, 1:, :] -= a[:, :-1, :]
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
+def _hundiff(arr: np.ndarray, spp: int) -> np.ndarray:
+    """Inverse of :func:`_hdiff`: mod-256 cumulative sum along each row
+    per channel (vectorized — uint8 addition wraps exactly like the
+    encoder's subtraction)."""
+    a = arr.reshape(arr.shape[0], -1, spp)
+    return (
+        np.cumsum(a.astype(np.int64), axis=1) & 0xFF
+    ).astype(np.uint8).reshape(arr.shape)
+
+
 def encode_tiff(
     img: np.ndarray,
     packbits: bool = False,
     rows_per_strip: int = 32,
     compression: str | None = None,
+    predictor: bool = False,
 ) -> bytes:
     """Little-endian baseline TIFF from uint8 (h, w) grayscale or
     (h, w, 3) RGB. ``compression``: None (or "none"), "packbits",
-    "deflate" (zlib per strip, tag value 8); the legacy ``packbits``
-    flag is equivalent to compression="packbits"."""
+    "deflate" (zlib per strip, tag value 8), "lzw" (tag value 5, r10);
+    the legacy ``packbits`` flag is equivalent to
+    compression="packbits". ``predictor`` writes Predictor=2 tags and
+    horizontally differences each row first (the pairing real LZW TIFFs
+    almost always use — flat rows collapse to near-nothing)."""
     if compression is None:
         compression = "packbits" if packbits else "none"
-    if compression not in ("none", "packbits", "deflate"):
+    if compression not in ("none", "packbits", "deflate", "lzw"):
         raise ValueError(f"unknown TIFF compression {compression!r}")
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
@@ -119,7 +260,10 @@ def encode_tiff(
     if not (0 < h <= _MAX_DIM and 0 < w <= _MAX_DIM):
         raise ValueError(f"unsupported dimensions {w}x{h}")
     rps = max(1, min(rows_per_strip, h))
-    raw = np.ascontiguousarray(arr).tobytes()
+    if predictor:
+        raw = _hdiff(arr.reshape(h, w * spp), spp)
+    else:
+        raw = np.ascontiguousarray(arr).tobytes()
     row_bytes = w * spp
     import zlib
 
@@ -130,8 +274,12 @@ def encode_tiff(
             chunk = packbits_encode(chunk)
         elif compression == "deflate":
             chunk = zlib.compress(chunk)
+        elif compression == "lzw":
+            chunk = lzw_encode_tiff(chunk)
         strips.append(chunk)
-    compression = {"none": 1, "packbits": 32773, "deflate": 8}[compression]
+    compression = {"none": 1, "packbits": 32773, "deflate": 8, "lzw": 5}[
+        compression
+    ]
 
     entries = []  # (tag, type, count, value) — SHORT/LONG inline values
 
@@ -139,7 +287,7 @@ def encode_tiff(
         entries.append((tag, typ, count, value))
 
     # layout: header(8) + IFD + strip data
-    n_entries = 10
+    n_entries = 11 if predictor else 10
     ifd_size = 2 + n_entries * 12 + 4
     data_start = 8 + ifd_size
     # strip offsets array (LONG) and byte counts (LONG) live after the
@@ -177,6 +325,8 @@ def encode_tiff(
     else:
         entry(_STRIP_COUNTS, 4, 1, len(strips[0]))
     entry(_PLANAR, 3, 1, 1)
+    if predictor:
+        entry(_PREDICTOR, 3, 1, 2)
     assert len(entries) == n_entries
     out = bytearray(b"II" + struct.pack("<HI", 42, 8))
     out += struct.pack("<H", n_entries)
@@ -276,12 +426,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
             f"TIFF BitsPerSample {bps} is not implemented (8-bit only)"
         )
     comp = vals(_COMPRESSION, (1,))[0]
-    if comp not in (1, 32773, 8, 32946):
-        names = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 2: "CCITT G3"}
+    if comp not in (1, 32773, 8, 32946, 5):
+        names = {6: "old-JPEG", 7: "JPEG", 2: "CCITT G3"}
         raise NotImplementedError(
             f"TIFF compression {comp} ({names.get(comp, 'unknown')}) is not "
-            "implemented (none/PackBits/Deflate only)"
+            "implemented (none/PackBits/Deflate/LZW only)"
         )
+    pred = vals(_PREDICTOR, (1,))[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred} is not implemented")
     if vals(_PLANAR, (1,))[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 is not implemented")
     if 322 in tags or 323 in tags:
@@ -311,6 +464,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError("more strips than image rows")
         if comp == 32773:
             chunk = packbits_decode(chunk, n_rows * row_bytes)
+        elif comp == 5:
+            chunk = lzw_decode_tiff(chunk, n_rows * row_bytes)
         elif comp in (8, 32946):
             import zlib
 
@@ -338,6 +493,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if rows_done != h:
         raise ValueError(f"strips cover {rows_done} of {h} rows")
     arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if pred == 2:  # undo horizontal differencing before anything else
+        arr = _hundiff(arr.reshape(h, row_bytes), spp).reshape(-1)
     arr = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, 3)
     if photometric == 0:  # WhiteIsZero: invert to BlackIsZero convention
         arr = 255 - arr

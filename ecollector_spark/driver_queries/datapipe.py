@@ -1894,17 +1894,20 @@ FROM m ORDER BY doc_id
     shelved=True,
 )
 def mm_tiff_decode(spark, sf_dir):
-    """REAL baseline-TIFF decode, value-gated (r9 second session):
-    constant-luminance grayscale TIFFs at per-doc geometry are built
-    inside mapInPandas (``attach_synthetic_tiff_media`` — multi-strip,
-    odd doc_ids PackBits-compressed), then decoded by the real feature
-    path (``extract_features(decode_stub=False)``) with a 256-bin
-    histogram whose argmax IS the decoded pixel. The TIFF subset here
-    is lossless, so the DuckDB twin predicts the value with no math —
-    a pure pin of the codec plumbing (IFD walk, strip assembly,
-    PackBits RLE, photometric) and the Spark plumbing around it.
-    width/height re-parse the produced bytes (tiff_header), pinning
-    header framing too."""
+    """REAL baseline-TIFF decode, value-gated (r9 second session; r10
+    widens the arms): constant-luminance grayscale TIFFs at per-doc
+    geometry are built inside mapInPandas
+    (``attach_synthetic_tiff_media`` — multi-strip, cycling
+    none / PackBits / Deflate / LZW+Predictor-2 by doc_id % 4), then
+    decoded by the real feature path
+    (``extract_features(decode_stub=False)``) with a 256-bin histogram
+    whose argmax IS the decoded pixel. The TIFF subset here is
+    lossless, so the DuckDB twin predicts the value with no math — a
+    pure pin of the codec plumbing (IFD walk, strip assembly, PackBits
+    RLE, Deflate bounds, TIFF-LZW early change, predictor undo,
+    photometric) and the Spark plumbing around it. width/height
+    re-parse the produced bytes (tiff_header), pinning header framing
+    too."""
     from ecollector_spark.datapipe.multimodal import attach_synthetic_tiff_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(

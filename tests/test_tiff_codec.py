@@ -127,6 +127,129 @@ class TestHandAssembled:
         assert np.array_equal(out, 255 - img)
 
 
+class TestLzw:
+    """TIFF LZW (r10, VERDICT r9 missing #3): MSB-first early-change
+    variable-width codes + the Predictor-2 pairing."""
+
+    @pytest.mark.parametrize("shape", [(1, 1), (5, 9), (16, 16), (64, 64)])
+    def test_gray_roundtrip(self, shape):
+        rng = np.random.default_rng(sum(shape))
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = encode_tiff(img, compression="lzw", rows_per_strip=8)
+        assert np.array_equal(decode_tiff(data), img)
+
+    def test_rgb_roundtrip_with_predictor(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+        data = encode_tiff(
+            img, compression="lzw", predictor=True, rows_per_strip=6
+        )
+        assert np.array_equal(decode_tiff(data), img)
+
+    def test_width_bumps_and_dictionary_reset(self):
+        """Random 128x128 RGB (49k bytes) forces the 9->10->11->12-bit
+        bumps AND the 4094-entry dictionary reset — an early-change
+        off-by-one on either side tears the image apart here."""
+        from ecollector_spark.datapipe.tiff_codec import (
+            lzw_decode_tiff,
+            lzw_encode_tiff,
+        )
+
+        rng = np.random.default_rng(12)
+        raw = rng.integers(0, 256, 49152, dtype=np.uint8).tobytes()
+        enc = lzw_encode_tiff(raw)
+        assert lzw_decode_tiff(enc, len(raw)) == raw
+        # and through the full file path
+        img = np.frombuffer(raw, np.uint8).reshape(128, 128, 3)
+        data = encode_tiff(img, compression="lzw", rows_per_strip=128)
+        assert np.array_equal(decode_tiff(data), img)
+
+    def test_smooth_gradient_roundtrip_with_predictor(self):
+        """Gradients are the predictor's home turf: differenced rows
+        become constant, LZW collapses them — and the file must still
+        round-trip exactly while being much smaller."""
+        img = np.add.outer(
+            np.arange(40, dtype=np.uint16) * 2, np.arange(60, dtype=np.uint16)
+        ).astype(np.uint8)
+        plain = encode_tiff(img, compression="none")
+        lzwp = encode_tiff(img, compression="lzw", predictor=True)
+        assert np.array_equal(decode_tiff(lzwp), img)
+        assert len(lzwp) < len(plain) // 2
+
+    def test_hand_assembled_bitstream(self):
+        """Decoder pin independent of the encoder: the spec algorithm
+        applied by hand to 'ABABABA' yields codes
+        [Clear, A, B, 258, 260, EOI] all at 9 bits — the decoder must
+        reproduce the text from those exact bits."""
+        from ecollector_spark.datapipe.tiff_codec import lzw_decode_tiff
+
+        codes = [256, 65, 66, 258, 260, 257]
+        bits = "".join(format(c, "09b") for c in codes)
+        bits += "0" * (-len(bits) % 8)
+        data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        assert lzw_decode_tiff(data, 7) == b"ABABABA"
+
+    def test_kwkwk_case(self):
+        """Code-equals-next-entry (KwKwK): 'AAAA' encodes as
+        [Clear, A, 258, EOI] where 258 is not yet in the decoder table
+        when read."""
+        from ecollector_spark.datapipe.tiff_codec import (
+            lzw_decode_tiff,
+            lzw_encode_tiff,
+        )
+
+        enc = lzw_encode_tiff(b"AAAA")
+        assert lzw_decode_tiff(enc, 4) == b"AAAA"
+        codes = [256, 65, 258, 257]  # Clear, A, KwKwK(AA), EOI -> "AAA"
+        bits = "".join(format(c, "09b") for c in codes)
+        bits += "0" * (-len(bits) % 8)
+        data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        assert lzw_decode_tiff(data, 3) == b"AAA"
+
+    def test_bad_code_and_truncation_fail_loud(self):
+        from ecollector_spark.datapipe.tiff_codec import (
+            lzw_decode_tiff,
+            lzw_encode_tiff,
+        )
+
+        with pytest.raises(ValueError, match="exhausted"):
+            lzw_decode_tiff(b"\x80", 10)
+        # code far past the table: Clear then 300
+        bits = format(256, "09b") + format(300, "09b")
+        bits += "0" * (-len(bits) % 8)
+        data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        with pytest.raises(ValueError, match="out of range"):
+            lzw_decode_tiff(data, 10)
+        enc = lzw_encode_tiff(b"hello world, hello lzw")
+        with pytest.raises(ValueError):
+            lzw_decode_tiff(enc[: len(enc) // 2], 22)
+
+    def test_lzw_mutation_fuzz_only_documented_exceptions(self):
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (12, 14), dtype=np.uint8)
+        data = encode_tiff(img, compression="lzw", predictor=True)
+        escaped = []
+        for i in range(150):
+            b = bytearray(data)
+            for _ in range(int(rng.integers(1, 4))):
+                op = int(rng.integers(0, 3))
+                pos = int(rng.integers(0, len(b)))
+                if op == 0:
+                    b[pos] = int(rng.integers(0, 256))
+                elif op == 1 and len(b) > 1:
+                    del b[pos]
+                else:
+                    b.insert(pos, int(rng.integers(0, 256)))
+            try:
+                out = decode_tiff(bytes(b))
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as e:  # noqa: BLE001 - the point
+                escaped.append((i, type(e).__name__, str(e)[:80]))
+        assert not escaped, escaped[:5]
+
+
 class TestRefusalsAndCorruption:
     def test_bad_magic(self):
         with pytest.raises(ValueError, match="byte-order"):
@@ -134,15 +257,15 @@ class TestRefusalsAndCorruption:
         with pytest.raises(ValueError, match="magic 42"):
             decode_tiff(b"II" + struct.pack("<HI", 43, 8))
 
-    def test_lzw_refused_by_name(self):
+    def test_jpeg_compression_refused_by_name(self):
         data = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
-        # Compression is a SHORT entry: find tag 259 and set value to 5
+        # Compression is a SHORT entry: find tag 259 and set value to 7
         n = struct.unpack("<H", data[8:10])[0]
         for i in range(n):
             epos = 10 + i * 12
             if struct.unpack("<H", data[epos : epos + 2])[0] == 259:
-                data[epos + 8 : epos + 10] = struct.pack("<H", 5)
-        with pytest.raises(NotImplementedError, match="LZW"):
+                data[epos + 8 : epos + 10] = struct.pack("<H", 7)
+        with pytest.raises(NotImplementedError, match="JPEG"):
             decode_tiff(bytes(data))
 
     def test_truncated_strip(self):
