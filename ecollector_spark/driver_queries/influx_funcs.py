@@ -641,6 +641,68 @@ def influxql_select_star(spark, sf_dir):
 
 
 @register(
+    "influxql_select_star_field",
+    f"""{_DP},
+src AS ({_src_sql('purchase')})
+SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, value_f AS value
+FROM src
+ORDER BY time, value
+""",
+    shelved=True,
+)
+def influxql_select_star_field(spark, sf_dir):
+    """``SELECT *::field`` (r10 — VERDICT r9 missing #4): the star
+    narrowed to field columns only — on the canonical one-field schema
+    that is (time, value), no tag columns. Same pruned scan +
+    projection as bare star; the narrowing is pure column selection."""
+    q = f'SELECT *::field FROM "purchase" {_RANGE}'
+    return _run_tree(spark, sf_dir, q)
+
+
+@register(
+    "influxql_select_star_group",
+    f"""{_DP},
+src AS ({_src_sql('purchase')})
+SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time,
+       dev_id, dev_type, dir, location_id, service, topic, domain,
+       value_f AS value
+FROM src
+ORDER BY time, dev_id, dev_type, dir, location_id, service, topic, domain,
+         value
+""",
+    shelved=True,
+)
+def influxql_select_star_group(spark, sf_dir):
+    """``SELECT * ... GROUP BY *`` (r10): raw points regrouped per
+    series. At the DataFrame level the frame is identical to bare star
+    (tags stay as columns — the Series serializer moves the grouped
+    ones into the per-series key; that wire shape is pytest-pinned in
+    test_influxql.TestSelectStar). The gate pins that the parse path
+    ACCEPTS the composition and changes no row."""
+    q = f'SELECT * FROM "purchase" {_RANGE} GROUP BY *'
+    return _run_tree(spark, sf_dir, q)
+
+
+@register(
+    "influxql_lone_lower_bound",
+    f"""{_DP}
+SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, value_f AS value
+FROM dp
+WHERE measurement = 'purchase' AND ts >= '{FROM_T}'::TIMESTAMP
+ORDER BY time, value
+""",
+    shelved=True,
+)
+def influxql_lone_lower_bound(spark, sf_dir):
+    """``WHERE time >= 'abs'`` with NO upper bound (r10): valid
+    InfluxQL that pre-r10 silently returned an EMPTY result (the lone
+    absolute bound fell into the relative branch with rel=0). The open
+    upper side admits every point from the bound on."""
+    q = f"SELECT \"value\" FROM \"purchase\" WHERE time >= '{FROM_T}'"
+    return _run_tree(spark, sf_dir, q)
+
+
+@register(
     "influxql_multi_field",
     f"""{_DP},
 src AS ({_src_sql('purchase')}),

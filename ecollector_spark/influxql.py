@@ -473,6 +473,9 @@ class InfluxQLQuery:
     #: ``SELECT *`` (r9 second session): raw points with every tag
     #: column plus the value — QueryPlanner.plan_star; raw shape only
     select_star: bool = False
+    #: ``SELECT *::field`` (r10): the star narrowed to field columns —
+    #: time + value only, no tag columns
+    star_fields: bool = False
 
 
 def _split_from_list(frm: str) -> list[str]:
@@ -739,16 +742,20 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     pieces = re.split(r",(?![^()]*\))", m.group("sel"))
     value_arith = None
     select_star = False
+    star_fields = False
     if len(pieces) == 1 and pieces[0].strip() in ("*", "*::field", "*::tag"):
         # SELECT * (public InfluxQL): raw points with every tag column
-        # and the value — QueryPlanner.plan_star. The ::field/::tag
-        # narrowing is not supported (the canonical schema has ONE
-        # field; bare * already returns tags + value).
-        if pieces[0].strip() != "*":
+        # and the value — QueryPlanner.plan_star. ``*::field`` (r10)
+        # narrows to the field columns only (the canonical schema has
+        # ONE field, so that is time + value); ``*::tag`` alone selects
+        # no field, which InfluxDB answers with an empty result — this
+        # engine refuses loudly instead of returning nothing.
+        if pieces[0].strip() == "*::tag":
             raise InfluxQLParseError(
-                f"{pieces[0].strip()!r} is not supported; bare * returns "
-                "every tag column plus the value field"
+                "'*::tag' selects no field; a query needs at least one "
+                "field (use bare * for tags plus the value)"
             )
+        star_fields = pieces[0].strip() == "*::field"
         select_star = True
         pieces = []
     sel_ms = []
@@ -994,11 +1001,20 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     fill = (m.group("fill") or "").lower()
     if select_star:
         # raw-points shape only, like bare fields (InfluxDB rejects
-        # SELECT * under GROUP BY time without an aggregate too)
-        if group_by_time or group_tags:
+        # SELECT * under GROUP BY time without an aggregate too).
+        # GROUP BY <tag>/* IS allowed (r10): raw points regrouped per
+        # series — the tags ride the normal group_by_tag and the Series
+        # serializer moves them into the series key, InfluxDB's
+        # ``SELECT * ... GROUP BY *`` wire shape.
+        if group_by_time:
             raise InfluxQLParseError(
-                "SELECT * returns raw points; GROUP BY does not apply "
-                "(aggregate a named field instead)"
+                "SELECT * returns raw points; GROUP BY time does not "
+                "apply (aggregate a named field instead)"
+            )
+        if group_tags and star_fields:
+            raise InfluxQLParseError(
+                "'*::field' drops the tag columns; GROUP BY tags has "
+                "nothing to key the series on (use bare *)"
             )
         if fill not in ("", "none"):
             raise InfluxQLParseError(
@@ -1119,6 +1135,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         multi_fields=multi_fields,
         arith_fields=arith_fields,
         select_star=select_star,
+        star_fields=star_fields,
     )
 
 
@@ -1170,7 +1187,9 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
 
     if iq.subquery is None:
         if iq.select_star:
-            return planner.plan_star(iq.request, now=now)
+            return planner.plan_star(
+                iq.request, now=now, fields_only=iq.star_fields
+            )
         if iq.multi_fields is not None:
             df = planner.plan_fields(iq.request, iq.multi_fields, now=now)
             if iq.arith_fields is None:

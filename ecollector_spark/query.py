@@ -545,13 +545,34 @@ class QueryPlanner:
             data_function = "mean"
         fill_type = req.fill_type or "null"
 
-        # time range (influxdb_v1.go:119-139)
-        if req.from_time and req.to_time:
-            from_epoch = int(_parse_rfc3339(req.from_time).timestamp())
-            to_epoch = int(_parse_rfc3339(req.to_time).timestamp())
+        # time range (influxdb_v1.go:119-139). A LONE absolute bound
+        # (``time >= 'abs'`` with no upper, or ``time <= 'abs'`` with no
+        # lower — both valid InfluxQL) is open-ended on the other side:
+        # pre-r10 it silently fell into the relative branch with rel=0
+        # and returned an EMPTY result.
+        if req.from_time or req.to_time:
+            from_epoch = (
+                int(_parse_rfc3339(req.from_time).timestamp())
+                if req.from_time
+                else 0
+            )
+            to_abs_epoch = (
+                int(_parse_rfc3339(req.to_time).timestamp())
+                if req.to_time
+                else None
+            )
+            # the fill spine needs a finite upper; open-ended ends now,
+            # like the relative shape
+            to_epoch = to_abs_epoch if to_abs_epoch is not None else now_epoch
+            # tier routing by elapsed-to-from (influxdb_v1.go:119-139);
+            # a LONE upper bound has no from — route by the upper bound
+            # (the newest tier that can hold data at that time; the
+            # epoch-0 alternative always lands on the oldest tier and
+            # answers the common recent-history case with nothing)
+            route_epoch = from_epoch if req.from_time else to_epoch
             choice = tiers.choose_query_tier(
                 req.measurement_name,
-                from_time_elapsed_seconds=now_epoch - from_epoch,
+                from_time_elapsed_seconds=now_epoch - route_epoch,
                 profile=self.profile,
             )
         else:
@@ -584,8 +605,11 @@ class QueryPlanner:
             # replay) would silently differ between reader kinds. A
             # windowed relative range DOES have an upper row predicate,
             # so its bound flows through for day pruning.
-            if req.from_time and req.to_time:
-                lower, upper = from_epoch, to_epoch
+            if req.from_time or req.to_time:
+                lower = from_epoch if req.from_time else None
+                upper = (
+                    to_abs_epoch if to_abs_epoch is not None else rel_to_epoch
+                )
             else:
                 # a lone `time < now()-B` has no lower row predicate
                 lower = from_epoch if (req.relative_time or rel_to_epoch is None) else None
@@ -595,8 +619,13 @@ class QueryPlanner:
             df = self.tier_reader(choice.tier)
         df = df.where(F.col("measurement") == req.measurement_name)
         ts_epoch = F.unix_timestamp("ts")
-        if req.from_time and req.to_time:
-            df = df.where((ts_epoch >= from_epoch) & (ts_epoch <= to_epoch))
+        if req.from_time or req.to_time:
+            if req.from_time:
+                df = df.where(ts_epoch >= from_epoch)
+            if to_abs_epoch is not None:
+                df = df.where(ts_epoch <= to_abs_epoch)
+            if rel_to_epoch is not None:
+                df = df.where(ts_epoch < rel_to_epoch)
         else:
             if req.relative_time or rel_to_epoch is None:
                 df = df.where(ts_epoch > from_epoch)
@@ -948,7 +977,10 @@ class QueryPlanner:
         )
 
     def plan_star(
-        self, req: DataPointsRequest, now: datetime | None = None
+        self,
+        req: DataPointsRequest,
+        now: datetime | None = None,
+        fields_only: bool = False,
     ) -> DataFrame:
         """``SELECT *`` (public InfluxQL — the first query every
         migrating user types): raw points with EVERY tag column and the
@@ -957,16 +989,25 @@ class QueryPlanner:
         its twin rows with the ``dir`` tag visible (select the mangled
         names to re-assemble the point instead —
         :meth:`plan_fields`). Raw-points shape only, like bare fields
-        (parser-enforced: no GROUP BY, no fill); tag and time
-        predicates, ORDER/LIMIT ride the normal result clauses. One
-        pruned scan, a projection, and the result sort — nothing
+        (parser-enforced: no GROUP BY time, no fill); tag and time
+        predicates, ORDER/LIMIT ride the normal result clauses.
+        ``GROUP BY <tag>/*`` (r10) changes nothing HERE — the tag
+        columns stay in the frame and the Series serializer moves the
+        grouped ones into the series key, which is InfluxDB's
+        ``SELECT * ... GROUP BY *`` wire shape. ``fields_only`` is the
+        ``*::field`` narrowing (r10): time + value, no tag columns.
+        One pruned scan, a projection, and the result sort — nothing
         else."""
         from dataclasses import replace as _dc_replace
 
         from ecollector_spark.schema import DATAPOINT_TAG_COLUMNS
 
         df, ctx = self._prepare(_dc_replace(req, field_name="value"), now)
-        keys = [c for c in DATAPOINT_TAG_COLUMNS if c in df.columns]
+        keys = (
+            []
+            if fields_only
+            else [c for c in DATAPOINT_TAG_COLUMNS if c in df.columns]
+        )
         return df.select(
             ctx["ts_epoch"].alias("time"),
             *keys,

@@ -2034,13 +2034,104 @@ class TestSelectStar:
         dirs = {r["dir"] for r in rows}
         assert dirs == {"import", "export"}
 
+    def test_star_fields_narrowing(self, spark):
+        """``SELECT *::field`` (r10): time + value only, no tags."""
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import plan_tree
+        from ecollector_spark.query import QueryPlanner
+
+        planner = QueryPlanner(lambda tier: self._twin(spark))
+        iq = parse_influxql(
+            f'SELECT *::field FROM "electricity_meter_energy" {self._RANGE}'
+        )
+        out = plan_tree(planner, iq, now=datetime(2024, 1, 2, tzinfo=timezone.utc))
+        assert out.columns == ["time", "value"]
+        assert out.count() == 23
+
+    def test_star_group_by_tags_keeps_columns(self, spark):
+        """``SELECT * ... GROUP BY *`` (r10): same frame as bare star —
+        the tag columns stay; grouping is the serializer's job."""
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import plan_tree
+        from ecollector_spark.query import QueryPlanner
+
+        planner = QueryPlanner(lambda tier: self._twin(spark))
+        iq = parse_influxql(
+            f'SELECT * FROM "electricity_meter_energy" {self._RANGE} GROUP BY *'
+        )
+        assert "dev_id" in iq.request.group_by_tag
+        out = plan_tree(planner, iq, now=datetime(2024, 1, 2, tzinfo=timezone.utc))
+        assert out.columns[:2] == ["time", "dev_id"]
+        assert out.count() == 23
+
+    def test_lone_absolute_bounds(self, spark, tmp_path):
+        """r10: ``time >= 'abs'`` with no upper bound (and ``<=`` with
+        no lower) are valid InfluxQL and must return the open-ended
+        range — pre-r10 the lone lower bound silently returned EMPTY
+        (it fell into the relative branch with rel=0)."""
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:00", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:30:00", "7", 200.0),
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 1, 0, tzinfo=timezone.utc)
+        lo = api.run_query(
+            'SELECT "value" FROM "electricity_meter_power" '
+            "WHERE time >= '2024-01-01T00:10:00Z'",
+            now=now,
+        )["val"]["Results"][0]["Series"][0]
+        assert [v[1] for v in lo["values"]] == [200.0]
+        hi = api.run_query(
+            'SELECT "value" FROM "electricity_meter_power" '
+            "WHERE time <= '2024-01-01T00:10:00Z'",
+            now=now,
+        )["val"]["Results"][0]["Series"][0]
+        assert [v[1] for v in hi["values"]] == [100.0]
+
+    def test_star_group_by_star_series_shape(self, spark, tmp_path):
+        """End-to-end run_query: GROUP BY * moves every tag into the
+        series key — one series per distinct tag set, columns
+        [time, value], tags dict populated (InfluxDB's wire shape)."""
+        w = Warehouse(spark, str(tmp_path / "w"))
+        w.write_points(_mk_points(spark, [
+            ("electricity_meter_power", "2024-01-01T00:01:00", "7", 100.0),
+            ("electricity_meter_power", "2024-01-01T00:02:00", "7", 200.0),
+            ("electricity_meter_power", "2024-01-01T00:03:00", "8", 50.0),
+        ]))
+        api = EcollectorApi(spark, w)
+        now = datetime(2024, 1, 1, 1, 0, tzinfo=timezone.utc)
+        rsp = api.run_query(
+            'SELECT * FROM "electricity_meter_power" '
+            "WHERE time >= '2024-01-01T00:00:00Z' GROUP BY *",
+            now=now,
+        )
+        series = rsp["val"]["Results"][0]["Series"]
+        assert len(series) == 2  # dev 7 and dev 8 tag sets
+        for s in series:
+            assert s["columns"] == ["time", "value"]
+            assert s["tags"]["dev_id"] in ("7", "8")
+        by_dev = {s["tags"]["dev_id"]: s for s in series}
+        assert [v[1] for v in by_dev["7"]["values"]] == [100.0, 200.0]
+        assert [v[1] for v in by_dev["8"]["values"]] == [50.0]
+        # partial grouping: the ungrouped tags stay as columns
+        rsp2 = api.run_query(
+            'SELECT * FROM "electricity_meter_power" '
+            "WHERE time >= '2024-01-01T00:00:00Z' GROUP BY \"dev_id\"",
+            now=now,
+        )
+        s2 = rsp2["val"]["Results"][0]["Series"]
+        assert len(s2) == 2
+        assert "dir" in s2[0]["columns"] and "dev_id" not in s2[0]["columns"]
+
     @pytest.mark.parametrize(
         "bad",
         [
-            'SELECT *::field FROM "m" WHERE time >= now() - 1h',
             'SELECT *::tag FROM "m" WHERE time >= now() - 1h',
+            'SELECT *::field FROM "m" GROUP BY dev_id',
             'SELECT * FROM "m" GROUP BY time(1h)',
-            'SELECT * FROM "m" GROUP BY dev_id',
             'SELECT * FROM "m" FILL(0)',
             'SELECT * INTO "t" FROM "m"',
             'SELECT *, "value" FROM "m"',
