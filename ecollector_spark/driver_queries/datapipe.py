@@ -380,7 +380,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(8) + LSH(4 bands x 2 rows) candidates, exact-Jaccard
     verified — the linear-cost dedup path for 100 TB corpora."""
     pairs = dedup.minhash_lsh_pairs(
-        dedup_corpus(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5
+        dedup_corpus(spark, sf_dir),
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+        verify="exact",
     )
     return pairs.localCheckpoint(eager=False)
 
@@ -462,7 +466,11 @@ def dedup_clusters(spark, sf_dir):
     min-label propagation in Spark, transitive-closure recursive CTE in
     the oracle — an iterative algorithm inside the value gate."""
     pairs = dedup.minhash_lsh_pairs(
-        dedup_corpus(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5
+        dedup_corpus(spark, sf_dir),
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+        verify="exact",
     ).localCheckpoint(eager=False)
     cc = dedup.connected_components(pairs)
     return cc.localCheckpoint(eager=False)

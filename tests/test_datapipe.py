@@ -37,7 +37,8 @@ class TestDedup:
     def test_lsh_subset_of_exact(self, corpus):
         exact = {(r["doc_a"], r["doc_b"]) for r in dedup.jaccard_pairs(corpus, threshold=0.4).collect()}
         lsh = {(r["doc_a"], r["doc_b"]) for r in
-               dedup.minhash_lsh_pairs(corpus, threshold=0.4).collect()}
+               dedup.minhash_lsh_pairs(
+                   corpus, threshold=0.4, verify="exact").collect()}
         assert lsh <= exact
         assert (1, 2) in lsh  # identical docs always collide in every band
 
@@ -63,7 +64,8 @@ class TestDedup:
         on the fixture (and the borderline band must route through the
         exact path: doc 3 vs doc 1 sits mid-estimate at this margin)."""
         exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
-                 for r in dedup.minhash_lsh_pairs(corpus, threshold=0.4).collect()}
+                 for r in dedup.minhash_lsh_pairs(
+                     corpus, threshold=0.4, verify="exact").collect()}
         hybrid = {(r["doc_a"], r["doc_b"]): r["jaccard"]
                   for r in dedup.minhash_lsh_pairs(
                       corpus, threshold=0.4, verify="hybrid").collect()}

@@ -403,7 +403,7 @@ def _raw_minhash(spark, sf_dir):
     from ecollector_spark.datapipe.dedup import minhash_lsh_pairs
     from ecollector_spark.driver_queries.datapipe import dedup_corpus
 
-    return minhash_lsh_pairs(dedup_corpus(spark, sf_dir))
+    return minhash_lsh_pairs(dedup_corpus(spark, sf_dir), verify="exact")
 
 
 def _raw_minhash_hybrid(spark, sf_dir):
