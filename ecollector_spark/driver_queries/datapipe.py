@@ -1940,25 +1940,32 @@ def mm_tiff_decode(spark, sf_dir):
 
 @register(
     "mm_probe_metadata",
-    """WITH d AS (SELECT doc_id, doc_id % 7 AS k FROM documents)
+    """WITH d AS (SELECT doc_id, doc_id % 9 AS k FROM documents)
 -- every attach stage's geometry is a closed form of doc_id, and the
 -- probe reads ONLY headers — so the whole mixed-format triage table
 -- is predictable without decoding anything
 SELECT doc_id,
   CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
          WHEN 3 THEN 'tiff' WHEN 4 THEN 'wav' WHEN 5 THEN 'flac'
-         ELSE 'avi' END AS kind,
+         WHEN 6 THEN 'avi' WHEN 7 THEN 'mp3' ELSE 'mp4' END AS kind,
   CAST(CASE k WHEN 0 THEN 40 + doc_id % 32 WHEN 1 THEN 24 + doc_id % 17
               WHEN 2 THEN 20 + doc_id % 23 WHEN 3 THEN 18 + doc_id % 29
-              WHEN 6 THEN 16 + doc_id % 16 ELSE NULL END AS INT) AS width,
+              WHEN 6 THEN 16 + doc_id % 16 WHEN 8 THEN 320 + doc_id % 64
+              ELSE NULL END AS INT) AS width,
   CAST(CASE k WHEN 0 THEN 30 + doc_id % 24 WHEN 1 THEN 16 + doc_id % 13
               WHEN 2 THEN 12 + doc_id % 11 WHEN 3 THEN 10 + doc_id % 13
-              WHEN 6 THEN 12 + doc_id % 12 ELSE NULL END AS INT) AS height,
+              WHEN 6 THEN 12 + doc_id % 12 WHEN 8 THEN 180 + doc_id % 36
+              ELSE NULL END AS INT) AS height,
   CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN 1
-              WHEN 4 THEN 1 WHEN 5 THEN 2 ELSE NULL END AS INT) AS channels,
-  CAST(CASE WHEN k IN (4, 5) THEN 8000 ELSE NULL END AS INT) AS sample_rate,
+              WHEN 4 THEN 1 WHEN 5 THEN 2 WHEN 7 THEN 1 + doc_id % 2
+              ELSE NULL END AS INT) AS channels,
+  CAST(CASE WHEN k IN (4, 5) THEN 8000 WHEN k = 7 THEN 44100
+            WHEN k = 8 THEN 1000 ELSE NULL END AS INT) AS sample_rate,
   CAST(CASE WHEN k IN (4, 5) THEN 800 + doc_id % 640
-            WHEN k = 6 THEN 4 + doc_id % 12 ELSE NULL END AS BIGINT)
+            WHEN k = 6 THEN 4 + doc_id % 12
+            WHEN k = 7 THEN (4 + doc_id % 12) * 1152
+            WHEN k = 8 THEN 1000 * (4 + doc_id % 56)
+            ELSE NULL END AS BIGINT)
     AS n_samples,
   TRUE AS valid,
   CAST(NULL AS VARCHAR) AS error
@@ -1968,14 +1975,16 @@ FROM d ORDER BY doc_id
 )
 def mm_probe_metadata(spark, sf_dir):
     """Content-sniffing metadata probe over a MIXED-format corpus (r9
-    second session — ``probe_media``): every seventh of the corpus is
-    attached as a different REAL format (PNG, JPEG, GIF, TIFF, WAV,
-    FLAC, AVI — the synthetic attach stages), and the probe must detect
-    each kind from magic bytes and read its geometry/layout from the
-    headers ALONE. Every attach stage's geometry is a pure function of
-    doc_id, so the oracle predicts the full triage table in closed form
-    — a wrong magic dispatch, a misread header field, or a probe that
-    accidentally decodes (and trips on a format quirk) breaks the
+    second session; r10 adds mp3/mp4 — ``probe_media``): every ninth of
+    the corpus is attached as a different REAL format (PNG, JPEG, GIF,
+    TIFF, WAV, FLAC, AVI, plus MP3 frame sequences and ISO-BMFF trees
+    whose HEADERS are real even though their payloads are not
+    decodable), and the probe must detect each kind from magic bytes
+    and read its geometry/layout from the headers ALONE. Every attach
+    stage's geometry is a pure function of doc_id, so the oracle
+    predicts the full triage table in closed form — a wrong magic
+    dispatch, a misread header field, a broken MP3 frame-chain walk or
+    mvhd/tkhd offset, or a probe that accidentally decodes breaks the
     hash."""
     import functools as _ft
 
@@ -1984,6 +1993,8 @@ def mm_probe_metadata(spark, sf_dir):
         attach_synthetic_flac_media,
         attach_synthetic_gif_media,
         attach_synthetic_jpeg_media,
+        attach_synthetic_mp3_media,
+        attach_synthetic_mp4_media,
         attach_synthetic_png_media,
         attach_synthetic_tiff_media,
         attach_synthetic_wav_media,
@@ -1999,9 +2010,11 @@ def mm_probe_metadata(spark, sf_dir):
         attach_synthetic_wav_media,
         attach_synthetic_flac_media,
         attach_synthetic_avi_media,
+        attach_synthetic_mp3_media,
+        attach_synthetic_mp4_media,
     ]
     parts = [
-        stage(docs.where(F.col("doc_id") % 7 == i))
+        stage(docs.where(F.col("doc_id") % 9 == i))
         for i, stage in enumerate(stages)
     ]
     media = _ft.reduce(lambda a, b: a.unionByName(b), parts)
