@@ -24,8 +24,10 @@ oracle can predict them analytically for synthetic images — the
 property the driver's value gates (``mm_real_decode``,
 ``mm_png_palette``) rely on.
 
-Not a Pillow replacement: no ancillary-chunk interpretation (gAMA etc.)
-and no tRNS color-key on truecolor/grayscale. Reference parity: the
+tRNS is honored in all three forms: palette alpha table, and the
+grayscale/truecolor color-key (the keyed color decodes to alpha 0, so
+the output gains an alpha channel). Not a Pillow replacement: no
+ancillary-chunk interpretation (gAMA etc.). Reference parity: the
 reference has no image path at all — this backs SURVEY §"multimodal"
 (a training-data pipeline requirement, not an ecollector feature).
 """
@@ -108,11 +110,17 @@ def _pack_rows(samples: np.ndarray, depth: int) -> bytes:
     return bytes(out)
 
 
-def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
+def encode_png(
+    arr: np.ndarray,
+    interlace: bool = False,
+    transparent: tuple[int, ...] | None = None,
+) -> bytes:
     """PNG bytes from (h, w) grayscale or (h, w, 3|4) RGB(A) arrays —
     8-bit from uint8 input, 16-bit from uint16 (r10). Filter type 0 on
     every scanline (encode simplicity; decode handles all five);
-    ``interlace=True`` writes Adam7 passes."""
+    ``interlace=True`` writes Adam7 passes. ``transparent`` (r10, gray/
+    RGB only) writes a color-key tRNS chunk: 1 (gray) or 3 (RGB)
+    sample values whose exact color decodes as alpha 0."""
     a = np.asarray(arr)
     depth = 16 if a.dtype == np.uint16 else 8
     a = np.ascontiguousarray(a.astype(np.uint16 if depth == 16 else np.uint8))
@@ -136,9 +144,18 @@ def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     else:
         raw = _pack_rows(a3, depth)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
+    trns = b""
+    if transparent is not None:
+        if color_type not in (0, 2):
+            raise ValueError("color-key tRNS applies to gray/RGB only")
+        want = 1 if color_type == 0 else 3
+        if len(transparent) != want:
+            raise ValueError(f"transparent needs {want} sample value(s)")
+        trns = _chunk(b"tRNS", struct.pack(f">{want}H", *transparent))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
+        + trns
         + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
@@ -203,10 +220,11 @@ def png_header(data: bytes) -> tuple[int, int, int]:
     present, so the reported channel count matches what decode_png
     returns (3, or 4 with transparency)."""
     w, h, depth, ctype, _inter = _parse_ihdr(data)
-    if ctype != 3:
+    if ctype in (4, 6):
         return w, h, _SAMPLES[ctype]
-    # palette: header-only chunk walk (lengths + tags, no CRC, no
-    # inflate) to spot tRNS before the pixel data
+    # palette / gray / truecolor: header-only chunk walk (lengths +
+    # tags, no CRC, no inflate) to spot tRNS before the pixel data —
+    # transparency adds an output alpha channel in all three
     pos = 8
     has_trns = False
     while pos + 8 <= len(data):
@@ -217,7 +235,8 @@ def png_header(data: bytes) -> tuple[int, int, int]:
         if tag in (b"IDAT", b"IEND"):
             break
         pos += 12 + length
-    return w, h, 4 if has_trns else 3
+    base = 3 if ctype in (2, 3) else 1
+    return w, h, base + (1 if has_trns else 0)
 
 
 def _unfilter(raw: bytes, p: int, pw: int, ph: int, spp: int, depth: int) -> tuple[np.ndarray, int]:
@@ -316,6 +335,13 @@ def decode_png(data: bytes) -> np.ndarray:
             plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"tRNS" and ctype == 3:
             trns = np.frombuffer(payload, np.uint8)
+        elif tag == b"tRNS" and ctype in (0, 2):
+            # color-key transparency (r10): one 16-bit sample per
+            # channel names the fully-transparent color
+            n16 = 1 if ctype == 0 else 3
+            if length != 2 * n16:
+                raise ValueError("bad tRNS length for color type")
+            trns = np.frombuffer(payload, ">u2").astype(np.int64)
         elif tag == b"IEND":
             break
         pos += 12 + length
@@ -349,6 +375,21 @@ def decode_png(data: bytes) -> np.ndarray:
         alpha = np.full(len(plte), 255, np.uint8)
         alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
         return np.dstack([rgb, alpha[idx]])
+    if ctype in (0, 2) and trns is not None:
+        # color-key: pixels equal to the keyed color become alpha 0,
+        # everything else alpha max — output gains an alpha channel
+        amax = 65535 if depth == 16 else 255
+        key = trns if ctype == 2 else trns[:1]
+        # the key is stored as 16-bit samples; at lower depths only the
+        # low bits are significant (spec: "value is in the range of the
+        # bit depth")
+        match = np.all(img.astype(np.int64) == key, axis=2)
+        alpha = np.where(match, 0, amax).astype(img.dtype)
+        base = img if ctype == 2 else img[:, :, :1]
+        if ctype == 0 and depth < 8:
+            base = (base * _GRAY_SCALE[depth]).astype(np.uint8)
+            alpha = np.where(match, 0, 255).astype(np.uint8)
+        return np.dstack([base, alpha[:, :, None]])
     if ctype == 0 and depth < 8:
         # exact integer rescale to 8-bit range (255 / (2^d - 1))
         return (img[:, :, 0] * _GRAY_SCALE[depth]).astype(np.uint8)

@@ -117,6 +117,21 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: influxql_{multi_select,field_predicate,delete_window,value_scale,
 #: multi_field}, ts_group_by_time_offset,
 #: datapipe_{pack_manifest,leakage_safe_split,epoch_order}.
+#: Round-10 rotation, executed: four gates carrying THIS round's changed
+#: code paths rotate in — mm_tiff_decode (now 4 compression arms incl.
+#: the new TIFF-LZW + Predictor-2 path), dedup_urls (normalize_url's
+#: r10 scheme-less pass-through + userinfo strip), influxql_select_star_
+#: field (the *::field narrowing) and influxql_lone_lower_bound (the
+#: open-ended absolute-bound fix). Plus two gates NEW in r10 on the
+#: signal from birth: dedup_semantic_hier (the two-level quantizer,
+#: VERDICT r9 #1) and mm_png_palette (palette/Adam7/tRNS decode).
+#: Rotated out, each with family twins still on signal: dedup_semantic
+#: (hier gate shares the Lloyd head + drop rule; flat assignment stays
+#: via ann_ivf_topk), mm_jpeg_decode (mm_real_decode + mm_png_palette +
+#: mm_tiff_decode keep image decode; the progressive twin stays
+#: shelved-green), influxql_tz_fallback_hour (influxql_tz_clause keeps
+#: tz()), influxql_multi_from (raw_sql_query + influxql_select_into
+#: keep §2.10).
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",
@@ -126,7 +141,8 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_minhash_hybrid",
     "dedup_incremental",
-    "dedup_semantic",
+    "dedup_semantic_hier",
+    "dedup_urls",
     # ANN family (r9: the materialized bucket-store probe joins)
     "ann_ivf_topk",
     "ann_lsh_bucketed",
@@ -136,7 +152,8 @@ _PRIORITY = [
     "text_gopher_rules",
     # multimodal family (r9: jpeg codec on signal; r9b: FLAC in, wav features shelved)
     "mm_real_decode",
-    "mm_jpeg_decode",
+    "mm_png_palette",
+    "mm_tiff_decode",
     "mm_flac_decode",
     "mm_video_frames",
     # aggregation / rollup operators (r7: the composed lifecycle flow —

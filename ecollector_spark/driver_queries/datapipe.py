@@ -291,7 +291,6 @@ SELECT doc_id,
          AS url_norm
 FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
 """,
-    shelved=True,
 )
 def dedup_urls(spark, sf_dir):
     """URL-level dedup on the normalized form (r9 — the CCNet /
@@ -740,6 +739,7 @@ SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
 FROM cand JOIN e USING (vec_id), q
 WHERE vec_id <> 0 AND round({_cos_sql('v', 'qv')}, 6) >= 0.2
 """,
+    shelved=True,  # rotated out r10: ann_lsh_indexed keeps the LSH bucket-store path
 )
 def ann_lsh_bucketed(spark, sf_dir):
     """Hyperplane-LSH bucketed search: probe the query's bucket in each
@@ -1065,6 +1065,8 @@ def dedup_semantic_hier(spark, sf_dir):
 @register(
     "dedup_semantic",
     _semantic_dedup_sql(),
+    shelved=True,  # rotated out r10: dedup_semantic_hier keeps the drop
+    # rule + Lloyd head on signal; flat assignment stays via ann_ivf_topk
 )
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
@@ -1620,6 +1622,9 @@ SELECT doc_id,
        1.0 AS bucket_mass
 FROM r ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r10: mm_real_decode + mm_png_palette +
+    # mm_tiff_decode keep image decode on signal; the progressive twin
+    # stays shelved-green
 )
 def mm_jpeg_decode(spark, sf_dir):
     """REAL baseline JPEG decode, value-gated (r8, VERDICT r7 missing
@@ -1899,7 +1904,6 @@ SELECT doc_id,
        1.0 AS bucket_mass
 FROM m ORDER BY doc_id
 """,
-    shelved=True,
 )
 def mm_tiff_decode(spark, sf_dir):
     """REAL baseline-TIFF decode, value-gated (r9 second session; r10

@@ -648,7 +648,6 @@ SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, value_f AS value
 FROM src
 ORDER BY time, value
 """,
-    shelved=True,
 )
 def influxql_select_star_field(spark, sf_dir):
     """``SELECT *::field`` (r10 — VERDICT r9 missing #4): the star
@@ -691,7 +690,6 @@ FROM dp
 WHERE measurement = 'purchase' AND ts >= '{FROM_T}'::TIMESTAMP
 ORDER BY time, value
 """,
-    shelved=True,
 )
 def influxql_lone_lower_bound(spark, sf_dir):
     """``WHERE time >= 'abs'`` with NO upper bound (r10): valid
@@ -968,6 +966,7 @@ src AS ({_src_sql('purchase')})
 SELECT {_bucket(86400)} AS time, round(sqrt(avg(value_f)), 6) AS value
 FROM src GROUP BY 1 ORDER BY time
 """,
+    shelved=True,  # rotated out r10: influxql_selector_arith + the transform gates keep the scalar surface
 )
 def ts_scalar_sqrt(spark, sf_dir):
     """Scalar math wrap (public InfluxQL transformation functions, r6):
@@ -990,6 +989,7 @@ u AS (
   SELECT 'click', {_bucket(86400)}, round(avg(value_f), 3) FROM c GROUP BY 2)
 SELECT measurement, time, value FROM u ORDER BY measurement, time
 """,
+    shelved=True,  # rotated out r10: 2.10 keeps raw_sql_query + influxql_select_into
 )
 def influxql_multi_from(spark, sf_dir):
     """``FROM "purchase", "click"`` (public InfluxQL measurement lists,
@@ -1085,6 +1085,7 @@ k AS (SELECT wb - (CASE WHEN (wb - off) < {_FB_TR} THEN ({_FB_O1}) ELSE ({_FB_O2
 SELECT time, CAST(round(avg(value_f) * 1000) AS BIGINT) AS value_milli
 FROM k GROUP BY 1 ORDER BY 1
 """,
+    shelved=True,  # rotated out r10: tz family keeps influxql_tz_clause
 )
 def influxql_tz_fallback_hour(spark, sf_dir):
     """Hourly tz() buckets ACROSS the 2024-11-03 fall-back: the repeated

@@ -142,6 +142,37 @@ class TestPaletteInterlace16:
             got = decode_png(data)
             assert np.array_equal(got, idx * factor)
 
+    def test_colorkey_transparency(self):
+        """r10: gray/RGB tRNS color-key — the keyed color decodes to
+        alpha 0, everything else alpha 255, output gains a channel."""
+        img = np.array([[10, 20], [30, 10]], np.uint8)
+        data = encode_png(img, transparent=(10,))
+        got = decode_png(data)
+        assert got.shape == (2, 2, 2)
+        assert np.array_equal(got[:, :, 0], img)
+        assert np.array_equal(got[:, :, 1], np.array([[0, 255], [255, 0]]))
+        assert png_header(data) == (2, 2, 2)
+        rgb = np.zeros((1, 2, 3), np.uint8)
+        rgb[0, 1] = (5, 6, 7)
+        data = encode_png(rgb, transparent=(0, 0, 0))
+        got = decode_png(data)
+        assert got.shape == (1, 2, 4)
+        assert list(got[0, :, 3]) == [0, 255]
+        assert png_header(data) == (2, 1, 4)
+
+    def test_colorkey_16bit(self):
+        img = np.array([[1000, 70000 % 65536]], np.uint16)
+        data = encode_png(img, transparent=(1000,))
+        got = decode_png(data)
+        assert got.dtype == np.uint16 and got.shape == (1, 2, 2)
+        assert list(got[0, :, 1]) == [0, 65535]
+
+    def test_colorkey_rejects_alpha_types(self):
+        with pytest.raises(ValueError, match="gray/RGB only"):
+            encode_png(np.zeros((2, 2, 4), np.uint8), transparent=(0, 0, 0))
+        with pytest.raises(ValueError, match="sample value"):
+            encode_png(np.zeros((2, 2), np.uint8), transparent=(0, 0))
+
     def test_palette_without_plte_refuses(self):
         from ecollector_spark.datapipe.png_codec import (
             _pack_rows,
