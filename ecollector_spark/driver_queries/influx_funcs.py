@@ -683,6 +683,27 @@ def influxql_select_star_group(spark, sf_dir):
 
 
 @register(
+    "influxql_agg_star",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+agg AS (SELECT {_bucket(86400)} AS time, round(avg(value_f), 6) AS mean_value
+        FROM src GROUP BY 1)
+SELECT time, mean_value FROM agg ORDER BY time
+""",
+    shelved=True,
+)
+def influxql_agg_star(spark, sf_dir):
+    """``SELECT mean(*)`` (r10 — the aggregate-over-every-field
+    wildcard): on the canonical one-field schema this is mean("value")
+    under InfluxDB's wildcard output name ``mean_value``; fills, tag
+    groups and transforms compose unchanged (the rewrite happens before
+    selector parsing)."""
+    q = f'SELECT mean(*) FROM "purchase" {_RANGE} GROUP BY time(1d) FILL(none)'
+    df = _run_tree(spark, sf_dir, q)
+    return df.select("time", F.round("value", 6).alias("mean_value"))
+
+
+@register(
     "influxql_lone_lower_bound",
     f"""{_DP}
 SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, value_f AS value

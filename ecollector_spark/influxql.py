@@ -760,6 +760,20 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         pieces = []
     sel_ms = []
     for piece in pieces:
+        # <fn>(*) (r10, public InfluxQL): the aggregate applied to every
+        # field. On the canonical one-field schema that is <fn>("value")
+        # with InfluxDB's wildcard output name <fn>_value (a dir-mangled
+        # multi-field measurement aggregates per named field instead —
+        # plan_fields/plan_multi). Rewritten BEFORE the selector match
+        # so fills, tags and transforms compose unchanged.
+        star_agg = re.match(
+            r'^\s*(\w+)\(\s*\*\s*\)\s*(?:AS\s+"?([\w.]+)"?)?\s*$',
+            piece,
+            re.IGNORECASE,
+        )
+        if star_agg:
+            fn, al = star_agg.group(1), star_agg.group(2)
+            piece = f'{fn}("value") AS {al or fn.lower() + "_value"}'
         sm = _SEL_RE.match(piece)
         if not sm:
             if len(pieces) == 1:

@@ -2126,6 +2126,19 @@ class TestSelectStar:
         assert len(s2) == 2
         assert "dir" in s2[0]["columns"] and "dev_id" not in s2[0]["columns"]
 
+    def test_agg_star_rewrite(self):
+        """``SELECT mean(*)`` (r10): the wildcard aggregate rewrites to
+        mean("value") with InfluxDB's output name mean_value; an
+        explicit alias wins; composes with GROUP BY time."""
+        iq = parse_influxql(
+            'SELECT mean(*) FROM "m" WHERE time > now() - 1h GROUP BY time(1m)'
+        )
+        assert iq.request.data_function == "mean"
+        assert iq.request.field_name == "value"
+        assert iq.alias == "mean_value"
+        iq2 = parse_influxql('SELECT count(*) AS n FROM "m" WHERE time > now() - 1h')
+        assert iq2.request.data_function == "count" and iq2.alias == "n"
+
     @pytest.mark.parametrize(
         "bad",
         [
