@@ -1,0 +1,226 @@
+"""N-gram language-model perplexity filtering — the CCNet stage
+(Wenzek et al. 2020, arXiv:1911.00359 — public paper): train a small
+LM on a high-quality REFERENCE slice, score every document of the
+crawl corpus, and filter/bucket on per-token perplexity. CCNet uses a
+KenLM 5-gram; this is the distributed re-expression with **stupid
+backoff** (Brants et al. 2007, arXiv — "Large Language Models in
+Machine Translation"), the smoothing designed for exactly this
+distributed-counts regime (no discount normalization pass, scores are
+pure count ratios — deterministic and SQL-mirrorable).
+
+Scale shape (100 TB posture):
+
+- **train** is one tokenize + gram explode + a partial-aggregated
+  groupBy per order over the reference slice — the only stage that
+  touches reference bytes; ``min_count`` prunes the long tail so the
+  model stays bounded.
+- **score** explodes the corpus into one row per scored token and
+  LEFT-joins the counts table five times (gram + context at each
+  order), all keyed on ``(n, xxhash64(gram))`` — fixed-width longs on
+  the shuffle, never gram strings. When the pruned LM fits the
+  broadcast budget these become map-side hash joins; otherwise they
+  are ordinary shuffle joins on a uniform 64-bit key. No UDFs, no
+  driver-side model object.
+- Scores are kept EXACT for the oracle: per-token bits are
+  ``floor(-log2(S) * 1e6)`` micro-bits (floor, not round — the repo's
+  cross-engine convention), summed as longs; per-token perplexity is
+  integer micro-bits, so every hashed column is an integer.
+
+Determinism caveat (documented, same class as the repo's other
+libm-adjacent gates): ``log2`` is not required to be correctly rounded
+by IEEE, so the two engines could disagree when ``-log2(S) * 1e6``
+lands within an ulp of an integer boundary (~1e-10 per token);
+everything else is exact integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ecollector_spark.datapipe.text import tokens_expr
+
+#: sentence padding: the tokenizer strips non-alnum characters, so no
+#: real token can ever collide with these markers
+BOS = "<s>"
+EOS = "</s>"
+#: stupid-backoff factor (Brants et al. 2007 use 0.4)
+ALPHA = 0.4
+
+
+def _padded(text_col: str, order: int) -> Column:
+    toks = tokens_expr(text_col)
+    bos = F.array(*[F.lit(BOS)] * (order - 1))
+    return F.concat(bos, toks, F.array(F.lit(EOS)))
+
+
+def train_ngram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    order: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Counts table ``(n, gram_hash, cnt)`` of every 1..order-gram over
+    BOS/EOS-padded lowercased-alnum tokens of the reference corpus.
+    ``min_count`` drops grams of order >= 2 seen fewer times (unigrams
+    always survive — they are the backoff floor's denominator domain).
+    One tokenize projection + one explode + groupBy per order, partial
+    aggregation map-side."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    p = docs.select(_padded(text_col, order).alias("_p"))
+
+    def gram_list(n: int):
+        # factory closure, NOT a default-arg lambda: F.transform calls a
+        # two-parameter lambda as (element, index) and would silently
+        # overwrite the bound order with the array index
+        return F.transform(
+            F.sequence(F.lit(1), F.size("_p") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_p"), i, n)),
+        )
+
+    parts = [
+        p.select(F.lit(n).alias("n"), F.explode(gram_list(n)).alias("_g"))
+        for n in range(1, order + 1)
+    ]
+    allg = parts[0]
+    for part in parts[1:]:
+        allg = allg.unionByName(part)
+    counts = allg.groupBy("n", F.xxhash64("_g").alias("gram_hash")).agg(
+        F.count("*").alias("cnt")
+    )
+    if min_count > 1:
+        counts = counts.where(
+            (F.col("n") == 1) | (F.col("cnt") >= min_count)
+        )
+    return counts
+
+
+def lm_total_tokens(lm: DataFrame) -> int:
+    """N for the unigram floor: total unigram occurrences EXCLUDING the
+    BOS padding (EOS counts — it is a scored token)."""
+    row = (
+        lm.where(
+            (F.col("n") == 1)
+            & (F.col("gram_hash") != F.xxhash64(F.lit(BOS)))
+        )
+        .agg(F.sum("cnt"))
+        .first()
+    )
+    return int(row[0] or 0)
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    total_tokens: int,
+    text_col: str = "text",
+    order: int = 3,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document stupid-backoff perplexity against a trained counts
+    table: ``(doc_id, n_scored, oov, hits3, hits2, hits1, bits_micro,
+    ppl_micro_bits)``.
+
+    Every position after the BOS prefix is scored (EOS included), with
+
+        S(w | a b) = f(abw)/f(ab)            when the trigram is known
+                   = ALPHA * f(bw)/f(b)      else when the bigram is
+                   = ALPHA^2 * f(w)/N        else when the unigram is
+                   = ALPHA^2 * 1/N           else (OOV floor)
+
+    (order generalizes; shown for order=3). Per-token bits are
+    ``floor(-log2(S) * 1e6)`` summed exactly as longs; ``ppl_micro_
+    bits = bits_micro // n_scored`` (integer micro-bits per token —
+    ~perplexity in log2 space; filter on it). ``broadcast_lm`` hints
+    the five lookups map-side — set False when the LM exceeds the
+    broadcast budget and let them shuffle on the uniform hash key."""
+    if order != 3:
+        raise NotImplementedError(
+            "score_perplexity currently implements the order-3 backoff "
+            "chain (the CCNet-style default here); train+score with "
+            "order=3"
+        )
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be positive (empty reference?)")
+    # five lookups read the counts table — materialize the training job
+    # once (lazy checkpoint) instead of re-running it per join branch
+    c = lm.localCheckpoint(eager=False)
+    p = docs.select("doc_id", _padded(text_col, order).alias("_p"))
+    pos = p.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(order), F.size("_p")),
+                lambda i: F.struct(
+                    F.xxhash64(F.concat_ws(" ", F.slice(F.col("_p"), i - 2, 3))).alias("h3"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(F.col("_p"), i - 1, 2))).alias("h2"),
+                    F.xxhash64(F.element_at(F.col("_p"), i)).alias("h1"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(F.col("_p"), i - 2, 2))).alias("hc2"),
+                    F.xxhash64(F.element_at(F.col("_p"), i - 1)).alias("hc1"),
+                ),
+            )
+        ).alias("_t"),
+    ).select("doc_id", "_t.*")
+
+    def look(n: int, key: str, out: str) -> DataFrame:
+        t = c.where(F.col("n") == n).select(
+            F.col("gram_hash").alias(key), F.col("cnt").alias(out)
+        )
+        return F.broadcast(t) if broadcast_lm else t
+
+    j = (
+        pos.join(look(3, "h3", "c3"), "h3", "left")
+        .join(look(2, "h2", "c2"), "h2", "left")
+        .join(look(1, "h1", "c1"), "h1", "left")
+        .join(look(2, "hc2", "cc2"), "hc2", "left")
+        .join(look(1, "hc1", "cc1"), "hc1", "left")
+    )
+    n_d = float(total_tokens)
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("cc2"))
+        .when(F.col("c2").isNotNull(), ALPHA * F.col("c2") / F.col("cc1"))
+        .when(F.col("c1").isNotNull(), ALPHA * ALPHA * F.col("c1") / F.lit(n_d))
+        .otherwise(F.lit(ALPHA * ALPHA / n_d))
+    )
+    bits_micro = F.floor(-F.log2(s) * 1000000.0).cast("long")
+    scored = j.select(
+        "doc_id",
+        bits_micro.alias("_b"),
+        F.col("c1").isNull().cast("int").alias("_oov"),
+        F.col("c3").isNotNull().cast("int").alias("_h3"),
+        (F.col("c3").isNull() & F.col("c2").isNotNull()).cast("int").alias("_h2"),
+        (F.col("c2").isNull() & F.col("c1").isNotNull()).cast("int").alias("_h1"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum("_oov").alias("oov"),
+            F.sum("_h3").alias("hits3"),
+            F.sum("_h2").alias("hits2"),
+            F.sum("_h1").alias("hits1"),
+            F.sum("_b").alias("bits_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            "oov",
+            "hits3",
+            "hits2",
+            "hits1",
+            "bits_micro",
+            (F.col("bits_micro") / F.col("n_scored"))
+            .cast("long")
+            .alias("ppl_micro_bits"),
+        )
+    )
+
+
+def perplexity_filter(
+    scored: DataFrame, max_ppl_micro_bits: int
+) -> DataFrame:
+    """CCNet's keep rule: documents whose per-token micro-bits are at
+    most the threshold (CCNet buckets into head/middle/tail thirds on
+    the same statistic — use two thresholds for that)."""
+    return scored.where(F.col("ppl_micro_bits") <= int(max_ppl_micro_bits))

@@ -321,6 +321,83 @@ def dedup_urls(spark, sf_dir):
     return _dedup_urls(d2)
 
 
+_PPL_SQL = f"""WITH pt AS (
+  SELECT doc_id, ['<s>','<s>'] || {_TOKS} || ['</s>'] AS p
+  FROM documents WHERE doc_id % 5 = 0),
+g AS (SELECT n, gram, count(*) AS cnt FROM (
+    SELECT 1 AS n, unnest(p) AS gram FROM pt
+    UNION ALL
+    SELECT 2, unnest([array_to_string(p[i:i+1], ' ')
+                      FOR i IN generate_series(1, len(p)-1)]) FROM pt
+    UNION ALL
+    SELECT 3, unnest([array_to_string(p[i:i+2], ' ')
+                      FOR i IN generate_series(1, len(p)-2)]) FROM pt
+  ) GROUP BY 1, 2),
+nn AS (SELECT CAST(sum(cnt) AS DOUBLE) AS N FROM g WHERE n = 1 AND gram <> '<s>'),
+ap AS (
+  SELECT doc_id, ['<s>','<s>'] || {_TOKS} || ['</s>'] AS p FROM documents),
+spl AS (SELECT doc_id,
+               unnest([struct_pack(
+                   g3 := array_to_string(p[i-2:i], ' '),
+                   g2 := array_to_string(p[i-1:i], ' '),
+                   g1 := p[i],
+                   c2g := array_to_string(p[i-2:i-1], ' '),
+                   c1g := p[i-1]) FOR i IN generate_series(3, len(p))]) AS t
+        FROM ap),
+sp AS (SELECT doc_id, t.g3 AS g3, t.g2 AS g2, t.g1 AS g1,
+              t.c2g AS c2g, t.c1g AS c1g FROM spl),
+sc AS (SELECT doc_id,
+              CASE WHEN t3.cnt IS NOT NULL THEN t3.cnt / tc2.cnt
+                   WHEN t2.cnt IS NOT NULL THEN 0.4 * t2.cnt / tc1.cnt
+                   WHEN t1.cnt IS NOT NULL THEN 0.4 * 0.4 * t1.cnt / nn.N
+                   ELSE 0.4 * 0.4 / nn.N END AS s,
+              CAST(t1.cnt IS NULL AS INT) AS oov,
+              CAST(t3.cnt IS NOT NULL AS INT) AS h3,
+              CAST(t3.cnt IS NULL AND t2.cnt IS NOT NULL AS INT) AS h2,
+              CAST(t2.cnt IS NULL AND t1.cnt IS NOT NULL AS INT) AS h1
+       FROM sp CROSS JOIN nn
+       LEFT JOIN g t3 ON t3.n = 3 AND t3.gram = sp.g3
+       LEFT JOIN g t2 ON t2.n = 2 AND t2.gram = sp.g2
+       LEFT JOIN g t1 ON t1.n = 1 AND t1.gram = sp.g1
+       LEFT JOIN g tc2 ON tc2.n = 2 AND tc2.gram = sp.c2g
+       LEFT JOIN g tc1 ON tc1.n = 1 AND tc1.gram = sp.c1g)
+SELECT doc_id,
+       count(*) AS n_scored,
+       CAST(sum(oov) AS BIGINT) AS oov,
+       CAST(sum(h3) AS BIGINT) AS hits3,
+       CAST(sum(h2) AS BIGINT) AS hits2,
+       CAST(sum(h1) AS BIGINT) AS hits1,
+       CAST(sum(CAST(floor(-log2(s) * 1000000) AS BIGINT)) AS BIGINT)
+         AS bits_micro,
+       CAST(floor(CAST(sum(CAST(floor(-log2(s) * 1000000) AS BIGINT))
+                       AS DOUBLE) / count(*)) AS BIGINT) AS ppl_micro_bits
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("datapipe_perplexity", _PPL_SQL)
+def datapipe_perplexity(spark, sf_dir):
+    """CCNet perplexity filtering (r10 — Wenzek et al. 2020,
+    arXiv:1911.00359): a 3-gram stupid-backoff LM (Brants et al. 2007)
+    trained on the doc_id % 5 == 0 reference slice, then EVERY document
+    scored against it — ``lm.train_ngram_lm`` (one gram explode +
+    partial-agg groupBy per order) + ``lm.score_perplexity`` (one row
+    per scored token, five broadcast lookups on (n, xxhash64(gram))).
+    Per-token bits are floor(-log2(S)*1e6) micro-bits summed as longs,
+    so every hashed column is an integer; the oracle replays the exact
+    counts, backoff chain and micro-bit arithmetic on gram STRINGS
+    (engine keys on xxhash64 — identical short of a 64-bit collision).
+    The backoff-level hit counts (hits3/2/1, oov) pin WHICH branch
+    scored each token, not just the total."""
+    from ecollector_spark.datapipe import lm as _lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    model = _lm.train_ngram_lm(ref)
+    n = _lm.lm_total_tokens(model)
+    return _lm.score_perplexity(docs, model, n).orderBy("doc_id")
+
+
 @register(
     "dedup_jaccard_pairs",
     f"""WITH {_CORPUS},

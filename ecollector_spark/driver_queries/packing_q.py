@@ -109,6 +109,7 @@ FROM documents)
 SELECT shard, count(*) AS n_rows, bit_xor(rh) AS checksum
 FROM h GROUP BY shard ORDER BY shard
 """,
+    shelved=True,  # rotated out r10: pack_sequences + mix_weights + streaming_ingest keep the assembly family; datapipe_perplexity (new CCNet stage) takes the slot
 )
 def datapipe_export_shards(spark, sf_dir):
     """Sharded export boundary as a value gate: documents -> 8

@@ -1861,3 +1861,112 @@ class TestProbeMedia:
         assert all(not r["valid"] for r in out.values())
         assert out[1]["kind"] == "unknown" and "magic" in out[1]["error"]
         assert out[2]["error"]  # the codec's loud message, captured
+
+
+class TestPerplexityLM:
+    """CCNet perplexity filtering (r10): 3-gram stupid-backoff LM —
+    hand-computed backoff pins on a corpus small enough to verify on
+    paper."""
+
+    @pytest.fixture(scope="class")
+    def model(self, spark):
+        from ecollector_spark.datapipe import lm
+
+        ref = spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (1, "the dog sat on the mat")],
+            "doc_id long, text string",
+        )
+        m = lm.train_ngram_lm(ref)
+        return m, lm.lm_total_tokens(m)
+
+    def _score(self, spark, model, rows):
+        from ecollector_spark.datapipe import lm
+
+        m, n = model
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r.asDict()
+            for r in lm.score_perplexity(docs, m, n).collect()
+        }
+
+    def test_total_excludes_bos(self, model):
+        # 2 docs x (6 tokens + EOS) = 14; the 4 BOS pads don't count
+        assert model[1] == 14
+
+    def test_in_domain_doc_scores_one_bit(self, spark, model):
+        """Every trigram of an in-reference doc is known; the only
+        uncertainty is the cat/dog branch after '<s> the' (S=1/2 ->
+        exactly 1 bit), every other trigram has S=1 (0 bits)."""
+        out = self._score(spark, model, [(0, "the cat sat on the mat")])
+        r = out[0]
+        assert (r["n_scored"], r["oov"], r["hits3"]) == (7, 0, 7)
+        assert r["bits_micro"] == 1_000_000
+        assert r["ppl_micro_bits"] == 1_000_000 // 7
+
+    def test_backoff_chain_levels(self, spark, model):
+        """'the mat sat' exercises bigram and unigram backoff:
+        '<s> <s> the' trigram known; '<s> the mat' unknown ->
+        bigram 'the mat' known (2/4); 'the mat sat' unknown + 'mat sat'
+        unknown -> unigram 'sat' (0.16 * 2/14); EOS after 'mat sat'...
+        the pin is on the LEVEL counts, the bits from the closed form."""
+        import math
+
+        out = self._score(spark, model, [(5, "the mat sat")])
+        r = out[5]
+        assert r["n_scored"] == 4  # the, mat, sat, </s>
+        assert r["oov"] == 0
+        # levels: 'the' trigram hit; 'mat' bigram hit; 'sat' unigram;
+        # '</s>' after 'sat </s>'? bigram 'sat </s>' unseen, unigram hit
+        assert (r["hits3"], r["hits2"], r["hits1"]) == (1, 1, 2)
+        expect = (
+            math.floor(-math.log2(2 / 2) * 1e6)          # <s> <s> the
+            + math.floor(-math.log2(0.4 * 2 / 4) * 1e6)  # the mat (bigram)
+            + math.floor(-math.log2(0.16 * 2 / 14) * 1e6)  # sat (unigram)
+            + math.floor(-math.log2(0.16 * 2 / 14) * 1e6)  # </s> (unigram)
+        )
+        assert r["bits_micro"] == expect
+
+    def test_oov_floor(self, spark, model):
+        import math
+
+        out = self._score(spark, model, [(7, "zzz")])
+        r = out[7]
+        # 'zzz' OOV floor; '</s>' unigram backoff
+        assert (r["n_scored"], r["oov"], r["hits1"]) == (2, 1, 1)
+        assert r["bits_micro"] == math.floor(
+            -math.log2(0.16 / 14) * 1e6
+        ) + math.floor(-math.log2(0.16 * 2 / 14) * 1e6)
+
+    def test_filter_and_min_count(self, spark, model):
+        from ecollector_spark.datapipe import lm
+
+        docs = spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (9, "qq ww ee rr tt yy uu")],
+            "doc_id long, text string",
+        )
+        m, n = model
+        scored = lm.score_perplexity(docs, m, n)
+        kept = [r["doc_id"] for r in lm.perplexity_filter(scored, 1_000_000).collect()]
+        assert kept == [0]  # the gibberish doc is far above 1 bit/token
+        # min_count prunes n>=2 grams but never unigrams
+        ref = spark.createDataFrame(
+            [(0, "a b"), (1, "a c")], "doc_id long, text string"
+        )
+        pruned = lm.train_ngram_lm(ref, min_count=2)
+        from pyspark.sql import functions as F
+
+        per_n = {
+            r["n"]: r["c"]
+            for r in pruned.groupBy("n").agg(F.count("*").alias("c")).collect()
+        }
+        # unigrams all survive; only the shared '<s> <s>'/'<s> <s> a'
+        # style pads reach count 2 at higher orders
+        assert per_n[1] == 5  # <s> a b c </s>
+        assert per_n.get(2, 0) >= 1 and per_n.get(3, 0) >= 1
+
+    def test_train_rejects_order_one(self, spark):
+        from ecollector_spark.datapipe import lm
+
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="order"):
+            lm.train_ngram_lm(docs, order=1)
