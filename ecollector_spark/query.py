@@ -619,18 +619,42 @@ class QueryPlanner:
             df = self.tier_reader(choice.tier)
         df = df.where(F.col("measurement") == req.measurement_name)
         ts_epoch = F.unix_timestamp("ts")
+        # Every epoch comparison is paired with its EXACTLY-equivalent
+        # timestamp-literal form (r10): ``unix_timestamp(ts)`` floors to
+        # whole seconds, so ``unix(ts) >= X`` == ``ts >= X`` and
+        # ``unix(ts) <= X`` == ``ts < X+1`` for integer X. The function-
+        # wrapped form can never reach the parquet scan; the literal
+        # form is sargable, so Catalyst pushes it into PushedFilters and
+        # row-group min/max stats prune — the difference between
+        # scanning a day and scanning the tier at 100 TB (plan-audited:
+        # influxql_lone_lower_bound asserts ``ts >=`` in the scan).
+        ts_lit = lambda e: F.lit(int(e)).cast("timestamp")  # noqa: E731
         if req.from_time or req.to_time:
             if req.from_time:
-                df = df.where(ts_epoch >= from_epoch)
+                df = df.where(
+                    (ts_epoch >= from_epoch) & (F.col("ts") >= ts_lit(from_epoch))
+                )
             if to_abs_epoch is not None:
-                df = df.where(ts_epoch <= to_abs_epoch)
+                df = df.where(
+                    (ts_epoch <= to_abs_epoch)
+                    & (F.col("ts") < ts_lit(to_abs_epoch + 1))
+                )
             if rel_to_epoch is not None:
-                df = df.where(ts_epoch < rel_to_epoch)
+                df = df.where(
+                    (ts_epoch < rel_to_epoch)
+                    & (F.col("ts") < ts_lit(rel_to_epoch))
+                )
         else:
             if req.relative_time or rel_to_epoch is None:
-                df = df.where(ts_epoch > from_epoch)
+                df = df.where(
+                    (ts_epoch > from_epoch)
+                    & (F.col("ts") >= ts_lit(from_epoch + 1))
+                )
             if rel_to_epoch is not None:
-                df = df.where(ts_epoch < rel_to_epoch)
+                df = df.where(
+                    (ts_epoch < rel_to_epoch)
+                    & (F.col("ts") < ts_lit(rel_to_epoch))
+                )
 
         # dir-mangled field (r9): selecting/aggregating "e_import" means
         # the import-direction twin rows of the measurement — ONE pushed

@@ -23,7 +23,11 @@ CHECKS = {
     # (the scan is the raw events adapter: pruned to [ts,event_type,value]
     # with the measurement predicate pushed as event_type=...)
     "ts_group_by_time_mean": [
-        "PushedFilters: \\[IsNotNull\\(event_type\\), EqualTo\\(event_type",
+        "PushedFilters: \\[IsNotNull\\(event_type\\), IsNotNull\\(ts\\), "
+        "EqualTo\\(event_type",
+        # r10: the time range reaches the scan as a sargable timestamp
+        # literal (unix_timestamp() alone could never push)
+        "GreaterThanOrEqual\\(ts,",
         "partial_",
         "FileScan parquet \\[ts#\\d+L?,event_type#\\d+,value#\\d+\\]",
     ],
@@ -100,6 +104,35 @@ CHECKS = {
     ],
     # text ops are one map-side pass: no shuffle except the explicit sort
     "text_quality": ["^((?!Exchange hashpartitioning).)*$"],
+    # two-level SemDeDup (r10): level-2 assignment arrives through an
+    # ordinary cid1 equi-join (never a cartesian pairing, never a
+    # broadcast of the full k-codebook as a single argmin array), Lloyd
+    # means keep their partial phase, sub-codebooks replay from the
+    # lazy localCheckpoint
+    "dedup_semantic_hier": [
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        "partial_",
+        "Scan ExistingRDD",
+        "!CartesianProduct",
+    ],
+    # CCNet perplexity scoring (r10): the five (n, gram-hash) lookups
+    # are broadcast hash joins (the pruned LM fits), the counts table
+    # replays from its lazy localCheckpoint instead of re-running the
+    # training aggregate per branch, per-doc totals have a partial phase
+    "datapipe_perplexity": [
+        "BroadcastHashJoin",
+        "Scan ExistingRDD",
+        "partial_",
+        "!CartesianProduct",
+    ],
+    # lone absolute lower bound (r10): the open-ended range must still
+    # push its >= predicate into the scan — an open upper side is no
+    # excuse for a full-history scan
+    "influxql_lone_lower_bound": [
+        "PushedFilters: \\[IsNotNull\\(event_type\\), IsNotNull\\(ts\\), "
+        "EqualTo\\(event_type",
+        "GreaterThanOrEqual\\(ts,",
+    ],
     # ANN brute force: the query vector is a broadcast, the scan is pruned
     "ann_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastHashJoin", "TakeOrderedAndProject"],
     # IVF probe against the materialized index: the scan must be
