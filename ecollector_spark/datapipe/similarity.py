@@ -480,6 +480,66 @@ def _assign_to_subcentroids(e1: DataFrame, subc: DataFrame) -> DataFrame:
     )
 
 
+def _pow2_near_sqrt(k: int, cap: int = 4096) -> int:
+    import math
+
+    s = max(2, int(round(math.sqrt(k))))
+    p = 1
+    while p * 2 <= s:
+        p *= 2
+    if s - p > 2 * p - s:
+        p *= 2
+    return max(2, min(p, cap))
+
+
+def hierarchical_centroids(
+    e: DataFrame,
+    n_centroids: int,
+    n_iter: int = 2,
+    level1: int | None = None,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Train both levels of the two-level quantizer over
+    ``e = (vec_id, v)``: returns ``(coarse, subc, level1, fanout)``
+    where ``coarse`` is (cid, cvec) from the ordinary flat Lloyd and
+    ``subc`` is (cid1, cid2, cvec) — the per-coarse-cluster codebook.
+    Shared by :func:`hierarchical_assignments` (SemDeDup) and the
+    hierarchical :func:`ivf_build` (the index path)."""
+    if level1 is None:
+        level1 = _pow2_near_sqrt(n_centroids)
+    fanout = -(-n_centroids // level1)  # ceil
+    coarse = ivf_centroids(e, level1, n_iter)
+    e1 = _assign_to_centroids(e, coarse).select(
+        "vec_id", "v", F.col("cid").alias("cid1")
+    )
+    rn = F.row_number().over(Window.partitionBy("cid1").orderBy("vec_id"))
+    subc = (
+        e1.withColumn("_rn", rn)
+        .where(F.col("_rn") <= fanout)
+        .select("cid1", (F.col("_rn") - 1).alias("cid2"), F.col("v").alias("cvec"))
+    )
+    for _ in range(n_iter):
+        assigned = _assign_to_subcentroids(e1, subc)
+        comp = assigned.select("cid1", "cid2", F.posexplode("v").alias("pos", "x"))
+        means = comp.groupBy("cid1", "cid2", "pos").agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")
+            ).alias("m")
+        )
+        new = means.groupBy("cid1", "cid2").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("ncvec")
+        )
+        subc = (
+            subc.join(new, ["cid1", "cid2"], "left")
+            .select(
+                "cid1", "cid2", F.coalesce("ncvec", "cvec").alias("cvec")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return coarse, subc, level1, fanout
+
+
 def hierarchical_assignments(
     emb: DataFrame,
     n_centroids: int,
@@ -507,51 +567,13 @@ def hierarchical_assignments(
     A coarse cluster smaller than ``fanout`` simply trains fewer
     sub-centroids; an emptied sub-cluster keeps its previous position
     (same rule as :func:`ivf_centroids`)."""
-    if level1 is None:
-        import math
-
-        # power of two nearest sqrt(k), clamped: big enough that fanout
-        # stays ~sqrt(k), small enough to broadcast at level 1
-        s = max(2, int(round(math.sqrt(n_centroids))))
-        p = 1
-        while p * 2 <= s:
-            p *= 2
-        if s - p > 2 * p - s:
-            p *= 2
-        level1 = max(2, min(p, 4096))
-    fanout = -(-n_centroids // level1)  # ceil
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
-    e1 = _assign_to_centroids(e, ivf_centroids(e, level1, n_iter)).select(
+    coarse, subc, level1, fanout = hierarchical_centroids(
+        e, n_centroids, n_iter, level1
+    )
+    e1 = _assign_to_centroids(e, coarse).select(
         "vec_id", "v", F.col("cid").alias("cid1")
     )
-    rn = F.row_number().over(
-        Window.partitionBy("cid1").orderBy("vec_id")
-    )
-    subc = (
-        e1.withColumn("_rn", rn)
-        .where(F.col("_rn") <= fanout)
-        .select("cid1", (F.col("_rn") - 1).alias("cid2"), F.col("v").alias("cvec"))
-    )
-    for _ in range(n_iter):
-        assigned = _assign_to_subcentroids(e1, subc)
-        comp = assigned.select("cid1", "cid2", F.posexplode("v").alias("pos", "x"))
-        means = comp.groupBy("cid1", "cid2", "pos").agg(
-            (
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")
-            ).alias("m")
-        )
-        new = means.groupBy("cid1", "cid2").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("ncvec")
-        )
-        subc = (
-            subc.join(new, ["cid1", "cid2"], "left")
-            .select(
-                "cid1", "cid2", F.coalesce("ncvec", "cvec").alias("cvec")
-            )
-            .localCheckpoint(eager=False)
-        )
     final = _assign_to_subcentroids(e1, subc)
     return final.select(
         "vec_id",
@@ -598,6 +620,7 @@ def ivf_build(
     n_iter: int = 2,
     vec_col: str = "embedding",
     overwrite: bool = False,
+    flat_cap: int = 4096,
 ) -> str:
     """Train-once IVF index build — the expensive half of IVF, paid once
     per corpus instead of per query.
@@ -622,6 +645,20 @@ def ivf_build(
     batch job; queries go through :func:`ivf_topk_indexed` and touch only
     ``nprobe / n_centroids`` of the data; corpus growth goes through
     :func:`ivf_append` (assign-only) until drift forces a retrain.
+
+    ``n_centroids > flat_cap`` (r10) builds the HIERARCHICAL layout —
+    the same two-level quantizer as :func:`hierarchical_assignments`,
+    removing the 4096-list ceiling that bounded the flat broadcast:
+
+    - ``assignments/cid1=<c>/`` — partitioned by the ~sqrt(k) COARSE id
+      (a k-directory layout would drown the filesystem at k in the
+      millions) and ``sortWithinPartitions("cid2")``, so a probe prunes
+      to ncoarse directories and parquet row-group min/max stats on the
+      sorted ``cid2`` skip to the probed sub-cells.
+    - ``centroids/`` — the coarse codebook only (driver-readable at any
+      k; the probe never materializes all k centroids anywhere).
+    - ``subcentroids/cid1=<c>/`` — the per-coarse-cluster codebooks,
+      pruned the same way during the probe's second stage.
     """
     import json
 
@@ -631,33 +668,79 @@ def ivf_build(
     if n_centroids is None:
         # size the quantizer from the corpus (k ~= sqrt(N)); one
         # column-pruned count, recorded in the sidecar below so probes
-        # can derive their default nprobe with zero knobs
-        n_centroids = default_n_centroids(e.count())
-    cents = ivf_centroids(e, n_centroids, n_iter)
+        # can derive their default nprobe with zero knobs. r10: the cap
+        # is the hierarchical ceiling (2^24 lists), not the flat
+        # broadcast cap — past flat_cap the layout switches below
+        n_centroids = default_n_centroids(e.count(), cap=1 << 24)
     tmp = f"{index_path}.building.{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    _assign_to_centroids(e, cents).write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(tmp, "assignments")
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-    # stats from the files just written (reads only the d2 column)
-    st = (
-        emb.sparkSession.read.parquet(os.path.join(tmp, "assignments"))
-        .agg(F.count("*").alias("n"), F.avg("d2").alias("mean_d2"))
-        .collect()[0]
-    )
+    hierarchical = n_centroids > flat_cap
+    if hierarchical:
+        coarse, subc, level1, fanout = hierarchical_centroids(
+            e, n_centroids, n_iter
+        )
+        e1 = _assign_to_centroids(e, coarse).select(
+            "vec_id", "v", F.col("cid").alias("cid1")
+        )
+        assigned = _assign_to_subcentroids(e1, subc).select(
+            "vec_id",
+            "v",
+            "cid1",
+            "cid2",
+            (F.col("cid1") * fanout + F.col("cid2")).alias("cid"),
+        )
+        (
+            assigned.repartition("cid1")
+            .sortWithinPartitions("cid2")
+            .write.mode("overwrite")
+            .partitionBy("cid1")
+            .parquet(os.path.join(tmp, "assignments"))
+        )
+        coarse.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "centroids")
+        )
+        subc.write.mode("overwrite").partitionBy("cid1").parquet(
+            os.path.join(tmp, "subcentroids")
+        )
+        st = (
+            emb.sparkSession.read.parquet(os.path.join(tmp, "assignments"))
+            .agg(F.count("*").alias("n"))
+            .collect()[0]
+        )
+        extra = {
+            "hierarchical": True,
+            "level1": level1,
+            "fanout": fanout,
+            "mean_d2": None,
+            "default_ncoarse": 2,
+        }
+    else:
+        cents = ivf_centroids(e, n_centroids, n_iter)
+        _assign_to_centroids(e, cents).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(os.path.join(tmp, "assignments"))
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "centroids")
+        )
+        # stats from the files just written (reads only the d2 column)
+        st = (
+            emb.sparkSession.read.parquet(os.path.join(tmp, "assignments"))
+            .agg(F.count("*").alias("n"), F.avg("d2").alias("mean_d2"))
+            .collect()[0]
+        )
+        extra = {"hierarchical": False, "mean_d2": st["mean_d2"]}
     with open(os.path.join(tmp, "stats.json"), "w") as f:
         json.dump(
             {
                 "n": st["n"],
-                "mean_d2": st["mean_d2"],
                 "n_centroids": n_centroids,
                 "n_iter": n_iter,
                 # the probe default for this index (ANN_QUANTIZER.json:
                 # fixed nprobe over a sqrt(N) quantizer is the measured
                 # flat-cost configuration — probed rows ~ 2*sqrt(N))
                 "default_nprobe": 2,
+                **extra,
             },
             f,
         )
@@ -713,9 +796,34 @@ def ivf_append(
         stats = {"n": None, "mean_d2": None, "n_centroids": None, "n_iter": None}
     cents = spark.read.parquet(os.path.join(index_path, "centroids"))
     e = emb_new.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
-    assigned = _assign_to_centroids(e, cents)
-    b = assigned.agg(F.count("*").alias("n"), F.avg("d2").alias("mean_d2")).collect()[0]
-    n_new, batch_mean = b["n"], b["mean_d2"]
+    hierarchical = bool(stats.get("hierarchical"))
+    if hierarchical:
+        # two-stage assign (r10): coarse broadcast-argmin, then the
+        # sub-codebook of each vector's coarse cell via the cid1 join —
+        # the same math as the build, so an appended index stays
+        # definitionally identical to a from-scratch assignment. The
+        # drift guard has no per-level mean baseline here (mean_d2 is
+        # None on hierarchical indexes), so appends never auto-rebuild.
+        fanout = int(stats["fanout"])
+        subc = spark.read.parquet(os.path.join(index_path, "subcentroids"))
+        e1 = _assign_to_centroids(e, cents).select(
+            "vec_id", "v", F.col("cid").alias("cid1")
+        )
+        assigned = _assign_to_subcentroids(e1, subc).select(
+            "vec_id",
+            "v",
+            "cid1",
+            "cid2",
+            (F.col("cid1") * fanout + F.col("cid2")).alias("cid"),
+        )
+        b = assigned.agg(F.count("*").alias("n")).collect()[0]
+        n_new, batch_mean = b["n"], None
+    else:
+        assigned = _assign_to_centroids(e, cents)
+        b = assigned.agg(
+            F.count("*").alias("n"), F.avg("d2").alias("mean_d2")
+        ).collect()[0]
+        n_new, batch_mean = b["n"], b["mean_d2"]
     out = {
         "appended": n_new,
         "rebuilt": False,
@@ -744,9 +852,9 @@ def ivf_append(
         )
         out["rebuilt"] = True
         return out
-    assigned.write.mode("append").partitionBy("cid").parquet(
-        os.path.join(index_path, "assignments")
-    )
+    assigned.write.mode("append").partitionBy(
+        "cid1" if hierarchical else "cid"
+    ).parquet(os.path.join(index_path, "assignments"))
     if stats["n"] is not None:
         total = stats["n"] + n_new
         new_mean = (
@@ -757,6 +865,61 @@ def ivf_append(
             json.dump({**stats, "n": total, "mean_d2": new_mean}, f)
         os.replace(tmp, os.path.join(index_path, "stats.json"))
     return out
+
+
+def _index_stats(index_path: str) -> dict:
+    import json
+
+    try:
+        with open(os.path.join(index_path, "stats.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _driver_d2(cvec, query_vec: list[float]) -> float:
+    """Driver-side squared L2 in the same sequential order as
+    :func:`_l2sq`, so probe picks are bit-identical to in-plan ranking."""
+    acc = 0.0
+    for x, y in zip(cvec, query_vec):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def ivf_probe_cells(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    nprobe: int = 2,
+    ncoarse: int | None = None,
+) -> tuple[list[int], list[int]]:
+    """Two-stage probe selection for a HIERARCHICAL index: rank the
+    coarse sidecar driver-side (O(sqrt(k)) rows), read ONLY the
+    sub-codebooks of the ``ncoarse`` nearest coarse cells (partition-
+    pruned scan of ``subcentroids/cid1=``), rank those driver-side and
+    return ``(coarse_ids, global_cell_cids)`` for the ``nprobe``
+    nearest sub-cells. Nothing ever materializes all k centroids —
+    driver memory is O(sqrt(k) + ncoarse * fanout)."""
+    st = _index_stats(index_path)
+    fanout = int(st["fanout"])
+    if ncoarse is None:
+        ncoarse = int(st.get("default_ncoarse") or 2)
+    rows = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    ranked1 = sorted((_driver_d2(r["cvec"], query_vec), r["cid"]) for r in rows)
+    coarse = [cid for _, cid in ranked1[:ncoarse]]
+    sub = (
+        spark.read.parquet(os.path.join(index_path, "subcentroids"))
+        .where(F.col("cid1").isin([int(c) for c in coarse]))
+        .collect()
+    )
+    ranked2 = sorted(
+        (
+            _driver_d2(r["cvec"], query_vec),
+            int(r["cid1"]) * fanout + int(r["cid2"]),
+        )
+        for r in sub
+    )
+    return coarse, [cid for _, cid in ranked2[:nprobe]]
 
 
 def ivf_probe_cids(
@@ -801,19 +964,29 @@ def ivf_topk_indexed(
     ``nprobe=None`` reads the index's own recorded default from
     ``stats.json`` (``default_nprobe``, written by :func:`ivf_build`) —
     with an auto-sized sqrt(N) quantizer that is the zero-knob
-    configuration the quantizer probe measured as cost-flat."""
-    if nprobe is None:
-        import json as _json
+    configuration the quantizer probe measured as cost-flat.
 
-        try:
-            with open(os.path.join(index_path, "stats.json")) as f:
-                nprobe = int(_json.load(f).get("default_nprobe") or 2)
-        except FileNotFoundError:
-            nprobe = 2
-    probes = ivf_probe_cids(spark, index_path, query_vec, nprobe)
-    scan = spark.read.parquet(os.path.join(index_path, "assignments")).where(
-        F.col("cid").isin([int(c) for c in probes])
-    )
+    On a HIERARCHICAL index (r10, ``ivf_build`` past ``flat_cap``) the
+    probe is two-stage (:func:`ivf_probe_cells`): the scan prunes to
+    the ncoarse ``cid1=`` partition directories AND filters the probed
+    global ``cid`` cells — the sorted-by-cid2 layout lets parquet
+    row-group stats skip straight to them."""
+    _recover_crashed_publish(index_path)
+    st = _index_stats(index_path)
+    if nprobe is None:
+        nprobe = int(st.get("default_nprobe") or 2)
+    if st.get("hierarchical"):
+        coarse, cells = ivf_probe_cells(spark, index_path, query_vec, nprobe)
+        scan = (
+            spark.read.parquet(os.path.join(index_path, "assignments"))
+            .where(F.col("cid1").isin([int(c) for c in coarse]))
+            .where(F.col("cid").isin([int(c) for c in cells]))
+        )
+    else:
+        probes = ivf_probe_cids(spark, index_path, query_vec, nprobe)
+        scan = spark.read.parquet(os.path.join(index_path, "assignments")).where(
+            F.col("cid").isin([int(c) for c in probes])
+        )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = _dot(F.col("v"), q) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(q, q)))
     if exclude_vec_id is not None:

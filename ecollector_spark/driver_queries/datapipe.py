@@ -1056,17 +1056,16 @@ ORDER BY vec_id
     )
 
 
-def _hier_semantic_sql(
-    threshold: float = 0.3, level1: int = 4, fanout: int = 4, n_iter: int = 2
-) -> str:
-    """DuckDB twin of the TWO-LEVEL quantizer path of semantic_dedup
-    (similarity.hierarchical_assignments, r10 — VERDICT r9 #1): the
+def _hier_quant_sql(level1: int = 4, fanout: int = 4, n_iter: int = 2) -> str:
+    """Shared DuckDB head for the TWO-LEVEL quantizer (r10): the
     _ivf_sql Lloyd head trains the ``level1`` coarse centroids
     (bit-identical assignment, reused as cid1), then the level-2 grouped
     Lloyd is unrolled the same way — seeds are the lowest ``fanout``
     vec_ids per coarse cluster, assignment is a cid1-equi-join + QUALIFY
-    argmin (ties to the lowest cid2), means are exact-decimal — and the
-    SemDeDup drop rule runs on cid = cid1 * fanout + cid2."""
+    argmin (ties to the lowest cid2), means are exact-decimal. Ends at
+    ``hassign`` (vec_id, v, cid = cid1 * fanout + cid2); callers append
+    their own tail (SemDeDup drop rule, or the hierarchical-index probe
+    stages)."""
 
     def sub_assign(s: str) -> str:
         return (
@@ -1101,19 +1100,94 @@ def _hier_semantic_sql(
     parts += [
         f"fa AS ({sub_assign(f's{n_iter}')})",
         f"hassign AS (SELECT vec_id, v, cid1 * {fanout} + cid2 AS cid FROM fa)",
-        f"drops AS (SELECT DISTINCT hi.vec_id"
-        f" FROM hassign lo JOIN hassign hi"
-        f" ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id"
-        f" WHERE round({_cos_sql('lo.v', 'hi.v')}, 6) >= {threshold})",
     ]
+    return head.rstrip().rstrip(",") + ",\n" + ",\n".join(parts)
+
+
+def _hier_semantic_sql(
+    threshold: float = 0.3, level1: int = 4, fanout: int = 4, n_iter: int = 2
+) -> str:
+    """DuckDB twin of the TWO-LEVEL quantizer path of semantic_dedup
+    (similarity.hierarchical_assignments, r10 — VERDICT r9 #1):
+    :func:`_hier_quant_sql` + the SemDeDup drop rule on
+    cid = cid1 * fanout + cid2."""
     return (
-        head.rstrip().rstrip(",")
-        + ",\n"
-        + ",\n".join(parts)
-        + """
+        _hier_quant_sql(level1, fanout, n_iter)
+        + f""",
+drops AS (SELECT DISTINCT hi.vec_id
+          FROM hassign lo JOIN hassign hi
+            ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+          WHERE round({_cos_sql('lo.v', 'hi.v')}, 6) >= {threshold})
 SELECT vec_id, cid AS cluster_id FROM hassign ANTI JOIN drops USING (vec_id)
 ORDER BY vec_id
 """
+    )
+
+
+def _ivf_hier_sql(
+    level1: int = 4,
+    fanout: int = 4,
+    n_iter: int = 2,
+    ncoarse: int = 2,
+    nprobe: int = 3,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of the HIERARCHICAL index probe (r10,
+    similarity.ivf_topk_indexed on a past-flat_cap index): the
+    :func:`_hier_quant_sql` head, then the exact two-stage cell pick —
+    ncoarse nearest COARSE centroids (ties to the lowest cid1), nprobe
+    nearest SUB-cells among their codebooks (ties to the lowest global
+    cid) — and exact cosine top-k inside the probed cells."""
+    head = _hier_quant_sql(level1, fanout, n_iter)
+    cf = f"c{n_iter}"
+    sf = f"s{n_iter}"
+    return (
+        head
+        + f""",
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+co AS (SELECT cid AS cid1 FROM (
+        SELECT {cf}.cid, {_L2SQ.format(a=f'{cf}.cvec', b='q.qv')} AS d2
+        FROM {cf}, q)
+       QUALIFY row_number() OVER (ORDER BY d2, cid) <= {ncoarse}),
+ce AS (SELECT cid FROM (
+        SELECT {sf}.cid1 * {fanout} + {sf}.cid2 AS cid,
+               {_L2SQ.format(a=f'{sf}.cvec', b='q.qv')} AS d2
+        FROM {sf} JOIN co USING (cid1), q)
+       QUALIFY row_number() OVER (ORDER BY d2, cid) <= {nprobe})
+SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
+FROM hassign JOIN ce USING (cid), q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+    )
+
+
+@register(
+    "ann_ivf_hier_topk",
+    _ivf_hier_sql(),
+    shelved=True,  # the hierarchical-index probe twin; dedup_semantic_hier
+    # keeps the two-level quantizer on the driver signal
+)
+def ann_ivf_hier_topk(spark, sf_dir):
+    """Hierarchical IVF index probe (r10 — the no-4096-ceiling ANN
+    path): ``ivf_build(flat_cap=8, n_centroids=16)`` writes the
+    two-level layout (cid1-partitioned lists sorted by cid2, coarse
+    sidecar, per-coarse sub-codebooks), then the two-stage probe picks
+    2 coarse cells and the 3 nearest sub-cells inside them, exact
+    cosine within. The oracle replays BOTH Lloyd levels and both probe
+    stages bit-identically (same tie rules), so the returned rows AND
+    cosines hash-match."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _ivf_index_dir(sf_dir, n_centroids=916, n_iter=2)  # distinct key
+    similarity.ivf_build(emb, idx, n_centroids=16, n_iter=2, flat_cap=8)
+    row = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    qv = list(row["v"])
+    return similarity.ivf_topk_indexed(
+        spark, idx, qv, k=5, nprobe=3, exclude_vec_id=0
     )
 
 
