@@ -45,22 +45,37 @@ def curate_text(
     span_min_dups: int = 2,
     min_words: int = 8,
     text_col: str = "text",
+    ppl_reference: DataFrame | None = None,
+    max_ppl_micro_bits: int | None = None,
 ) -> DataFrame:
-    """The TEXT-rewriting curation flow (r9 second session) — again a
-    pure composition of individually-gated operators, in the order the
-    public pipelines apply them:
+    """The TEXT-rewriting curation flow (r9 second session; r10 adds
+    the optional CCNet stage) — again a pure composition of
+    individually-gated operators, in the order the public pipelines
+    apply them:
 
         corpus -> duplicated-SPAN removal   (dedup.dedup_ngram_spans —
                   Lee et al. 2021 boilerplate cut)
                -> Gopher rule filter        (text.gopher_rules — keep
                   only docs passing all rules on the CLEANED text)
+               -> perplexity filter         (lm.score_perplexity against
+                  a stupid-backoff LM trained on ``ppl_reference``;
+                  CCNet, Wenzek et al. 2020 — only when BOTH
+                  ``ppl_reference`` and ``max_ppl_micro_bits`` are
+                  given, scored on the CLEANED text like CCNet scores
+                  its deduplicated paragraphs)
                -> exact dedup               (lowest doc_id per
                   byte-identical cleaned text)
 
     Returns the surviving (doc_id, text), ordered. Each stage's scale
     shape is its own gate's (shingle marking never pairwise, rules
-    expression-only, one md5-keyed groupBy); the composition adds one
-    doc_id join per stage, co-partitioned."""
+    expression-only, LM lookups broadcast on (n, gram-hash), one
+    md5-keyed groupBy); the composition adds one doc_id join per stage,
+    co-partitioned."""
+    if (ppl_reference is None) != (max_ppl_micro_bits is None):
+        raise ValueError(
+            "perplexity stage needs BOTH ppl_reference and "
+            "max_ppl_micro_bits (or neither)"
+        )
     cleaned = dedup.dedup_ngram_spans(
         docs, text_col=text_col, k=span_k, min_dups=span_min_dups
     )
@@ -70,6 +85,16 @@ def curate_text(
         .select("doc_id")
     )
     kept = cleaned.join(passing, "doc_id")
+    if ppl_reference is not None:
+        from ecollector_spark.datapipe import lm
+
+        model = lm.train_ngram_lm(ppl_reference, text_col=text_col)
+        total = lm.lm_total_tokens(model)
+        fluent = lm.perplexity_filter(
+            lm.score_perplexity(kept, model, total, text_col=text_col),
+            max_ppl_micro_bits,
+        ).select("doc_id")
+        kept = kept.join(fluent, "doc_id")
     dd = kept.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
     return dd.select("doc_id", text_col).orderBy("doc_id")
 

@@ -18,6 +18,10 @@
   an O(n_centroids) centroid sidecar) and ``ivf_topk_indexed`` (probe =
   partition-pruned scan of nprobe lists — never a corpus scan);
   ``ivf_topk`` remains the self-contained train+search convenience.
+  Past ``flat_cap`` lists (r10) the index goes TWO-LEVEL
+  (``hierarchical_centroids``): sqrt(k)-partitioned layout, two-stage
+  O(sqrt(k)) driver probes, no 4096-list broadcast ceiling — the same
+  quantizer SemDeDup's large-k path uses.
 
 Everything is expression-only; a Pandas-UDF variant would move Arrow
 batches for no gain since the fold is already JVM-side.

@@ -1710,6 +1710,40 @@ class TestCurateText:
         assert out[1] == "the of zebra quail"
         assert out[3] == "the quick brown fox jumps over that lazy dog uniquely"
 
+    def test_perplexity_stage_composes(self, spark):
+        """r10: with a reference LM and a micro-bits cap, the CCNet
+        stage runs on the CLEANED text between the Gopher filter and
+        the exact dedup — gibberish that passes Gopher drops on
+        perplexity while in-domain text survives."""
+        from ecollector_spark.datapipe.curation import curate_text
+
+        ref = spark.createDataFrame(
+            [
+                (100, "the quick brown fox jumps over that lazy dog daily"),
+                (101, "the quick brown fox walks past that lazy dog nightly"),
+            ],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over that lazy dog daily"),
+                # passes Gopher (stop words present, sane lengths) but
+                # is OOV-soup to the reference LM
+                (2, "the frumious bandersnatch galumphs with that vorpal snick"),
+            ],
+            "doc_id long, text string",
+        )
+        out = curate_text(
+            docs,
+            min_words=4,
+            ppl_reference=ref,
+            max_ppl_micro_bits=3_000_000,  # 3 bits/token
+        ).collect()
+        assert [r["doc_id"] for r in out] == [1]
+        # both args or neither — a half-configured stage refuses
+        with pytest.raises(ValueError, match="BOTH"):
+            curate_text(docs, ppl_reference=ref)
+
 
 class TestGopherRules:
     """text.gopher_rules (r9): the published Gopher filter set, one
