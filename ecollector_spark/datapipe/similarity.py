@@ -551,8 +551,10 @@ def hierarchical_assignments(
     n_iter: int = 2,
     level1: int | None = None,
 ) -> DataFrame:
-    """Two-level quantizer (VERDICT r9 #1): (vec_id, v, cid) with up to
-    ``n_centroids`` cells, none of it broadcast-bound by k.
+    """Two-level quantizer (VERDICT r9 #1): (vec_id, v, cid) over
+    ``level1 * fanout`` cells (= ``n_centroids`` when it is a multiple
+    of ``level1``, else the next multiple — cell count is a capacity,
+    not an exact promise), none of it broadcast-bound by k.
 
     Level 1 is the ordinary flat quantizer with ``level1`` (default:
     power-of-two nearest sqrt(n_centroids), clamped to [2, 4096])
@@ -861,9 +863,15 @@ def ivf_append(
     ).parquet(os.path.join(index_path, "assignments"))
     if stats["n"] is not None:
         total = stats["n"] + n_new
-        new_mean = (
-            (stats["mean_d2"] or 0.0) * stats["n"] + (batch_mean or 0.0) * n_new
-        ) / total
+        if stats["mean_d2"] is None and batch_mean is None:
+            # hierarchical indexes have no drift baseline — keep the
+            # sentinel None, never fabricate a 0.0 "perfect fit"
+            new_mean = None
+        else:
+            new_mean = (
+                (stats["mean_d2"] or 0.0) * stats["n"]
+                + (batch_mean or 0.0) * n_new
+            ) / total
         tmp = os.path.join(index_path, "stats.json.tmp")
         with open(tmp, "w") as f:
             json.dump({**stats, "n": total, "mean_d2": new_mean}, f)
@@ -905,6 +913,11 @@ def ivf_probe_cells(
     nearest sub-cells. Nothing ever materializes all k centroids —
     driver memory is O(sqrt(k) + ncoarse * fanout)."""
     st = _index_stats(index_path)
+    if not st.get("hierarchical"):
+        raise ValueError(
+            f"{index_path!r} is not a hierarchical index (flat index, or "
+            "the stats sidecar is missing) — use ivf_probe_cids"
+        )
     fanout = int(st["fanout"])
     if ncoarse is None:
         ncoarse = int(st.get("default_ncoarse") or 2)

@@ -145,7 +145,6 @@ _PRIORITY = [
     "dedup_urls",
     # ANN family (r9: the materialized bucket-store probe joins)
     "ann_ivf_topk",
-    "ann_lsh_bucketed",
     "ann_lsh_indexed",
     # text family (r9: PII scrub; r9b: Gopher rules in, langid shelved)
     "text_pii_scrub",
@@ -181,12 +180,9 @@ _PRIORITY = [
     # InfluxQL clause closure (r6: plan_tree subquery + INTO write path;
     # r7: selector arithmetic, wall-clock tz bucketing, GROUP BY *)
     "influxql_select_into",
-    "influxql_multi_from",
     "influxql_selector_arith",
     "influxql_tz_clause",
-    "influxql_tz_fallback_hour",
     "influxql_group_by_star",
-    "ts_scalar_sqrt",
     # sessions / sketches / streaming (r5: the session-window slot moved
     # from the batch shape to the real streaming replay of the same op)
     "sketch_kmv_distinct_users",
@@ -197,7 +193,6 @@ _PRIORITY = [
     "datapipe_pack_sequences",
     "datapipe_mix_weights",
     "datapipe_streaming_ingest",
-    "datapipe_export_shards",
     # SQL surface + grouped top-n
     "raw_sql_query",
     # storage boundary (S3/S4/S7 — sink outputs + replay parse as value gates)

@@ -758,15 +758,26 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         star_fields = pieces[0].strip() == "*::field"
         select_star = True
         pieces = []
+    # <fn>(*) rewrites only for statements that LOOK InfluxQL (a quoted
+    # FROM or a time predicate): ``SELECT count(*) FROM t`` is also the
+    # most common plain-SQL query, and before r10 it fell through to the
+    # raw Spark-SQL path — hijacking it into a structured point query
+    # silently changed raw_sql_query results (caught by the round's own
+    # review). InfluxQL-styled queries keep the wildcard aggregate.
+    influxql_styled = '"' in (m.group("from") or "") or bool(
+        re.search(r"\btime\b", m.group("where") or "", re.IGNORECASE)
+    )
     sel_ms = []
     for piece in pieces:
         # <fn>(*) (r10, public InfluxQL): the aggregate applied to every
         # field. On the canonical one-field schema that is <fn>("value")
-        # with InfluxDB's wildcard output name <fn>_value (a dir-mangled
-        # multi-field measurement aggregates per named field instead —
-        # plan_fields/plan_multi). Rewritten BEFORE the selector match
-        # so fills, tags and transforms compose unchanged.
-        star_agg = re.match(
+        # with InfluxDB's wildcard output name <fn>_value. A dir-mangled
+        # multi-field measurement would need per-field aggregation
+        # (plan_fields); its twin rows are NOT blended silently — the
+        # mangled fields carry their own names, and <fn>(*) here reads
+        # the canonical single field only. Rewritten BEFORE the selector
+        # match so fills, tags and transforms compose unchanged.
+        star_agg = influxql_styled and re.match(
             r'^\s*(\w+)\(\s*\*\s*\)\s*(?:AS\s+"?([\w.]+)"?)?\s*$',
             piece,
             re.IGNORECASE,

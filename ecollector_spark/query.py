@@ -628,7 +628,7 @@ class QueryPlanner:
         # row-group min/max stats prune — the difference between
         # scanning a day and scanning the tier at 100 TB (plan-audited:
         # influxql_lone_lower_bound asserts ``ts >=`` in the scan).
-        ts_lit = lambda e: F.lit(int(e)).cast("timestamp")  # noqa: E731
+        ts_lit = lambda e: F.timestamp_seconds(F.lit(int(e)))  # noqa: E731
         if req.from_time or req.to_time:
             if req.from_time:
                 df = df.where(

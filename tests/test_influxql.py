@@ -2138,6 +2138,11 @@ class TestSelectStar:
         assert iq.alias == "mean_value"
         iq2 = parse_influxql('SELECT count(*) AS n FROM "m" WHERE time > now() - 1h')
         assert iq2.request.data_function == "count" and iq2.alias == "n"
+        # plain-SQL shape (unquoted FROM, no time predicate) must NOT be
+        # hijacked: it stays unparseable so run_query's raw Spark-SQL
+        # fallback answers it (r10 regression caught by review)
+        with pytest.raises(InfluxQLParseError):
+            parse_influxql("SELECT count(*) AS n FROM dp")
 
     @pytest.mark.parametrize(
         "bad",
