@@ -527,6 +527,52 @@ def attach_synthetic_mp4_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def attach_synthetic_wet_media(docs: DataFrame) -> DataFrame:
+    """Byte-exact WET (text-extraction WARC) files built
+    deterministically from doc_id (r10) — the generation stage behind
+    the WARC-ingest gate. Every field is a closed form of doc_id, so an
+    analytic oracle predicts the parsed record table without reading
+    WARC; odd doc_ids use the Common Crawl gzip-member-per-record
+    layout (the parse output must be identical):
+
+        records = 1 + d % 3
+        url_j   = https://crawl.example/<d>/<j>
+        date    = 2024-01-<1 + d % 28>T00:00:00Z
+        text_j  = 'warc doc <d> record <j> ' + 'x' * (d % 5)
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ecollector_spark.datapipe.warc import build_wet
+
+        for pdf in batches:
+            blobs, nbytes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                recs = [
+                    {
+                        "url": f"https://crawl.example/{d}/{j}",
+                        "date": f"2024-01-{1 + d % 28:02d}T00:00:00Z",
+                        "text": f"warc doc {d} record {j} " + "x" * (d % 5),
+                    }
+                    for j in range(1 + d % 3)
+                ]
+                data = build_wet(recs, gzip_members=d % 2 == 1)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_type": ["application/warc"] * len(blobs),
+                    "width": [0] * len(blobs),
+                    "height": [0] * len(blobs),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def attach_synthetic_wav_media(docs: DataFrame) -> DataFrame:
     """Real, decodable 16-bit PCM WAV payloads built deterministically
     from doc_id — the distributed audio-generation stage behind the

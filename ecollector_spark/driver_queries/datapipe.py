@@ -399,6 +399,49 @@ def datapipe_perplexity(spark, sf_dir):
 
 
 @register(
+    "datapipe_warc_ingest",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 1),
+r AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS rec_idx FROM d),
+t AS (SELECT doc_id, rec_idx,
+             'warc doc ' || doc_id || ' record ' || rec_idx || ' '
+               || repeat('x', CAST(doc_id % 5 AS INT)) AS txt
+      FROM r)
+SELECT doc_id,
+       CAST(rec_idx AS INT) AS rec_idx,
+       'conversion' AS warc_type,
+       'https://crawl.example/' || doc_id || '/' || rec_idx AS url,
+       '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || 'T00:00:00Z' AS date,
+       CAST(length(txt) AS BIGINT) AS content_length,
+       txt AS text
+FROM t ORDER BY doc_id, rec_idx
+""",
+    shelved=True,
+)
+def datapipe_warc_ingest(spark, sf_dir):
+    """WARC/WET ingestion (r10 — ISO 28500, the container Common Crawl
+    actually ships): byte-exact WET files are synthesized per doc
+    inside mapInPandas (``attach_synthetic_wet_media`` — odd doc_ids in
+    the gzip-member-per-record layout, stdlib zlib multi-member
+    inflate) and ``warc.read_warc_media`` explodes them back into one
+    row per record. Every parsed field is a closed form of doc_id, so
+    the oracle predicts the whole record table analytically — a
+    mis-chained Content-Length, a broken gzip member walk, or a header
+    mis-parse breaks the hash. The 1→N record explode happens inside
+    the Arrow stage (no shuffle), the same shape a binaryFile scan of a
+    crawl bucket feeds at 100 TB."""
+    from ecollector_spark.datapipe.multimodal import attach_synthetic_wet_media
+    from ecollector_spark.datapipe.warc import read_warc_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 6 == 1
+    )
+    return read_warc_media(attach_synthetic_wet_media(docs)).orderBy(
+        "doc_id", "rec_idx"
+    )
+
+
+@register(
     "dedup_jaccard_pairs",
     f"""WITH {_CORPUS},
 {_SHINGLED},

@@ -2105,3 +2105,97 @@ class TestPerplexityLM:
         docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="order"):
             lm.train_ngram_lm(docs, order=1)
+
+
+class TestWarcIngest:
+    """warc.py (r10): ISO 28500 record parsing — plain and
+    gzip-member-per-record layouts, loud corruption, Spark explode."""
+
+    RECS = [
+        {"url": "https://a.example/1", "date": "2024-01-01T00:00:00Z",
+         "text": "hello warc world"},
+        {"url": "https://b.example/2", "date": "2024-02-02T00:00:00Z",
+         "text": "second record\nwith a newline"},
+    ]
+
+    def test_roundtrip_plain_and_gzip(self):
+        from ecollector_spark.datapipe.warc import build_wet, parse_warc
+
+        for gz in (False, True):
+            out = parse_warc(build_wet(self.RECS, gzip_members=gz))
+            assert [r["url"] for r in out] == [r["url"] for r in self.RECS]
+            assert [r["text"] for r in out] == [r["text"] for r in self.RECS]
+            assert all(r["warc_type"] == "conversion" for r in out)
+            assert out[0]["content_length"] == len(b"hello warc world")
+
+    def test_utf8_payload_lengths(self):
+        """Content-Length counts BYTES; multi-byte text must chain."""
+        from ecollector_spark.datapipe.warc import build_wet, parse_warc
+
+        recs = [{"url": "u", "date": "d", "text": "héllo wörld — ünicode"}]
+        out = parse_warc(build_wet(recs))
+        assert out[0]["text"] == recs[0]["text"]
+        assert out[0]["content_length"] == len(recs[0]["text"].encode("utf-8"))
+
+    def test_corruption_fails_loud(self):
+        from ecollector_spark.datapipe.warc import build_wet, parse_warc
+
+        data = build_wet(self.RECS)
+        with pytest.raises(ValueError, match="overruns|separator"):
+            parse_warc(data[:-6])  # truncated tail
+        with pytest.raises(ValueError, match="version"):
+            parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+        # forged Content-Length: shrink it so the separator check trips
+        bad = data.replace(b"Content-Length: 16", b"Content-Length: 10", 1)
+        with pytest.raises(ValueError, match="separator"):
+            parse_warc(bad)
+        # truncated gzip member
+        gz = build_wet(self.RECS, gzip_members=True)
+        with pytest.raises(ValueError, match="gzip"):
+            parse_warc(gz[:-8])
+
+    def test_mutation_fuzz_only_documented_exceptions(self):
+        import numpy as np
+
+        from ecollector_spark.datapipe.warc import build_wet, parse_warc
+
+        rng = np.random.default_rng(23)
+        for gz in (False, True):
+            data = build_wet(self.RECS, gzip_members=gz)
+            escaped = []
+            for i in range(200):
+                b = bytearray(data)
+                for _ in range(int(rng.integers(1, 4))):
+                    op = int(rng.integers(0, 3))
+                    pos = int(rng.integers(0, len(b)))
+                    if op == 0:
+                        b[pos] = int(rng.integers(0, 256))
+                    elif op == 1 and len(b) > 1:
+                        del b[pos]
+                    else:
+                        b.insert(pos, int(rng.integers(0, 256)))
+                try:
+                    parse_warc(bytes(b))
+                except ValueError:
+                    pass
+                except Exception as e:  # noqa: BLE001 - the point
+                    escaped.append((i, type(e).__name__, str(e)[:80]))
+            assert not escaped, (gz, escaped[:5])
+
+    def test_spark_explode(self, spark):
+        from ecollector_spark.datapipe.multimodal import (
+            attach_synthetic_wet_media,
+        )
+        from ecollector_spark.datapipe.warc import read_warc_media
+
+        docs = spark.createDataFrame([(1,), (4,)], "doc_id long")
+        out = read_warc_media(attach_synthetic_wet_media(docs)).orderBy(
+            "doc_id", "rec_idx"
+        ).collect()
+        # doc 1 -> 2 records (gzip members), doc 4 -> 2 records (plain)
+        assert [(r["doc_id"], r["rec_idx"]) for r in out] == [
+            (1, 0), (1, 1), (4, 0), (4, 1),
+        ]
+        assert out[0]["url"] == "https://crawl.example/1/0"
+        assert out[0]["text"] == "warc doc 1 record 0 x"
+        assert out[3]["content_length"] == len("warc doc 4 record 1 xxxx")
