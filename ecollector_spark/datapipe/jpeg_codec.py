@@ -1286,3 +1286,93 @@ def jpeg_header(data: bytes) -> tuple[int, int, int]:
             return w, h, ncomp
         pos += seglen
     raise ValueError("missing SOF header")
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (r10): the one ancillary field a crawl pipeline MUST
+# honor — phone photos carry their rotation here, and a trainer that
+# ignores it learns sideways images.
+# ---------------------------------------------------------------------------
+
+_EXIF_ORIENTATION_TAG = 274
+
+
+def exif_orientation(data: bytes) -> int:
+    """Orientation (1..8) from the APP1 EXIF segment; 1 (upright) when
+    no EXIF / no orientation tag is present. The EXIF payload is a
+    self-contained TIFF block, so the bounds-checked IFD walker from
+    tiff_codec reads it — both byte orders. A malformed EXIF block
+    degrades to 1 (ancillary data never fails a decode), but a
+    non-JPEG input still fails loud."""
+    from ecollector_spark.datapipe.tiff_codec import _read_ifd
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker == 0xDA or marker == 0xD9:  # SOS/EOI: no more APPn
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            block = data[pos + 10 : pos + 2 + seglen]
+            try:
+                bo = {"II": "<", "MM": ">"}[block[:2].decode("latin-1")]
+                tags = _read_ifd(block, bo)
+                o = int(tags[_EXIF_ORIENTATION_TAG][2][0])
+                return o if 1 <= o <= 8 else 1
+            except (KeyError, ValueError, struct.error, UnicodeDecodeError):
+                return 1
+        pos += 2 + seglen
+    return 1
+
+
+def add_exif_orientation(data: bytes, orientation: int) -> bytes:
+    """Splice an APP1 EXIF segment carrying ``orientation`` (1..8) right
+    after SOI — the test/builder twin of :func:`exif_orientation`
+    (little-endian TIFF block, one SHORT tag)."""
+    if not 1 <= int(orientation) <= 8:
+        raise ValueError(f"orientation must be 1..8, got {orientation}")
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    tiff = (
+        b"II" + struct.pack("<HI", 42, 8)  # byte order, magic, IFD @8
+        + struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHIHH", _EXIF_ORIENTATION_TAG, 3, 1, int(orientation), 0)
+        + struct.pack("<I", 0)  # next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return data[:2] + app1 + data[2:]
+
+
+def apply_orientation(img, orientation: int):
+    """Undo an EXIF orientation on a decoded array (h, w[, c]) — the
+    eight spec transforms, pure numpy index ops (no interpolation):
+    1 upright, 2 mirror, 3 rotate 180, 4 vertical flip, 5 transpose,
+    6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW."""
+    import numpy as np
+
+    o = int(orientation)
+    if o == 1:
+        return img
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    if o == 5:
+        return np.swapaxes(img, 0, 1)
+    if o == 6:
+        return np.swapaxes(img, 0, 1)[:, ::-1]
+    if o == 7:
+        return np.swapaxes(img, 0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.swapaxes(img, 0, 1)[::-1]
+    raise ValueError(f"orientation must be 1..8, got {orientation}")

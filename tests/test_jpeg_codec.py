@@ -495,3 +495,119 @@ def test_progressive_unexpected_rst_is_valueerror():
     corrupt[scan_at + 2 : scan_at + 2] = b"\xff\xd3"
     with pytest.raises(ValueError):
         decode_jpeg(bytes(corrupt))
+
+
+class TestExifOrientation:
+    """EXIF orientation (r10): APP1 parse via the TIFF IFD walker, the
+    splice builder, and the eight numpy transforms."""
+
+    def test_roundtrip_all_orientations(self):
+        import numpy as np
+
+        from ecollector_spark.datapipe.jpeg_codec import (
+            add_exif_orientation,
+            encode_jpeg,
+            exif_orientation,
+            jpeg_header,
+        )
+
+        base = encode_jpeg(np.full((8, 12), 128, dtype=np.uint8))
+        assert exif_orientation(base) == 1  # no EXIF -> upright
+        for o in range(1, 9):
+            tagged = add_exif_orientation(base, o)
+            assert exif_orientation(tagged) == o
+            # the spliced segment must not break ordinary decode paths
+            assert jpeg_header(tagged) == jpeg_header(base)
+
+    def test_big_endian_exif_block(self):
+        import struct
+
+        import numpy as np
+
+        from ecollector_spark.datapipe.jpeg_codec import (
+            encode_jpeg,
+            exif_orientation,
+        )
+
+        base = encode_jpeg(np.zeros((4, 4), dtype=np.uint8))
+        tiff = (
+            b"MM" + struct.pack(">HI", 42, 8)
+            + struct.pack(">H", 1)
+            + struct.pack(">HHIHH", 274, 3, 1, 6, 0)
+            + struct.pack(">I", 0)
+        )
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+        assert exif_orientation(base[:2] + app1 + base[2:]) == 6
+
+    def test_malformed_exif_degrades_to_upright(self):
+        import struct
+
+        import numpy as np
+
+        from ecollector_spark.datapipe.jpeg_codec import (
+            add_exif_orientation,
+            encode_jpeg,
+            exif_orientation,
+        )
+
+        base = encode_jpeg(np.zeros((4, 4), dtype=np.uint8))
+        tagged = bytearray(add_exif_orientation(base, 6))
+        tagged[10:12] = b"XX"  # corrupt the TIFF byte-order mark
+        assert exif_orientation(bytes(tagged)) == 1
+        with pytest.raises(ValueError, match="SOI"):
+            exif_orientation(b"not a jpeg")
+        with pytest.raises(ValueError, match="1..8"):
+            add_exif_orientation(base, 9)
+
+    def test_apply_orientation_transforms(self):
+        import numpy as np
+
+        from ecollector_spark.datapipe.jpeg_codec import apply_orientation
+
+        img = np.arange(6, dtype=np.uint8).reshape(2, 3)
+        assert np.array_equal(apply_orientation(img, 1), img)
+        assert np.array_equal(apply_orientation(img, 2), img[:, ::-1])
+        assert np.array_equal(apply_orientation(img, 3), np.rot90(img, 2))
+        assert np.array_equal(apply_orientation(img, 4), img[::-1])
+        assert np.array_equal(apply_orientation(img, 5), img.T)
+        assert np.array_equal(apply_orientation(img, 6), np.rot90(img, -1))
+        # transverse = flip along the anti-diagonal (PIL TRANSVERSE)
+        assert np.array_equal(apply_orientation(img, 7), img.T[::-1, ::-1])
+        assert np.array_equal(apply_orientation(img, 8), np.rot90(img, 1))
+        # 5-8 swap the canvas
+        assert apply_orientation(img, 6).shape == (3, 2)
+        # color arrays keep their channel axis
+        rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        assert apply_orientation(rgb, 6).shape == (4, 2, 3)
+
+    def test_orientation_composes_with_real_decode(self):
+        """Tag a gradient, decode, undo the orientation — the bright
+        corner must land where orientation 6 (90 CW) says it should."""
+        import numpy as np
+
+        from ecollector_spark.datapipe.jpeg_codec import (
+            add_exif_orientation,
+            apply_orientation,
+            decode_jpeg,
+            exif_orientation,
+        )
+
+        img = np.add.outer(
+            np.arange(0, 160, 20, dtype=np.uint16),
+            np.arange(0, 96, 8, dtype=np.uint16),
+        ).astype(np.uint8)  # 8x12, brightest bottom-right
+        from ecollector_spark.datapipe.jpeg_codec import encode_jpeg
+
+        tagged = add_exif_orientation(encode_jpeg(img, quality=95), 6)
+        o = exif_orientation(tagged)
+        up = apply_orientation(decode_jpeg(tagged), o)
+        assert up.shape == (12, 8)
+        # the stored image is upright with its bright corner at
+        # bottom-right; undoing orientation 6 (transpose + column flip)
+        # moves that corner to bottom-LEFT of the new canvas
+        corners = {
+            (0, 0): up[0, 0], (0, -1): up[0, -1],
+            (-1, 0): up[-1, 0], (-1, -1): up[-1, -1],
+        }
+        assert max(corners, key=lambda k: int(corners[k])) == (-1, 0)
