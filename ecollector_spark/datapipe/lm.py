@@ -222,5 +222,26 @@ def perplexity_filter(
 ) -> DataFrame:
     """CCNet's keep rule: documents whose per-token micro-bits are at
     most the threshold (CCNet buckets into head/middle/tail thirds on
-    the same statistic — use two thresholds for that)."""
+    the same statistic — :func:`perplexity_buckets`)."""
     return scored.where(F.col("ppl_micro_bits") <= int(max_ppl_micro_bits))
+
+
+def perplexity_buckets(
+    scored: DataFrame, head_max: int, middle_max: int
+) -> DataFrame:
+    """CCNet's quality partition: label every scored document
+    ``head`` (ppl_micro_bits <= head_max), ``middle`` (<= middle_max)
+    or ``tail`` — the paper keeps head+middle for training and samples
+    tail for diversity. Pure expression; thresholds come from the
+    corpus's own ppl distribution (CCNet uses per-language terciles —
+    compute them with ``approxQuantile`` or an exact percentile over
+    ``ppl_micro_bits`` and pass the cut points here, keeping this
+    operator deterministic)."""
+    if head_max > middle_max:
+        raise ValueError(f"head_max {head_max} exceeds middle_max {middle_max}")
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("ppl_micro_bits") <= int(head_max), "head")
+        .when(F.col("ppl_micro_bits") <= int(middle_max), "middle")
+        .otherwise("tail"),
+    )

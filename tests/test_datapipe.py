@@ -2106,6 +2106,29 @@ class TestPerplexityLM:
         with pytest.raises(ValueError, match="order"):
             lm.train_ngram_lm(docs, order=1)
 
+    def test_perplexity_buckets(self, spark, model):
+        from ecollector_spark.datapipe import lm
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat"),  # in-domain: head
+                (5, "the mat sat"),  # backed-off: middle-ish
+                (9, "qq ww ee rr tt yy uu"),  # OOV soup: tail
+            ],
+            "doc_id long, text string",
+        )
+        m, n = model
+        scored = lm.score_perplexity(docs, m, n)
+        out = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in lm.perplexity_buckets(
+                scored, head_max=1_000_000, middle_max=5_000_000
+            ).collect()
+        }
+        assert out == {0: "head", 5: "middle", 9: "tail"}
+        with pytest.raises(ValueError, match="exceeds"):
+            lm.perplexity_buckets(scored, 10, 5)
+
 
 class TestWarcIngest:
     """warc.py (r10): ISO 28500 record parsing — plain and
