@@ -156,6 +156,15 @@ def probe_media(media: DataFrame) -> DataFrame:
                             rate=meta["timescale"],
                             n=meta["duration"],
                         )
+                    elif buf[:5] == b"WARC/":
+                        # a record COUNT needs the full chain walk; the
+                        # probe stays header-only, so kind + a sane
+                        # first-record header is the triage signal
+                        if b"Content-Length:" not in buf[: buf.find(b"\r\n\r\n") + 4]:
+                            raise ValueError(
+                                "WARC first record lacks Content-Length"
+                            )
+                        emit("warc")
                     elif looks_like_mp3(buf):
                         ch, rate, _kbps, _nf, n = mp3_probe(buf)
                         emit("mp3", ch=ch, rate=rate, n=n)
