@@ -165,6 +165,37 @@ def probe_media(media: DataFrame) -> DataFrame:
                                 "WARC first record lacks Content-Length"
                             )
                         emit("warc")
+                    elif buf[:2] == b"\x1f\x8b":
+                        # gzip-member-per-record WARC — Common Crawl's
+                        # standard layout (ADVICE r11): bounded inflate
+                        # of the FIRST member's leading bytes, re-sniff.
+                        # The probe stays header-only — it never inflates
+                        # past the first record's header block.
+                        import zlib
+
+                        try:
+                            head = zlib.decompressobj(wbits=31).decompress(
+                                buf[:65536], 8192
+                            )
+                        except zlib.error as ze:
+                            raise ValueError(
+                                f"corrupt gzip member: {ze}"
+                            ) from None
+                        if head[:5] == b"WARC/":
+                            if (
+                                b"Content-Length:"
+                                not in head[: head.find(b"\r\n\r\n") + 4]
+                            ):
+                                raise ValueError(
+                                    "WARC first record lacks Content-Length"
+                                )
+                            emit("warc")
+                        else:
+                            emit(
+                                "unknown",
+                                valid=False,
+                                err="gzip member does not contain WARC",
+                            )
                     elif looks_like_mp3(buf):
                         ch, rate, _kbps, _nf, n = mp3_probe(buf)
                         emit("mp3", ch=ch, rate=rate, n=n)
@@ -566,6 +597,74 @@ def attach_synthetic_wet_media(docs: DataFrame) -> DataFrame:
                     for j in range(1 + d % 3)
                 ]
                 data = build_wet(recs, gzip_members=d % 2 == 1)
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_type": ["application/warc"] * len(blobs),
+                    "width": [0] * len(blobs),
+                    "height": [0] * len(blobs),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def attach_synthetic_response_warc_media(docs: DataFrame) -> DataFrame:
+    """Byte-exact raw-crawl WARC files (``response`` records carrying
+    full HTTP messages) built deterministically from doc_id (r11,
+    VERDICT r10 #1) — the generation stage behind the
+    ``datapipe_warc_response`` gate, unifying WARC ingestion with the
+    multimodal codecs: record 0's HTTP body is the SAME closed-form PNG
+    as ``attach_synthetic_png_media`` (w = 40 + d % 32, h = 30 + d % 24,
+    pixel = d % 256), so the decoded luminance is predictable without
+    reading PNG. Every field is a closed form of doc_id:
+
+        rec 0: HTTP 200, Content-Type image/png, body = the PNG
+        rec 1 (d % 5 == 0 only): HTTP 404, Content-Type text/plain,
+               body = 'not found <d>'
+        url_j = https://crawl.example/<d>/r<j>
+        date  = 2024-02-<1 + d % 28>T00:00:00Z
+        gzip-member-per-record layout when d is odd
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ecollector_spark.datapipe.png_codec import encode_png
+        from ecollector_spark.datapipe.warc import build_warc
+
+        for pdf in batches:
+            blobs, nbytes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 40 + d % 32, 30 + d % 24, d % 256
+                date = f"2024-02-{1 + d % 28:02d}T00:00:00Z"
+                recs = [
+                    {
+                        "url": f"https://crawl.example/{d}/r0",
+                        "date": date,
+                        "status": 200,
+                        "content_type": "image/png",
+                        "payload": encode_png(np.full((h, w), v, np.uint8)),
+                    }
+                ]
+                # d % 6 == 5 (the gate's slice) forces d % 3 == 2, so
+                # the second record keys on % 5 to actually intersect
+                if d % 5 == 0:
+                    recs.append(
+                        {
+                            "url": f"https://crawl.example/{d}/r1",
+                            "date": date,
+                            "status": 404,
+                            "content_type": "text/plain",
+                            "payload": f"not found {d}".encode(),
+                        }
+                    )
+                data = build_warc(recs, gzip_members=d % 2 == 1)
                 blobs.append(data)
                 nbytes.append(len(data))
             yield pd.DataFrame(

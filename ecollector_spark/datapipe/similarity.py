@@ -467,7 +467,17 @@ def _assign_to_subcentroids(e1: DataFrame, subc: DataFrame) -> DataFrame:
     in-row array of ~fanout sub-centroids (map-side, no row blowup).
     This is the piece that removes the flat quantizer's broadcast cap:
     per-row candidate work is fanout ~ sqrt(k), total shuffled codebook
-    bytes are k vectors once per pass."""
+    bytes are k vectors once per pass.
+
+    LEFT join + cid2=0 fallback (r11, ADVICE): a coarse cluster that was
+    EMPTY at build time has no sub-codebook rows (seeds come only from
+    populated cid1s), yet :func:`ivf_append` can assign a new vector to
+    that coarse centroid — an inner join would silently DROP it (neither
+    appended nor counted). Unmatched rows fall back to ``cid2=0``, the
+    cell :func:`ivf_build` backfills with the coarse centroid as its
+    one-entry sub-codebook, so probes still find them. During training
+    every cid1 in ``e1`` is populated by construction, so the fallback
+    never fires there and the oracle replay is unchanged."""
     grouped = subc.groupBy("cid1").agg(
         F.collect_list(F.struct("cid2", "cvec")).alias("_sc")
     )
@@ -479,8 +489,11 @@ def _assign_to_subcentroids(e1: DataFrame, subc: DataFrame) -> DataFrame:
             ),
         )
     )
-    return e1.join(grouped, "cid1").select(
-        "vec_id", "v", "cid1", best["cid2"].alias("cid2")
+    return e1.join(grouped, "cid1", "left").select(
+        "vec_id",
+        "v",
+        "cid1",
+        F.coalesce(best["cid2"], F.lit(0)).alias("cid2"),
     )
 
 
@@ -697,8 +710,15 @@ def ivf_build(
             (F.col("cid1") * fanout + F.col("cid2")).alias("cid"),
         )
         (
+            # sort by (cid1, cid2), not cid2 alone: partitionBy injects
+            # its own non-stable sort on the partition column when the
+            # incoming order doesn't already satisfy it, which would
+            # scramble cid2 inside each file — sorting on both keys
+            # satisfies the writer's requirement, so no extra sort runs
+            # and every cid1= file is internally cid2-ordered (the
+            # row-group min/max skipping the probe relies on)
             assigned.repartition("cid1")
-            .sortWithinPartitions("cid2")
+            .sortWithinPartitions("cid1", "cid2")
             .write.mode("overwrite")
             .partitionBy("cid1")
             .parquet(os.path.join(tmp, "assignments"))
@@ -706,9 +726,19 @@ def ivf_build(
         coarse.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmp, "centroids")
         )
-        subc.write.mode("overwrite").partitionBy("cid1").parquet(
-            os.path.join(tmp, "subcentroids")
+        # Backfill EMPTY coarse cells with a one-entry sub-codebook
+        # (cid2=0, cvec = the coarse centroid itself): ivf_append's
+        # fallback assigns late vectors of such cells to cid2=0, and the
+        # probe's second stage can only rank cells that have a
+        # sub-centroid row (ADVICE r11 — silent-drop fix, probe half).
+        empty_cells = (
+            coarse.select(F.col("cid").alias("cid1"), "cvec")
+            .join(subc.select("cid1").distinct(), "cid1", "left_anti")
+            .select("cid1", F.lit(0).alias("cid2"), "cvec")
         )
+        subc.unionByName(empty_cells).write.mode("overwrite").partitionBy(
+            "cid1"
+        ).parquet(os.path.join(tmp, "subcentroids"))
         st = (
             emb.sparkSession.read.parquet(os.path.join(tmp, "assignments"))
             .agg(F.count("*").alias("n"))
@@ -858,6 +888,15 @@ def ivf_append(
         )
         out["rebuilt"] = True
         return out
+    if hierarchical:
+        # match the build layout (ADVICE r11): sorted-by-cid2 files keep
+        # parquet row-group min/max skipping alive for appended rows —
+        # an unsorted append is correct but degrades probe pruning.
+        # (cid1, cid2) so the writer's partition-column sort is already
+        # satisfied and doesn't scramble cid2 — see ivf_build
+        assigned = assigned.repartition("cid1").sortWithinPartitions(
+            "cid1", "cid2"
+        )
     assigned.write.mode("append").partitionBy(
         "cid1" if hierarchical else "cid"
     ).parquet(os.path.join(index_path, "assignments"))

@@ -12,15 +12,24 @@ Files are either plain concatenated records or (the Common Crawl
 convention) one gzip MEMBER per record, members concatenated — stdlib
 zlib handles both (multi-member inflate loop, no external libs).
 
-The Spark surface (:func:`read_warc_media`) is the standard multimodal
-contract: Arrow-batched ``mapInPandas`` over binary payloads, one
-output row per record — embarrassingly parallel, no shuffle; at 100 TB
-each WARC file is one row of a ``binaryFile`` scan and record
-explosion happens inside the Python stage (the same 1→N shape as
-``extract_video_frames``). Corrupt input fails loud per file
-(bounds-checked lengths, version check, Content-Length chaining);
-:func:`build_wet` synthesizes byte-exact files for tests and the
-closed-form gate.
+The Spark surface is the standard multimodal contract: Arrow-batched
+``mapInPandas`` over binary payloads, one output row per record —
+embarrassingly parallel, no shuffle; at 100 TB each WARC file is one
+row of a ``binaryFile`` scan and record explosion happens inside the
+Python stage (the same 1→N shape as ``extract_video_frames``). Two
+record paths (r11 completes the pair):
+
+- :func:`read_warc_media` — WET ``conversion`` records (extracted
+  text), the documents-table ingest.
+- :func:`read_warc_responses` — raw-crawl ``response`` records, whose
+  payload is a full HTTP message (status line + headers + body); the
+  body is where the images/audio for the multimodal codecs live. The
+  HTTP split honors Content-Type and Content-Length and refuses
+  ``Transfer-Encoding: chunked`` loudly (:func:`split_http_response`).
+
+Corrupt input fails loud per file (bounds-checked lengths, version
+check, Content-Length chaining); :func:`build_wet` / :func:`build_warc`
+synthesize byte-exact files for tests and the closed-form gates.
 """
 
 from __future__ import annotations
@@ -87,15 +96,17 @@ def _gunzip_members(data: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """Every record of a WARC/WET file as
-    ``{warc_type, url, date, content_length, text}`` — plain or
-    gzip-member input (sniffed on the 0x1f8b magic). Loud on a bad
-    version line, a missing/forged Content-Length, or truncation; the
-    record chain must consume the file exactly."""
+def _walk_records(data: bytes) -> list[tuple[dict, bytes]]:
+    """The shared ISO 28500 record walk: every record of a WARC/WET
+    file as ``(warc_fields, raw_payload_bytes)`` — plain or gzip-member
+    input (sniffed on the 0x1f8b magic). Loud on a bad version line, a
+    missing/forged Content-Length, or truncation; the record chain must
+    consume the file exactly. Payload bytes stay RAW here so binary
+    bodies (the ``response``-record path) survive — text decoding is
+    the caller's choice."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
-    records: list[dict] = []
+    records: list[tuple[dict, bytes]] = []
     pos = 0
     while pos < len(data):
         if len(records) >= _MAX_RECORDS:
@@ -137,23 +148,205 @@ def parse_warc(data: bytes) -> list[dict]:
                 f"record at offset {pos}: payload not followed by the "
                 "record separator (Content-Length forged or corrupt)"
             )
-        records.append(
-            {
-                "warc_type": fields.get("warc-type", ""),
-                "url": fields.get("warc-target-uri", ""),
-                "date": fields.get("warc-date", ""),
-                "content_length": clen,
-                "text": data[body_start:body_end].decode("utf-8", errors="replace"),
-            }
-        )
+        records.append((fields, data[body_start:body_end]))
         pos = body_end + 4
     return records
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Every record of a WARC/WET file as
+    ``{warc_type, url, date, content_length, text}`` — plain or
+    gzip-member input (sniffed on the 0x1f8b magic). Loud on a bad
+    version line, a missing/forged Content-Length, or truncation; the
+    record chain must consume the file exactly."""
+    return [
+        {
+            "warc_type": fields.get("warc-type", ""),
+            "url": fields.get("warc-target-uri", ""),
+            "date": fields.get("warc-date", ""),
+            "content_length": len(payload),
+            "text": payload.decode("utf-8", errors="replace"),
+        }
+        for fields, payload in _walk_records(data)
+    ]
+
+
+_HTTP_REASONS = {
+    200: "OK",
+    204: "No Content",
+    301: "Moved Permanently",
+    302: "Found",
+    304: "Not Modified",
+    403: "Forbidden",
+    404: "Not Found",
+    500: "Internal Server Error",
+    503: "Service Unavailable",
+}
+
+
+def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
+    """Byte-exact raw-crawl WARC file of ``response`` records — the
+    layout real Common Crawl WARCs carry (vs :func:`build_wet`'s
+    text-extraction ``conversion`` records). Each record dict:
+    ``url``, ``date``, ``payload`` (the HTTP body, bytes); optional
+    ``status`` (default 200) and ``content_type`` (the HTTP body's,
+    default ``application/octet-stream``). The WARC payload is a full
+    HTTP/1.1 response message (status line + headers + body) and the
+    record's own Content-Type is ``application/http; msgtype=response``
+    per ISO 28500 §6. ``gzip_members=True`` writes the Common Crawl
+    one-gzip-member-per-record layout."""
+    out = bytearray()
+    for r in records:
+        body = bytes(r["payload"])
+        status = int(r.get("status", 200))
+        reason = _HTTP_REASONS.get(status, "Unknown")
+        ctype = r.get("content_type", "application/octet-stream")
+        http = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "\r\n"
+        ).encode("ascii") + body
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            f"WARC-Date: {r['date']}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        rec = head + http + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            rec = co.compress(rec) + co.flush()
+        out += rec
+    return bytes(out)
+
+
+def split_http_response(payload: bytes) -> dict:
+    """Split a ``response`` record's HTTP message into
+    ``{status, reason, headers, body}`` (headers lower-cased).
+
+    Honors the message's own ``Content-Length`` strictly: when present
+    it must equal the remaining bytes exactly (a mismatch means the
+    record Content-Length and the HTTP one disagree — forged or
+    truncated capture; real Common Crawl marks cut bodies with
+    WARC-Truncated, which we surface as the loud error rather than
+    silently shipping a short body). ``Transfer-Encoding: chunked`` is
+    REFUSED loudly: Common Crawl stores decoded (de-chunked) payloads,
+    so a chunked body in a crawl archive is an anomaly we won't guess
+    at — de-chunking silently risks corrupt media bytes downstream."""
+    hdr_end = payload.find(b"\r\n\r\n", 0, _MAX_HEADER)
+    if hdr_end < 0:
+        raise ValueError("HTTP message: no header terminator")
+    head = payload[:hdr_end].decode("iso-8859-1")
+    lines = head.split("\r\n")
+    first = lines[0].split(" ", 2)
+    if len(first) < 2 or not first[0].startswith("HTTP/"):
+        raise ValueError(f"HTTP message: bad status line {lines[0]!r}")
+    try:
+        status = int(first[1])
+    except ValueError:
+        raise ValueError(
+            f"HTTP message: non-numeric status {first[1]!r}"
+        ) from None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, sep, v = line.partition(":")
+        if not sep:
+            raise ValueError(f"HTTP message: malformed header line {line!r}")
+        headers[k.strip().lower()] = v.strip()
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        raise ValueError(
+            "HTTP message: Transfer-Encoding: chunked refused (crawl "
+            "archives store decoded payloads; see split_http_response)"
+        )
+    body = payload[hdr_end + 4 :]
+    declared = headers.get("content-length")
+    if declared is not None:
+        try:
+            n = int(declared)
+        except ValueError:
+            raise ValueError(
+                f"HTTP message: invalid Content-Length {declared!r}"
+            ) from None
+        if n != len(body):
+            raise ValueError(
+                f"HTTP message: Content-Length {n} != body bytes "
+                f"{len(body)} (truncated capture or forged header)"
+            )
+    return {
+        "status": status,
+        "reason": first[2] if len(first) > 2 else "",
+        "headers": headers,
+        "body": body,
+    }
 
 
 WARC_RECORD_SCHEMA = (
     "doc_id long, rec_idx int, warc_type string, url string, date string, "
     "content_length long, text string"
 )
+
+WARC_RESPONSE_SCHEMA = (
+    "doc_id long, rec_idx int, url string, date string, status int, "
+    "content_type string, payload binary, n_bytes long"
+)
+
+
+def read_warc_responses(media: DataFrame) -> DataFrame:
+    """Explode raw-crawl WARC payloads into one row per HTTP
+    ``response`` record: (doc_id, rec_idx, url, date, status,
+    content_type, payload, n_bytes) — the input path that feeds
+    ``probe_media`` and the codecs at 100 TB (one WARC file per
+    ``binaryFile`` row, record explode + HTTP split inside the Arrow
+    stage, no shuffle).
+
+    Only ``WARC-Type: response`` records whose record Content-Type is
+    ``application/http`` are emitted — warcinfo/request/metadata
+    records that interleave with responses in real crawls are skipped,
+    as is WET ``conversion`` content (that path is
+    :func:`read_warc_media`). ``rec_idx`` is the record's position in
+    the FILE's chain (skips leave gaps), so a row is traceable back to
+    its offset ordinal. ``content_type`` is the HTTP body's, with any
+    ``; charset=...`` parameters stripped; a malformed HTTP message or
+    a chunked body fails the file loudly (:func:`split_http_response`)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "rec_idx", "url", "date", "status",
+                    "content_type", "payload", "n_bytes",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                for i, (fields, payload) in enumerate(
+                    _walk_records(bytes(blob or b""))
+                ):
+                    if fields.get("warc-type") != "response":
+                        continue
+                    if not fields.get("content-type", "").startswith(
+                        "application/http"
+                    ):
+                        continue
+                    http = split_http_response(payload)
+                    ctype = http["headers"].get("content-type", "")
+                    out["doc_id"].append(int(doc_id))
+                    out["rec_idx"].append(i)
+                    out["url"].append(fields.get("warc-target-uri", ""))
+                    out["date"].append(fields.get("warc-date", ""))
+                    out["status"].append(http["status"])
+                    out["content_type"].append(
+                        ctype.split(";")[0].strip().lower()
+                    )
+                    out["payload"].append(http["body"])
+                    out["n_bytes"].append(len(http["body"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=WARC_RESPONSE_SCHEMA)
 
 
 def read_warc_media(media: DataFrame) -> DataFrame:

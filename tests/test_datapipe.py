@@ -429,6 +429,103 @@ class TestSimilarity:
         }
         assert stored == want
 
+    def test_hierarchical_append_keeps_sorted_cid2_layout(
+        self, corpus_emb, tmp_path_factory
+    ):
+        """ADVICE r11: appended parquet files must match the build's
+        sortWithinPartitions('cid2') layout, or row-group min/max
+        skipping degrades on the appended tail. Every data file under
+        every cid1= directory — build AND append output — must be
+        internally non-decreasing in cid2."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        idx = str(tmp_path_factory.mktemp("ivfhs") / "index")
+        prefix = corpus_emb.where(F.col("vec_id") < 150)
+        rest = corpus_emb.where(F.col("vec_id") >= 150)
+        similarity.ivf_build(prefix, idx, n_centroids=16, n_iter=2, flat_cap=8)
+        out = similarity.ivf_append(rest, idx)
+        assert out["appended"] == 50
+        files = glob.glob(
+            os.path.join(idx, "assignments", "cid1=*", "*.parquet")
+        )
+        assert files
+        for f in files:
+            col = pq.read_table(f, columns=["cid2"]).column("cid2").to_pylist()
+            assert col == sorted(col), f"unsorted cid2 in {f}"
+
+    def test_empty_coarse_cell_append_not_dropped(
+        self, corpus_emb, tmp_path_factory
+    ):
+        """ADVICE r11 (medium): a new vector whose nearest coarse
+        centroid owned NO vectors at build time must still be appended
+        (fallback cid2=0) and findable by the probe — the inner join
+        used to silently drop it. Simulated by surgically removing one
+        coarse cell's sub-codebook (the legacy-index shape); the build
+        backfill (tested below) prevents new indexes from having such
+        holes in the first place."""
+        import os
+        import shutil
+
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfhe") / "index")
+        similarity.ivf_build(corpus_emb, idx, n_centroids=16, n_iter=2, flat_cap=8)
+        # find a populated coarse cell and strip its sub-codebook
+        subdir = os.path.join(idx, "subcentroids")
+        victims = sorted(
+            d for d in os.listdir(subdir) if d.startswith("cid1=")
+        )
+        victim = victims[0]
+        vcid1 = int(victim.split("=")[1])
+        shutil.rmtree(os.path.join(subdir, victim))
+        # craft a batch that assigns to the stripped coarse cell: use
+        # that cell's own centroid as the new vector (argmin is itself)
+        cents = spark.read.parquet(os.path.join(idx, "centroids")).collect()
+        cvec = next(r["cvec"] for r in cents if r["cid"] == vcid1)
+        batch = spark.createDataFrame(
+            [(10_000, [float(x) for x in cvec])],
+            "vec_id long, embedding array<double>",
+        )
+        out = similarity.ivf_append(batch, idx)
+        assert out["appended"] == 1
+        stored = (
+            spark.read.parquet(os.path.join(idx, "assignments"))
+            .where(F.col("vec_id") == 10_000)
+            .collect()
+        )
+        assert len(stored) == 1
+        assert int(stored[0]["cid1"]) == vcid1 and int(stored[0]["cid2"]) == 0
+
+    def test_build_backfills_empty_coarse_cells(self, spark, tmp_path_factory):
+        """Every coarse cid in the sidecar has at least one sub-codebook
+        row after a hierarchical build: an all-identical corpus drives
+        every vector into coarse cell 0 (ties to the lowest cid), so
+        cells 1..3 are empty — the build must backfill each with a
+        one-entry codebook (cid2=0, cvec = the coarse centroid), the
+        cell ivf_append's fallback assigns into."""
+        import os
+
+        idx = str(tmp_path_factory.mktemp("ivfhb") / "index")
+        emb = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        similarity.ivf_build(emb, idx, n_centroids=16, n_iter=2, flat_cap=8)
+        cents = spark.read.parquet(os.path.join(idx, "centroids"))
+        subc = spark.read.parquet(os.path.join(idx, "subcentroids"))
+        coarse_ids = {r["cid"] for r in cents.collect()}
+        covered = {r["cid1"] for r in subc.select("cid1").distinct().collect()}
+        assert covered == coarse_ids
+        # the backfilled entries sit at cid2=0 with the coarse centroid
+        by_cell = {
+            (r["cid1"], r["cid2"]): list(r["cvec"]) for r in subc.collect()
+        }
+        cvec_by_cid = {r["cid"]: list(r["cvec"]) for r in cents.collect()}
+        for cid in coarse_ids - {0}:  # 0 is the populated cell
+            assert by_cell[(cid, 0)] == cvec_by_cid[cid]
+
     def test_ivf_auto_quantizer_defaults(self, corpus_emb, tmp_path_factory):
         """r8 (VERDICT r7 #7): n_centroids=None sizes the quantizer
         k ~= sqrt(N) at build time, records it plus default_nprobe in the
@@ -1997,6 +2094,31 @@ class TestProbeMedia:
         assert out[1]["kind"] == "unknown" and "magic" in out[1]["error"]
         assert out[2]["error"]  # the codec's loud message, captured
 
+    def test_warc_plain_and_gzip_members(self, spark):
+        """ADVICE r11: gzip-member-per-record WARC (Common Crawl's
+        standard layout) must triage as kind='warc' via a bounded
+        first-member inflate + re-sniff — not as 'unknown'. A gzip
+        member that is NOT WARC stays unknown with a specific message;
+        a corrupt gzip stream is triaged, never raised."""
+        import gzip
+
+        from ecollector_spark.datapipe.warc import build_wet
+
+        recs = [
+            {"url": "http://a/", "date": "2026-01-01T00:00:00Z", "text": "hi"},
+            {"url": "http://b/", "date": "2026-01-01T00:00:01Z", "text": "yo"},
+        ]
+        plain = build_wet(recs)
+        gz = build_wet(recs, gzip_members=True)
+        not_warc = gzip.compress(b"just some gzipped text, no records")
+        corrupt = b"\x1f\x8b" + b"\x00" * 20
+        out = self._probe(spark, [plain, gz, not_warc, corrupt])
+        assert out[0]["kind"] == "warc" and out[0]["valid"]
+        assert out[1]["kind"] == "warc" and out[1]["valid"]
+        assert not out[2]["valid"]
+        assert "gzip member does not contain WARC" in out[2]["error"]
+        assert not out[3]["valid"] and "gzip" in out[3]["error"]
+
 
 class TestPerplexityLM:
     """CCNet perplexity filtering (r10): 3-gram stupid-backoff LM —
@@ -2222,3 +2344,178 @@ class TestWarcIngest:
         assert out[0]["url"] == "https://crawl.example/1/0"
         assert out[0]["text"] == "warc doc 1 record 0 x"
         assert out[3]["content_length"] == len("warc doc 4 record 1 xxxx")
+
+
+class TestWarcResponse:
+    """warc.py response-record path (r11, VERDICT r10 #1): HTTP message
+    split, Content-Type routing, loud refusals, binary-safe payloads."""
+
+    def _recs(self):
+        return [
+            {
+                "url": "https://a.example/img",
+                "date": "2024-03-01T00:00:00Z",
+                "status": 200,
+                "content_type": "image/png",
+                "payload": b"\x89PNG\r\n\x1a\n" + bytes(range(256)),
+            },
+            {
+                "url": "https://a.example/missing",
+                "date": "2024-03-01T00:00:01Z",
+                "status": 404,
+                "content_type": "text/plain; charset=utf-8",
+                "payload": b"gone",
+            },
+        ]
+
+    def test_roundtrip_plain_and_gzip(self):
+        from ecollector_spark.datapipe.warc import (
+            _walk_records,
+            build_warc,
+            split_http_response,
+        )
+
+        for gz in (False, True):
+            data = build_warc(self._recs(), gzip_members=gz)
+            walked = _walk_records(data)
+            assert len(walked) == 2
+            assert all(f["warc-type"] == "response" for f, _ in walked)
+            assert all(
+                f["content-type"].startswith("application/http")
+                for f, _ in walked
+            )
+            h0 = split_http_response(walked[0][1])
+            # binary body survives BYTE-EXACT (incl. 0x00..0xff)
+            assert h0["body"] == self._recs()[0]["payload"]
+            assert h0["status"] == 200 and h0["reason"] == "OK"
+            h1 = split_http_response(walked[1][1])
+            assert h1["status"] == 404 and h1["body"] == b"gone"
+            assert h1["headers"]["content-type"] == "text/plain; charset=utf-8"
+
+    def test_http_split_refusals(self):
+        from ecollector_spark.datapipe.warc import split_http_response
+
+        with pytest.raises(ValueError, match="chunked"):
+            split_http_response(
+                b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n"
+            )
+        with pytest.raises(ValueError, match="status line"):
+            split_http_response(b"NOT-HTTP\r\n\r\n")
+        with pytest.raises(ValueError, match="Content-Length"):
+            # declared 10, actual 4: truncated capture must fail loud
+            split_http_response(
+                b"HTTP/1.1 200 OK\r\nContent-Length: 10\r\n\r\nabcd"
+            )
+        with pytest.raises(ValueError, match="terminator"):
+            split_http_response(b"HTTP/1.1 200 OK\r\nNo-End: x")
+
+    def test_reader_skips_non_response_records(self, spark):
+        """warcinfo/request/conversion records interleave with responses
+        in real crawls — the reader emits ONLY response records, with
+        rec_idx preserving the FILE chain position (gaps where records
+        were skipped)."""
+        from ecollector_spark.datapipe.warc import build_warc, build_wet
+
+        # file: [conversion (WET), response] — mixed container
+        wet_part = build_wet(
+            [{"url": "u0", "date": "d0", "text": "extracted text"}]
+        )
+        resp_part = build_warc(self._recs()[:1])
+        rows = [(7, wet_part + resp_part, "application/warc", 0, 0, 0)]
+        media = spark.createDataFrame(
+            rows,
+            "doc_id long, media binary, media_type string, "
+            "width int, height int, n_bytes long",
+        )
+        from ecollector_spark.datapipe.warc import read_warc_responses
+
+        out = read_warc_responses(media).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["doc_id"], r["rec_idx"], r["status"]) == (7, 1, 200)
+        assert r["content_type"] == "image/png"
+        assert bytes(r["payload"]) == self._recs()[0]["payload"]
+        assert r["n_bytes"] == len(self._recs()[0]["payload"])
+
+    def test_content_type_params_stripped(self, spark):
+        from ecollector_spark.datapipe.warc import (
+            build_warc,
+            read_warc_responses,
+        )
+
+        media = spark.createDataFrame(
+            [(1, build_warc(self._recs()[1:]), "application/warc", 0, 0, 0)],
+            "doc_id long, media binary, media_type string, "
+            "width int, height int, n_bytes long",
+        )
+        r = read_warc_responses(media).collect()[0]
+        assert r["content_type"] == "text/plain"  # '; charset=utf-8' gone
+        assert r["status"] == 404
+
+    def test_mutation_fuzz_only_documented_exceptions(self):
+        import numpy as np
+
+        from ecollector_spark.datapipe.warc import (
+            _walk_records,
+            build_warc,
+            split_http_response,
+        )
+
+        def full_parse(data):
+            for fields, payload in _walk_records(data):
+                if fields.get("warc-type") == "response":
+                    split_http_response(payload)
+
+        rng = np.random.default_rng(31)
+        for gz in (False, True):
+            data = build_warc(self._recs(), gzip_members=gz)
+            escaped = []
+            for i in range(200):
+                b = bytearray(data)
+                for _ in range(int(rng.integers(1, 4))):
+                    op = int(rng.integers(0, 3))
+                    pos = int(rng.integers(0, len(b)))
+                    if op == 0:
+                        b[pos] = int(rng.integers(0, 256))
+                    elif op == 1 and len(b) > 1:
+                        del b[pos]
+                    else:
+                        b.insert(pos, int(rng.integers(0, 256)))
+                try:
+                    full_parse(bytes(b))
+                except ValueError:
+                    pass
+                except Exception as e:  # noqa: BLE001 - the point
+                    escaped.append((i, type(e).__name__, str(e)[:80]))
+            assert not escaped, (gz, escaped[:5])
+
+    def test_e2e_decode_from_response_warc(self, spark):
+        """The full raw-crawl path: synthesize response WARCs, split,
+        route the PNG bodies through the REAL decoder — the decoded
+        constant pixel equals the closed form."""
+        from ecollector_spark.datapipe.multimodal import (
+            attach_synthetic_response_warc_media,
+            extract_features,
+        )
+        from ecollector_spark.datapipe.warc import read_warc_responses
+
+        docs = spark.createDataFrame([(11,), (35,)], "doc_id long")
+        recs = read_warc_responses(
+            attach_synthetic_response_warc_media(docs)
+        )
+        imgs = recs.where(F.col("content_type") == "image/png").select(
+            "doc_id",
+            F.col("payload").alias("media"),
+            F.lit("image/png").alias("media_type"),
+            "n_bytes",
+        )
+        feats = extract_features(imgs, decode_stub=False, dim=256)
+        lum = {
+            r["doc_id"]: r["feature"].index(max(r["feature"]))
+            for r in feats.collect()
+        }
+        assert lum == {11: 11, 35: 35}
+        # doc 35 (% 5 == 0) also carries the 404 text record
+        txt = recs.where(F.col("content_type") == "text/plain").collect()
+        assert [(r["doc_id"], r["status"]) for r in txt] == [(35, 404)]
+        assert bytes(txt[0]["payload"]) == b"not found 35"
