@@ -132,6 +132,24 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: shelved-green), influxql_tz_fallback_hour (influxql_tz_clause keeps
 #: tz()), influxql_multi_from (raw_sql_query + influxql_select_into
 #: keep §2.10).
+#: Round-11 rotation (VERDICT r10 #2/#10), executed: the four veterans
+#: r9 asked for finally get driver exposure — mm_jpeg_progressive,
+#: mm_gif_decode, dedup_span_removal, datapipe_curation_text — plus the
+#: two r10-built gates datapipe_warc_ingest and ann_ivf_hier_topk (whose
+#: oracle now also mirrors the r11 empty-cell sub-codebook backfill),
+#: influxql_select_star (the star family head, oracle ORDER BY aligned
+#: in r10), and datapipe_warc_response NEW on the signal from birth (the
+#: raw-crawl response-record path, VERDICT r10 #1). Rotated out, each
+#: with a same-family main twin remaining: dedup_urls + dedup_minhash_
+#: hybrid (span_removal/minhash_lsh/incremental/semantic_hier keep
+#: dedup), text_pii_scrub (gopher_rules + perplexity + curation_text
+#: keep text), mm_real_decode (real PNG decode runs e2e inside
+#: datapipe_warc_response; palette/tiff/jpeg-prog/gif keep image
+#: decode), mm_flac_decode (video_frames + probes keep §2.9),
+#: influxql_select_star_field + influxql_lone_lower_bound (select_star
+#: keeps the star path; every ts_* gate keeps F5), and
+#: ts_raw_derivative_by_tag (selector_arith keeps A15; raw-window twins
+#: shelved-green).
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",
@@ -139,21 +157,22 @@ _PRIORITY = [
     # dedup family (datapipe; incremental = the cross-batch manifest path;
     # r9: hybrid verify on signal; r9b: SemDeDup in, embedding-cosine shelved)
     "dedup_minhash_lsh",
-    "dedup_minhash_hybrid",
     "dedup_incremental",
     "dedup_semantic_hier",
-    "dedup_urls",
-    # ANN family (r9: the materialized bucket-store probe joins)
+    "dedup_span_removal",
+    # ANN family (r9: bucket-store probe; r11: the hierarchical probe)
     "ann_ivf_topk",
     "ann_lsh_indexed",
-    # text family (r9: PII scrub; r9b: Gopher rules in, langid shelved)
-    "text_pii_scrub",
+    "ann_ivf_hier_topk",
+    # text family (r9b: Gopher rules; r11: the composed text-rewrite flow)
     "text_gopher_rules",
-    # multimodal family (r9: jpeg codec on signal; r9b: FLAC in, wav features shelved)
-    "mm_real_decode",
+    "datapipe_curation_text",
+    # multimodal family (r11: progressive JPEG + GIF on signal; real PNG
+    # decode runs e2e inside datapipe_warc_response)
     "mm_png_palette",
     "mm_tiff_decode",
-    "mm_flac_decode",
+    "mm_jpeg_progressive",
+    "mm_gif_decode",
     "mm_video_frames",
     # aggregation / rollup operators (r7: the composed lifecycle flow —
     # ingest -> preagg -> cascade -> tiered query -> TTL — carries A20)
@@ -175,7 +194,6 @@ _PRIORITY = [
     # window; r7: per-tag raw derivative)
     "ts_group_by_time_tag_fill_previous",
     "ts_agg_count_fill_zero",
-    "ts_raw_derivative_by_tag",
     "ts_filtered_devices_raw",
     # InfluxQL clause closure (r6: plan_tree subquery + INTO write path;
     # r7: selector arithmetic, wall-clock tz bucketing, GROUP BY *)
@@ -183,6 +201,7 @@ _PRIORITY = [
     "influxql_selector_arith",
     "influxql_tz_clause",
     "influxql_group_by_star",
+    "influxql_select_star",
     # sessions / sketches / streaming (r5: the session-window slot moved
     # from the batch shape to the real streaming replay of the same op)
     "sketch_kmv_distinct_users",
@@ -198,8 +217,10 @@ _PRIORITY = [
     # storage boundary (S3/S4/S7 — sink outputs + replay parse as value gates)
     "sink_parquet_roundtrip",
     "replay_tai64n_load",
-    # flagship composed LLM-pipeline flow
+    # flagship composed LLM-pipeline flow + crawl ingestion (r11)
     "datapipe_curation",
+    "datapipe_warc_ingest",
+    "datapipe_warc_response",
     # §2.6 relational surface (q1 + q9 span scan-agg and 5-way join-agg;
     # the other TPC-H shapes are shelved, still checked via --shelved)
     "tpch_q1_pricing_summary",

@@ -177,7 +177,7 @@ reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
     f"""WITH {_span_ctes()}
 SELECT doc_id, text FROM reb ORDER BY doc_id
 """,
-    shelved=True,
+    # r11 rotation: on the driver signal (never had driver exposure)
 )
 def dedup_span_removal(spark, sf_dir):
     """Exact duplicated-SPAN removal (r9 — the Lee et al. 2021
@@ -246,7 +246,7 @@ gpass AS (SELECT doc_id, text FROM gm
             AND stops >= 2)
 SELECT min(doc_id) AS doc_id, text FROM gpass GROUP BY text ORDER BY doc_id
 """,
-    shelved=True,
+    # r11 rotation: on the driver signal (never had driver exposure)
 )
 def datapipe_curation_text(spark, sf_dir):
     """The composed TEXT-rewriting curation flow (r9 second session —
@@ -291,6 +291,8 @@ SELECT doc_id,
          AS url_norm
 FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r11 (driver-green r10); span_removal +
+    # minhash + incremental + semantic_hier keep dedup on the signal
 )
 def dedup_urls(spark, sf_dir):
     """URL-level dedup on the normalized form (r9 — the CCNet /
@@ -416,7 +418,7 @@ SELECT doc_id,
        txt AS text
 FROM t ORDER BY doc_id, rec_idx
 """,
-    shelved=True,
+    # r11 rotation: the r10 WET path joins its new response twin on signal
 )
 def datapipe_warc_ingest(spark, sf_dir):
     """WARC/WET ingestion (r10 — ISO 28500, the container Common Crawl
@@ -634,6 +636,8 @@ SELECT doc_a, doc_b, jaccard FROM sure
 UNION ALL SELECT doc_a, doc_b, jaccard FROM bexact
 ORDER BY 1, 2
 """,
+    shelved=True,  # rotated out r11 (driver-green r9/r10); dedup_minhash_lsh
+    # pins the same banding + the exact contract path on the signal
 )
 def dedup_minhash_hybrid(spark, sf_dir):
     """minhash_lsh_pairs(verify='hybrid') — the r8 scale path: signature
@@ -1310,8 +1314,9 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
 @register(
     "ann_ivf_hier_topk",
     _ivf_hier_sql(),
-    shelved=True,  # the hierarchical-index probe twin; dedup_semantic_hier
-    # keeps the two-level quantizer on the driver signal
+    # r11 rotation: the hierarchical-index probe onto the signal (built
+    # r10, never had driver exposure; now also pins the empty-cell
+    # backfilled sub-codebook mirror in the oracle)
 )
 def ann_ivf_hier_topk(spark, sf_dir):
     """Hierarchical IVF index probe (r10 — the no-4096-ceiling ANN
@@ -1620,6 +1625,8 @@ def text_repetition(spark, sf_dir):
       '{text.URL_RE}')) AS INT) AS n_urls
 FROM documents ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r11 (on signal since r9); gopher_rules +
+    # perplexity + curation_text keep the text family on the signal
 )
 def text_pii_scrub(spark, sf_dir):
     """Email/URL redaction with hit counts (map-side pre-tokenization
@@ -1850,6 +1857,9 @@ SELECT doc_id,
        1.0 AS bucket_mass
 FROM s ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r11 (on signal since r8); the real PNG
+    # decode now runs e2e inside datapipe_warc_response from birth, and
+    # png_palette/tiff/jpeg_progressive/gif keep image decode on signal
 )
 def mm_real_decode(spark, sf_dir):
     """REAL image decode, value-gated (r7, VERDICT r6 #5): synthetic
@@ -1979,7 +1989,7 @@ SELECT doc_id,
        1.0 AS bucket_mass
 FROM r ORDER BY doc_id
 """,
-    shelved=True,
+    # r11 rotation: progressive JPEG onto the signal (asked in r9)
 )
 def mm_jpeg_progressive(spark, sf_dir):
     """REAL progressive (SOF2) JPEG decode, value-gated (r9, VERDICT r8
@@ -2096,7 +2106,7 @@ SELECT doc_id,
        1.0 AS bucket_mass
 FROM m ORDER BY doc_id
 """,
-    shelved=True,
+    # r11 rotation: GIF decode onto the signal (asked in r9)
 )
 def mm_gif_decode(spark, sf_dir):
     """REAL GIF decode, value-gated (r9): constant-luminance grayscale
@@ -2398,6 +2408,8 @@ SELECT doc_id,
        CAST(amp AS INT) AS peak
 FROM p ORDER BY doc_id
 """,
+    shelved=True,  # rotated out r11 (on signal since r9b); mm_video_frames
+    # + the probe family keep §2.9 on signal, FLAC stays shelved-green
 )
 def mm_flac_decode(spark, sf_dir):
     """REAL compressed-audio decode, value-gated (r9): stereo FLAC

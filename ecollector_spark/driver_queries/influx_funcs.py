@@ -312,6 +312,8 @@ d AS (SELECT t AS time, location_id,
 SELECT time, location_id, value FROM d WHERE value IS NOT NULL AND value >= 0
 ORDER BY time, location_id
 """,
+    shelved=True,  # rotated out r11 (on signal since r7); selector_arith
+    # keeps A15's transform/window family, raw-window twins shelved-green
 )
 def ts_raw_derivative_by_tag(spark, sf_dir):
     """``non_negative_derivative("value", 1m)`` per tag over raw points:
@@ -627,7 +629,8 @@ FROM src
 ORDER BY time, dev_id, dev_type, dir, location_id, service, topic, domain,
          value
 """,
-    shelved=True,
+    # r11 rotation: the star family's head query onto the signal (the
+    # oracle ORDER BY was aligned to the full tag sort in r10 ADVICE)
 )
 def influxql_select_star(spark, sf_dir):
     """``SELECT *`` (r9 second session — the first query every
@@ -648,6 +651,8 @@ SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, value_f AS value
 FROM src
 ORDER BY time, value
 """,
+    shelved=True,  # rotated out r11 (driver-green r10); influxql_select_star
+    # keeps the star family's plan_star path on the signal
 )
 def influxql_select_star_field(spark, sf_dir):
     """``SELECT *::field`` (r10 — VERDICT r9 missing #4): the star
@@ -669,7 +674,8 @@ FROM src
 ORDER BY time, dev_id, dev_type, dir, location_id, service, topic, domain,
          value
 """,
-    shelved=True,
+    shelved=True,  # influxql_select_star (main, r11) pins the same frame;
+    # the GROUP BY * parse acceptance stays on the shelved sweep
 )
 def influxql_select_star_group(spark, sf_dir):
     """``SELECT * ... GROUP BY *`` (r10): raw points regrouped per
@@ -711,6 +717,8 @@ FROM dp
 WHERE measurement = 'purchase' AND ts >= '{FROM_T}'::TIMESTAMP
 ORDER BY time, value
 """,
+    shelved=True,  # rotated out r11 (driver-green r10); every ts_* gate +
+    # the influx family keep F5's range predicates on the signal
 )
 def influxql_lone_lower_bound(spark, sf_dir):
     """``WHERE time >= 'abs'`` with NO upper bound (r10): valid
