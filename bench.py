@@ -89,26 +89,19 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    # weather guard (VERDICT r8 #8): r7/r8 captures started at load1 >5
-    # and recorded ambient contention as if it were history. Wait
-    # (bounded) for the box to go quiet before the timed section; if it
-    # never does, the capture is ANNOTATED as weather-compromised in the
-    # JSON line instead of silently becoming the round's number.
-    cpus = os.cpu_count() or 8
-    quiet_threshold = round(cpus / 4, 2)
-    quiet_waited = 0.0
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "180"))
-    try:
-        while os.getloadavg()[0] > quiet_threshold and quiet_waited < max_wait:
-            time.sleep(10)
-            quiet_waited += 10
-    except OSError:
-        pass
+    # weather guard (VERDICT r8 #8, tightened r11 per VERDICT r10 #3):
+    # the old cpus/4 = 8.0 threshold let the r10 capture run at load1
+    # 3.88 and record a 40 % phantom regression. The shared guard
+    # (tools/weather.py) waits bounded for load1 < 1.0 — the level of
+    # bench.py's own reference captures — and ANNOTATES the run as
+    # weather-compromised in the JSON line if the box never goes quiet,
+    # instead of silently becoming the round's number.
+    from tools.weather import wait_for_quiet
 
-    try:
-        load_before = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_before = None
+    guard = wait_for_quiet()
+    quiet_threshold = guard["quiet_threshold"]
+    quiet_waited = guard["waited_s"]
+    load_before = guard["load1_before"]
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -142,9 +135,7 @@ def main() -> None:
         "weather_guard": {
             "quiet_threshold": quiet_threshold,
             "waited_s": quiet_waited,
-            "compromised": bool(
-                load_before is not None and load_before > quiet_threshold
-            ),
+            "compromised": guard["compromised"],
         },
     }
     detail = {**out, "spread": spread, "n_runs": n_runs, "sf_dir": sf_dir}

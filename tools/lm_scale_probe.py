@@ -58,7 +58,14 @@ def main() -> None:
         )
         ladder.append((f"{mult}x", d))
 
-    out = {"note": __doc__.split("Usage:")[0].strip(), "rungs": {}}
+    from tools.weather import wait_for_quiet
+
+    out = {
+        "note": __doc__.split("Usage:")[0].strip(),
+        # VERDICT r10 #3: exponents from a loaded box are weather-fragile
+        "weather_guard": wait_for_quiet(),
+        "rungs": {},
+    }
 
     def timed(fn):
         ts = []

@@ -63,7 +63,10 @@ def main() -> None:
 
     spark = get_spark("minhash_cluster_ab")
     master = spark.conf.get("spark.master")
-    out = {"master": master, "rungs": {}}
+    from tools.weather import wait_for_quiet
+
+    # VERDICT r10 #3: A/B rungs from a loaded box are weather-fragile
+    out = {"master": master, "weather_guard": wait_for_quiet(), "rungs": {}}
     for d in args.rungs.split(","):
         warmed = _prewarm(d)
         rung = {"prewarmed_bytes": warmed, "arms": {}}

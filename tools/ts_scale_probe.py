@@ -313,6 +313,11 @@ def main() -> None:
     # flat count makes the exponent's log-ratio divide by zero
     fact = "events" if "events" in tables else sorted(tables)[0]
     counts = {label: rows(d, fact) for label, d in ladder}
+    # weather guard (VERDICT r10 #3): ladder exponents fitted from a
+    # loaded box are weather-fragile — wait for quiet, annotate if not
+    from tools.weather import wait_for_quiet
+
+    guard = wait_for_quiet()
     out = {
         "note": (
             f"wall-time growth of the {tag} query set across a 1x/10x/100x "
@@ -323,6 +328,7 @@ def main() -> None:
             "flat; medians of --runs runs, noop sink, local[32]"
         ),
         "rows": counts,
+        "weather_guard": guard,
         "queries": {},
     }
     # exponent over the run's TOP decade (the two largest rungs) — the
