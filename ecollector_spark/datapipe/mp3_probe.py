@@ -27,6 +27,24 @@ the triage half ships; the decode half stays a named refusal.
 ``build_mp3`` synthesizes structurally-valid frame sequences (correct
 headers, chained lengths, zeroed audio payload) for tests and the
 triage gate — explicitly NOT decodable audio semantics.
+
+FINAL DISPOSITION (r11, VERDICT r10 #4 — the Layer I/II experiment,
+settled by analysis): implementing Layer I or Layer II would NOT
+escape the blocker. Their bit-allocation and scalefactor tables
+(11172-3 Tables B.2a-d / 3-B.1) are indeed small, but every layer's
+output runs through the same polyphase SYNTHESIS filterbank, whose
+window is the 512-coefficient Table B.3 — a tabulated prototype
+lowpass filter with NO generating formula in the spec (the matrixing
+cosines N(i,k) = cos((16+i)(2k+1)π/64) are algorithmic; the window D[]
+is not). A Layer I/II decoder with a guessed window has exactly the
+failure mode the refusal exists to prevent: it passes its own
+round-trips (any self-consistent analysis/synthesis pair does) while
+producing wrong PCM for real files, with no in-sandbox reference to
+catch it. So MPEG audio decode is a FINAL named refusal — all three
+layers, one shared root cause — and the effort went to the raw-crawl
+WARC response path instead (VERDICT r10 #1, this round). Production
+wiring: ffmpeg behind the same mapInPandas contract, swapped in where
+``extract_features`` raises today.
 """
 
 from __future__ import annotations

@@ -681,6 +681,97 @@ def attach_synthetic_response_warc_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def attach_synthetic_exif_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Quadrant JPEGs with a spliced EXIF orientation (r11, VERDICT r10
+    #9 — the 8-transform table onto a value gate): each doc becomes a
+    16x16 grayscale baseline JPEG of four constant 8x8 blocks
+
+        a = d % 64        (top-left)      b = 64 + d % 64   (top-right)
+        c = 128 + d % 64  (bottom-left)   e = 192 + d % 64  (bottom-right)
+        quality = 75 + d % 21,  orientation = 1 + d % 8
+
+    Constant blocks decode DC-only (the codec's documented closed
+    form), and after ``apply_orientation`` the four CORNER luminances
+    are a distinct permutation of (a,b,c,e) for every one of the eight
+    transforms — so the oracle pins which transform ran, not just that
+    one did. The EXIF segment is spliced with ``add_exif_orientation``
+    (APP1, one SHORT tag, little-endian TIFF block)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ecollector_spark.datapipe.jpeg_codec import (
+            add_exif_orientation,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            blobs, nbytes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = np.zeros((16, 16), np.uint8)
+                img[:8, :8] = d % 64
+                img[:8, 8:] = 64 + d % 64
+                img[8:, :8] = 128 + d % 64
+                img[8:, 8:] = 192 + d % 64
+                data = add_exif_orientation(
+                    encode_jpeg(img, quality=75 + d % 21), 1 + d % 8
+                )
+                blobs.append(data)
+                nbytes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": blobs,
+                    "media_type": ["image/jpeg"] * len(blobs),
+                    "width": [16] * len(blobs),
+                    "height": [16] * len(blobs),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+ORIENTED_CORNERS_SCHEMA = (
+    "doc_id long, orientation int, tl int, tr int, bl int, br int"
+)
+
+
+def extract_oriented_corners(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode + EXIF orientation undo, reduced to the four
+    corner luminances (r11): decode_jpeg -> exif_orientation ->
+    apply_orientation, then (top-left, top-right, bottom-left,
+    bottom-right) of the oriented array. Corners are the minimal
+    position-SENSITIVE feature — histograms are blind to flips and
+    rotations, corners pin the exact transform. Arrow-batched
+    mapInPandas, embarrassingly parallel."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ecollector_spark.datapipe.jpeg_codec import (
+            apply_orientation,
+            decode_jpeg,
+            exif_orientation,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in ("orientation", "tl", "tr", "bl", "br")
+            }
+            for blob in pdf["media"]:
+                buf = bytes(blob or b"")
+                o = exif_orientation(buf)
+                img = apply_orientation(decode_jpeg(buf), o)
+                out["orientation"].append(o)
+                out["tl"].append(int(img[0, 0]))
+                out["tr"].append(int(img[0, -1]))
+                out["bl"].append(int(img[-1, 0]))
+                out["br"].append(int(img[-1, -1]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return media.mapInPandas(op, schema=ORIENTED_CORNERS_SCHEMA)
+
+
 def attach_synthetic_wav_media(docs: DataFrame) -> DataFrame:
     """Real, decodable 16-bit PCM WAV payloads built deterministically
     from doc_id — the distributed audio-generation stage behind the

@@ -2090,6 +2090,64 @@ def mm_png_palette(spark, sf_dir):
 
 
 @register(
+    "mm_jpeg_exif_orientation",
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 4),
+m AS (SELECT doc_id, 1 + doc_id % 8 AS o, 75 + doc_id % 21 AS q,
+             doc_id % 64 AS va, 64 + doc_id % 64 AS vb,
+             128 + doc_id % 64 AS vc, 192 + doc_id % 64 AS vd
+      FROM d),
+-- per-block DC-only decode closed form (same as the mm_jpeg gates),
+-- applied to each quadrant value independently
+t AS (SELECT *, greatest(1, least(255, (16 * (200 - 2*q) + 50) // 100)) AS q00 FROM m),
+r AS (SELECT doc_id, o,
+  CAST(greatest(0, least(255, floor(floor(8.0*(va-128)/q00+0.5)*q00/8.0+0.5)+128)) AS INT) AS da,
+  CAST(greatest(0, least(255, floor(floor(8.0*(vb-128)/q00+0.5)*q00/8.0+0.5)+128)) AS INT) AS db,
+  CAST(greatest(0, least(255, floor(floor(8.0*(vc-128)/q00+0.5)*q00/8.0+0.5)+128)) AS INT) AS dc,
+  CAST(greatest(0, least(255, floor(floor(8.0*(vd-128)/q00+0.5)*q00/8.0+0.5)+128)) AS INT) AS dd
+      FROM t)
+-- the eight spec transforms, as corner permutations of (da,db,dc,dd):
+-- stored corners are (tl,tr,bl,br) = (a,b,c,d); undoing orientation o
+-- yields a DISTINCT permutation per o, so the oracle pins WHICH
+-- transform ran (histograms are blind to flips/rotations)
+SELECT doc_id, CAST(o AS INT) AS orientation,
+  CASE o WHEN 1 THEN da WHEN 2 THEN db WHEN 3 THEN dd WHEN 4 THEN dc
+         WHEN 5 THEN da WHEN 6 THEN dc WHEN 7 THEN dd ELSE db END AS tl,
+  CASE o WHEN 1 THEN db WHEN 2 THEN da WHEN 3 THEN dc WHEN 4 THEN dd
+         WHEN 5 THEN dc WHEN 6 THEN da WHEN 7 THEN db ELSE dd END AS tr,
+  CASE o WHEN 1 THEN dc WHEN 2 THEN dd WHEN 3 THEN db WHEN 4 THEN da
+         WHEN 5 THEN db WHEN 6 THEN dd WHEN 7 THEN dc ELSE da END AS bl,
+  CASE o WHEN 1 THEN dd WHEN 2 THEN dc WHEN 3 THEN da WHEN 4 THEN db
+         WHEN 5 THEN dd WHEN 6 THEN db WHEN 7 THEN da ELSE dc END AS br
+FROM r ORDER BY doc_id
+""",
+    shelved=True,  # new r11 (VERDICT r10 #9): the 8-transform EXIF table
+    # on a value oracle; r12 rotation candidate
+)
+def mm_jpeg_exif_orientation(spark, sf_dir):
+    """EXIF orientation, value-gated end to end (r11 — VERDICT r10 #9):
+    quadrant JPEGs (four constant 8x8 blocks, values/quality/orientation
+    all closed forms of doc_id) get an APP1 EXIF segment spliced in
+    (``add_exif_orientation``), then the real pipeline runs — decode
+    (T.81 baseline), ``exif_orientation`` (bounds-checked TIFF IFD walk
+    inside APP1), ``apply_orientation`` (the eight spec transforms) —
+    and the four corner luminances of the oriented result are compared
+    against the oracle's per-orientation permutation of the per-block
+    DC closed forms. Each of the eight transforms lands on a DISTINCT
+    corner permutation, so a wrong flip/rotate/transpose (or a missed
+    EXIF parse) breaks the hash."""
+    from ecollector_spark.datapipe.multimodal import (
+        attach_synthetic_exif_jpeg_media,
+        extract_oriented_corners,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 6 == 4
+    )
+    media = attach_synthetic_exif_jpeg_media(docs)
+    return extract_oriented_corners(media).orderBy("doc_id")
+
+
+@register(
     "mm_gif_decode",
     """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
 m AS (SELECT doc_id,

@@ -611,3 +611,66 @@ class TestExifOrientation:
             (-1, 0): up[-1, 0], (-1, -1): up[-1, -1],
         }
         assert max(corners, key=lambda k: int(corners[k])) == (-1, 0)
+
+    def test_corner_permutations_distinct_across_all_eight(self):
+        """The mm_jpeg_exif_orientation gate's premise: over a quadrant
+        image with four distinct block values, the oriented corner
+        tuple is a DISTINCT permutation for every orientation — so the
+        gate pins which transform ran, and the oracle's CASE table
+        matches the codec's transforms exactly."""
+        import numpy as np
+
+        from ecollector_spark.datapipe.jpeg_codec import apply_orientation
+
+        img = np.zeros((16, 16), np.uint8)
+        img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 10, 70, 140, 200
+        seen = {}
+        # the oracle's permutation table (tl, tr, bl, br) per orientation
+        want = {
+            1: (10, 70, 140, 200), 2: (70, 10, 200, 140),
+            3: (200, 140, 70, 10), 4: (140, 200, 10, 70),
+            5: (10, 140, 70, 200), 6: (140, 10, 200, 70),
+            7: (200, 70, 140, 10), 8: (70, 200, 10, 140),
+        }
+        for o in range(1, 9):
+            out = apply_orientation(img, o)
+            t = (int(out[0, 0]), int(out[0, -1]),
+                 int(out[-1, 0]), int(out[-1, -1]))
+            assert t == want[o], (o, t)
+            seen[t] = o
+        assert len(seen) == 8  # all eight distinct
+
+    def test_extract_oriented_corners_spark(self, spark):
+        """The Spark surface behind the gate: synthesize, decode, undo,
+        corners — closed form for a couple of doc_ids."""
+        import math
+
+        from ecollector_spark.datapipe.multimodal import (
+            attach_synthetic_exif_jpeg_media,
+            extract_oriented_corners,
+        )
+
+        def dec(v, q):
+            q00 = max(1, min(255, (16 * (200 - 2 * q) + 50) // 100))
+            dc = math.floor(8.0 * (v - 128) / q00 + 0.5)
+            return max(0, min(255, math.floor(dc * q00 / 8.0 + 0.5) + 128))
+
+        docs = spark.createDataFrame([(4,), (13,)], "doc_id long")
+        out = {
+            r["doc_id"]: r
+            for r in extract_oriented_corners(
+                attach_synthetic_exif_jpeg_media(docs)
+            ).collect()
+        }
+        # doc 4: orientation 5 (transpose) -> (a, c, b, d)
+        q, a, b, c, d = 79, 4, 68, 132, 196
+        r = out[4]
+        assert r["orientation"] == 5
+        assert (r["tl"], r["tr"], r["bl"], r["br"]) == (
+            dec(a, q), dec(c, q), dec(b, q), dec(d, q))
+        # doc 13: orientation 6 (rot 90 CW) -> (c, a, d, b)
+        q, a, b, c, d = 88, 13, 77, 141, 205
+        r = out[13]
+        assert r["orientation"] == 6
+        assert (r["tl"], r["tr"], r["bl"], r["br"]) == (
+            dec(c, q), dec(a, q), dec(d, q), dec(b, q))
