@@ -129,37 +129,52 @@ def score_perplexity(
                    = ALPHA^2 * f(w)/N        else when the unigram is
                    = ALPHA^2 * 1/N           else (OOV floor)
 
-    (order generalizes; shown for order=3). Per-token bits are
+    (order generalizes — r11 implements the chain for ANY order >= 2,
+    CCNet proper uses 5; shown for order=3). Per-token bits are
     ``floor(-log2(S) * 1e6)`` summed exactly as longs; ``ppl_micro_
     bits = bits_micro // n_scored`` (integer micro-bits per token —
     ~perplexity in log2 space; filter on it). ``broadcast_lm`` hints
-    the five lookups map-side — set False when the LM exceeds the
-    broadcast budget and let them shuffle on the uniform hash key."""
-    if order != 3:
-        raise NotImplementedError(
-            "score_perplexity currently implements the order-3 backoff "
-            "chain (the CCNet-style default here); train+score with "
-            "order=3"
-        )
+    the ``2*order - 1`` lookups map-side (five at order 3) — set False
+    when the LM exceeds the broadcast budget and let them shuffle on
+    the uniform hash key. Output carries one ``hits<n>`` column per
+    level (``hits3, hits2, hits1`` at the default order), counting
+    tokens whose HIGHEST known level was n — a substring of a counted
+    gram is always counted itself (min_count never breaks this: a
+    context's count bounds its extensions'), so the when-chain needs no
+    denominator null checks."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
     if total_tokens <= 0:
         raise ValueError("total_tokens must be positive (empty reference?)")
-    # five lookups read the counts table — materialize the training job
+    k = order
+    # the lookups read the counts table — materialize the training job
     # once (lazy checkpoint) instead of re-running it per join branch
     c = lm.localCheckpoint(eager=False)
-    p = docs.select("doc_id", _padded(text_col, order).alias("_p"))
+    p = docs.select("doc_id", _padded(text_col, k).alias("_p"))
+
+    def hashes(i):
+        # per level n = k..2: the n-gram ENDING at i and its (n-1)-word
+        # context ending at i-1 (both start at i - n + 1); level 1 is
+        # the bare token. 1-based slice positions (Spark semantics).
+        fields = []
+        for n in range(k, 1, -1):
+            fields.append(
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("_p"), i - n + 1, n))
+                ).alias(f"h{n}")
+            )
+            fields.append(
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("_p"), i - n + 1, n - 1))
+                ).alias(f"hc{n - 1}")
+            )
+        fields.append(F.xxhash64(F.element_at(F.col("_p"), i)).alias("h1"))
+        return F.struct(*fields)
+
     pos = p.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(order), F.size("_p")),
-                lambda i: F.struct(
-                    F.xxhash64(F.concat_ws(" ", F.slice(F.col("_p"), i - 2, 3))).alias("h3"),
-                    F.xxhash64(F.concat_ws(" ", F.slice(F.col("_p"), i - 1, 2))).alias("h2"),
-                    F.xxhash64(F.element_at(F.col("_p"), i)).alias("h1"),
-                    F.xxhash64(F.concat_ws(" ", F.slice(F.col("_p"), i - 2, 2))).alias("hc2"),
-                    F.xxhash64(F.element_at(F.col("_p"), i - 1)).alias("hc1"),
-                ),
-            )
+            F.transform(F.sequence(F.lit(k), F.size("_p")), hashes)
         ).alias("_t"),
     ).select("doc_id", "_t.*")
 
@@ -169,46 +184,54 @@ def score_perplexity(
         )
         return F.broadcast(t) if broadcast_lm else t
 
-    j = (
-        pos.join(look(3, "h3", "c3"), "h3", "left")
-        .join(look(2, "h2", "c2"), "h2", "left")
-        .join(look(1, "h1", "c1"), "h1", "left")
-        .join(look(2, "hc2", "cc2"), "hc2", "left")
-        .join(look(1, "hc1", "cc1"), "hc1", "left")
-    )
+    j = pos
+    for n in range(k, 0, -1):
+        j = j.join(look(n, f"h{n}", f"c{n}"), f"h{n}", "left")
+    for n in range(k - 1, 0, -1):
+        j = j.join(look(n, f"hc{n}", f"cc{n}"), f"hc{n}", "left")
     n_d = float(total_tokens)
-    s = (
-        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("cc2"))
-        .when(F.col("c2").isNotNull(), ALPHA * F.col("c2") / F.col("cc1"))
-        .when(F.col("c1").isNotNull(), ALPHA * ALPHA * F.col("c1") / F.lit(n_d))
-        .otherwise(F.lit(ALPHA * ALPHA / n_d))
+    s = F.when(
+        F.col(f"c{k}").isNotNull(), F.col(f"c{k}") / F.col(f"cc{k - 1}")
     )
+    for n in range(k - 1, 1, -1):
+        s = s.when(
+            F.col(f"c{n}").isNotNull(),
+            F.lit(ALPHA ** (k - n)) * F.col(f"c{n}") / F.col(f"cc{n - 1}"),
+        )
+    s = s.when(
+        F.col("c1").isNotNull(),
+        F.lit(ALPHA ** (k - 1)) * F.col("c1") / F.lit(n_d),
+    ).otherwise(F.lit(ALPHA ** (k - 1) / n_d))
     bits_micro = F.floor(-F.log2(s) * 1000000.0).cast("long")
+    hit_cols = [F.col(f"c{k}").isNotNull().cast("int").alias(f"_h{k}")]
+    for n in range(k - 1, 0, -1):
+        hit_cols.append(
+            (F.col(f"c{n + 1}").isNull() & F.col(f"c{n}").isNotNull())
+            .cast("int")
+            .alias(f"_h{n}")
+        )
     scored = j.select(
         "doc_id",
         bits_micro.alias("_b"),
         F.col("c1").isNull().cast("int").alias("_oov"),
-        F.col("c3").isNotNull().cast("int").alias("_h3"),
-        (F.col("c3").isNull() & F.col("c2").isNotNull()).cast("int").alias("_h2"),
-        (F.col("c2").isNull() & F.col("c1").isNotNull()).cast("int").alias("_h1"),
+        *hit_cols,
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_scored"),
             F.sum("_oov").alias("oov"),
-            F.sum("_h3").alias("hits3"),
-            F.sum("_h2").alias("hits2"),
-            F.sum("_h1").alias("hits1"),
+            *[
+                F.sum(f"_h{n}").alias(f"hits{n}")
+                for n in range(k, 0, -1)
+            ],
             F.sum("_b").alias("bits_micro"),
         )
         .select(
             "doc_id",
             "n_scored",
             "oov",
-            "hits3",
-            "hits2",
-            "hits1",
+            *[f"hits{n}" for n in range(k, 0, -1)],
             "bits_micro",
             (F.col("bits_micro") / F.col("n_scored"))
             .cast("long")

