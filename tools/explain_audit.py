@@ -355,6 +355,40 @@ CHECKS = {
         "!CartesianProduct",
         "!Exchange hashpartitioning",
     ],
+    # WARC response-record ingestion (r11): record walk + HTTP split +
+    # decode all live inside Arrow stages (MapInPandas), routing joins
+    # on doc_id broadcast at gate scale — and nothing ever enumerates
+    # pairs or falls back to a row-UDF (BatchEvalPython is banned
+    # globally below)
+    "datapipe_warc_response": [
+        "MapInPandas",
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        "!CartesianProduct",
+    ],
+    # hierarchical IVF probe (r11 on-driver): the scan must prune to the
+    # probed coarse partitions (cid1 IN) AND push the global-cell filter
+    # into the parquet reader (In(cid,...) — row-group skipping on the
+    # sorted cid2 layout), finishing with a driver-side top-k; no joins,
+    # no shuffle — the probe reads only the probed cells
+    "ann_ivf_hier_topk": [
+        "PartitionFilters: \\[cid1#\\d+ IN \\(",
+        "PushedFilters: \\[IsNotNull\\(vec_id\\), In\\(cid",
+        "TakeOrderedAndProject",
+        "!CartesianProduct",
+        "!BroadcastHashJoin",
+        "!Exchange hashpartitioning",
+    ],
+    # EXIF orientation gate (r11): generate + decode + orient are two
+    # Arrow stages back to back — no shuffle at all beyond the cosmetic
+    # range sort, no join
+    "mm_jpeg_exif_orientation": [
+        "MapInPandas",
+        "!BroadcastHashJoin",
+        "!SortMergeJoin",
+        "!ShuffledHashJoin",
+        "!CartesianProduct",
+        "!Exchange hashpartitioning",
+    ],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / stray caches
