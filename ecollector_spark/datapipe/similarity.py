@@ -231,7 +231,7 @@ def semantic_dedup(
     n_centroids: int | None = None,
     n_iter: int = 2,
     vec_col: str = "embedding",
-    flat_cap: int = 4096,
+    flat_cap: int = 32,
     level1: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
@@ -267,8 +267,14 @@ def semantic_dedup(
     Clustering is the IVF coarse quantizer for k <= ``flat_cap``
     (:func:`ivf_assignments` — one broadcast-argmin scan per Lloyd
     step, exact-decimal means, bit-identical to the SQL oracle); past
-    that, the broadcast of k centroids is what used to force the 4096
-    cap, so large k switches to the two-level quantizer
+    that it switches to the two-level quantizer. ``flat_cap=32`` is the
+    MEASURED crossover, not the broadcast-safety ceiling (r11, VERDICT
+    r10 #6 — QUANTIZER_CROSSOVER.json): the flat path's cost is the
+    in-row argmin over a broadcast k-array, so on a quiet box hier
+    already wins 1.9x at k=64, 3.3x at 128, 5.6x at 512 on a 200k
+    corpus (and 0.85x/1.2x at k=32/64 even on a 2k one); flat keeps a
+    ~1.2x edge only at k <= 16-32, so 32 takes the flat win where it
+    exists and the hier win everywhere it matters
     (:func:`hierarchical_assignments`): sqrt(k)-ish coarse centroids
     broadcast-assigned, then per-coarse-cluster sub-centroids that ride
     an ordinary cid1-keyed shuffle join — nothing broadcast is ever
@@ -639,7 +645,7 @@ def ivf_build(
     n_iter: int = 2,
     vec_col: str = "embedding",
     overwrite: bool = False,
-    flat_cap: int = 4096,
+    flat_cap: int = 32,
 ) -> str:
     """Train-once IVF index build — the expensive half of IVF, paid once
     per corpus instead of per query.
@@ -667,7 +673,10 @@ def ivf_build(
 
     ``n_centroids > flat_cap`` (r10) builds the HIERARCHICAL layout —
     the same two-level quantizer as :func:`hierarchical_assignments`,
-    removing the 4096-list ceiling that bounded the flat broadcast:
+    removing the 4096-list ceiling that bounded the flat broadcast.
+    ``flat_cap=32`` is the measured flat/hier crossover, not a
+    broadcast bound (r11 — QUANTIZER_CROSSOVER.json; see
+    :func:`semantic_dedup`):
 
     - ``assignments/cid1=<c>/`` — partitioned by the ~sqrt(k) COARSE id
       (a k-directory layout would drown the filesystem at k in the

@@ -141,6 +141,11 @@ def main() -> None:
 
     spark = get_spark("streaming_series_scale")
     master = spark.conf.get("spark.master")
+    from tools.weather import wait_for_quiet
+
+    # VERDICT r10 #3: wall-clock rungs from a loaded box are
+    # weather-fragile — wait for quiet, annotate if the box never is
+    guard = wait_for_quiet()
     out = {
         "note": (
             "SERIES-cardinality ladder: total events fixed, series 10k->1M "
@@ -150,6 +155,7 @@ def main() -> None:
             "to measure the fixed-32 state width against the sizing lever "
             "on one box; local[32]"
         ),
+        "weather_guard": guard,
         "rungs": {},
     }
     RUNG_SPECS = {
@@ -166,6 +172,7 @@ def main() -> None:
         with open(args.out) as f:
             out = json.load(f)
         out.setdefault("rungs", {})
+        out["weather_guard"] = guard  # the CURRENT session's capture state
     for label in [r.strip() for r in args.rungs.split(",") if r.strip()]:
         n_series, target = RUNG_SPECS[label]
         rec = run_rung(spark, args.events, n_series, label, sized_target=target)
