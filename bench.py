@@ -149,7 +149,12 @@ def main() -> None:
                        ("streaming_scale", "STREAMING_SCALE.json"),
                        ("ts_scale", "TS_SCALE.json"),
                        ("newops_scale", "NEWOPS_SCALE.json"),
-                       ("r7_scale", "R7_SCALE.json")):
+                       ("r7_scale", "R7_SCALE.json"),
+                       ("semdedup_scale", "SEMDEDUP_SCALE.json"),
+                       ("lm_scale", "LM_SCALE.json"),
+                       ("lm_scale_order5", "LM_SCALE_ORDER5.json"),
+                       ("quantizer_crossover", "QUANTIZER_CROSSOVER.json"),
+                       ("streaming_series_scale", "STREAMING_SERIES_SCALE.json")):
         p = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
         if os.path.isfile(p):
             try:
