@@ -809,6 +809,51 @@ def influxql_multi_field_agg(spark, sf_dir):
 
 
 @register(
+    "influxql_agg_star_fields",
+    f"""{_DP},
+src AS ({_src_sql('purchase')}),
+-- the twin corpus scales export by exactly 0.25 (a power of two, so the
+-- scale commutes with IEEE sums bit-exactly): mean over the export
+-- twins = mean over the import twins * 0.25
+b AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS time,
+             round(avg(value_f), 3) AS mean_e_import,
+             round(avg(value_f) * 0.25, 3) AS mean_e_export
+      FROM src GROUP BY 1)
+SELECT time, mean_e_import, mean_e_export FROM b ORDER BY time
+""",
+    shelved=True,  # new r11 (VERDICT r10 #10 residue): fn(*) expanded
+    # over the multi-field mangled shape; r12 rotation candidate
+)
+def influxql_agg_star_fields(spark, sf_dir):
+    """``fn(*)`` over a MULTI-FIELD mangled measurement (r11 — VERDICT
+    r10 #10's residue): ``SELECT mean(*) FROM "electricity_meter_energy"
+    GROUP BY time(1d)`` expands the wildcard to one aggregate per field
+    of the measurement's write shape (mapping.go:48-61 —
+    ``mean_e_import``, ``mean_e_export``), each aggregating ITS
+    direction's twin rows via a conditional column inside ONE
+    plan_multi groupBy — InfluxDB's per-field wildcard expansion, never
+    a silent blend of both directions and never a per-field re-plan.
+    The single-field shape (``influxql_agg_star``) is untouched: its
+    parse-time rewrite to ``fn("value")`` still runs everything else."""
+    from ecollector_spark.influxql import parse_influxql, plan_tree
+    from ecollector_spark.query import QueryPlanner
+    from ecollector_spark.transform import M_ENERGY
+
+    twin = _twin_energy_rows(spark, sf_dir)
+    q = (
+        f'SELECT mean(*) FROM "{M_ENERGY}" '
+        f"WHERE time >= '{FROM_T}' AND time <= '{TO_T}' "
+        "GROUP BY time(1d) FILL(none)"
+    )
+    df = plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q), now=NOW)
+    return df.select(
+        "time",
+        F.round("mean_e_import", 3).alias("mean_e_import"),
+        F.round("mean_e_export", 3).alias("mean_e_export"),
+    )
+
+
+@register(
     "influxql_multi_field_arith",
     f"""{_DP},
 src AS ({_src_sql('purchase')}),

@@ -476,6 +476,15 @@ class InfluxQLQuery:
     #: ``SELECT *::field`` (r10): the star narrowed to field columns —
     #: time + value only, no tag columns
     star_fields: bool = False
+    #: ``<fn>(*)`` (r10; r11 extends to multi-field measurements): the
+    #: (function, output-name base) pair when the select list was a
+    #: wildcard aggregate. On the canonical one-field schema the parse
+    #: already rewrote it to ``fn("value") AS <base>_value`` and this
+    #: is advisory; on a measurement in
+    #: ``query.MANGLED_MEASUREMENT_FIELDS`` :func:`plan_tree` expands it
+    #: to one aggregate per mangled field (``<base>_e_import``, ...)
+    #: through plan_multi — InfluxDB's per-field wildcard expansion.
+    star_aggregate: "tuple[str, str] | None" = None
 
 
 def _split_from_list(frm: str) -> list[str]:
@@ -743,6 +752,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     value_arith = None
     select_star = False
     star_fields = False
+    star_aggregate = None
     if len(pieces) == 1 and pieces[0].strip() in ("*", "*::field", "*::tag"):
         # SELECT * (public InfluxQL): raw points with every tag column
         # and the value — QueryPlanner.plan_star. ``*::field`` (r10)
@@ -771,12 +781,13 @@ def parse_influxql(query: str) -> InfluxQLQuery:
     for piece in pieces:
         # <fn>(*) (r10, public InfluxQL): the aggregate applied to every
         # field. On the canonical one-field schema that is <fn>("value")
-        # with InfluxDB's wildcard output name <fn>_value. A dir-mangled
-        # multi-field measurement would need per-field aggregation
-        # (plan_fields); its twin rows are NOT blended silently — the
-        # mangled fields carry their own names, and <fn>(*) here reads
-        # the canonical single field only. Rewritten BEFORE the selector
-        # match so fills, tags and transforms compose unchanged.
+        # with InfluxDB's wildcard output name <fn>_value. On a
+        # dir-mangled multi-field measurement (r11 — the reference's own
+        # write shape) plan_tree expands the recorded star_aggregate to
+        # one aggregate per mangled field instead; the single-field
+        # rewrite below still happens so every other clause parses
+        # unchanged. Rewritten BEFORE the selector match so fills, tags
+        # and transforms compose.
         star_agg = influxql_styled and re.match(
             r'^\s*(\w+)\(\s*\*\s*\)\s*(?:AS\s+"?([\w.]+)"?)?\s*$',
             piece,
@@ -784,6 +795,11 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         )
         if star_agg:
             fn, al = star_agg.group(1), star_agg.group(2)
+            # the multi-field expansion applies only to a LONE fn(*):
+            # inside a comma list the wildcard keeps its r10 single-field
+            # reading (a mixed list has no per-field column story)
+            if len(pieces) == 1:
+                star_aggregate = (fn.lower(), al or fn.lower())
             piece = f'{fn}("value") AS {al or fn.lower() + "_value"}'
         sm = _SEL_RE.match(piece)
         if not sm:
@@ -1161,6 +1177,7 @@ def parse_influxql(query: str) -> InfluxQLQuery:
         arith_fields=arith_fields,
         select_star=select_star,
         star_fields=star_fields,
+        star_aggregate=star_aggregate,
     )
 
 
@@ -1211,6 +1228,50 @@ def plan_tree(planner, iq: InfluxQLQuery, now=None):
         )
 
     if iq.subquery is None:
+        if iq.star_aggregate is not None:
+            # <fn>(*) on a MULTI-FIELD (dir-mangled) measurement (r11):
+            # InfluxDB expands the wildcard to one aggregate per field
+            # of the measurement — here the reference's write shape
+            # (mapping.go:48-61) fixes that field set, and each mangled
+            # field aggregates ITS direction's twin rows side by side
+            # in ONE plan_multi groupBy (conditional columns, no join).
+            # Single-field measurements were already rewritten to
+            # fn("value") at parse time and fall through unchanged.
+            from ecollector_spark.query import (
+                MANGLED_MEASUREMENT_FIELDS,
+                Selector,
+            )
+
+            flds = MANGLED_MEASUREMENT_FIELDS.get(iq.request.measurement_name)
+            if flds:
+                fn, base = iq.star_aggregate
+                if iq.into_measurement is not None:
+                    raise InfluxQLParseError(
+                        "fn(*) INTO on a multi-field measurement is not "
+                        "supported — the INTO writer carries one value "
+                        "column; name the fields explicitly"
+                    )
+                if fn in ("difference", "mode", "integral") or fn in _CARDINALITY:
+                    raise InfluxQLParseError(
+                        f"{fn}(*) on a multi-field measurement needs "
+                        "per-field single-stage aggregation; two-stage/"
+                        "cardinality functions stay single-selector"
+                    )
+                if (iq.request.fill_type or "") not in ("", "none", "null", "0"):
+                    raise InfluxQLParseError(
+                        "fn(*) on a multi-field measurement supports "
+                        f"FILL(none|null|0) only: {iq.request.fill_type}"
+                    )
+                sels = [
+                    Selector(
+                        fn,
+                        iq.request.function_param,
+                        f"{base}_{f}",
+                        field=f,
+                    )
+                    for f in flds
+                ]
+                return planner.plan_multi(iq.request, sels, now=now)
         if iq.select_star:
             return planner.plan_star(
                 iq.request, now=now, fields_only=iq.star_fields

@@ -119,6 +119,19 @@ def _mangled_dir(field_name: str) -> str | None:
     return d if base and d in ("import", "export") else None
 
 
+#: the reference's multi-field write shape (mapping.go:48-61, mirrored
+#: by transform.py's ext_point fan-out): measurement -> the dir-mangled
+#: field names its points carry. This is the catalog ``fn(*)`` expands
+#: against on a multi-field measurement (r11 — the star wildcard means
+#: "every field", and these measurements have two); every other
+#: measurement has the single canonical ``value`` field.
+MANGLED_MEASUREMENT_FIELDS: dict[str, tuple[str, ...]] = {
+    "electricity_meter_energy": ("e_import", "e_export"),
+    "electricity_meter_energy_sampled": ("e_import", "e_export"),
+    "electricity_meter_power": ("p_import", "p_export"),
+}
+
+
 _AGG_BUILDERS = {
     "mean": lambda v, ts: F.avg(v),
     "sum": lambda v, ts: F.sum(v),

@@ -2138,11 +2138,61 @@ class TestSelectStar:
         assert iq.alias == "mean_value"
         iq2 = parse_influxql('SELECT count(*) AS n FROM "m" WHERE time > now() - 1h')
         assert iq2.request.data_function == "count" and iq2.alias == "n"
+        # the wildcard is recorded for the multi-field expansion (r11)
+        assert iq.star_aggregate == ("mean", "mean")
+        assert iq2.star_aggregate == ("count", "n")
         # plain-SQL shape (unquoted FROM, no time predicate) must NOT be
         # hijacked: it stays unparseable so run_query's raw Spark-SQL
         # fallback answers it (r10 regression caught by review)
         with pytest.raises(InfluxQLParseError):
             parse_influxql("SELECT count(*) AS n FROM dp")
+
+    def test_agg_star_multi_field_expansion(self, spark):
+        """``fn(*)`` on a MULTI-FIELD mangled measurement (r11, VERDICT
+        r10 #10 residue): the wildcard expands to one aggregate per
+        field of the measurement's write shape — mean_e_import /
+        mean_e_export side by side from ONE plan_multi groupBy, never a
+        silent blend of both directions."""
+        from datetime import datetime, timezone
+
+        from ecollector_spark.influxql import plan_tree
+        from ecollector_spark.query import QueryPlanner
+        from ecollector_spark.transform import M_ENERGY
+
+        twin = TestMultiField._twin(None, spark)  # self unused
+        now = datetime(2024, 3, 1, tzinfo=timezone.utc)
+        q = (
+            f'SELECT mean(*) FROM "{M_ENERGY}" '
+            f"WHERE time >= '2024-01-01T00:00:00Z' AND "
+            f"time <= '2024-01-01T04:00:00Z' GROUP BY time(1h)"
+        )
+        df = plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q), now=now)
+        assert df.columns == ["time", "mean_e_import", "mean_e_export"]
+        rows = {r["time"]: r for r in df.collect()}
+        # the twin corpus: export = import * 0.25 exactly (power of two
+        # commutes with IEEE sums), so per bucket me == mi * 0.25
+        assert rows
+        for r in rows.values():
+            if r["mean_e_import"] is not None:
+                assert r["mean_e_export"] == r["mean_e_import"] * 0.25
+        # alias becomes the output-name base
+        q2 = q.replace("mean(*)", "mean(*) AS avg")
+        df2 = plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q2), now=now)
+        assert df2.columns == ["time", "avg_e_import", "avg_e_export"]
+        # two-stage / cardinality functions refuse loudly on the
+        # multi-field shape; fills beyond none/null/0 refuse too
+        with pytest.raises(InfluxQLParseError, match="single-stage"):
+            plan_tree(
+                QueryPlanner(lambda tier: twin),
+                parse_influxql(q.replace("mean(*)", "difference(*)")),
+                now=now,
+            )
+        with pytest.raises(InfluxQLParseError, match="FILL"):
+            plan_tree(
+                QueryPlanner(lambda tier: twin),
+                parse_influxql(q + " FILL(previous)"),
+                now=now,
+            )
 
     @pytest.mark.parametrize(
         "bad",
