@@ -2168,13 +2168,14 @@ class TestSelectStar:
         )
         df = plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q), now=now)
         assert df.columns == ["time", "mean_e_import", "mean_e_export"]
-        rows = {r["time"]: r for r in df.collect()}
-        # the twin corpus: export = import * 0.25 exactly (power of two
-        # commutes with IEEE sums), so per bucket me == mi * 0.25
-        assert rows
-        for r in rows.values():
-            if r["mean_e_import"] is not None:
-                assert r["mean_e_export"] == r["mean_e_import"] * 0.25
+        rows = df.collect()
+        # one populated hour bucket; the fixture's import points are
+        # 100 + dev*10 + t over dev 0-2 / t 0-3 (mean 111.5) and the
+        # exports are 5 + dev + t with (dev=1, t=2) missing
+        # (mean 82/11) — each direction aggregates ITS OWN twin rows
+        [r] = [r for r in rows if r["mean_e_import"] is not None]
+        assert r["mean_e_import"] == 111.5
+        assert r["mean_e_export"] == pytest.approx(82 / 11)
         # alias becomes the output-name base
         q2 = q.replace("mean(*)", "mean(*) AS avg")
         df2 = plan_tree(QueryPlanner(lambda tier: twin), parse_influxql(q2), now=now)
