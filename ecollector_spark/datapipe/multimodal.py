@@ -625,7 +625,10 @@ def attach_synthetic_response_warc_media(docs: DataFrame) -> DataFrame:
 
         rec 0: HTTP 200, Content-Type image/png, body = the PNG
         rec 1 (d % 5 == 0 only): HTTP 404, Content-Type text/plain,
-               body = 'not found <d>'
+               body = 'not found <d>'; when d % 25 == 0 the record is a
+               MARKED truncation (WARC-Truncated: length, stored body =
+               first 4 bytes, HTTP header still declares the full size —
+               Common Crawl's routine long-body cut)
         url_j = https://crawl.example/<d>/r<j>
         date  = 2024-02-<1 + d % 28>T00:00:00Z
         gzip-member-per-record layout when d is odd
@@ -655,15 +658,16 @@ def attach_synthetic_response_warc_media(docs: DataFrame) -> DataFrame:
                 # d % 6 == 5 (the gate's slice) forces d % 3 == 2, so
                 # the second record keys on % 5 to actually intersect
                 if d % 5 == 0:
-                    recs.append(
-                        {
-                            "url": f"https://crawl.example/{d}/r1",
-                            "date": date,
-                            "status": 404,
-                            "content_type": "text/plain",
-                            "payload": f"not found {d}".encode(),
-                        }
-                    )
+                    rec = {
+                        "url": f"https://crawl.example/{d}/r1",
+                        "date": date,
+                        "status": 404,
+                        "content_type": "text/plain",
+                        "payload": f"not found {d}".encode(),
+                    }
+                    if d % 25 == 0:
+                        rec["truncate_to"] = 4  # marked cut: 'not '
+                    recs.append(rec)
                 data = build_warc(recs, gzip_members=d % 2 == 1)
                 blobs.append(data)
                 nbytes.append(len(data))

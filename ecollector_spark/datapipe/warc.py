@@ -201,18 +201,24 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         status = int(r.get("status", 200))
         reason = _HTTP_REASONS.get(status, "Unknown")
         ctype = r.get("content_type", "application/octet-stream")
+        # truncate_to: synthesize Common Crawl's marked cut — the HTTP
+        # header still declares the FULL length, the stored body is a
+        # prefix, and the record says so with WARC-Truncated: length
+        cut = r.get("truncate_to")
+        stored = body if cut is None else body[: int(cut)]
         http = (
             f"HTTP/1.1 {status} {reason}\r\n"
             f"Content-Type: {ctype}\r\n"
             f"Content-Length: {len(body)}\r\n"
             "\r\n"
-        ).encode("ascii") + body
+        ).encode("ascii") + stored
         head = (
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
             f"WARC-Target-URI: {r['url']}\r\n"
             f"WARC-Date: {r['date']}\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
+            + ("WARC-Truncated: length\r\n" if cut is not None else "")
+            + "Content-Type: application/http; msgtype=response\r\n"
             f"Content-Length: {len(http)}\r\n"
             "\r\n"
         ).encode("utf-8")
@@ -224,19 +230,23 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     return bytes(out)
 
 
-def split_http_response(payload: bytes) -> dict:
+def split_http_response(payload: bytes, truncated: bool = False) -> dict:
     """Split a ``response`` record's HTTP message into
     ``{status, reason, headers, body}`` (headers lower-cased).
 
     Honors the message's own ``Content-Length`` strictly: when present
-    it must equal the remaining bytes exactly (a mismatch means the
-    record Content-Length and the HTTP one disagree — forged or
-    truncated capture; real Common Crawl marks cut bodies with
-    WARC-Truncated, which we surface as the loud error rather than
-    silently shipping a short body). ``Transfer-Encoding: chunked`` is
-    REFUSED loudly: Common Crawl stores decoded (de-chunked) payloads,
-    so a chunked body in a crawl archive is an anomaly we won't guess
-    at — de-chunking silently risks corrupt media bytes downstream."""
+    it must equal the remaining bytes exactly — a mismatch means the
+    record Content-Length and the HTTP one disagree (forged header or
+    an UNMARKED cut) and fails loud. The one legitimate exception is a
+    capture the archive itself declares cut: real Common Crawl truncates
+    long bodies and says so with a ``WARC-Truncated`` record header —
+    pass ``truncated=True`` for those records and a SHORT body (never a
+    long one) is accepted as-is; the caller surfaces the flag so
+    downstream decoders know the bytes are a prefix.
+    ``Transfer-Encoding: chunked`` is REFUSED loudly: Common Crawl
+    stores decoded (de-chunked) payloads, so a chunked body in a crawl
+    archive is an anomaly we won't guess at — de-chunking silently
+    risks corrupt media bytes downstream."""
     hdr_end = payload.find(b"\r\n\r\n", 0, _MAX_HEADER)
     if hdr_end < 0:
         raise ValueError("HTTP message: no header terminator")
@@ -271,10 +281,11 @@ def split_http_response(payload: bytes) -> dict:
             raise ValueError(
                 f"HTTP message: invalid Content-Length {declared!r}"
             ) from None
-        if n != len(body):
+        if n != len(body) and not (truncated and len(body) < n):
             raise ValueError(
                 f"HTTP message: Content-Length {n} != body bytes "
-                f"{len(body)} (truncated capture or forged header)"
+                f"{len(body)} (forged header, or a cut the record does "
+                "not declare via WARC-Truncated)"
             )
     return {
         "status": status,
@@ -291,7 +302,7 @@ WARC_RECORD_SCHEMA = (
 
 WARC_RESPONSE_SCHEMA = (
     "doc_id long, rec_idx int, url string, date string, status int, "
-    "content_type string, payload binary, n_bytes long"
+    "content_type string, payload binary, n_bytes long, truncated boolean"
 )
 
 
@@ -311,7 +322,12 @@ def read_warc_responses(media: DataFrame) -> DataFrame:
     the FILE's chain (skips leave gaps), so a row is traceable back to
     its offset ordinal. ``content_type`` is the HTTP body's, with any
     ``; charset=...`` parameters stripped; a malformed HTTP message or
-    a chunked body fails the file loudly (:func:`split_http_response`)."""
+    a chunked body fails the file loudly (:func:`split_http_response`).
+    ``truncated`` mirrors the record's ``WARC-Truncated`` header
+    (Common Crawl's routine long-body cut): the payload is a declared
+    PREFIX — downstream decoders filter or triage on the flag instead
+    of discovering corrupt tails the hard way; an UNDECLARED short body
+    still fails loud."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -319,7 +335,7 @@ def read_warc_responses(media: DataFrame) -> DataFrame:
                 k: []
                 for k in (
                     "doc_id", "rec_idx", "url", "date", "status",
-                    "content_type", "payload", "n_bytes",
+                    "content_type", "payload", "n_bytes", "truncated",
                 )
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
@@ -332,7 +348,8 @@ def read_warc_responses(media: DataFrame) -> DataFrame:
                         "application/http"
                     ):
                         continue
-                    http = split_http_response(payload)
+                    cut = "warc-truncated" in fields
+                    http = split_http_response(payload, truncated=cut)
                     ctype = http["headers"].get("content-type", "")
                     out["doc_id"].append(int(doc_id))
                     out["rec_idx"].append(i)
@@ -344,6 +361,7 @@ def read_warc_responses(media: DataFrame) -> DataFrame:
                     )
                     out["payload"].append(http["body"])
                     out["n_bytes"].append(len(http["body"]))
+                    out["truncated"].append(cut)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, schema=WARC_RESPONSE_SCHEMA)

@@ -456,12 +456,17 @@ SELECT doc_id, CAST(0 AS INT) AS rec_idx, 200 AS status,
        CAST(40 + doc_id % 32 AS INT) AS width,
        CAST(30 + doc_id % 24 AS INT) AS height,
        CAST(doc_id % 256 AS INT) AS lum,
-       CAST(NULL AS VARCHAR) AS body_text
+       CAST(NULL AS VARCHAR) AS body_text,
+       FALSE AS truncated
 FROM d
 UNION ALL
+-- doc_id % 25 = 0: the record is a MARKED truncation (WARC-Truncated:
+-- length) — the stored body is the first 4 bytes, surfaced with the flag
 SELECT doc_id, CAST(1 AS INT), 404, 'text/plain', CAST(NULL AS VARCHAR),
        CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
-       'not found ' || doc_id
+       CASE WHEN doc_id % 25 = 0 THEN 'not '
+            ELSE 'not found ' || doc_id END,
+       doc_id % 25 = 0
 FROM d WHERE doc_id % 5 = 0
 ORDER BY doc_id, rec_idx
 """,
@@ -520,6 +525,7 @@ def datapipe_warc_response(spark, sf_dir):
             "doc_id", "rec_idx", "status", "content_type", "kind",
             "width", "height", "lum",
             F.lit(None).cast("string").alias("body_text"),
+            F.lit(False).alias("truncated"),
         )
     )
     txt_out = recs.where(F.col("content_type") == "text/plain").select(
@@ -532,6 +538,7 @@ def datapipe_warc_response(spark, sf_dir):
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("lum"),
         F.decode(F.col("payload"), "UTF-8").alias("body_text"),
+        "truncated",
     )
     return img_out.unionByName(txt_out).orderBy("doc_id", "rec_idx")
 

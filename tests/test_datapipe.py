@@ -2462,12 +2462,60 @@ class TestWarcResponse:
         with pytest.raises(ValueError, match="status line"):
             split_http_response(b"NOT-HTTP\r\n\r\n")
         with pytest.raises(ValueError, match="Content-Length"):
-            # declared 10, actual 4: truncated capture must fail loud
+            # declared 10, actual 4, NOT declared truncated: loud
             split_http_response(
                 b"HTTP/1.1 200 OK\r\nContent-Length: 10\r\n\r\nabcd"
             )
         with pytest.raises(ValueError, match="terminator"):
             split_http_response(b"HTTP/1.1 200 OK\r\nNo-End: x")
+
+    def test_marked_truncation_accepted_unmarked_refused(self, spark):
+        """Common Crawl cuts long bodies and says so (WARC-Truncated):
+        a marked record's short body is accepted with truncated=true; a
+        LONG body under a marked record, or any short body without the
+        marker, still fails loud."""
+        from ecollector_spark.datapipe.warc import (
+            build_warc,
+            read_warc_responses,
+            split_http_response,
+        )
+
+        # a marked truncation still refuses a body LONGER than declared
+        with pytest.raises(ValueError, match="Content-Length"):
+            split_http_response(
+                b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nabcd",
+                truncated=True,
+            )
+        recs = [
+            {
+                "url": "https://a.example/big",
+                "date": "2024-03-01T00:00:00Z",
+                "status": 200,
+                "content_type": "application/octet-stream",
+                "payload": bytes(range(100)),
+                "truncate_to": 10,
+            },
+            {
+                "url": "https://a.example/small",
+                "date": "2024-03-01T00:00:01Z",
+                "status": 200,
+                "content_type": "text/plain",
+                "payload": b"whole body",
+            },
+        ]
+        for gz in (False, True):
+            media = spark.createDataFrame(
+                [(3, build_warc(recs, gzip_members=gz), "application/warc", 0, 0, 0)],
+                "doc_id long, media binary, media_type string, "
+                "width int, height int, n_bytes long",
+            )
+            out = sorted(
+                read_warc_responses(media).collect(), key=lambda r: r["rec_idx"]
+            )
+            assert [r["truncated"] for r in out] == [True, False]
+            assert bytes(out[0]["payload"]) == bytes(range(10))
+            assert out[0]["n_bytes"] == 10
+            assert bytes(out[1]["payload"]) == b"whole body"
 
     def test_reader_skips_non_response_records(self, spark):
         """warcinfo/request/conversion records interleave with responses
