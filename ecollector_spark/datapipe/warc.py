@@ -327,7 +327,16 @@ def read_warc_responses(media: DataFrame) -> DataFrame:
     (Common Crawl's routine long-body cut): the payload is a declared
     PREFIX — downstream decoders filter or triage on the flag instead
     of discovering corrupt tails the hard way; an UNDECLARED short body
-    still fails loud."""
+    still fails loud.
+
+    Scale note: each consumer of the returned frame re-walks the
+    archives (Spark recomputes lazy lineage). A pipeline that routes
+    the records to SEVERAL downstream stages (probe + decode + text,
+    as the gate does) should materialize the explode once — write the
+    records to parquet (the natural shape: payload-bearing rows,
+    partitioned by crawl segment) or ``persist()`` them — so the
+    gunzip + record walk is paid once per crawl file, not once per
+    consumer."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
