@@ -607,6 +607,184 @@ def hierarchical_assignments(
     )
 
 
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — the compression layer
+    real 100 TB ANN runs on): the vector dimension splits into ``m``
+    equal blocks and each block's sub-vectors are clustered into
+    ``2**nbits`` centroids by the SAME deterministic exact-decimal
+    Lloyd as :func:`ivf_centroids` (lowest-id seeds, fixed iteration
+    count, empty cells keep their position) — so a SQL oracle replays
+    every codebook bit-identically. Returns (block, cid, cvec).
+
+    Scale posture: this is the TRAIN side — m small Lloyd jobs (one
+    assignment scan per iteration each) over the training corpus; like
+    every PQ deployment, train on a SAMPLE (a few hundred k vectors
+    bounds the cost) and :func:`pq_encode` the full corpus against the
+    frozen codebooks. A 64-dim float32 vector (256 B) becomes m code
+    bytes — 32x smaller at m=8, which is what lets the ADC scan
+    (:func:`pq_topk`) touch compressed codes instead of raw vectors."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    first = e.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train: empty training corpus")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_train: dim {dim} is not divisible into m={m} equal "
+            "blocks (pad the vectors or pick a divisor)"
+        )
+    d = dim // m
+    k = 1 << nbits
+    parts = []
+    for j in range(m):
+        ej = e.select("vec_id", F.slice("v", j * d + 1, d).alias("v"))
+        parts.append(
+            ivf_centroids(ej, k, n_iter).select(
+                F.lit(j).alias("block"), "cid", "cvec"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pq_shape(codebooks_rows) -> tuple[int, int, int]:
+    """(m, k, d) from collected codebook rows, validated rectangular."""
+    blocks: dict[int, dict[int, list[float]]] = {}
+    for r in codebooks_rows:
+        blocks.setdefault(int(r["block"]), {})[int(r["cid"])] = list(r["cvec"])
+    m = len(blocks)
+    if m == 0 or sorted(blocks) != list(range(m)):
+        raise ValueError("pq codebooks: missing/non-contiguous blocks")
+    ks = {len(c) for c in blocks.values()}
+    ds = {len(v) for c in blocks.values() for v in c.values()}
+    if len(ks) != 1 or len(ds) != 1:
+        raise ValueError("pq codebooks: ragged shape")
+    return m, ks.pop(), ds.pop()
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, codes array<int>): every vector compressed to its m
+    per-block nearest-centroid ids — ONE map-only projection, no
+    shuffle, no per-block join. The codebooks (m * 2**nbits rows — tiny
+    by construction) collapse to a one-row nested array that broadcasts,
+    and each row argmins every block inside the same expression
+    (sequential-fold squared L2, ties to the lowest cid — the exact
+    convention of :func:`_assign_to_centroids`, so the oracle replays
+    codes bit-identically). At 100 TB this is the pass that turns the
+    raw vector table into the codes table the ADC scan reads."""
+    grouped = codebooks.groupBy("block").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cid", "cvec"))),
+            lambda s: s["cvec"],
+        ).alias("_cb")
+    )
+    carr = grouped.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("block", "_cb"))),
+            lambda s: s["_cb"],
+        ).alias("_pq")  # [block][cid] -> cvec, both indices dense
+    )
+    e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    first = e.select(F.size("v").alias("dim")).first()
+    dim = int(first["dim"]) if first else 0
+    m_row = codebooks.agg(F.countDistinct("block").alias("m")).first()
+    m = int(m_row["m"] or 0)
+    if m == 0 or dim % m != 0:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m {m}")
+    d = dim // m
+
+    def block_code(j):
+        sub = F.slice(F.col("v"), j * F.lit(d) + 1, F.lit(d))
+        cands = F.element_at(F.col("_pq"), j + 1)
+
+        def scored(cvec, idx):
+            # two-param transform lambda: (element, 0-based index)
+            return F.struct(
+                _l2sq(sub, cvec).alias("d2"), idx.alias("cid")
+            )
+
+        return F.array_min(F.transform(cands, scored))["cid"].cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), block_code)
+    return e.crossJoin(F.broadcast(carr)).select(
+        "vec_id", codes.alias("codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    UNcompressed, the corpus is codes only. The driver computes the
+    m x 2**nbits lookup table lut[j][c] = ||q_j - codebook[j][c]||^2
+    (same sequential fold as :func:`_l2sq`, so every entry is
+    bit-identical to the oracle's), ships it as a literal, and the scan
+    scores each row as the sequential sum of its m table hits — never
+    touching a raw vector. Output (vec_id, d2_adc) ascending, rounded
+    6, ties by vec_id.
+
+    At 100 TB: the scan reads m bytes per vector instead of the full
+    float array (32x less I/O at m=8 on dim-64 float32), the lookup
+    table is a few KB broadcast with the plan, and the top-k collapses
+    to TakeOrdered — compose with the IVF layout (encode each inverted
+    list) for pruned+compressed probes, the standard IVF-PQ stack."""
+    rows = codebooks.collect()  # bounded: m * 2**nbits codebook entries
+    m, kk, d = _pq_shape(rows)
+    if len(query_vec) != m * d:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook dim {m * d}"
+        )
+    cb: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        cb.setdefault(int(r["block"]), {})[int(r["cid"])] = [
+            float(x) for x in r["cvec"]
+        ]
+    lut = [
+        [
+            _driver_d2(cb[j][c], [float(x) for x in query_vec[j * d : (j + 1) * d]])
+            for c in range(kk)
+        ]
+        for j in range(m)
+    ]
+    lit_lut = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in lut]
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(lit_lut, j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    out = codes_df
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", F.round(score, 6).alias("d2_adc"))
+        .orderBy("d2_adc", "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_index_exists(index_path: str) -> bool:
     """True when a completed index lives at ``index_path`` (the centroid
     sidecar only appears after the atomic publish rename). Heals a

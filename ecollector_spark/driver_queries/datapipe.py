@@ -1429,6 +1429,97 @@ def datapipe_balanced_sample(spark, sf_dir):
     return balance_by_cluster(assign, 20).orderBy("cluster_id", "vec_id")
 
 
+def _pq_sql(m: int = 2, d: int = 32, k: int = 4, n_iter: int = 2, topk: int = 10) -> str:
+    """DuckDB twin of the PQ stack (pq_train -> pq_encode -> pq_topk):
+    per block, the SAME exact-decimal Lloyd unrolling as _ivf_sql over
+    the block's sub-vectors (seeds = lowest vec_ids, ties to the lowest
+    cid), then the ADC score — the distance from each query block to
+    the vector's ASSIGNED sub-centroid, which is definitionally the
+    engine's lut[j][code_j] — summed in block order and rounded 6."""
+
+    def assign(c: str, src: str) -> str:
+        return (
+            f"SELECT vec_id, v, cid FROM (SELECT {src}.vec_id, {src}.v, {c}.cid, "
+            f"{_L2SQ.format(a=f'{src}.v', b=f'{c}.cvec')} AS d2 FROM {src}, {c} {c}) "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1"
+        )
+
+    parts = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for j in range(m):
+        lo, hi = j * d + 1, (j + 1) * d
+        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        parts.append(
+            f"c{j}_0 AS (SELECT vec_id AS cid, v AS cvec FROM e{j} WHERE vec_id < {k})"
+        )
+        for i in range(n_iter):
+            parts += [
+                f"a{j}_{i} AS ({assign(f'c{j}_{i}', f'e{j}')})",
+                f"m{j}_{i} AS (SELECT cid, i, "
+                f"CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m"
+                f" FROM a{j}_{i}, generate_series(1, {d}) AS g(i) GROUP BY cid, i)",
+                f"n{j}_{i} AS (SELECT cid, list(m ORDER BY i) AS ncvec"
+                f" FROM m{j}_{i} GROUP BY cid)",
+                f"c{j}_{i + 1} AS (SELECT c{j}_{i}.cid, "
+                f"coalesce(n{j}_{i}.ncvec, c{j}_{i}.cvec) AS cvec"
+                f" FROM c{j}_{i} LEFT JOIN n{j}_{i} USING (cid))",
+            ]
+        parts.append(f"f{j} AS ({assign(f'c{j}_{n_iter}', f'e{j}')})")
+    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    for j in range(m):
+        lo = j * d
+        cf = f"c{j}_{n_iter}"
+        parts.append(
+            f"s{j} AS (SELECT f{j}.vec_id, "
+            f"{_L2SQ.format(a=f'{cf}.cvec', b=f'(q.qv[{lo + 1}:{lo + d}])')} AS dj"
+            f" FROM f{j} JOIN {cf} ON f{j}.cid = {cf}.cid, q)"
+        )
+    total = " + ".join(f"s{j}.dj" for j in range(m))
+    joins = "s0 " + " ".join(
+        f"JOIN s{j} USING (vec_id)" for j in range(1, m)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, round({total}, 6) AS d2_adc
+FROM {joins}
+WHERE vec_id <> 0
+ORDER BY d2_adc, vec_id LIMIT {topk}
+"""
+    )
+
+
+@register(
+    "ann_pq_topk",
+    _pq_sql(),
+    shelved=True,  # new r11: product quantization (the 100 TB ANN
+    # compression layer); r12 rotation candidate
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product quantization ADC search (Jégou et al. 2011 — the
+    compression layer real 100 TB ANN stacks on top of IVF): the corpus
+    trains m=2 per-block codebooks of 4 sub-centroids (the same
+    deterministic exact-decimal Lloyd as every quantizer here),
+    ``pq_encode`` compresses every vector to 2 code ids in ONE map-only
+    projection, and ``pq_topk`` scores the query against CODES ONLY —
+    the driver ships the m x k lookup table as a literal and the scan
+    sums table hits, never touching a raw vector. The oracle replays
+    both block Lloyds, the code assignment, and the ADC sum
+    bit-identically (the engine's lut[j][code] IS the distance to the
+    assigned sub-centroid, which the oracle computes by joining codes
+    back to the final codebooks). Output: top-10 by ADC distance
+    ascending, ties by vec_id."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = similarity.pq_train(emb, m=2, nbits=2, n_iter=2)
+    codes = similarity.pq_encode(emb, cb)
+    row = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    return similarity.pq_topk(
+        codes, cb, list(row["v"]), k=10, exclude_vec_id=0
+    )
+
+
 _IVF_APPEND_TRAIN = 250  # < the smallest SF's corpus (sf0.001 has 500 vecs)
 
 

@@ -498,6 +498,67 @@ class TestSimilarity:
         assert len(stored) == 1
         assert int(stored[0]["cid1"]) == vcid1 and int(stored[0]["cid2"]) == 0
 
+    def test_pq_stack_invariants(self, corpus_emb):
+        """Product quantization (r11): codebook shape, one-projection
+        encode, and the ADC identity — every row's d2_adc equals a
+        Python replay of lut[j][code_j] summed in block order."""
+        spark = corpus_emb.sparkSession
+        cb = similarity.pq_train(corpus_emb, m=2, nbits=2, n_iter=2)
+        rows = cb.collect()
+        m, k, d = similarity._pq_shape(rows)
+        dim = len(corpus_emb.select("embedding").first()[0])
+        assert (m, k, d) == (2, 4, dim // 2)
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(corpus_emb, cb).collect()
+        }
+        assert len(codes) == 200
+        assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in codes.values())
+        # determinism across partitionings: same codes after repartition
+        codes2 = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(
+                corpus_emb.repartition(7), cb
+            ).collect()
+        }
+        assert codes2 == codes
+        # ADC identity against a Python replay
+        q = [
+            float(x)
+            for x in corpus_emb.where(F.col("vec_id") == 5)
+            .select(F.col("embedding").cast("array<double>"))
+            .first()[0]
+        ]
+        book = {}
+        for r in rows:
+            book[(int(r["block"]), int(r["cid"]))] = [float(x) for x in r["cvec"]]
+        lut = {
+            (j, c): similarity._driver_d2(book[(j, c)], q[j * d : (j + 1) * d])
+            for j in range(m)
+            for c in range(k)
+        }
+        top = similarity.pq_topk(
+            similarity.pq_encode(corpus_emb, cb), cb, q, k=5, exclude_vec_id=5
+        ).collect()
+        assert len(top) == 5 and all(r["vec_id"] != 5 for r in top)
+        for r in top:
+            want = 0.0
+            for j, c in enumerate(codes[r["vec_id"]]):
+                want = want + lut[(j, c)]
+            assert r["d2_adc"] == round(want, 6)
+        # ascending, ties by vec_id
+        keys = [(r["d2_adc"], r["vec_id"]) for r in top]
+        assert keys == sorted(keys)
+
+    def test_pq_refusals(self, spark, corpus_emb):
+        with pytest.raises(ValueError, match="divisible"):
+            similarity.pq_train(corpus_emb, m=7)
+        cb = similarity.pq_train(corpus_emb, m=2, nbits=2)
+        with pytest.raises(ValueError, match="query dim"):
+            similarity.pq_topk(
+                similarity.pq_encode(corpus_emb, cb), cb, [1.0, 2.0], k=3
+            )
+
     def test_build_backfills_empty_coarse_cells(self, spark, tmp_path_factory):
         """Every coarse cid in the sidecar has at least one sub-codebook
         row after a hierarchical build: an all-identical corpus drives
