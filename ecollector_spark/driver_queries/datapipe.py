@@ -1520,6 +1520,118 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+def _ivf_pq_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 2,
+    d: int = 32,
+    k: int = 4,
+    n_iter: int = 2,
+    topk: int = 10,
+) -> str:
+    """DuckDB twin of the composed IVF-PQ search
+    (similarity.ivf_pq_topk): the coarse Lloyd + probe pick of
+    _ivf_sql (renamed g* to avoid clashing with the PQ CTEs) prunes
+    the corpus to the probed lists; the _pq_sql block Lloyds + ADC
+    score run over the FULL corpus's codebooks (training never sees
+    the probe) and the final score joins against the pruned rows."""
+
+    def assign(c: str, src: str) -> str:
+        return (
+            f"SELECT vec_id, v, cid FROM (SELECT {src}.vec_id, {src}.v, {c}.cid, "
+            f"{_L2SQ.format(a=f'{src}.v', b=f'{c}.cvec')} AS d2 FROM {src}, {c} {c}) "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1"
+        )
+
+    parts = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    # coarse quantizer over the full vectors
+    parts.append(
+        f"g0 AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {n_centroids})"
+    )
+    for i in range(n_iter):
+        parts += [
+            f"ga{i} AS ({assign(f'g{i}', 'e')})",
+            f"gm{i} AS (SELECT cid, i, "
+            f"CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m"
+            f" FROM ga{i}, generate_series(1, {_EMB_DIM}) AS g(i) GROUP BY cid, i)",
+            f"gn{i} AS (SELECT cid, list(m ORDER BY i) AS ncvec FROM gm{i} GROUP BY cid)",
+            f"g{i + 1} AS (SELECT g{i}.cid, coalesce(gn{i}.ncvec, g{i}.cvec) AS cvec"
+            f" FROM g{i} LEFT JOIN gn{i} USING (cid))",
+        ]
+    gf = f"g{n_iter}"
+    parts += [
+        f"ga AS ({assign(gf, 'e')})",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"probes AS (SELECT cid FROM (SELECT {gf}.cid, "
+        f"{_L2SQ.format(a=f'{gf}.cvec', b='q.qv')} AS d2 FROM {gf}, q) "
+        f"QUALIFY row_number() OVER (ORDER BY d2, cid) <= {nprobe})",
+        "pr AS (SELECT vec_id FROM ga JOIN probes USING (cid))",
+    ]
+    # PQ block Lloyds + per-block ADC terms (same shapes as _pq_sql)
+    for j in range(m):
+        lo, hi = j * d + 1, (j + 1) * d
+        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        parts.append(
+            f"c{j}_0 AS (SELECT vec_id AS cid, v AS cvec FROM e{j} WHERE vec_id < {k})"
+        )
+        for i in range(n_iter):
+            parts += [
+                f"a{j}_{i} AS ({assign(f'c{j}_{i}', f'e{j}')})",
+                f"m{j}_{i} AS (SELECT cid, i, "
+                f"CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m"
+                f" FROM a{j}_{i}, generate_series(1, {d}) AS g(i) GROUP BY cid, i)",
+                f"n{j}_{i} AS (SELECT cid, list(m ORDER BY i) AS ncvec"
+                f" FROM m{j}_{i} GROUP BY cid)",
+                f"c{j}_{i + 1} AS (SELECT c{j}_{i}.cid, "
+                f"coalesce(n{j}_{i}.ncvec, c{j}_{i}.cvec) AS cvec"
+                f" FROM c{j}_{i} LEFT JOIN n{j}_{i} USING (cid))",
+            ]
+        parts.append(f"f{j} AS ({assign(f'c{j}_{n_iter}', f'e{j}')})")
+        cf = f"c{j}_{n_iter}"
+        parts.append(
+            f"s{j} AS (SELECT f{j}.vec_id, "
+            f"{_L2SQ.format(a=f'{cf}.cvec', b=f'(q.qv[{j * d + 1}:{(j + 1) * d}])')} AS dj"
+            f" FROM f{j} JOIN {cf} ON f{j}.cid = {cf}.cid, q)"
+        )
+    total = " + ".join(f"s{j}.dj" for j in range(m))
+    joins = "s0 " + " ".join(f"JOIN s{j} USING (vec_id)" for j in range(1, m))
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, round({total}, 6) AS d2_adc
+FROM {joins} JOIN pr USING (vec_id)
+WHERE vec_id <> 0
+ORDER BY d2_adc, vec_id LIMIT {topk}
+"""
+    )
+
+
+@register(
+    "ann_ivf_pq_topk",
+    _ivf_pq_sql(),
+    shelved=True,  # new r11: the composed IVF-PQ stack (pruned AND
+    # compressed probe); r12 rotation candidate
+)
+def ann_ivf_pq_topk(spark, sf_dir):
+    """The composed IVF-PQ search (Jégou et al. 2011 §V — THE standard
+    100 TB ANN architecture): the coarse quantizer prunes to nprobe=2
+    of 8 inverted lists, PQ codebooks (m=2 blocks x 4 sub-centroids)
+    compress the pruned rows to code ids, and the ADC scan ranks them
+    against the query's lookup table — partition pruning AND 32x-class
+    scan compression in one plan. The oracle replays the coarse Lloyd,
+    the probe pick, BOTH block Lloyds, the code assignment and the ADC
+    sum bit-identically."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    return similarity.ivf_pq_topk(
+        emb, list(row["v"]), k=10, n_centroids=8, nprobe=2, m=2, nbits=2,
+        n_iter=2, exclude_vec_id=0,
+    )
+
+
 _IVF_APPEND_TRAIN = 250  # < the smallest SF's corpus (sf0.001 has 500 vecs)
 
 
