@@ -378,6 +378,23 @@ CHECKS = {
         "!BroadcastHashJoin",
         "!Exchange hashpartitioning",
     ],
+    # PQ ADC search (r11): codes score inside an Arrow stage (the
+    # vectorized lut gather), the one-row collapsed codebook broadcasts
+    # (BroadcastNestedLoopJoin — the same shape as every in-row argmin
+    # here), the top-k collapses to TakeOrdered; nothing enumerates
+    # pairs. Same contract for the composed IVF-PQ probe.
+    "ann_pq_topk": [
+        "MapInPandas",
+        "TakeOrderedAndProject",
+        "BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+    ],
+    "ann_ivf_pq_topk": [
+        "MapInPandas",
+        "TakeOrderedAndProject",
+        "BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+    ],
     # EXIF orientation gate (r11): generate + decode + orient are two
     # Arrow stages back to back — no shuffle at all beyond the cosmetic
     # range sort, no join
