@@ -70,6 +70,24 @@ PROBE_SCHEMA = (
 )
 
 
+def _warc_first_header_check(head: bytes) -> None:
+    """Triage sanity on a WARC prefix: the FIRST record's header block
+    must be visible (``\\r\\n\\r\\n`` terminator inside the inflated /
+    sniffed prefix) and carry a Content-Length. ISO 28500 field names
+    are case-INsensitive, so the match is lowercased; a prefix whose
+    terminator is beyond the sniff window is its own named error — not
+    a bogus ``head[:3]`` slice that misreports a legit WARC (ADVICE
+    r12, both the plain and gzip-member branches)."""
+    end = head.find(b"\r\n\r\n")
+    if end < 0:
+        raise ValueError(
+            "WARC first record header block exceeds the probe's sniff "
+            "window (no header terminator in prefix)"
+        )
+    if b"content-length:" not in head[: end + 4].lower():
+        raise ValueError("WARC first record lacks Content-Length")
+
+
 def probe_media(media: DataFrame) -> DataFrame:
     """Content-SNIFFING metadata probe (r9 second session) — the cheap
     pre-decode stage every ingest pipeline runs: detect the real format
@@ -160,10 +178,7 @@ def probe_media(media: DataFrame) -> DataFrame:
                         # a record COUNT needs the full chain walk; the
                         # probe stays header-only, so kind + a sane
                         # first-record header is the triage signal
-                        if b"Content-Length:" not in buf[: buf.find(b"\r\n\r\n") + 4]:
-                            raise ValueError(
-                                "WARC first record lacks Content-Length"
-                            )
+                        _warc_first_header_check(buf)
                         emit("warc")
                     elif buf[:2] == b"\x1f\x8b":
                         # gzip-member-per-record WARC — Common Crawl's
@@ -182,13 +197,7 @@ def probe_media(media: DataFrame) -> DataFrame:
                                 f"corrupt gzip member: {ze}"
                             ) from None
                         if head[:5] == b"WARC/":
-                            if (
-                                b"Content-Length:"
-                                not in head[: head.find(b"\r\n\r\n") + 4]
-                            ):
-                                raise ValueError(
-                                    "WARC first record lacks Content-Length"
-                                )
+                            _warc_first_header_check(head)
                             emit("warc")
                         else:
                             emit(

@@ -267,9 +267,14 @@ def semantic_dedup(
     Clustering is the IVF coarse quantizer for k <= ``flat_cap``
     (:func:`ivf_assignments` — one broadcast-argmin scan per Lloyd
     step, exact-decimal means, bit-identical to the SQL oracle); past
-    that it switches to the two-level quantizer. ``flat_cap=32`` is the
-    MEASURED crossover, not the broadcast-safety ceiling (r11, VERDICT
-    r10 #6 — QUANTIZER_CROSSOVER.json): the flat path's cost is the
+    that it switches to the two-level quantizer. BEHAVIORAL BREAK
+    (r11→, ADVICE r12): the two quantizers are NOT
+    assignment-identical, so lowering ``flat_cap`` 4096→32 CHANGES the
+    cluster assignments — and therefore which duplicates drop — for
+    default-knob callers with 32 < k <= 4096; pin ``flat_cap=4096`` to
+    reproduce pre-r11 outputs. ``flat_cap=32`` is the MEASURED
+    crossover, not the broadcast-safety ceiling (r11, VERDICT r10 #6 —
+    QUANTIZER_CROSSOVER.json): the flat path's cost is the
     in-row argmin over a broadcast k-array, so on a quiet box hier
     already wins 1.9x at k=64, 3.3x at 128, 5.6x at 512 on a 200k
     corpus (and 0.85x/1.2x at k=32/64 even on a 2k one); flat keeps a
@@ -481,7 +486,10 @@ def _assign_to_subcentroids(e1: DataFrame, subc: DataFrame) -> DataFrame:
     that coarse centroid — an inner join would silently DROP it (neither
     appended nor counted). Unmatched rows fall back to ``cid2=0``, the
     cell :func:`ivf_build` backfills with the coarse centroid as its
-    one-entry sub-codebook, so probes still find them. During training
+    one-entry sub-codebook, so probes still find them (indexes built
+    BEFORE that backfill existed are repaired by :func:`ivf_append`,
+    which writes the missing one-entry codebooks on first touch —
+    ADVICE r12). During training
     every cid1 in ``e1`` is populated by construction, so the fallback
     never fires there and the oracle replay is unchanged."""
     grouped = subc.groupBy("cid1").agg(
@@ -659,7 +667,14 @@ def pq_train(
 
 
 def _pq_shape(codebooks_rows) -> tuple[int, int, int]:
-    """(m, k, d) from collected codebook rows, validated rectangular."""
+    """(m, k, d) from collected codebook rows, validated rectangular
+    AND cid-dense: :func:`pq_encode` emits POSITIONAL codes (index into
+    the cid-sorted codebook array) and :func:`pq_topk` builds its LUT
+    with ``range(k)``, so every block's cids must be exactly 0..k-1. A
+    training corpus whose vec_ids don't start at 0 seeds fewer /
+    non-contiguous cids (``ivf_centroids`` seeds on ``vec_id < k``) —
+    that must fail HERE with a named error, not as a downstream
+    KeyError or silently mislabeled codes (ADVICE r12)."""
     blocks: dict[int, dict[int, list[float]]] = {}
     for r in codebooks_rows:
         blocks.setdefault(int(r["block"]), {})[int(r["cid"])] = list(r["cvec"])
@@ -670,7 +685,15 @@ def _pq_shape(codebooks_rows) -> tuple[int, int, int]:
     ds = {len(v) for c in blocks.values() for v in c.values()}
     if len(ks) != 1 or len(ds) != 1:
         raise ValueError("pq codebooks: ragged shape")
-    return m, ks.pop(), ds.pop()
+    k = ks.pop()
+    for j, c in blocks.items():
+        if sorted(c) != list(range(k)):
+            raise ValueError(
+                f"pq codebooks: block {j} cids are not dense 0..{k - 1} "
+                "(train on a corpus whose vec_ids start at 0 — "
+                "ivf_centroids seeds on vec_id < k)"
+            )
+    return m, k, ds.pop()
 
 
 def pq_encode(
@@ -918,7 +941,9 @@ def ivf_build(
     removing the 4096-list ceiling that bounded the flat broadcast.
     ``flat_cap=32`` is the measured flat/hier crossover, not a
     broadcast bound (r11 — QUANTIZER_CROSSOVER.json; see
-    :func:`semantic_dedup`):
+    :func:`semantic_dedup`, including the behavioral-break note: the
+    two layouts assign differently, so default-knob builds with
+    32 < k <= 4096 changed layout AND assignments across r11):
 
     - ``assignments/cid1=<c>/`` — partitioned by the ~sqrt(k) COARSE id
       (a k-directory layout would drown the filesystem at k in the
@@ -1093,6 +1118,28 @@ def ivf_append(
         # None on hierarchical indexes), so appends never auto-rebuild.
         fanout = int(stats["fanout"])
         subc = spark.read.parquet(os.path.join(index_path, "subcentroids"))
+        # Legacy-index backfill (ADVICE r12): an index built BEFORE the
+        # r11 empty-cell backfill has no sub-codebook rows for coarse
+        # cells that were empty at build time, so the assignment
+        # fallback's cid2=0 rows would be stored-but-never-rankable by
+        # the probe's second stage. Repair on first touch: write the
+        # one-entry codebook (cvec = the coarse centroid itself) for
+        # every still-missing cell — idempotent (the anti-join is empty
+        # once written, and always empty on post-r11 builds), tiny
+        # (centroid sidecar vs distinct cid1s), and it makes the legacy
+        # index match what ivf_build now publishes.
+        missing = (
+            cents.select(F.col("cid").alias("cid1"), "cvec")
+            .join(subc.select("cid1").distinct(), "cid1", "left_anti")
+            .select("cid1", F.lit(0).alias("cid2"), "cvec")
+        )
+        if missing.limit(1).count() > 0:
+            missing.write.mode("append").partitionBy("cid1").parquet(
+                os.path.join(index_path, "subcentroids")
+            )
+            subc = spark.read.parquet(
+                os.path.join(index_path, "subcentroids")
+            )
         e1 = _assign_to_centroids(e, cents).select(
             "vec_id", "v", F.col("cid").alias("cid1")
         )

@@ -498,7 +498,14 @@ def datapipe_warc_response(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 6 == 5
     )
-    recs = read_warc_responses(attach_synthetic_response_warc_media(docs))
+    # materialize the explode ONCE before the fan-out (ADVICE r12):
+    # three consumers (probe_media, extract_features, the text branch)
+    # would each re-run synthesize + gunzip + record walk + HTTP split
+    # through lazy lineage — exactly the multi-consumer re-walk
+    # read_warc_responses' own scale note warns about
+    recs = read_warc_responses(
+        attach_synthetic_response_warc_media(docs)
+    ).localCheckpoint(eager=False)
     imgs = recs.where(F.col("content_type") == "image/png").select(
         "doc_id",
         "rec_idx",

@@ -559,6 +559,73 @@ class TestSimilarity:
                 similarity.pq_encode(corpus_emb, cb), cb, [1.0, 2.0], k=3
             )
 
+    def test_pq_non_contiguous_cids_refused(self, spark, corpus_emb):
+        """ADVICE r12: pq_encode emits POSITIONAL codes and pq_topk's
+        LUT indexes range(k), both assuming dense cids 0..k-1 per
+        block. A codebook with a cid hole (ivf_centroids seeds on
+        vec_id < k, so a corpus whose vec_ids skip low ids produces
+        one) must fail LOUDLY in _pq_shape, not as a KeyError or
+        silently mislabeled codes."""
+        with pytest.raises(ValueError, match="dense"):
+            similarity._pq_shape(
+                [
+                    {"block": 0, "cid": 0, "cvec": [1.0, 2.0]},
+                    {"block": 0, "cid": 2, "cvec": [3.0, 4.0]},
+                ]
+            )
+        # end to end: vec_ids {1, 3, 5, ...} seed only cids {1, 3} for
+        # nbits=2 — non-contiguous, so pq_topk refuses by name
+        shifted = corpus_emb.select(
+            (F.col("vec_id") * 2 + 1).alias("vec_id"), "embedding"
+        )
+        cb = similarity.pq_train(shifted, m=2, nbits=2)
+        q = [0.0] * len(corpus_emb.select("embedding").first()[0])
+        with pytest.raises(ValueError, match="dense"):
+            similarity.pq_topk(similarity.pq_encode(shifted, cb), cb, q, k=3)
+
+    def test_legacy_index_append_backfills_subcodebook(
+        self, corpus_emb, tmp_path_factory
+    ):
+        """ADVICE r12: an append onto a PRE-r11 hierarchical index (no
+        one-entry codebooks for build-time-empty coarse cells) must
+        repair the store — after the append, every coarse cid has a
+        sub-codebook row again, so the probe's second stage can rank
+        the appended vectors instead of leaving them stored-but-
+        unreachable until a rebuild."""
+        import os
+        import shutil
+
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfleg") / "index")
+        similarity.ivf_build(
+            corpus_emb, idx, n_centroids=16, n_iter=2, flat_cap=8
+        )
+        subdir = os.path.join(idx, "subcentroids")
+        victim = sorted(
+            d for d in os.listdir(subdir) if d.startswith("cid1=")
+        )[0]
+        vcid1 = int(victim.split("=")[1])
+        shutil.rmtree(os.path.join(subdir, victim))  # the legacy shape
+        cents = spark.read.parquet(os.path.join(idx, "centroids")).collect()
+        cvec = next(r["cvec"] for r in cents if r["cid"] == vcid1)
+        batch = spark.createDataFrame(
+            [(10_000, [float(x) for x in cvec])],
+            "vec_id long, embedding array<double>",
+        )
+        out = similarity.ivf_append(batch, idx)
+        assert out["appended"] == 1
+        # the store is repaired: the stripped cell has its one-entry
+        # codebook back (cid2=0, cvec = the coarse centroid)
+        subc = spark.read.parquet(subdir)
+        back = subc.where(F.col("cid1") == vcid1).collect()
+        assert len(back) == 1 and int(back[0]["cid2"]) == 0
+        assert [float(x) for x in back[0]["cvec"]] == [float(x) for x in cvec]
+        # and the probe can now rank the appended vector
+        hits = similarity.ivf_topk_indexed(
+            spark, idx, [float(x) for x in cvec], k=1, nprobe=16
+        ).collect()
+        assert hits and hits[0]["vec_id"] == 10_000
+
     def test_build_backfills_empty_coarse_cells(self, spark, tmp_path_factory):
         """Every coarse cid in the sidecar has at least one sub-codebook
         row after a hierarchical build: an all-identical corpus drives
@@ -2179,6 +2246,28 @@ class TestProbeMedia:
         assert not out[2]["valid"]
         assert "gzip member does not contain WARC" in out[2]["error"]
         assert not out[3]["valid"] and "gzip" in out[3]["error"]
+
+    def test_warc_header_case_and_sniff_window(self, spark):
+        """ADVICE r12: ISO 28500 field names are case-insensitive, so a
+        lowercase ``content-length:`` must still triage as a valid WARC
+        (plain AND gzip-member); a prefix whose header terminator lies
+        beyond the sniff window gets its OWN message — the old code
+        sliced head[:3] on find()==-1 and misreported 'lacks
+        Content-Length'."""
+        import gzip
+
+        lower = b"WARC/1.0\r\nwarc-type: warcinfo\r\ncontent-length: 2\r\n\r\nok"
+        lower_gz = gzip.compress(lower)
+        # header block never terminates inside the prefix
+        unterminated = b"WARC/1.0\r\n" + b"X-Pad: y\r\n" * 2000
+        unterminated_gz = gzip.compress(unterminated)
+        out = self._probe(
+            spark, [lower, lower_gz, unterminated, unterminated_gz]
+        )
+        assert out[0]["kind"] == "warc" and out[0]["valid"]
+        assert out[1]["kind"] == "warc" and out[1]["valid"]
+        assert not out[2]["valid"] and "sniff window" in out[2]["error"]
+        assert not out[3]["valid"] and "sniff window" in out[3]["error"]
 
 
 class TestPerplexityLM:
