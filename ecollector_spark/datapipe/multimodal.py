@@ -638,6 +638,13 @@ def attach_synthetic_response_warc_media(docs: DataFrame) -> DataFrame:
                MARKED truncation (WARC-Truncated: length, stored body =
                first 4 bytes, HTTP header still declares the full size —
                Common Crawl's routine long-body cut)
+        rec 2 (d % 7 == 3 only; its rec_idx is 1 when rec 1 is absent):
+               HTTP 200, Content-Type text/plain, Transfer-Encoding:
+               chunked (r12 — VERDICT r11 #2): body =
+               'chunk <d> ' * (1 + d % 3), split at chunk sizes
+               [1 + d % 7, 2 + d % 5] with the remainder as the final
+               chunk, alternating hex case — the de-chunked text is a
+               closed form of doc_id, so broken framing breaks the hash
         url_j = https://crawl.example/<d>/r<j>
         date  = 2024-02-<1 + d % 28>T00:00:00Z
         gzip-member-per-record layout when d is odd
@@ -677,6 +684,17 @@ def attach_synthetic_response_warc_media(docs: DataFrame) -> DataFrame:
                     if d % 25 == 0:
                         rec["truncate_to"] = 4  # marked cut: 'not '
                     recs.append(rec)
+                if d % 7 == 3:
+                    recs.append(
+                        {
+                            "url": f"https://crawl.example/{d}/r{len(recs)}",
+                            "date": date,
+                            "status": 200,
+                            "content_type": "text/plain",
+                            "payload": (f"chunk {d} " * (1 + d % 3)).encode(),
+                            "chunk_sizes": [1 + d % 7, 2 + d % 5],
+                        }
+                    )
                 data = build_warc(recs, gzip_members=d % 2 == 1)
                 blobs.append(data)
                 nbytes.append(len(data))

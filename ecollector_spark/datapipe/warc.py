@@ -24,8 +24,10 @@ record paths (r11 completes the pair):
 - :func:`read_warc_responses` — raw-crawl ``response`` records, whose
   payload is a full HTTP message (status line + headers + body); the
   body is where the images/audio for the multimodal codecs live. The
-  HTTP split honors Content-Type and Content-Length and refuses
-  ``Transfer-Encoding: chunked`` loudly (:func:`split_http_response`).
+  HTTP split honors Content-Type and Content-Length and strictly
+  de-chunks ``Transfer-Encoding: chunked`` bodies — chunk framing is
+  self-validating; extensions/trailers/stacked codings are refused by
+  name (:func:`split_http_response`, r12).
 
 Corrupt input fails loud per file (bounds-checked lengths, version
 check, Content-Length chaining); :func:`build_wet` / :func:`build_warc`
@@ -194,7 +196,15 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     HTTP/1.1 response message (status line + headers + body) and the
     record's own Content-Type is ``application/http; msgtype=response``
     per ISO 28500 §6. ``gzip_members=True`` writes the Common Crawl
-    one-gzip-member-per-record layout."""
+    one-gzip-member-per-record layout.
+
+    ``chunk_sizes`` (r12): the record's HTTP body is written with
+    ``Transfer-Encoding: chunked`` (and NO Content-Length, per RFC
+    7230 §3.3.1) — the body splits at the listed byte counts, any
+    remainder becomes the final data chunk, and size lines alternate
+    upper/lower hex case to exercise the parser's case-insensitive
+    hex. Mutually exclusive with ``truncate_to`` (a chunked cut is a
+    separate test axis; compose manually when needed)."""
     out = bytearray()
     for r in records:
         body = bytes(r["payload"])
@@ -205,13 +215,41 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         # header still declares the FULL length, the stored body is a
         # prefix, and the record says so with WARC-Truncated: length
         cut = r.get("truncate_to")
+        chunk_sizes = r.get("chunk_sizes")
+        if chunk_sizes is not None and cut is not None:
+            raise ValueError(
+                "build_warc: chunk_sizes and truncate_to are mutually "
+                "exclusive on one record"
+            )
         stored = body if cut is None else body[: int(cut)]
-        http = (
-            f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: {ctype}\r\n"
-            f"Content-Length: {len(body)}\r\n"
-            "\r\n"
-        ).encode("ascii") + stored
+        if chunk_sizes is not None:
+            enc = bytearray()
+            p = 0
+            for i, s in enumerate(int(x) for x in chunk_sizes):
+                piece = body[p : p + s]
+                if not piece:
+                    break  # body exhausted; never emit an empty chunk
+                fmt = "{:X}" if i % 2 == 0 else "{:x}"
+                enc += fmt.format(len(piece)).encode() + b"\r\n"
+                enc += piece + b"\r\n"
+                p += len(piece)
+            if p < len(body):
+                enc += f"{len(body) - p:x}".encode() + b"\r\n"
+                enc += body[p:] + b"\r\n"
+            enc += b"0\r\n\r\n"
+            http = (
+                f"HTTP/1.1 {status} {reason}\r\n"
+                f"Content-Type: {ctype}\r\n"
+                "Transfer-Encoding: chunked\r\n"
+                "\r\n"
+            ).encode("ascii") + bytes(enc)
+        else:
+            http = (
+                f"HTTP/1.1 {status} {reason}\r\n"
+                f"Content-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n"
+                "\r\n"
+            ).encode("ascii") + stored
         head = (
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
@@ -230,6 +268,82 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     return bytes(out)
 
 
+def _dechunk(raw: bytes, truncated: bool = False) -> bytes:
+    """Strictly decode an RFC 7230 §4.1 ``chunked`` transfer coding.
+
+    Chunk framing is SELF-VALIDATING — every hex size must chain
+    exactly to the next size line and the chain must end at the
+    ``0``-chunk terminator, consuming the body precisely — which is
+    why de-chunking ships where MP3 decode did not (r12, VERDICT r11
+    #2): a framing slip cannot pass silently. What can't be validated
+    is refused by name: chunk extensions (``;`` parameters — opaque)
+    and trailers (bytes between the last-chunk line and the final
+    CRLF). ``truncated=True`` (the record carries ``WARC-Truncated``)
+    accepts a clean OUT-OF-BYTES cut — the decoded prefix of all
+    complete chunks plus the partial tail of the cut chunk — but any
+    in-band violation (bad hex, extension, wrong separator) stays loud
+    even then."""
+    out = bytearray()
+    pos, n = 0, len(raw)
+    hexdigits = b"0123456789abcdefABCDEF"
+    while True:
+        eol = raw.find(b"\r\n", pos, pos + 32)
+        if eol < 0:
+            if truncated and n - pos < 32:
+                return bytes(out)  # declared cut mid size-line
+            raise ValueError(
+                "chunked body: chunk size line not CRLF-terminated"
+            )
+        line = raw[pos:eol]
+        if b";" in line:
+            raise ValueError(
+                "chunked body: chunk extension refused (opaque "
+                "';' parameters cannot be validated)"
+            )
+        if not line or any(c not in hexdigits for c in line):
+            raise ValueError(f"chunked body: bad chunk size {line!r}")
+        size = int(line, 16)
+        pos = eol + 2
+        if size == 0:
+            # last-chunk: the terminator CRLF must follow IMMEDIATELY
+            # (no trailers) and end the body exactly
+            if raw[pos : pos + 2] == b"\r\n":
+                if pos + 2 != n:
+                    raise ValueError(
+                        "chunked body: trailing bytes after the "
+                        "chunked terminator"
+                    )
+                return bytes(out)
+            if truncated and n - pos < 2:
+                return bytes(out)  # cut between last-chunk and CRLF
+            if n - pos >= 2:
+                raise ValueError(
+                    "chunked body: trailers refused (bytes between "
+                    "the last-chunk line and the final CRLF)"
+                )
+            raise ValueError(
+                "chunked body: missing final CRLF (cut the record "
+                "does not declare via WARC-Truncated)"
+            )
+        end = pos + size
+        if end + 2 > n:
+            if truncated:
+                out += raw[pos : min(end, n)]
+                return bytes(out)
+            raise ValueError(
+                f"chunked body: chunk of {size} bytes overruns the "
+                "body (cut the record does not declare via "
+                "WARC-Truncated)"
+            )
+        if raw[end : end + 2] != b"\r\n":
+            raise ValueError(
+                "chunked body: chunk data not CRLF-terminated "
+                "(size forged or corrupt)"
+            )
+        out += raw[pos:end]
+        pos = end + 2
+
+
 def split_http_response(payload: bytes, truncated: bool = False) -> dict:
     """Split a ``response`` record's HTTP message into
     ``{status, reason, headers, body}`` (headers lower-cased).
@@ -243,10 +357,16 @@ def split_http_response(payload: bytes, truncated: bool = False) -> dict:
     pass ``truncated=True`` for those records and a SHORT body (never a
     long one) is accepted as-is; the caller surfaces the flag so
     downstream decoders know the bytes are a prefix.
-    ``Transfer-Encoding: chunked`` is REFUSED loudly: Common Crawl
-    stores decoded (de-chunked) payloads, so a chunked body in a crawl
-    archive is an anomaly we won't guess at — de-chunking silently
-    risks corrupt media bytes downstream."""
+
+    ``Transfer-Encoding: chunked`` bodies are strictly DE-CHUNKED
+    (r12, VERDICT r11 #2 — :func:`_dechunk`): Common Crawl stores
+    decoded payloads, but users ingesting their own or older WARC
+    captures hit chunked bodies, and chunk framing is self-validating
+    so strict parsing keeps the anti-silent-corruption stance. Refused
+    by name: any OTHER transfer coding (gzip/deflate/compress — a
+    stacked coding is not self-validating here), chunked COMBINED with
+    Content-Length (ambiguous framing, RFC 7230 §3.3.3 — the request-
+    smuggling shape), chunk extensions, and trailers."""
     hdr_end = payload.find(b"\r\n\r\n", 0, _MAX_HEADER)
     if hdr_end < 0:
         raise ValueError("HTTP message: no header terminator")
@@ -267,14 +387,25 @@ def split_http_response(payload: bytes, truncated: bool = False) -> dict:
         if not sep:
             raise ValueError(f"HTTP message: malformed header line {line!r}")
         headers[k.strip().lower()] = v.strip()
-    if "chunked" in headers.get("transfer-encoding", "").lower():
-        raise ValueError(
-            "HTTP message: Transfer-Encoding: chunked refused (crawl "
-            "archives store decoded payloads; see split_http_response)"
-        )
     body = payload[hdr_end + 4 :]
     declared = headers.get("content-length")
-    if declared is not None:
+    te = headers.get("transfer-encoding")
+    if te is not None:
+        codings = [c.strip().lower() for c in te.split(",") if c.strip()]
+        if codings != ["chunked"]:
+            raise ValueError(
+                f"HTTP message: Transfer-Encoding {te!r} refused (only "
+                "a lone 'chunked' coding is self-validating; see "
+                "split_http_response)"
+            )
+        if declared is not None:
+            raise ValueError(
+                "HTTP message: both Transfer-Encoding: chunked and "
+                "Content-Length present — ambiguous framing refused "
+                "(RFC 7230 §3.3.3)"
+            )
+        body = _dechunk(body, truncated=truncated)
+    elif declared is not None:
         try:
             n = int(declared)
         except ValueError:
@@ -321,8 +452,10 @@ def read_warc_responses(media: DataFrame) -> DataFrame:
     :func:`read_warc_media`). ``rec_idx`` is the record's position in
     the FILE's chain (skips leave gaps), so a row is traceable back to
     its offset ordinal. ``content_type`` is the HTTP body's, with any
-    ``; charset=...`` parameters stripped; a malformed HTTP message or
-    a chunked body fails the file loudly (:func:`split_http_response`).
+    ``; charset=...`` parameters stripped; a chunked body is strictly
+    DE-CHUNKED (r12 — sizes must chain exactly to the terminator), and
+    a malformed HTTP message or broken chunk framing fails the file
+    loudly (:func:`split_http_response`).
     ``truncated`` mirrors the record's ``WARC-Truncated`` header
     (Common Crawl's routine long-body cut): the payload is a declared
     PREFIX — downstream decoders filter or triage on the flag instead

@@ -468,6 +468,17 @@ SELECT doc_id, CAST(1 AS INT), 404, 'text/plain', CAST(NULL AS VARCHAR),
             ELSE 'not found ' || doc_id END,
        doc_id % 25 = 0
 FROM d WHERE doc_id % 5 = 0
+UNION ALL
+-- doc_id % 7 = 3: a Transfer-Encoding: chunked body (r12) — the
+-- de-chunked text is a closed form; its file position depends on
+-- whether the 404 record precedes it
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT),
+       200, 'text/plain', CAST(NULL AS VARCHAR),
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+       repeat('chunk ' || doc_id || ' ', CAST(1 + doc_id % 3 AS INT)),
+       FALSE
+FROM d WHERE doc_id % 7 = 3
 ORDER BY doc_id, rec_idx
 """,
 )
@@ -478,8 +489,9 @@ def datapipe_warc_response(spark, sf_dir):
     (``attach_synthetic_response_warc_media`` — odd doc_ids in the
     gzip-member-per-record layout), ``warc.read_warc_responses`` walks
     the record chain, splits each HTTP message (status line, headers,
-    strict Content-Length, chunked refused loudly) and routes by the
-    HTTP Content-Type: image/png bodies flow through ``probe_media``
+    strict Content-Length, chunked bodies strictly DE-CHUNKED — r12,
+    the chunked arm's decoded text is a closed form of doc_id) and
+    routes by the HTTP Content-Type: image/png bodies flow through ``probe_media``
     (header re-parse pins kind/width/height) AND the real PNG decode
     (``extract_features(decode_stub=False)``, 256-bin histogram argmax
     = the constant pixel), text/plain bodies are decoded as text. Every
