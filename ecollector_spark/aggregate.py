@@ -62,11 +62,67 @@ def filter_series_noise(values: list[float], fence: float = 3.0) -> list[float]:
     return [v for v in values if v != 0 and lo_f <= v <= hi_f]
 
 
+def ensure_shuffle_width(
+    df: DataFrame,
+    advisory_bytes: int = 64 << 20,
+    ceiling: int = 1 << 17,
+) -> int | None:
+    """Partitions-from-input-size (r12, VERDICT r11 #4): make sure the
+    session's AQE wide start covers this operator's input.
+
+    The engine default (session.py, r7) starts every batch shuffle at
+    ``initialPartitionNum = max(8 x cores, 512)`` and lets AQE coalesce
+    DOWN to the measured bytes — the same-session A/B showed that
+    beats any hand-set count at the 1000x rung. But AQE can only merge
+    partitions, never split them (outside skew-join), so the FIXED 512
+    becomes its own wall once one shuffle's input exceeds
+    512 x 64 MB ~ 32 GB: partitions grow past the advisory target with
+    no runtime remedy. This helper closes that: estimate the input
+    from Catalyst's optimized-plan stats (parquet file bytes — free,
+    no job) and RAISE the session's ``initialPartitionNum`` to
+    bytes / ``advisory_bytes`` (clamped to ``ceiling``) when the
+    estimate needs more than the current setting. Raising (never
+    lowering) preserves the groupBy's map-side combine and the
+    one-exchange plan — AQE still coalesces small shuffles back down,
+    so the raise is safe for every other query on the session; the
+    conf change is session-visible, which is exactly the point (the
+    next equally-large shuffle needs it too).
+
+    Returns the new width when raised, else None (the common case —
+    estimate unknown, AQE disabled, or the wide start already covers
+    it)."""
+    spark = df.sparkSession
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - py4j estimation failure
+        return None
+    if size <= 0 or size >= 1 << 60:  # unknown/absurd: trust AQE
+        return None
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") != "true":
+        return None
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        current = int(
+            spark.conf.get(key, None)
+            or spark.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):  # pragma: no cover
+        return None
+    needed = min(-(-size // advisory_bytes), ceiling)
+    if needed <= current:
+        return None
+    spark.conf.set(key, str(needed))
+    return needed
+
+
 def windowed_preaggregate(
     dp: DataFrame,
     interval_seconds: int = 30,
     value_col: str = "value_f",
     keep_cols: Sequence[str] = (),
+    advisory_bytes: int = 64 << 20,
 ) -> DataFrame:
     """A1-A4 + A11 routing: per (series_id, tumbling bucket), apply the
     series' aggregation directive from the ``agg_func`` column
@@ -76,8 +132,18 @@ def windowed_preaggregate(
     (:func:`counter_difference`), as in the reference where the diff
     calculation runs on its own cadence (agreggator.go:82-91).
 
+    Shuffle sizing (r12): the per-(series, bucket) groupBy is this
+    operator's only exchange, and its input is the raw sample stream —
+    the table that actually hits 100 TB. :func:`ensure_shuffle_width`
+    raises the session's AQE wide start when the input estimate
+    outgrows it (bytes / 64 MB), so the exchange width follows the
+    data instead of hitting the fixed 512-partition ceiling; at the
+    measured rungs (<= ~2 GB input) it is a no-op and the r7-settled
+    engine default carries the plan.
+
     Output: series_id, keep_cols..., time (bucket start, epoch s), value.
     """
+    ensure_shuffle_width(dp, advisory_bytes=advisory_bytes)
     bucket = time_bucket("ts", interval_seconds).alias("time")
     g = (
         dp.where(F.col("agg_func") != "difference")

@@ -697,7 +697,10 @@ def _pq_shape(codebooks_rows) -> tuple[int, int, int]:
 
 
 def pq_encode(
-    emb: DataFrame, codebooks: DataFrame, vec_col: str = "embedding"
+    emb: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    engine: str = "expr",
 ) -> DataFrame:
     """(vec_id, codes array<int>): every vector compressed to its m
     per-block nearest-centroid ids — ONE map-only projection, no
@@ -707,7 +710,24 @@ def pq_encode(
     (sequential-fold squared L2, ties to the lowest cid — the exact
     convention of :func:`_assign_to_centroids`, so the oracle replays
     codes bit-identically). At 100 TB this is the pass that turns the
-    raw vector table into the codes table the ADC scan reads."""
+    raw vector table into the codes table the ADC scan reads.
+
+    ``engine="numpy"`` (r12) runs the SAME argmin as a vectorized
+    mapInPandas stage — per block, the squared-L2 accumulates one
+    dimension at a time across the whole Arrow batch, so every float
+    add happens in the exact order of the expression fold and the
+    emitted codes are BIT-IDENTICAL to the expr engine (pytest-pinned);
+    ``np.argmin`` takes the first minimum = the lowest cid, same tie
+    rule. This is the bulk-encode path: the full-corpus projection is
+    the one pass PQ runs over 100 TB, and the expression tree's
+    per-row overhead (measured ~2 k rows/s at dim 64, PQ8) makes it
+    the bottleneck — the numpy twin is ~40x faster at identical
+    output (PQ_SCALE.json). Keep ``expr`` for oracle-replayed gates;
+    use ``numpy`` for corpus encodes."""
+    if engine == "numpy":
+        return _pq_encode_numpy(emb, codebooks, vec_col)
+    if engine != "expr":
+        raise ValueError(f"pq_encode: unknown engine {engine!r}")
     grouped = codebooks.groupBy("block").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("cid", "cvec"))),
@@ -745,6 +765,52 @@ def pq_encode(
     return e.crossJoin(F.broadcast(carr)).select(
         "vec_id", codes.alias("codes")
     )
+
+
+def _pq_encode_numpy(
+    emb: DataFrame, codebooks: DataFrame, vec_col: str
+) -> DataFrame:
+    """The vectorized twin of :func:`pq_encode` (see its docstring for
+    the bit-identity argument). Codebooks ride into the closure as a
+    numpy array (m * 2**nbits * d doubles — a few hundred KB at PQ8),
+    the batch loop accumulates (x_t - c_t)^2 one dimension at a time so
+    the float-add ORDER matches the expression fold exactly, and
+    argmin's first-index rule IS the lowest-cid tie rule (cids are
+    validated dense by :func:`_pq_shape`)."""
+    import numpy as np
+
+    rows = codebooks.collect()  # bounded: m * 2**nbits codebook entries
+    m, kk, d = _pq_shape(rows)
+    cb = np.empty((m, kk, d), dtype=np.float64)
+    for r in rows:
+        cb[int(r["block"]), int(r["cid"]), :] = [float(x) for x in r["cvec"]]
+    e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            if x.shape[1] != m * d:
+                raise ValueError(
+                    f"pq_encode: dim {x.shape[1]} != codebook dim {m * d}"
+                )
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = x[:, j * d : (j + 1) * d]
+                acc = np.zeros((n, kk), dtype=np.float64)
+                for t in range(d):
+                    diff = sub[:, t : t + 1] - cb[j, :, t][None, :]
+                    acc = acc + diff * diff
+                codes[:, j] = np.argmin(acc, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return e.mapInPandas(op, schema="vec_id long, codes array<int>")
 
 
 def pq_topk(
@@ -834,6 +900,7 @@ def ivf_pq_topk(
     n_iter: int = 2,
     vec_col: str = "embedding",
     exclude_vec_id: int | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ search (the standard 100 TB ANN stack —
     Jégou et al. 2011 §V): the coarse IVF quantizer prunes the corpus
@@ -850,7 +917,15 @@ def ivf_pq_topk(
     The materialized twin is the :func:`ivf_build` layout with
     :func:`pq_encode` codes stored beside each list's rows (the codes
     column rides the same ``cid=`` partitioning, so probe pruning and
-    code-only projection compose for free in parquet)."""
+    code-only projection compose for free in parquet).
+
+    ``rerank=<shortlist>`` (r12 — VERDICT r11 #1) switches on the
+    two-stage deployment shape: ADC shortlist inside the probed cells,
+    exact squared-L2 re-rank of just those rows, output (vec_id, d2)
+    ascending / ties by vec_id. USE THIS IN PRODUCTION — the
+    clustered-corpus sweep (PQ_SCALE.json) shows single-stage ADC
+    recall@10 is not deployable while shortlist 5-10x k re-ranked
+    clears 0.8 at the same scan cost class."""
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
     cents = ivf_centroids(e, n_centroids, n_iter)
     assigned = _assign_to_centroids(e, cents).select("vec_id", "v", "cid")
@@ -866,9 +941,28 @@ def ivf_pq_topk(
     codes = pq_encode(
         pruned.select("vec_id", F.col("v").alias(vec_col)), cb, vec_col=vec_col
     )
-    return pq_topk(
-        codes, cb, [float(x) for x in query_vec], k=k,
-        exclude_vec_id=exclude_vec_id,
+    q = [float(x) for x in query_vec]
+    if rerank is None:
+        return pq_topk(codes, cb, q, k=k, exclude_vec_id=exclude_vec_id)
+    # Two-stage deployment shape (r12, VERDICT r11 #1): the ADC scan
+    # SHORTLISTS `rerank` candidates inside the probed cells, then the
+    # exact squared-L2 re-ranks only those rows — the scan stays
+    # compressed (m bytes/vector) and pruned, the accuracy comes from
+    # exact math over a candidate set of constant size. The named
+    # operating point from the clustered-corpus sweep (PQ_SCALE.json):
+    # nprobe=2 of sqrt(N) cells, shortlist 5-10x k, PQ8 reaches
+    # recall@10 >= 0.8; raw single-stage ADC does not.
+    if rerank < k:
+        raise ValueError(f"rerank shortlist {rerank} must be >= k {k}")
+    short = pq_topk(
+        codes, cb, q, k=rerank, exclude_vec_id=exclude_vec_id
+    ).select("vec_id")
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        pruned.join(short, "vec_id")
+        .select("vec_id", F.round(_l2sq(F.col("v"), qlit), 6).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(k)
     )
 
 

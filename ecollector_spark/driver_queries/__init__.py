@@ -150,6 +150,18 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: keeps the star path; every ts_* gate keeps F5), and
 #: ts_raw_derivative_by_tag (selector_arith keeps A15; raw-window twins
 #: shelved-green).
+#: Round-12 rotation (VERDICT r11 #5), executed: the r11 newborns with
+#: driver exposure pending — ann_ivf_pq_topk (the composed IVF-PQ
+#: stack) and mm_jpeg_exif_orientation (the 8-transform EXIF table) —
+#: plus the multi-field veterans never on the hard signal:
+#: influxql_multi_field (the dir-mangled pivot), influxql_multi_field_agg
+#: (per-mangled-field aggregates) and influxql_agg_star_fields (r11's
+#: fn(*) expansion over the mangled shape). Rotated out, each with a
+#: same-family main twin remaining: ann_lsh_indexed (ivf/hier/pq probes
+#: keep ANN), mm_video_frames (exif/png/tiff/jpeg-prog/gif keep decode),
+#: influxql_group_by_star (select_star keeps the star family),
+#: influxql_selector_arith (agg_star_fields + multi_field_agg keep A15),
+#: datapipe_mix_weights (pack_sequences keeps assembly).
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",
@@ -162,8 +174,8 @@ _PRIORITY = [
     "dedup_span_removal",
     # ANN family (r9: bucket-store probe; r11: the hierarchical probe)
     "ann_ivf_topk",
-    "ann_lsh_indexed",
     "ann_ivf_hier_topk",
+    "ann_ivf_pq_topk",
     # text family (r9b: Gopher rules; r11: the composed text-rewrite flow)
     "text_gopher_rules",
     "datapipe_curation_text",
@@ -173,7 +185,7 @@ _PRIORITY = [
     "mm_tiff_decode",
     "mm_jpeg_progressive",
     "mm_gif_decode",
-    "mm_video_frames",
+    "mm_jpeg_exif_orientation",
     # aggregation / rollup operators (r7: the composed lifecycle flow —
     # ingest -> preagg -> cascade -> tiered query -> TTL — carries A20)
     "preagg_30s_directives",
@@ -198,10 +210,11 @@ _PRIORITY = [
     # InfluxQL clause closure (r6: plan_tree subquery + INTO write path;
     # r7: selector arithmetic, wall-clock tz bucketing, GROUP BY *)
     "influxql_select_into",
-    "influxql_selector_arith",
     "influxql_tz_clause",
-    "influxql_group_by_star",
     "influxql_select_star",
+    "influxql_multi_field",
+    "influxql_multi_field_agg",
+    "influxql_agg_star_fields",
     # sessions / sketches / streaming (r5: the session-window slot moved
     # from the batch shape to the real streaming replay of the same op)
     "sketch_kmv_distinct_users",
@@ -210,7 +223,6 @@ _PRIORITY = [
     # training-data assembly (r6: the two-level distributed prefix sum;
     # r7: weighted corpus mixing)
     "datapipe_pack_sequences",
-    "datapipe_mix_weights",
     "datapipe_streaming_ingest",
     # SQL surface + grouped top-n
     "raw_sql_query",

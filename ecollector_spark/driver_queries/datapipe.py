@@ -1011,6 +1011,8 @@ SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
 FROM cand JOIN e USING (vec_id), q
 WHERE vec_id <> 0 AND round({_cos_sql('v', 'qv')}, 6) >= 0.2
 """,
+    shelved=True,  # r12 rotation out: ann_ivf_topk + ann_ivf_hier_topk +
+    # ann_ivf_pq_topk keep ANN on the hard signal
 )
 def ann_lsh_indexed(spark, sf_dir):
     """The MATERIALIZED LSH index path on the value signal (previously
@@ -1547,6 +1549,7 @@ def _ivf_pq_sql(
     k: int = 4,
     n_iter: int = 2,
     topk: int = 10,
+    rerank: int | None = None,
 ) -> str:
     """DuckDB twin of the composed IVF-PQ search
     (similarity.ivf_pq_topk): the coarse Lloyd + probe pick of
@@ -1614,12 +1617,26 @@ def _ivf_pq_sql(
         )
     total = " + ".join(f"s{j}.dj" for j in range(m))
     joins = "s0 " + " ".join(f"JOIN s{j} USING (vec_id)" for j in range(1, m))
-    return (
-        "WITH " + ",\n".join(parts) + f"""
+    if rerank is None:
+        return (
+            "WITH " + ",\n".join(parts) + f"""
 SELECT vec_id, round({total}, 6) AS d2_adc
 FROM {joins} JOIN pr USING (vec_id)
 WHERE vec_id <> 0
 ORDER BY d2_adc, vec_id LIMIT {topk}
+"""
+        )
+    # two-stage shape (r12): ADC shortlist on the ROUNDED score (the
+    # same (d2_adc, vec_id) order pq_topk emits), exact L2 re-rank
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+adc AS (SELECT vec_id, round({total}, 6) AS d2_adc
+        FROM {joins} JOIN pr USING (vec_id)
+        WHERE vec_id <> 0
+        QUALIFY row_number() OVER (ORDER BY round({total}, 6), vec_id) <= {rerank})
+SELECT e.vec_id, round({_L2SQ.format(a='e.v', b='q.qv')}, 6) AS d2
+FROM e JOIN adc USING (vec_id), q
+ORDER BY d2, vec_id LIMIT {topk}
 """
     )
 
@@ -1627,8 +1644,7 @@ ORDER BY d2_adc, vec_id LIMIT {topk}
 @register(
     "ann_ivf_pq_topk",
     _ivf_pq_sql(),
-    shelved=True,  # new r11: the composed IVF-PQ stack (pruned AND
-    # compressed probe); r12 rotation candidate
+    # r12 rotation: the composed IVF-PQ stack onto the hard signal
 )
 def ann_ivf_pq_topk(spark, sf_dir):
     """The composed IVF-PQ search (Jégou et al. 2011 §V — THE standard
@@ -1648,6 +1664,33 @@ def ann_ivf_pq_topk(spark, sf_dir):
     return similarity.ivf_pq_topk(
         emb, list(row["v"]), k=10, n_centroids=8, nprobe=2, m=2, nbits=2,
         n_iter=2, exclude_vec_id=0,
+    )
+
+
+@register(
+    "ann_ivf_pq_rerank",
+    _ivf_pq_sql(rerank=50),
+    shelved=True,  # new r12 (VERDICT r11 #1): the two-stage deployment
+    # shape — ADC shortlist + exact re-rank, the named operating point
+)
+def ann_ivf_pq_rerank(spark, sf_dir):
+    """The IVF-PQ DEPLOYMENT shape on a value gate (r12 — VERDICT r11
+    #1): coarse probe prunes, the ADC scan shortlists 50 candidates
+    (5x k, the named-config ratio from the clustered-corpus sweep in
+    PQ_SCALE.json), and the exact squared-L2 re-ranks just those rows
+    to the top 10. The oracle replays the whole stack — coarse Lloyd,
+    probe pick, both block Lloyds, ADC sum, the ROUNDED-score
+    shortlist cut and the exact re-rank — bit-identically, so a slip
+    in any stage (including the shortlist tie rule) breaks the hash."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    return similarity.ivf_pq_topk(
+        emb, list(row["v"]), k=10, n_centroids=8, nprobe=2, m=2, nbits=2,
+        n_iter=2, exclude_vec_id=0, rerank=50,
     )
 
 
@@ -2349,8 +2392,7 @@ SELECT doc_id, CAST(o AS INT) AS orientation,
          WHEN 5 THEN dd WHEN 6 THEN db WHEN 7 THEN da ELSE dc END AS br
 FROM r ORDER BY doc_id
 """,
-    shelved=True,  # new r11 (VERDICT r10 #9): the 8-transform EXIF table
-    # on a value oracle; r12 rotation candidate
+    # r12 rotation: the 8-transform EXIF table onto the hard signal
 )
 def mm_jpeg_exif_orientation(spark, sf_dir):
     """EXIF orientation, value-gated end to end (r11 — VERDICT r10 #9):
@@ -2757,6 +2799,8 @@ SELECT doc_id,
        CAST(row_sum * w * 3 AS DOUBLE) / (h * w * 3) AS mean_lum
 FROM s ORDER BY doc_id, frame_idx
 """,
+    shelved=True,  # r12 rotation out: exif/png/tiff/jpeg-prog/gif keep
+    # the decode family; the AVI walk stays shelved-green + pytest-pinned
 )
 def mm_video_frames(spark, sf_dir):
     """REAL video decode, value-gated (r7): synthetic uncompressed-AVI

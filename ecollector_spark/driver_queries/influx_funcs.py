@@ -588,6 +588,8 @@ agg AS (SELECT {_bucket(43200)} AS time, location_id,
 SELECT time, location_id, (mx - mn) * 2 + 1 AS value
 FROM agg ORDER BY time, location_id
 """,
+    shelved=True,  # r12 rotation out: agg_star_fields + multi_field_agg
+    # keep A15's transform/arithmetic surface on signal
 )
 def influxql_selector_arith(spark, sf_dir):
     """Binary arithmetic BETWEEN selectors (public InfluxQL:
@@ -744,7 +746,7 @@ g AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS time, dev_id,
 SELECT time, v AS e_import, v * 0.25 AS e_export
 FROM g ORDER BY time, e_import
 """,
-    shelved=True,
+    # r12 rotation: the multi-field pivot veteran onto the hard signal
 )
 def influxql_multi_field(spark, sf_dir):
     """Multi-FIELD select (r9, VERDICT r8 missing #2): the reference
@@ -782,7 +784,7 @@ b AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS time,
       FROM src GROUP BY 1)
 SELECT time, mi, me FROM b ORDER BY time
 """,
-    shelved=True,
+    # r12 rotation: per-mangled-field aggregates onto the hard signal
 )
 def influxql_multi_field_agg(spark, sf_dir):
     """Aggregates over dir-mangled multi-field names (r9, completing
@@ -821,8 +823,8 @@ b AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS time,
       FROM src GROUP BY 1)
 SELECT time, mean_e_import, mean_e_export FROM b ORDER BY time
 """,
-    shelved=True,  # new r11 (VERDICT r10 #10 residue): fn(*) expanded
-    # over the multi-field mangled shape; r12 rotation candidate
+    # r12 rotation: fn(*) over the mangled multi-field shape onto
+    # the hard signal
 )
 def influxql_agg_star_fields(spark, sf_dir):
     """``fn(*)`` over a MULTI-FIELD mangled measurement (r11 — VERDICT
@@ -1024,6 +1026,8 @@ SELECT {_bucket(86400)} AS time, {_STAR_TAGS}, round(avg(value_f), 3) AS value
 FROM src GROUP BY time, {_STAR_TAGS}
 ORDER BY time, {_STAR_TAGS}
 """,
+    shelved=True,  # r12 rotation out: influxql_select_star keeps the
+    # star family on signal
 )
 def influxql_group_by_star(spark, sf_dir):
     """``GROUP BY time(1d), *`` (public InfluxQL): * expands to every

@@ -559,6 +559,65 @@ class TestSimilarity:
                 similarity.pq_encode(corpus_emb, cb), cb, [1.0, 2.0], k=3
             )
 
+    def test_pq_encode_numpy_engine_bit_identical(self, corpus_emb):
+        """r12 (VERDICT r11 #1): the vectorized bulk-encode engine must
+        emit BIT-IDENTICAL codes to the oracle-replayable expression
+        engine — the numpy path accumulates squared diffs one dimension
+        at a time (the expression fold's add order) and argmin's
+        first-index rule is the lowest-cid tie rule. Checked across m
+        (block widths d=8 and d=2) and across partitionings."""
+        for m in (2, 8):
+            cb = similarity.pq_train(corpus_emb, m=m, nbits=2, n_iter=2)
+            expr = {
+                r["vec_id"]: list(r["codes"])
+                for r in similarity.pq_encode(corpus_emb, cb).collect()
+            }
+            fast = {
+                r["vec_id"]: list(r["codes"])
+                for r in similarity.pq_encode(
+                    corpus_emb.repartition(7), cb, engine="numpy"
+                ).collect()
+            }
+            assert fast == expr
+        with pytest.raises(ValueError, match="engine"):
+            similarity.pq_encode(corpus_emb, cb, engine="wat")
+
+    def test_ivf_pq_rerank_recovers_exact(self, corpus_emb):
+        """r12 (VERDICT r11 #1): the two-stage deployment shape — ADC
+        shortlist then exact re-rank. With every cell probed and the
+        shortlist covering the corpus, the result must equal the exact
+        squared-L2 top-k (the re-rank stage is exact math, so the only
+        loss channels are pruning and shortlist truncation — both
+        disabled here); a shortlist below k refuses."""
+        q = [
+            float(x)
+            for x in corpus_emb.where(F.col("vec_id") == 5)
+            .select(F.col("embedding").cast("array<double>"))
+            .first()[0]
+        ]
+        got = similarity.ivf_pq_topk(
+            corpus_emb, q, k=5, n_centroids=8, nprobe=8, m=2, nbits=2,
+            rerank=200, exclude_vec_id=5,
+        ).collect()
+        e = corpus_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).where(F.col("vec_id") != 5)
+        qlit = F.array(*[F.lit(x) for x in q])
+        want = (
+            e.select(
+                "vec_id",
+                F.round(similarity._l2sq(F.col("v"), qlit), 6).alias("d2"),
+            )
+            .orderBy("d2", "vec_id")
+            .limit(5)
+            .collect()
+        )
+        assert [(r["vec_id"], r["d2"]) for r in got] == [
+            (r["vec_id"], r["d2"]) for r in want
+        ]
+        with pytest.raises(ValueError, match="shortlist"):
+            similarity.ivf_pq_topk(corpus_emb, q, k=5, rerank=3)
+
     def test_pq_non_contiguous_cids_refused(self, spark, corpus_emb):
         """ADVICE r12: pq_encode emits POSITIONAL codes and pq_topk's
         LUT indexes range(k), both assuming dense cids 0..k-1 per

@@ -401,6 +401,49 @@ class TestPreaggregate:
         out = {r["series_id"]: r["value"] for r in windowed_preaggregate(df, 30).collect()}
         assert out == {"s_mean": 2.0, "s_last": 3.0, "s_sum": 6.0, "s_min": 1.0, "s_max": 3.0}
 
+    def test_shuffle_width_follows_input_size(self, spark, tmp_path):
+        """r12 (VERDICT r11 #4): the preagg exchange width follows the
+        input — when the Catalyst size estimate outgrows the session's
+        AQE wide start, ensure_shuffle_width RAISES
+        initialPartitionNum (never lowers it, preserving map-side
+        combine and AQE's coalesce-down); on small input it is a
+        no-op; and the raise never changes RESULTS."""
+        from ecollector_spark.aggregate import ensure_shuffle_width
+
+        key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        before = spark.conf.get(key)
+        df = _dp_rows(spark, [1.0, 2.0, 3.0], series="s_mean", agg="mean")
+        # parquet-backed input so the optimized plan carries file stats
+        p = str(tmp_path / "dp.parquet")
+        df.write.parquet(p)
+        stored = spark.read.parquet(p)
+        try:
+            # small input, default advisory target: no-op
+            assert ensure_shuffle_width(stored) is None
+            assert spark.conf.get(key) == before
+            baseline = {
+                (r["series_id"], r["time"]): r["value"]
+                for r in windowed_preaggregate(stored, 30).collect()
+            }
+            # tiny advisory target forces bytes/advisory past the wide
+            # start (ceiling keeps the raise bounded for this session)
+            width = ensure_shuffle_width(
+                stored, advisory_bytes=1, ceiling=int(before) + 7
+            )
+            assert width == int(before) + 7
+            assert spark.conf.get(key) == str(width)
+            # raised-width run returns identical values
+            raised = {
+                (r["series_id"], r["time"]): r["value"]
+                for r in windowed_preaggregate(stored, 30).collect()
+            }
+            assert raised == baseline
+            # never lowers: asking for less than current is a no-op
+            assert ensure_shuffle_width(stored, advisory_bytes=1 << 40) is None
+            assert spark.conf.get(key) == str(width)
+        finally:
+            spark.conf.set(key, before)
+
 
 class TestRawSeriesTransforms:
     """Raw-points window transforms (no GROUP BY time): the

@@ -363,6 +363,11 @@ def main() -> None:
         for name, rec in out["queries"].items():
             prev.setdefault("queries", {}).setdefault(name, {}).update(rec)
         prev["note"] = out["note"] + " | merged rungs from later runs carry their own top_decade"
+        # the freshest capture's guard must not vanish under the merge
+        # (r12): record it both at top level and per merged query
+        prev["weather_guard"] = out["weather_guard"]
+        for name in out["queries"]:
+            prev["queries"][name]["weather_guard"] = out["weather_guard"]
         out = prev
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
