@@ -833,7 +833,14 @@ def pq_topk(
     float array (32x less I/O at m=8 on dim-64 float32), the lookup
     table is a few KB broadcast with the plan, and the top-k collapses
     to TakeOrdered — compose with the IVF layout (encode each inverted
-    list) for pruned+compressed probes, the standard IVF-PQ stack."""
+    list) for pruned+compressed probes, the standard IVF-PQ stack.
+    Measured crossover (PQ_SCALE.json v2, clustered corpus, parquet
+    scans): the ADC scan reaches parity with the exact JVM scan at
+    ~1M rows and wins 2.0x at 3M — compression pays where scans are
+    byte-bound, not on an in-memory 200k corpus. Single-stage ADC
+    top-k is a SHORTLIST generator, not a ranker: within a tight
+    neighborhood the codes tie (recall@10 = 0.02 clustered), so ship
+    the two-stage shape (:func:`ivf_pq_topk` ``rerank=``)."""
     rows = codebooks.collect()  # bounded: m * 2**nbits codebook entries
     m, kk, d = _pq_shape(rows)
     if len(query_vec) != m * d:
@@ -922,10 +929,20 @@ def ivf_pq_topk(
     ``rerank=<shortlist>`` (r12 — VERDICT r11 #1) switches on the
     two-stage deployment shape: ADC shortlist inside the probed cells,
     exact squared-L2 re-rank of just those rows, output (vec_id, d2)
-    ascending / ties by vec_id. USE THIS IN PRODUCTION — the
-    clustered-corpus sweep (PQ_SCALE.json) shows single-stage ADC
-    recall@10 is not deployable while shortlist 5-10x k re-ranked
-    clears 0.8 at the same scan cost class."""
+    ascending / ties by vec_id. USE THIS IN PRODUCTION. The measured
+    operating point (PQ_SCALE.json v2, clustered 200k corpus of
+    100-member planted neighborhoods): single-stage ADC recall@10 is
+    0.02 — members of one neighborhood quantize to near-identical
+    codes, so within-cluster ADC ranks are ties — while a shortlist
+    covering the neighborhood size (named config m=4, nprobe=1,
+    shortlist=100 = 10x k) re-ranks to recall@10 = 1.0 with the IVF
+    pruning itself lossless (ceiling 1.0). Division of labor: ADC
+    finds the neighborhood, exact math resolves within it — size the
+    shortlist to the expected duplicate/neighborhood multiplicity,
+    5-10x k as the default. Compression pays at scan-bound scale: the
+    ADC full scan crosses exact at ~1M rows and wins 2.0x at 3M
+    (21.6x fewer bytes), while at 200k in-memory the exact scan's JVM
+    codegen still wins — exactly the regime note r11 recorded."""
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
     cents = ivf_centroids(e, n_centroids, n_iter)
     assigned = _assign_to_centroids(e, cents).select("vec_id", "v", "cid")
