@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -768,7 +769,10 @@ def pq_encode(
 
 
 def _pq_encode_numpy(
-    emb: DataFrame, codebooks: DataFrame, vec_col: str
+    emb: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The vectorized twin of :func:`pq_encode` (see its docstring for
     the bit-identity argument). Codebooks ride into the closure as a
@@ -776,7 +780,12 @@ def _pq_encode_numpy(
     the batch loop accumulates (x_t - c_t)^2 one dimension at a time so
     the float-add ORDER matches the expression fold exactly, and
     argmin's first-index rule IS the lowest-cid tie rule (cids are
-    validated dense by :func:`_pq_shape`)."""
+    validated dense by :func:`_pq_shape`).
+
+    ``keep_cols`` (r12) passes extra columns of ``emb`` through the
+    Arrow stage untouched (same row order inside each batch), so the
+    materialized IVF-PQ build can stamp codes onto the assignment rows
+    WITHOUT a corpus-wide join — the encode stays one map-only pass."""
     import numpy as np
 
     rows = codebooks.collect()  # bounded: m * 2**nbits codebook entries
@@ -784,7 +793,23 @@ def _pq_encode_numpy(
     cb = np.empty((m, kk, d), dtype=np.float64)
     for r in rows:
         cb[int(r["block"]), int(r["cid"]), :] = [float(x) for x in r["cvec"]]
-    e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    emit_v = "v" in keep_cols or vec_col in keep_cols
+    keep = [
+        c for c in keep_cols if c not in ("vec_id", "codes", "v", vec_col)
+    ]
+    sel = emb.select(
+        "vec_id", _as_double(F.col(vec_col)).alias("v"), *keep
+    )
+    # schema for the Arrow stage: vec_id + the vector (when kept, as
+    # the double-cast "v" the encode consumed) + kept columns (their
+    # existing types, straight from the plan) + the new codes column
+    kept_fields = [f for f in sel.schema.fields if f.name in keep]
+    out_schema = ", ".join(
+        ["vec_id long"]
+        + (["v array<double>"] if emit_v else [])
+        + [f"{f.name} {f.dataType.simpleString()}" for f in kept_fields]
+        + ["codes array<int>"]
+    )
 
     def op(batches):
         import pandas as pd
@@ -806,11 +831,15 @@ def _pq_encode_numpy(
                     diff = sub[:, t : t + 1] - cb[j, :, t][None, :]
                     acc = acc + diff * diff
                 codes[:, j] = np.argmin(acc, axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "codes": list(codes)}
-            )
+            out = {"vec_id": pdf["vec_id"]}
+            if emit_v:
+                out["v"] = pdf["v"]
+            for c in keep:
+                out[c] = pdf[c]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return e.mapInPandas(op, schema="vec_id long, codes array<int>")
+    return sel.mapInPandas(op, schema=out_schema)
 
 
 def pq_topk(
@@ -921,10 +950,12 @@ def ivf_pq_topk(
     Lloyd + per-block PQ Lloyds are the same deterministic
     exact-decimal machinery, probes tie to the lowest cid, ADC sums in
     block order, output (vec_id, d2_adc) ascending / ties by vec_id.
-    The materialized twin is the :func:`ivf_build` layout with
-    :func:`pq_encode` codes stored beside each list's rows (the codes
+    The materialized twin is REAL as of r12: ``ivf_build(pq_m=...)``
+    stores :func:`pq_encode` codes beside each list's rows (the codes
     column rides the same ``cid=`` partitioning, so probe pruning and
-    code-only projection compose for free in parquet).
+    code-only projection compose for free in parquet) and
+    :func:`ivf_pq_topk_indexed` probes it without retraining —
+    bit-identical results to this in-plan form at the same params.
 
     ``rerank=<shortlist>`` (r12 — VERDICT r11 #1) switches on the
     two-stage deployment shape: ADC shortlist inside the probed cells,
@@ -1022,6 +1053,9 @@ def ivf_build(
     vec_col: str = "embedding",
     overwrite: bool = False,
     flat_cap: int = 32,
+    pq_m: int | None = None,
+    pq_nbits: int = 8,
+    pq_n_iter: int = 2,
 ) -> str:
     """Train-once IVF index build — the expensive half of IVF, paid once
     per corpus instead of per query.
@@ -1065,6 +1099,22 @@ def ivf_build(
       k; the probe never materializes all k centroids anywhere).
     - ``subcentroids/cid1=<c>/`` — the per-coarse-cluster codebooks,
       pruned the same way during the probe's second stage.
+
+    ``pq_m`` (r12 — the materialized IVF-PQ index, Jégou et al. 2011
+    §V as a LAYOUT, not just a plan): train product-quantization
+    codebooks (:func:`pq_train`, ``pq_m`` blocks x ``2**pq_nbits``
+    sub-centroids) over the corpus, stamp every assignment row with its
+    ``codes array<int>`` (one extra map-only Arrow pass — the numpy
+    encode engine with column passthrough, NO corpus join), and persist
+    ``pq_codebooks/`` as a third sidecar. A probe
+    (:func:`ivf_pq_topk_indexed`) then partition-prunes to the probed
+    lists AND projects only ``(vec_id, codes)`` — m bytes per vector
+    instead of the full float array — which is the composition that
+    makes 100 TB ANN serveable: the expensive halves (coarse Lloyd, PQ
+    Lloyd, full-corpus encode) are all paid HERE, once.
+    :func:`ivf_append` encodes incoming batches against the FROZEN
+    codebooks (appends never retrain, same drift policy as the coarse
+    quantizer).
     """
     import json
 
@@ -1081,6 +1131,19 @@ def ivf_build(
     tmp = f"{index_path}.building.{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
+    pq_cb = None
+    if pq_m is not None:
+        # train the PQ codebooks ONCE and land them in the scratch dir
+        # before encoding: the encode collects the codebooks and the
+        # sidecar must persist them anyway — materializing first means
+        # the m block Lloyds never re-run for the second consumer
+        pq_train(e, m=pq_m, nbits=pq_nbits, n_iter=pq_n_iter, vec_col="v")\
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "pq_codebooks")
+            )
+        pq_cb = emb.sparkSession.read.parquet(
+            os.path.join(tmp, "pq_codebooks")
+        )
     hierarchical = n_centroids > flat_cap
     if hierarchical:
         coarse, subc, level1, fanout = hierarchical_centroids(
@@ -1096,6 +1159,10 @@ def ivf_build(
             "cid2",
             (F.col("cid1") * fanout + F.col("cid2")).alias("cid"),
         )
+        if pq_cb is not None:
+            assigned = _pq_encode_numpy(
+                assigned, pq_cb, "v", keep_cols=("v", "cid1", "cid2", "cid")
+            )
         (
             # sort by (cid1, cid2), not cid2 alone: partitionBy injects
             # its own non-stable sort on the partition column when the
@@ -1140,7 +1207,12 @@ def ivf_build(
         }
     else:
         cents = ivf_centroids(e, n_centroids, n_iter)
-        _assign_to_centroids(e, cents).write.mode("overwrite").partitionBy(
+        flat_assigned = _assign_to_centroids(e, cents)
+        if pq_cb is not None:
+            flat_assigned = _pq_encode_numpy(
+                flat_assigned, pq_cb, "v", keep_cols=("v", "cid", "d2")
+            )
+        flat_assigned.write.mode("overwrite").partitionBy(
             "cid"
         ).parquet(os.path.join(tmp, "assignments"))
         cents.coalesce(1).write.mode("overwrite").parquet(
@@ -1163,6 +1235,11 @@ def ivf_build(
                 # fixed nprobe over a sqrt(N) quantizer is the measured
                 # flat-cost configuration — probed rows ~ 2*sqrt(N))
                 "default_nprobe": 2,
+                "pq": (
+                    None
+                    if pq_m is None
+                    else {"m": pq_m, "nbits": pq_nbits, "n_iter": pq_n_iter}
+                ),
                 **extra,
             },
             f,
@@ -1288,15 +1365,38 @@ def ivf_append(
             .select("vec_id", F.col("v").alias("embedding"))
             .unionByName(e.select("vec_id", F.col("v").alias("embedding")))
         )
+        pq_meta = stats.get("pq")
         ivf_build(
             full,
             index_path,
             n_centroids=stats["n_centroids"],
             n_iter=stats["n_iter"],
             overwrite=True,
+            # a PQ-bearing index rebuilds WITH its PQ layout: the drift
+            # that forced the coarse retrain also means the codebooks
+            # should re-fit the data (codes are re-encoded either way,
+            # since every assignment row is rewritten)
+            pq_m=None if pq_meta is None else int(pq_meta["m"]),
+            pq_nbits=8 if pq_meta is None else int(pq_meta["nbits"]),
+            pq_n_iter=2 if pq_meta is None else int(pq_meta["n_iter"]),
         )
         out["rebuilt"] = True
         return out
+    if stats.get("pq") is not None:
+        # PQ-bearing index (r12): stamp the batch with codes from the
+        # FROZEN codebooks sidecar — appends never retrain, so appended
+        # rows are encoded exactly as a from-the-start build would have
+        # encoded them (the numpy engine is bit-identical to the expr
+        # fold). Without this the appended files would lack the codes
+        # column and parquet schema-merge would surface them as NULL
+        # codes — silently invisible to the ADC probe.
+        pq_cb = spark.read.parquet(os.path.join(index_path, "pq_codebooks"))
+        keep = (
+            ("v", "cid1", "cid2", "cid")
+            if hierarchical
+            else ("v", "cid", "d2")
+        )
+        assigned = _pq_encode_numpy(assigned, pq_cb, "v", keep_cols=keep)
     if hierarchical:
         # match the build layout (ADVICE r11): sorted-by-cid2 files keep
         # parquet row-group min/max skipping alive for appended rows —
@@ -1440,18 +1540,7 @@ def ivf_topk_indexed(
     st = _index_stats(index_path)
     if nprobe is None:
         nprobe = int(st.get("default_nprobe") or 2)
-    if st.get("hierarchical"):
-        coarse, cells = ivf_probe_cells(spark, index_path, query_vec, nprobe)
-        scan = (
-            spark.read.parquet(os.path.join(index_path, "assignments"))
-            .where(F.col("cid1").isin([int(c) for c in coarse]))
-            .where(F.col("cid").isin([int(c) for c in cells]))
-        )
-    else:
-        probes = ivf_probe_cids(spark, index_path, query_vec, nprobe)
-        scan = spark.read.parquet(os.path.join(index_path, "assignments")).where(
-            F.col("cid").isin([int(c) for c in probes])
-        )
+    scan = _pruned_assignments(spark, index_path, query_vec, nprobe, st)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = _dot(F.col("v"), q) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(q, q)))
     if exclude_vec_id is not None:
@@ -1459,6 +1548,102 @@ def ivf_topk_indexed(
     return (
         scan.select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def _pruned_assignments(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    nprobe: int,
+    st: dict,
+) -> DataFrame:
+    """The probe's pruned scan of the assignment table, shared by
+    :func:`ivf_topk_indexed` and :func:`ivf_pq_topk_indexed`: flat —
+    ``cid`` IS the partition column, so the isin is directory pruning;
+    hierarchical — the ``cid1`` isin prunes directories and the global
+    ``cid`` isin rides the sorted-by-cid2 layout's row-group min/max
+    stats. NO column projection here: each caller selects only what it
+    reads, so parquet column pruning composes on top."""
+    if st.get("hierarchical"):
+        coarse, cells = ivf_probe_cells(spark, index_path, query_vec, nprobe)
+        return (
+            spark.read.parquet(os.path.join(index_path, "assignments"))
+            .where(F.col("cid1").isin([int(c) for c in coarse]))
+            .where(F.col("cid").isin([int(c) for c in cells]))
+        )
+    probes = ivf_probe_cids(spark, index_path, query_vec, nprobe)
+    return spark.read.parquet(os.path.join(index_path, "assignments")).where(
+        F.col("cid").isin([int(c) for c in probes])
+    )
+
+
+def ivf_pq_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int | None = 2,
+    rerank: int | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search against a MATERIALIZED index (r12 — the serving
+    twin of :func:`ivf_pq_topk`, which retrains per call): the index
+    was built with ``ivf_build(pq_m=...)``, so the probed inverted
+    lists already carry ``codes`` and the probe never touches a raw
+    vector until (optionally) the re-rank.
+
+    The plan is the 100 TB shape end-to-end: pick ``nprobe`` lists from
+    the centroid sidecar (driver-side, O(sqrt(k)) rows), partition-prune
+    the assignment scan to them, project ONLY ``(vec_id, codes)`` — m
+    bytes per vector instead of the full float array — and ADC-score
+    against the driver-built lookup table (:func:`pq_topk`). With
+    ``rerank=<shortlist>`` the two-stage deployment shape runs: the ADC
+    scan shortlists inside the probed cells, then the exact squared-L2
+    re-ranks just those rows by reading their vectors (a second pruned
+    scan joined on the tiny shortlist — broadcast, no shuffle of the
+    lists). Sizing guidance and the measured operating point are in
+    :func:`ivf_pq_topk`'s docstring (shortlist 5-10x k; single-stage
+    ADC is a shortlist generator, not a ranker).
+
+    Results are BIT-IDENTICAL to the in-plan :func:`ivf_pq_topk` at the
+    same (n_centroids, nprobe, m, nbits, n_iter): the coarse Lloyd, the
+    probe pick, the PQ Lloyds, the encode (numpy twin of the expression
+    fold) and the ADC sum all share conventions — which is what lets
+    the DuckDB oracle replay this probe through the same SQL as the
+    in-plan gate. Output: ``(vec_id, d2_adc)`` ascending, or
+    ``(vec_id, d2)`` ascending with ``rerank=``, rounded 6, ties by
+    vec_id."""
+    _recover_crashed_publish(index_path)
+    st = _index_stats(index_path)
+    if not st.get("pq"):
+        raise ValueError(
+            f"{index_path!r} has no PQ layout (built without pq_m) — "
+            "use ivf_topk_indexed, or rebuild with ivf_build(pq_m=...)"
+        )
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank shortlist {rerank} must be >= k {k}")
+    if nprobe is None:
+        nprobe = int(st.get("default_nprobe") or 2)
+    scan = _pruned_assignments(spark, index_path, query_vec, nprobe, st)
+    cb = spark.read.parquet(os.path.join(index_path, "pq_codebooks"))
+    q = [float(x) for x in query_vec]
+    adc = pq_topk(
+        scan.select("vec_id", "codes"),
+        cb,
+        q,
+        k=k if rerank is None else rerank,
+        exclude_vec_id=exclude_vec_id,
+    )
+    if rerank is None:
+        return adc
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        scan.select("vec_id", "v")
+        .join(F.broadcast(adc.select("vec_id")), "vec_id")
+        .select("vec_id", F.round(_l2sq(F.col("v"), qlit), 6).alias("d2"))
+        .orderBy("d2", "vec_id")
         .limit(k)
     )
 

@@ -1694,6 +1694,42 @@ def ann_ivf_pq_rerank(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_pq_indexed",
+    _ivf_pq_sql(rerank=50),
+    shelved=True,  # new r12: the MATERIALIZED IVF-PQ serving path —
+    # codes stored in the index, probe never reads a vector until the
+    # re-rank; r13 rotation candidate
+)
+def ann_ivf_pq_indexed(spark, sf_dir):
+    """The materialized IVF-PQ serving path on a value gate (r12): the
+    index is built ONCE with ``ivf_build(pq_m=2, pq_nbits=2)`` — coarse
+    Lloyd, PQ block Lloyds, and the full-corpus encode all paid at
+    build — and ``ivf_pq_topk_indexed`` probes it with partition
+    pruning + a ``(vec_id, codes)``-only projection (plan-audited: the
+    ADC scan never reads ``v``), ADC-shortlists 50, exact re-ranks to
+    the top 10. The oracle is the SAME SQL as ``ann_ivf_pq_rerank``:
+    the materialized path must be bit-identical to the in-plan one —
+    train/probe/encode/ADC/shortlist-cut conventions all shared — so
+    any drift between the layout the build writes and what the probe
+    reads (codes dropped, lists scrambled, stale sidecar) breaks the
+    hash."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _ivf_index_dir(sf_dir, n_centroids=8, n_iter=2) + "_pq"
+    similarity.ivf_build(
+        emb, idx, n_centroids=8, n_iter=2, pq_m=2, pq_nbits=2, pq_n_iter=2
+    )
+    row = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+    )
+    return similarity.ivf_pq_topk_indexed(
+        spark, idx, list(row["v"]), k=10, nprobe=2, rerank=50,
+        exclude_vec_id=0,
+    )
+
+
 _IVF_APPEND_TRAIN = 250  # < the smallest SF's corpus (sf0.001 has 500 vecs)
 
 

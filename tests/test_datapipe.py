@@ -618,6 +618,170 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="shortlist"):
             similarity.ivf_pq_topk(corpus_emb, q, k=5, rerank=3)
 
+    def test_ivf_pq_index_matches_inplan(self, corpus_emb, tmp_path_factory):
+        """r12: the MATERIALIZED IVF-PQ index (ivf_build(pq_m=) +
+        ivf_pq_topk_indexed) must return bit-identical rows to the
+        in-plan ivf_pq_topk at the same params — both the single-stage
+        ADC form and the rerank form. The split is a cost move (train +
+        encode paid once at build), never a semantics change."""
+        import os
+
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfpq") / "index")
+        similarity.ivf_build(
+            corpus_emb, idx, n_centroids=8, n_iter=2, pq_m=2, pq_nbits=2
+        )
+        assert os.path.isdir(os.path.join(idx, "pq_codebooks"))
+        assert similarity._index_stats(idx)["pq"] == {
+            "m": 2, "nbits": 2, "n_iter": 2,
+        }
+        # the lists carry codes beside the vectors
+        ap = spark.read.parquet(os.path.join(idx, "assignments"))
+        assert "codes" in ap.columns
+        assert ap.where(F.col("codes").isNull()).count() == 0
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        adc_idx = similarity.ivf_pq_topk_indexed(
+            spark, idx, qv, k=10, nprobe=2, exclude_vec_id=0
+        ).collect()
+        adc_inplan = similarity.ivf_pq_topk(
+            corpus_emb, qv, k=10, n_centroids=8, nprobe=2, m=2, nbits=2,
+            n_iter=2, exclude_vec_id=0,
+        ).collect()
+        assert [(r["vec_id"], r["d2_adc"]) for r in adc_idx] == [
+            (r["vec_id"], r["d2_adc"]) for r in adc_inplan
+        ]
+        rr_idx = similarity.ivf_pq_topk_indexed(
+            spark, idx, qv, k=5, nprobe=2, rerank=20, exclude_vec_id=0
+        ).collect()
+        rr_inplan = similarity.ivf_pq_topk(
+            corpus_emb, qv, k=5, n_centroids=8, nprobe=2, m=2, nbits=2,
+            n_iter=2, exclude_vec_id=0, rerank=20,
+        ).collect()
+        assert [(r["vec_id"], r["d2"]) for r in rr_idx] == [
+            (r["vec_id"], r["d2"]) for r in rr_inplan
+        ]
+
+    def test_ivf_pq_append_encodes_with_frozen_codebooks(
+        self, corpus_emb, tmp_path_factory
+    ):
+        """r12: appending to a PQ-bearing index stamps the batch with
+        codes from the FROZEN sidecar (no retrain — the codebook files
+        are untouched), so appended rows are ADC-rankable immediately;
+        a naked append without codes would schema-merge to NULL codes
+        and silently vanish from the probe."""
+        import os
+
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfpqa") / "index")
+        similarity.ivf_build(
+            corpus_emb.where(F.col("vec_id") < 150), idx,
+            n_centroids=8, n_iter=2, pq_m=2, pq_nbits=2,
+        )
+        cb_dir = os.path.join(idx, "pq_codebooks")
+        before = {
+            f: os.stat(os.path.join(cb_dir, f)).st_mtime_ns
+            for f in os.listdir(cb_dir)
+        }
+        out = similarity.ivf_append(
+            corpus_emb.where(F.col("vec_id") >= 150), idx
+        )
+        assert out["appended"] == 50 and not out["rebuilt"]
+        after = {
+            f: os.stat(os.path.join(cb_dir, f)).st_mtime_ns
+            for f in os.listdir(cb_dir)
+        }
+        assert before == after  # frozen codebooks: sidecar untouched
+        ap = spark.read.parquet(os.path.join(idx, "assignments"))
+        assert ap.where(F.col("codes").isNull()).count() == 0
+        qv = [0.5] * 16
+        got = {
+            r["vec_id"]
+            for r in similarity.ivf_pq_topk_indexed(
+                spark, idx, qv, k=200, nprobe=8
+            ).collect()
+        }
+        assert {i for i in range(150, 200)} <= got  # appended rankable
+
+    def test_ivf_pq_hierarchical_layout(self, corpus_emb, tmp_path_factory):
+        """r12: pq_m composes with the hierarchical layout — codes ride
+        the cid1-partitioned, cid2-sorted lists; the two-stage cell pick
+        + ADC + rerank runs end-to-end and the rerank distances are the
+        exact squared-L2 of the returned ids."""
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfpqh") / "index")
+        similarity.ivf_build(
+            corpus_emb, idx, n_centroids=16, n_iter=2, flat_cap=8,
+            pq_m=2, pq_nbits=2,
+        )
+        assert similarity._index_stats(idx)["hierarchical"]
+        qv = list(
+            corpus_emb.where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()["v"]
+        )
+        rr = similarity.ivf_pq_topk_indexed(
+            spark, idx, qv, k=5, nprobe=4, rerank=20, exclude_vec_id=0
+        ).collect()
+        assert len(rr) == 5
+        vecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in corpus_emb.collect()
+        }
+
+        def d2(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + (x - y) * (x - y)
+            return acc
+
+        for r in rr:
+            assert r["d2"] == round(d2(vecs[r["vec_id"]], qv), 6)
+        assert [r["d2"] for r in rr] == sorted(r["d2"] for r in rr)
+
+    def test_ivf_pq_indexed_refusals(self, corpus_emb, tmp_path_factory):
+        """r12: probing a PQ-less index through the PQ probe fails with
+        a named error (never a silent AnalysisException about a missing
+        codes column), and rerank < k refuses like the in-plan form."""
+        spark = corpus_emb.sparkSession
+        idx = str(tmp_path_factory.mktemp("ivfnopq") / "index")
+        similarity.ivf_build(corpus_emb, idx, n_centroids=8, n_iter=2)
+        with pytest.raises(ValueError, match="no PQ layout"):
+            similarity.ivf_pq_topk_indexed(spark, idx, [0.0] * 16, k=5)
+        idx2 = str(tmp_path_factory.mktemp("ivfpqr") / "index")
+        similarity.ivf_build(
+            corpus_emb, idx2, n_centroids=8, n_iter=2, pq_m=2, pq_nbits=2
+        )
+        with pytest.raises(ValueError, match="shortlist"):
+            similarity.ivf_pq_topk_indexed(
+                spark, idx2, [0.0] * 16, k=10, rerank=5
+            )
+
+    def test_pq_encode_keep_cols_passthrough(self, corpus_emb):
+        """r12: the numpy engine's column passthrough (what the build
+        uses to stamp codes onto assignment rows without a join) emits
+        the same codes as the plain engines and carries the kept
+        columns through the Arrow stage unchanged."""
+        cb = similarity.pq_train(corpus_emb, m=2, nbits=2, n_iter=2)
+        tagged = corpus_emb.withColumn(
+            "tag", (F.col("vec_id") * 7 % 13).cast("int")
+        )
+        out = similarity._pq_encode_numpy(
+            tagged, cb, "embedding", keep_cols=("embedding", "tag")
+        ).collect()
+        plain = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(corpus_emb, cb).collect()
+        }
+        assert len(out) == 200
+        for r in out:
+            assert list(r["codes"]) == plain[r["vec_id"]]
+            assert r["tag"] == r["vec_id"] * 7 % 13
+            assert len(r["v"]) == 16  # the kept vector, double-cast
+
     def test_pq_non_contiguous_cids_refused(self, spark, corpus_emb):
         """ADVICE r12: pq_encode emits POSITIONAL codes and pq_topk's
         LUT indexes range(k), both assuming dense cids 0..k-1 per

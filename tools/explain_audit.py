@@ -395,6 +395,23 @@ CHECKS = {
         "BroadcastNestedLoopJoin",
         "!CartesianProduct",
     ],
+    # materialized IVF-PQ probe (r12): both scans partition-prune to the
+    # probed lists (cid IN), the ADC scan projects (vec_id, codes, cid)
+    # ONLY — the raw vector column is never read before the re-rank
+    # (the Output [3] regex pins that), scoring is the Arrow lut gather,
+    # the shortlist joins back by broadcast, and there is NO
+    # BroadcastNestedLoopJoin: the codebooks come from the sidecar, not
+    # an in-plan collapsed-array cross join — the probe plan carries no
+    # training at all
+    "ann_ivf_pq_indexed": [
+        r"PartitionFilters: \[cid#\d+ IN \(",
+        r"ReadSchema: struct<vec_id:bigint,codes:array<int>>",
+        "MapInPandas",
+        "TakeOrderedAndProject",
+        "BroadcastHashJoin",
+        "!BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+    ],
     # EXIF orientation gate (r11): generate + decode + orient are two
     # Arrow stages back to back — no shuffle at all beyond the cosmetic
     # range sort, no join

@@ -1,0 +1,158 @@
+"""Materialized IVF-PQ serving probe (r12): what the index buys.
+
+The in-plan ``ivf_pq_topk`` gate re-trains the coarse quantizer AND the
+PQ codebooks and re-encodes the probed lists on EVERY query — right for
+an oracle-replayable value gate, wrong as a serving path. This probe
+measures, on the 100x-salted embeddings corpus (~200k vectors, dim 64):
+
+- ``build_wall_s`` — the one-time cost ``ivf_build(pq_m=...)`` pays
+  (coarse Lloyd + PQ block Lloyds + full-corpus encode + layout write),
+  with an auto-sized sqrt(N) hierarchical quantizer (the zero-knob
+  production configuration);
+- per-query wall (medians of --runs, position-matched interleave) of
+  the three probe shapes over the SAME index/corpus:
+  * ``inplan``  — ivf_pq_topk(rerank=) : retrains per query,
+  * ``indexed_pq`` — ivf_pq_topk_indexed(rerank=): codes-only ADC scan
+    + exact re-rank, zero training,
+  * ``indexed_exact`` — ivf_topk_indexed: pruned exact cosine (the
+    no-PQ serving baseline; at in-memory scale it may match or beat
+    the PQ probe — the PQ win is byte-bound, see PQ_SCALE.json's
+    ADC-vs-exact crossover);
+- result parity: indexed_pq vs inplan at identical params must agree
+  on the returned id set (bit-identity is pytest-pinned at unit scale;
+  here the quantizer is auto-sized so params differ from the gate's).
+
+Writes PQ_INDEXED_SCALE.json with the weather-guard record.
+
+Usage: python tools/ivfpq_indexed_probe.py [--mult 100] [--runs 3]
+           [--m 8] [--nbits 8] [--out PQ_INDEXED_SCALE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=100)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--nbits", type=int, default=8)
+    ap.add_argument("--rerank", type=int, default=100)
+    ap.add_argument("--out", default="PQ_INDEXED_SCALE.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ecollector_spark.datapipe import similarity
+    from ecollector_spark.session import get_spark
+    from tools.ts_scale_probe import build_scaled
+    from tools.weather import wait_for_quiet
+
+    spark = get_spark("ivfpq_indexed_probe")
+    d = os.path.join(tempfile.gettempdir(), f"ec_newdedup_scale_x{args.mult}")
+    build_scaled(
+        spark, args.base, d, args.mult,
+        tables={"documents", "embeddings"}, salt_docs=True, salt_vecs=True,
+    )
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    n = emb.count()
+
+    out = {
+        "note": __doc__.split("Usage:")[0].strip(),
+        "rows": n,
+        "m": args.m,
+        "nbits": args.nbits,
+        "rerank": args.rerank,
+        "weather_guard": wait_for_quiet(),
+    }
+
+    idx = os.path.join(tempfile.gettempdir(), f"ec_ivfpq_serving_x{args.mult}")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    similarity.ivf_build(
+        emb, idx, n_centroids=None, n_iter=2,
+        pq_m=args.m, pq_nbits=args.nbits,
+    )
+    out["build_wall_s"] = round(time.perf_counter() - t0, 2)
+    st = similarity._index_stats(idx)
+    out["n_centroids"] = st["n_centroids"]
+    out["hierarchical"] = bool(st.get("hierarchical"))
+
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 42)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    ]
+
+    # in-plan params mirror the index's auto-sizing so the comparison is
+    # fair: same k_centroids, same nprobe, same PQ shape, same rerank.
+    kc, npb = int(st["n_centroids"]), int(st.get("default_nprobe") or 2)
+
+    def inplan():
+        return similarity.ivf_pq_topk(
+            emb, qv, k=10, n_centroids=kc, nprobe=npb, m=args.m,
+            nbits=args.nbits, n_iter=2, exclude_vec_id=42,
+            rerank=args.rerank,
+        ).collect()
+
+    def indexed_pq():
+        return similarity.ivf_pq_topk_indexed(
+            spark, idx, qv, k=10, nprobe=npb, rerank=args.rerank,
+            exclude_vec_id=42,
+        ).collect()
+
+    def indexed_exact():
+        return similarity.ivf_topk_indexed(
+            spark, idx, qv, k=10, nprobe=npb, exclude_vec_id=42
+        ).collect()
+
+    shapes = (
+        ("inplan", inplan),
+        ("indexed_pq", indexed_pq),
+        ("indexed_exact", indexed_exact),
+    )
+    walls: dict[str, list[float]] = {name: [] for name, _ in shapes}
+    last: dict[str, list] = {}
+    for _ in range(args.runs):  # position-matched interleave
+        for name, fn in shapes:
+            t0 = time.perf_counter()
+            last[name] = fn()
+            walls[name].append(round(time.perf_counter() - t0, 3))
+    for name in walls:
+        out[f"{name}_topk_s_median"] = round(statistics.median(walls[name]), 3)
+        out[f"{name}_runs"] = walls[name]
+    out["speedup_vs_inplan"] = round(
+        out["inplan_topk_s_median"] / max(1e-9, out["indexed_pq_topk_s_median"]), 1
+    )
+    # id-set parity between the serving probe and the per-query-retrain
+    # form at identical params (both auto-sized): the index is a cost
+    # move, not a different algorithm
+    out["ids_match_inplan"] = sorted(
+        r["vec_id"] for r in last["indexed_pq"]
+    ) == sorted(r["vec_id"] for r in last["inplan"])
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", args.out)
+    print(json.dumps({k: out[k] for k in (
+        "rows", "n_centroids", "hierarchical", "build_wall_s",
+        "inplan_topk_s_median", "indexed_pq_topk_s_median",
+        "indexed_exact_topk_s_median", "speedup_vs_inplan",
+        "ids_match_inplan")}))
+
+
+if __name__ == "__main__":
+    main()
