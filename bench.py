@@ -89,13 +89,16 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    # weather guard (VERDICT r8 #8, tightened r11 per VERDICT r10 #3):
-    # the old cpus/4 = 8.0 threshold let the r10 capture run at load1
-    # 3.88 and record a 40 % phantom regression. The shared guard
-    # (tools/weather.py) waits bounded for load1 < 1.0 — the level of
-    # bench.py's own reference captures — and ANNOTATES the run as
-    # weather-compromised in the JSON line if the box never goes quiet,
-    # instead of silently becoming the round's number.
+    # weather guard (VERDICT r8 #8, tightened r11 per VERDICT r10 #3,
+    # load5 settle added r12): the old cpus/4 = 8.0 threshold let the
+    # r10 capture run at load1 3.88 and record a 40 % phantom
+    # regression; the load1-only guard then let an r12 capture run
+    # minutes after a heavy sweep (load1 0.88 but load5 1.23) and read
+    # 29.8 s where the settled box reads 20.8 s. The shared guard
+    # (tools/weather.py) waits bounded for load1 < 1.0 AND load5 < 1.5
+    # — the level of bench.py's own reference captures — and ANNOTATES
+    # the run as weather-compromised in the JSON line if the box never
+    # settles, instead of silently becoming the round's number.
     from tools.weather import wait_for_quiet
 
     guard = wait_for_quiet()
@@ -134,7 +137,9 @@ def main() -> None:
         "load1_after": load_after,
         "weather_guard": {
             "quiet_threshold": quiet_threshold,
+            "settle_threshold": guard.get("settle_threshold"),
             "waited_s": quiet_waited,
+            "load5_before": guard.get("load5_before"),
             "compromised": guard["compromised"],
         },
     }

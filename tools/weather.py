@@ -1,5 +1,6 @@
 """Shared machine-weather guard for bench.py and the scale probes
-(VERDICT r10 #3, closing the r9 #7 carry-over).
+(VERDICT r10 #3, closing the r9 #7 carry-over; r12 adds the load5
+settle check).
 
 Cross-round wall-clock comparisons on a shared container have repeatedly
 shifted with ambient load, not code: the r10 bench captured at
@@ -10,7 +11,15 @@ phantom regression the judge had to A/B away. The guard therefore:
   threshold of 1.0 — bench.py's own load~0 captures are the reference
   points, so anything above ~1 core of ambient work is already noise at
   the 0.5-3 s per-query scale;
-- if the box never goes quiet, ANNOTATES the run as
+- r12: ALSO waits for the 5-min average to drop below a SETTLE
+  threshold of 1.5. load1 alone proved gameable by timing: a capture
+  taken minutes after a heavy run (load1 0.88, load5 1.23, load15 2.67
+  — measured) read 29.8 s where the settled box reads 20.8 s, a 43 %
+  phantom with ``compromised: false``. The residue isn't scheduler
+  contention but its aftermath — page cache still evicted, kernel
+  writeback flushing, cpufreq recovering — and load5 is the cheap
+  proxy for "the storm just passed";
+- if the box never settles, ANNOTATES the run as
   ``compromised: true`` instead of letting the number silently become
   the round's history.
 
@@ -30,41 +39,64 @@ import time
 #: inflated a 1.2 s query's spread to [1.015, 3.028]).
 QUIET_THRESHOLD = 1.0
 
+#: load5 above this = the box is still settling from recent heavy work
+#: even if load1 already dipped quiet (measured r12: load1 0.88 /
+#: load5 1.23 right after a 16-min test sweep read the 20.8 s headline
+#: at 29.8 s). load5 halves roughly every 5 minutes, so the default
+#: max_wait must cover a couple of half-lives.
+SETTLE_THRESHOLD = 1.5
+
 
 def wait_for_quiet(
     max_wait: float | None = None,
     threshold: float | None = None,
     poll_s: float = 10.0,
+    settle: float | None = None,
 ) -> dict:
-    """Block (bounded) until load1 < ``threshold``; return the guard
-    record to embed in the artifact:
+    """Block (bounded) until load1 < ``threshold`` AND load5 <
+    ``settle``; return the guard record to embed in the artifact:
 
-    ``{"quiet_threshold": t, "waited_s": w, "load1_before": l,
-       "compromised": bool}``
+    ``{"quiet_threshold": t, "settle_threshold": s, "waited_s": w,
+       "load1_before": l1, "load5_before": l5, "compromised": bool}``
 
-    Env overrides: ``SPARK_GRAFT_BENCH_QUIET`` (threshold),
-    ``SPARK_GRAFT_BENCH_QUIET_WAIT`` (max seconds to wait, default 180).
+    Env overrides: ``SPARK_GRAFT_BENCH_QUIET`` (load1 threshold),
+    ``SPARK_GRAFT_BENCH_SETTLE`` (load5 threshold),
+    ``SPARK_GRAFT_BENCH_QUIET_WAIT`` (max seconds to wait, default 420
+    — long enough for load5 to decay through ~two half-lives after a
+    heavy run).
     """
     if threshold is None:
         threshold = float(
             os.environ.get("SPARK_GRAFT_BENCH_QUIET", QUIET_THRESHOLD)
         )
+    if settle is None:
+        settle = float(
+            os.environ.get("SPARK_GRAFT_BENCH_SETTLE", SETTLE_THRESHOLD)
+        )
     if max_wait is None:
-        max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "180"))
+        max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "420"))
     waited = 0.0
-    load = None
+    load1 = load5 = None
     try:
-        while os.getloadavg()[0] > threshold and waited < max_wait:
+        while waited < max_wait:
+            l1, l5, _ = os.getloadavg()
+            if l1 <= threshold and l5 <= settle:
+                break
             time.sleep(poll_s)
             waited += poll_s
-        load = round(os.getloadavg()[0], 2)
+        load1, load5, _ = (round(x, 2) for x in os.getloadavg())
     except OSError:
         pass
     return {
         "quiet_threshold": threshold,
+        "settle_threshold": settle,
         "waited_s": waited,
-        "load1_before": load,
-        "compromised": bool(load is not None and load > threshold),
+        "load1_before": load1,
+        "load5_before": load5,
+        "compromised": bool(
+            (load1 is not None and load1 > threshold)
+            or (load5 is not None and load5 > settle)
+        ),
     }
 
 
