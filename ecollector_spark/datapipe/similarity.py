@@ -997,9 +997,12 @@ def ivf_pq_topk(
     # exact squared-L2 re-ranks only those rows — the scan stays
     # compressed (m bytes/vector) and pruned, the accuracy comes from
     # exact math over a candidate set of constant size. The named
-    # operating point from the clustered-corpus sweep (PQ_SCALE.json):
-    # nprobe=2 of sqrt(N) cells, shortlist 5-10x k, PQ8 reaches
-    # recall@10 >= 0.8; raw single-stage ADC does not.
+    # operating point from the clustered-corpus sweep (PQ_SCALE.json
+    # v2, planted 100-member neighborhoods): shortlist = 10x k reaches
+    # re-ranked recall@10 = 1.0 at every (m, nprobe) swept, shortlist
+    # 5x k = 0.4 — size the shortlist to the expected neighborhood
+    # multiplicity; raw single-stage ADC reads 0.02 (pure within-
+    # neighborhood code ties).
     if rerank < k:
         raise ValueError(f"rerank shortlist {rerank} must be >= k {k}")
     short = pq_topk(

@@ -137,12 +137,24 @@ def main() -> None:
     out["speedup_vs_inplan"] = round(
         out["inplan_topk_s_median"] / max(1e-9, out["indexed_pq_topk_s_median"]), 1
     )
-    # id-set parity between the serving probe and the per-query-retrain
-    # form at identical params (both auto-sized): the index is a cost
-    # move, not a different algorithm
-    out["ids_match_inplan"] = sorted(
-        r["vec_id"] for r in last["indexed_pq"]
-    ) == sorted(r["vec_id"] for r in last["inplan"])
+    # Bit-exact parity with the in-plan form only holds when BOTH sides
+    # run the same quantizer layout (pytest-pinned at flat k=8). An
+    # auto-sized index past flat_cap is HIERARCHICAL while ivf_pq_topk
+    # trains the flat quantizer, so the probed cells differ by design —
+    # record the top-10 id overlap, not a misleading boolean.
+    inplan_ids = {r["vec_id"] for r in last["inplan"]}
+    idx_ids = {r["vec_id"] for r in last["indexed_pq"]}
+    out["ids_overlap_at_10_vs_inplan"] = round(
+        len(inplan_ids & idx_ids) / max(1, len(inplan_ids)), 2
+    )
+    out["parity_note"] = (
+        "bit-exact parity with ivf_pq_topk holds only at matched FLAT "
+        "params (pytest-pinned at k=8); this index is "
+        + ("hierarchical" if out["hierarchical"] else "flat")
+        + f" (k={out['n_centroids']}), so in-plan (flat quantizer) and "
+        "indexed probes prune DIFFERENT cells by design — the overlap "
+        "above is an ANN-vs-ANN comparison, not a correctness check"
+    )
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
@@ -151,7 +163,7 @@ def main() -> None:
         "rows", "n_centroids", "hierarchical", "build_wall_s",
         "inplan_topk_s_median", "indexed_pq_topk_s_median",
         "indexed_exact_topk_s_median", "speedup_vs_inplan",
-        "ids_match_inplan")}))
+        "ids_overlap_at_10_vs_inplan")}))
 
 
 if __name__ == "__main__":
