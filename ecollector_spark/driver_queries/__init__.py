@@ -162,6 +162,10 @@ def register(name: str, oracle: Optional[str] = None, shelved: bool = False):
 #: influxql_group_by_star (select_star keeps the star family),
 #: influxql_selector_arith (agg_star_fields + multi_field_agg keep A15),
 #: datapipe_mix_weights (pack_sequences keeps assembly).
+#: Round-12 OPTIMIZATION amendment: the optimization driver re-runs every
+#: query declared in round 11 — a main gate that disappears counts as a
+#: regression — so the five r12 rotation-outs above are restored to main
+#: alongside the five rotation-ins (main = 55 for this round).
 _PRIORITY = [
     # flagship + core time-series planner (S9, F4/F5, A12-A16, A19)
     "ts_group_by_time_mean",

@@ -1011,8 +1011,8 @@ SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS cosine
 FROM cand JOIN e USING (vec_id), q
 WHERE vec_id <> 0 AND round({_cos_sql('v', 'qv')}, 6) >= 0.2
 """,
-    shelved=True,  # r12 rotation out: ann_ivf_topk + ann_ivf_hier_topk +
-    # ann_ivf_pq_topk keep ANN on the hard signal
+    # r12 optimization round: restored to main — the optimization driver
+    # re-runs every query declared in r11; none may disappear.
 )
 def ann_lsh_indexed(spark, sf_dir):
     """The MATERIALIZED LSH index path on the value signal (previously
@@ -2835,8 +2835,8 @@ SELECT doc_id,
        CAST(row_sum * w * 3 AS DOUBLE) / (h * w * 3) AS mean_lum
 FROM s ORDER BY doc_id, frame_idx
 """,
-    shelved=True,  # r12 rotation out: exif/png/tiff/jpeg-prog/gif keep
-    # the decode family; the AVI walk stays shelved-green + pytest-pinned
+    # r12 optimization round: restored to main — the optimization driver
+    # re-runs every query declared in r11; none may disappear.
 )
 def mm_video_frames(spark, sf_dir):
     """REAL video decode, value-gated (r7): synthetic uncompressed-AVI

@@ -588,8 +588,8 @@ agg AS (SELECT {_bucket(43200)} AS time, location_id,
 SELECT time, location_id, (mx - mn) * 2 + 1 AS value
 FROM agg ORDER BY time, location_id
 """,
-    shelved=True,  # r12 rotation out: agg_star_fields + multi_field_agg
-    # keep A15's transform/arithmetic surface on signal
+    # r12 optimization round: restored to main — the optimization driver
+    # re-runs every query declared in r11; none may disappear.
 )
 def influxql_selector_arith(spark, sf_dir):
     """Binary arithmetic BETWEEN selectors (public InfluxQL:
@@ -1026,8 +1026,8 @@ SELECT {_bucket(86400)} AS time, {_STAR_TAGS}, round(avg(value_f), 3) AS value
 FROM src GROUP BY time, {_STAR_TAGS}
 ORDER BY time, {_STAR_TAGS}
 """,
-    shelved=True,  # r12 rotation out: influxql_select_star keeps the
-    # star family on signal
+    # r12 optimization round: restored to main — the optimization driver
+    # re-runs every query declared in r11; none may disappear.
 )
 def influxql_group_by_star(spark, sf_dir):
     """``GROUP BY time(1d), *`` (public InfluxQL): * expands to every

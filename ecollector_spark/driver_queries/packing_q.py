@@ -83,8 +83,8 @@ n AS (SELECT doc_id, source,
 SELECT doc_id, source, CAST(unnest(generate_series(1, nc)) AS INT) AS copy
 FROM n WHERE nc >= 1 ORDER BY doc_id, copy
 """,
-    shelved=True,  # r12 rotation out: datapipe_pack_sequences keeps the
-    # assembly family on signal
+    # r12 optimization round: restored to main — the optimization driver
+    # re-runs every query declared in r11; none may disappear.
 )
 def datapipe_mix_weights(spark, sf_dir):
     """Deterministic domain mixing: src0 upsampled to 2.5 epochs, src1

@@ -65,7 +65,10 @@ def test_entry_module_matches_registry(registry):
 
 def test_registry_shape(registry):
     queries, oracles = registry
-    assert len(queries) == 50, "driver checks at most 50 queries"
+    # r12 (optimization round): the r12 build rotation's 5 rotated-out
+    # gates are restored alongside the 5 rotated-in — the optimization
+    # driver re-runs every query declared in r11, so none may disappear.
+    assert len(queries) == 55, "r11 mains (50) + r12 rotation-ins (5)"
     assert set(oracles) <= set(queries)
     # every gate carries a full value oracle (the counter-diff recurrence
     # got its recursive-CTE twin in round 3 — no rows-only gates remain)
