@@ -85,6 +85,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Driver-side plan-construction cost (optimization guide §1/§5 —
+        # the driver should do almost no work): PySpark's DataFrame
+        # debugging captures the Python call site for every Column/
+        # DataFrame API call and ships it to the JVM (PySparkCurrentOrigin
+        # set/clear), tripling the py4j round-trips per expression. The
+        # r12 profile measured 7,100 round-trips ≈ 1.9 s of the
+        # fimp_transform_pipeline build, dropping to 0.7 s with capture
+        # off. Pure driver-side overhead, scale-independent; error
+        # messages lose only the Python call-site decoration.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # the driver's events.parquet uses TIMESTAMP(NANOS); read as long
         # nanos and convert explicitly (Spark has no nanos timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
