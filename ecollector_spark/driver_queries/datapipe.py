@@ -62,7 +62,16 @@ _JACCARD_VERIFY = _JV_CTE + "\n" + _JV_SELECT + "\nORDER BY 1, 2"
 
 
 def dedup_corpus(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from ecollector_spark.session import spread_small_scan
+
+    # Tokenize/shingle/md5 downstream is per-row-heavy and the corpus file
+    # is a single row group (one scan task); spread to cluster width so
+    # the explode+partial-agg map stage parallelizes. Inert at real scale
+    # (see spread_small_scan) — measured dedup_minhash_lsh 1.73 -> 1.29 s
+    # interleaved medians at sf0.1.
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     toks = text.tokens_expr("text")
     keep = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
     near = docs.where(F.col("doc_id") % 10 == 0).select(

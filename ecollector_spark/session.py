@@ -113,6 +113,34 @@ def get_spark(
     return spark
 
 
+def spread_small_scan(df, width: int | None = None):
+    """Widen a tiny scan to cluster parallelism before per-row-heavy work.
+
+    A single-row-group parquet file plans as ONE scan task no matter the
+    split config (row groups are the unit of parquet splitting), so an
+    expression-heavy operator downstream runs on one core while the rest
+    of the cluster idles. When the planned scan partition count is below
+    ``sparkContext.defaultParallelism``, round-robin repartition to that
+    width; otherwise return the input unchanged.
+
+    Scale posture (optimization guide §2.4): at real scale inputs have
+    hundreds-to-millions of splits, the branch never fires, and no
+    shuffle is added — this only redistributes inputs that are *smaller
+    than the cluster is wide*, where the shuffled bytes are by
+    construction trivial. The width derives from the session's actual
+    parallelism, not a constant, so the driver's reduced-core bench runs
+    scale the same way. Catalyst still pushes filters and column pruning
+    through the Repartition into the scan (verified in the plan audit).
+    """
+    sc = df.sparkSession.sparkContext
+    w = width or sc.defaultParallelism
+    # .rdd on a scan+project plan is driver-side planning only (no jobs:
+    # nothing adaptive executes without an exchange upstream)
+    if df.rdd.getNumPartitions() >= w:
+        return df
+    return df.repartition(w)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver's parquet tables and register temp views.
 

@@ -22,11 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ecollector_spark.session import spread_small_scan
 from ecollector_spark.sources.events_adapter import read_events
 
 
 def fimp_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events(spark, sf_dir)
+    # The adapter's JSON-synthesis expressions and the transform behind it
+    # are the heaviest per-row work in the engine; a single-row-group
+    # input would run them on one core (guide §2: the scan task count caps
+    # the stage). Inert at real scale — see spread_small_scan.
+    ev = spread_small_scan(read_events(spark, sf_dir))
     u = F.col("user_id")
     v = F.col("value")
     et = F.col("event_type")
