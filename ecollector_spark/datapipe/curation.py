@@ -31,12 +31,46 @@ def curate(
     keepers = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     kept = hashed.join(keepers, ["_h", "doc_id"]).select("doc_id", text_col)
 
-    q = text.quality_score(kept, text_col).select("doc_id", "n_tokens", "quality")
-    lang = text.lang_id(kept, text_col)
+    # Fused quality+lang manifest (optimization round r12, guide §2.4):
+    # quality_score and lang_id as separate DataFrames joined on doc_id
+    # duplicated the whole dedup subtree (documents scanned 8x in the
+    # physical plan — each join side replans the union + keeper join)
+    # and tokenized the corpus twice. Both are expression-only over the
+    # same token array, so one projection chain computes both; the
+    # expressions come from the SAME helpers quality_score/lang_id use
+    # (text.quality_feature_cols / lang_score_cols / lang_pred_expr), so
+    # the values are bit-identical — oracle-verified at both SFs.
+    # Projection layering mirrors the standalone operators (tokens, then
+    # features + distinct tokens, then scores, then pred): CollapseProject
+    # keeps non-cheap multi-referenced exprs materialized per layer.
+    d = kept.select(
+        "doc_id", F.col(text_col).alias("_text"), text.tokens_expr(text_col).alias("_toks")
+    )
+    feats = text.quality_feature_cols(F.col("_toks"), F.col("_text"))
+    d2 = d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality"].alias("quality"),
+        F.array_distinct(F.col("_toks")).alias("_dt"),
+    )
+    d3 = d2.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        *[
+            c.alias(f"_s_{lang}")
+            for lang, c in text.lang_score_cols(F.col("_dt")).items()
+        ],
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in text._LANGS}
     return (
-        q.where(F.col("quality") >= min_quality)
-        .join(lang, "doc_id")
-        .select("doc_id", "pred_lang", "n_tokens", "quality")
+        d3.where(F.col("quality") >= min_quality)
+        .select(
+            "doc_id",
+            text.lang_pred_expr(scores).alias("pred_lang"),
+            "n_tokens",
+            "quality",
+        )
     )
 
 def curate_text(

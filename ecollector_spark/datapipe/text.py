@@ -50,6 +50,26 @@ def shingles_expr(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= k, joined).otherwise(F.array().cast("array<string>")))
 
 
+def lang_score_cols(dt: Column) -> dict[str, Column]:
+    """Marker-hit counts per language over a (projected) distinct-token
+    array column — one ``size(array_intersect(...))`` per language."""
+    return {
+        lang: F.size(F.array_intersect(dt, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_pred_expr(scores: dict[str, Column]) -> Column:
+    """Argmax with the fixed tie-break cascade (en>de>fr>es>zh), 'und'
+    when no marker hits. ``scores`` columns must be projected (each is
+    referenced twice here)."""
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(_LANGS):  # build cascade so earlier langs win ties
+        pred = F.when(scores[lang] == best, lang).otherwise(pred)
+    return F.when(best > 0, pred).otherwise("und")
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/marker-word language heuristic: count distinct marker hits
     per language, argmax with a fixed cascade (en>de>fr>es>zh), 'und'
@@ -59,32 +79,24 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     d = docs.select("doc_id", F.array_distinct(tokens_expr(text_col)).alias("_dt"))
     s = d.select(
         "doc_id",
-        *[
-            F.size(F.array_intersect(F.col("_dt"), F.array(*[F.lit(m) for m in markers]))).alias(
-                f"_s_{lang}"
-            )
-            for lang, markers in LANG_MARKERS.items()
-        ],
+        *[c.alias(f"_s_{lang}") for lang, c in lang_score_cols(F.col("_dt")).items()],
     )
     scores = {lang: F.col(f"_s_{lang}") for lang in _LANGS}
-    best = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in reversed(_LANGS):  # build cascade so earlier langs win ties
-        pred = F.when(scores[lang] == best, lang).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise("und")
-    return s.select("doc_id", pred.alias("pred_lang"))
+    return s.select("doc_id", lang_pred_expr(scores).alias("pred_lang"))
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality: token count, mean token length, stopword ratio,
-    punctuation ratio, blended into a [0,1] score. Weights are arbitrary
-    but fixed; the operator shape (cheap per-doc features -> filter) is
-    the standard pretraining-corpus gate."""
-    d = docs.select("doc_id", F.col(text_col).alias("_text"), tokens_expr(text_col).alias("_toks"))
-    toks = F.col("_toks")
+def _floor6(c: Column) -> Column:
+    # floor-truncation: deterministic across engines where round()'s
+    # half-tie rule is not (dyadic rationals land exactly on .5 ties)
+    return F.floor(c * 1000000.0) / 1000000.0
+
+
+def quality_feature_cols(toks: Column, text: Column) -> dict[str, Column]:
+    """The quality features as named Columns over (projected) tokens/text
+    columns — shared by ``quality_score`` and the fused curation path so
+    the two produce bit-identical values."""
     n = F.size(toks)
     nd = n.cast("double")
-    text = F.col("_text")
     avg_len = F.when(
         n > 0, F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / nd
     ).otherwise(F.lit(0.0))
@@ -101,19 +113,23 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.3 * (1.0 - stop_ratio)
         + 0.3 * F.least(avg_len / 8.0, F.lit(1.0))
     )
-    def floor6(c):
-        # floor-truncation: deterministic across engines where round()'s
-        # half-tie rule is not (dyadic rationals land exactly on .5 ties)
-        return F.floor(c * 1000000.0) / 1000000.0
+    return {
+        "n_tokens": n,
+        "avg_token_len": _floor6(avg_len),
+        "stopword_ratio": _floor6(stop_ratio),
+        "punct_ratio": _floor6(punct_ratio),
+        "quality": _floor6(score),
+    }
 
-    return d.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        floor6(avg_len).alias("avg_token_len"),
-        floor6(stop_ratio).alias("stopword_ratio"),
-        floor6(punct_ratio).alias("punct_ratio"),
-        floor6(score).alias("quality"),
-    )
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality: token count, mean token length, stopword ratio,
+    punctuation ratio, blended into a [0,1] score. Weights are arbitrary
+    but fixed; the operator shape (cheap per-doc features -> filter) is
+    the standard pretraining-corpus gate."""
+    d = docs.select("doc_id", F.col(text_col).alias("_text"), tokens_expr(text_col).alias("_toks"))
+    feats = quality_feature_cols(F.col("_toks"), F.col("_text"))
+    return d.select("doc_id", *[c.alias(name) for name, c in feats.items()])
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1840,7 +1840,11 @@ FROM m ORDER BY doc_id
 )
 def text_quality(spark, sf_dir):
     """Per-doc quality features + blended score (pretraining-corpus gate)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ecollector_spark.session import spread_small_scan
+
+    # tokenize-heavy map over a single-row-group scan: spread to cluster
+    # width (inert at real scale). Interleaved medians: 0.76 -> 0.63 s.
+    docs = spread_small_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return text.quality_score(docs)
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ecollector_spark.driver_queries import register
-from ecollector_spark.session import load_tables
+from ecollector_spark.session import load_tables, spread_small_scan
 
 DEC = "decimal(28,6)"
 
@@ -58,6 +58,17 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     does the heavy lifting, the shuffle carries 6 groups."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"].where(F.col("l_shipdate") <= "1998-09-02")
+    # The decimal partial aggregation is the whole query; a single-row-
+    # group lineitem file plans as ONE scan task, so project to the six
+    # aggregated columns (guide §2.3: project before the exchange) and
+    # spread to cluster width. Inert when the scan has >= cores splits.
+    # Interleaved medians at sf0.1: 1.61 -> 1.06 s.
+    li = spread_small_scan(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
