@@ -74,14 +74,40 @@ def dedup_corpus(spark, sf_dir):
     )
     toks = text.tokens_expr("text")
     keep = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
-    near = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10000000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, F.lit(1), keep)).alias("text"),
+    # Corpus synthesis via explode instead of a 3-branch union (r12
+    # optimization): the union replanned the spread scan per branch (3
+    # shuffle reads + 3 branch stages); one Generate emits the same
+    # multiset of rows in a single pass. Rows every branch would filter
+    # out carry keep=false and leave right after the explode; the
+    # near-dup text (the only expensive per-row expr) is CASE-guarded so
+    # it is evaluated only for the doc_id % 10 rows, exactly like the
+    # old branch filter.
+    near_cond = F.col("doc_id") % 10 == 0
+    exact_cond = F.col("doc_id") % 17 == 0
+    rows = F.array(
+        F.struct(
+            F.lit(True).alias("keep"),
+            F.col("doc_id").alias("doc_id"),
+            F.col("text").alias("text"),
+        ),
+        F.struct(
+            near_cond.alias("keep"),
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.when(
+                near_cond, F.concat_ws(" ", F.slice(toks, F.lit(1), keep))
+            ).otherwise(F.lit("")).alias("text"),
+        ),
+        F.struct(
+            exact_cond.alias("keep"),
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            F.col("text").alias("text"),
+        ),
     )
-    exact = docs.where(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 20000000).alias("doc_id"), "text"
+    return (
+        docs.select(F.explode(rows).alias("_r"))
+        .where(F.col("_r.keep"))
+        .select("_r.doc_id", "_r.text")
     )
-    return docs.unionByName(near).unionByName(exact)
 
 
 # ---------------------------------------------------------------------------
@@ -2928,9 +2954,24 @@ def datapipe_curation(spark, sf_dir):
     docs = spread_small_scan(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
-    doubled = docs.unionAll(
-        docs.select((F.col("doc_id") + 20000000).alias("doc_id"), "text")
-    )
+    # Doubling via explode instead of unionAll: curate() consumes the
+    # corpus twice (md5-keeper aggregate + main side), and a union of two
+    # scan branches replans BOTH scans per consumer (documents scanned 4x
+    # physically). One scan -> spread exchange -> Generate doubles the
+    # rows in-stage, and because the exchange subtree is now identical
+    # for both consumers AQE reuses the shuffle stage: 4 scans -> 1.
+    # Same multiset of rows by construction (explode of a 2-struct array
+    # == the two union branches).
+    doubled = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct(
+                    (F.col("doc_id") + 20000000).alias("doc_id"), F.col("text")
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.doc_id", "_r.text")
     return curation.curate(doubled, min_quality=0.65)
 
 
