@@ -15,6 +15,17 @@ Deterministic mapping keyed on (event_type, user_id):
 Every generated value is an exact double expression both engines compute
 identically (see the oracle in driver_queries.core), so the end-to-end
 transform is value-hash checkable.
+
+The synthesis is ONE ``F.expr`` SQL expression (r12 optimization, guide
+§5 "the driver should do almost no work"): the Column-builder version of
+this mapping cost ~250 Column API invocations ≈ 2,000 py4j round-trips
+per construction — the single heaviest driver-side build in the bench,
+and proportionally worse whenever the gateway's per-call latency spikes
+(measured 0.3–2.3 ms/call on this box). One SQL string is a handful of
+round-trips; the analyzer produces the same expression tree, and the
+oracle pins the values at both SFs. This module is the synthetic input
+adapter, not the semantic port — transform.py keeps the typed builder
+API with its per-branch reference citations.
 """
 
 from __future__ import annotations
@@ -25,6 +36,100 @@ from pyspark.sql import functions as F
 from ecollector_spark.session import spread_small_scan
 from ecollector_spark.sources.events_adapter import read_events
 
+# -- expression pieces (composed into _FIMP_ROW_SQL below) -------------------
+
+_SERV = """CASE WHEN event_type = 'purchase' THEN 'meter_elec'
+  WHEN event_type = 'click' THEN CASE WHEN user_id % 3 = 0 THEN 'chargepoint' ELSE 'meter_elec' END
+  WHEN event_type = 'signup' THEN 'thermostat'
+  WHEN event_type = 'error' THEN CASE WHEN user_id % 5 = 0 THEN 'price_info_elec' ELSE 'meter_elec' END
+  ELSE CASE WHEN user_id % 7 = 0 THEN 'ecollector' ELSE 'sensor_temp' END END"""
+
+_TYP = """CASE WHEN event_type = 'purchase' THEN 'evt.meter.report'
+  WHEN event_type = 'click' THEN CASE WHEN user_id % 3 = 0 THEN 'evt.current_session.report' ELSE 'evt.meter.report' END
+  WHEN event_type = 'signup' THEN 'cmd.setpoint.set'
+  WHEN event_type = 'error' THEN CASE WHEN user_id % 5 = 0 THEN 'evt.price_forecast.report' ELSE 'evt.meter_ext.report' END
+  ELSE 'evt.sensor.report' END"""
+
+_VAL_T = """CASE WHEN event_type IN ('purchase', 'click') THEN 'float'
+  WHEN event_type = 'signup' THEN 'str_map'
+  WHEN event_type = 'error' THEN CASE WHEN user_id % 5 = 0 THEN 'object' ELSE 'float_map' END
+  ELSE CASE WHEN user_id % 4 = 0 THEN 'float' WHEN user_id % 4 = 1 THEN 'bool'
+            WHEN user_id % 4 = 2 THEN 'string' ELSE 'null' END END"""
+
+_HOUR1 = """date_format(date_trunc('hour', ts) + INTERVAL 1 HOUR, "yyyy-MM-dd'T'HH:mm:ss'Z'")"""
+_HOUR2 = """date_format(date_trunc('hour', ts) + INTERVAL 2 HOURS, "yyyy-MM-dd'T'HH:mm:ss'Z'")"""
+_LEVEL = "CASE WHEN value > 100 THEN 'HIGH' ELSE 'LOW' END"
+
+# price forecast body (error, uid%5 == 0): two hourly points at v/100, v/50
+_PRICE_JSON = (
+    "concat('[{\"level\":\"', " + _LEVEL + ", '\",\"total\":',"
+    " CAST(value / 100 AS STRING),"
+    " ',\"energy\":0.0,\"tax\":0.0,\"currency\":\"NOK\",\"startsAt\":\"', " + _HOUR1 + ","
+    " '\"},{\"level\":\"', " + _LEVEL + ", '\",\"total\":',"
+    " CAST(value / 50 AS STRING),"
+    " ',\"energy\":0.0,\"tax\":0.0,\"currency\":\"NOK\",\"startsAt\":\"', " + _HOUR2 + ","
+    " '\"}]')"
+)
+
+# meter_ext body (error, uid%5 != 0): e_import always, e_export for even uids
+_EXT_JSON = (
+    "concat('{\"e_import\":', CAST(value AS STRING),"
+    " CASE WHEN user_id % 2 = 0 THEN concat(',\"e_export\":', CAST(value / 2 AS STRING)) ELSE '' END,"
+    " ',\"p_import\":', CAST(value * 200 AS STRING), '}')"
+)
+
+_SIGNUP_JSON = (
+    "concat('{\"temp\":\"', CAST(value AS STRING), '\",\"unit\":\"C\",\"type\":\"heat\"}')"
+)
+
+_VAL = (
+    "CASE WHEN event_type = 'purchase' THEN"
+    " CASE WHEN user_id % 2 = 0 THEN CAST(value * 50 AS STRING) ELSE CAST(value AS STRING) END\n"
+    "  WHEN event_type = 'click' THEN CAST(value AS STRING)\n"
+    "  WHEN event_type = 'signup' THEN " + _SIGNUP_JSON + "\n"
+    "  WHEN event_type = 'error' THEN CASE WHEN user_id % 5 = 0 THEN " + _PRICE_JSON
+    + " ELSE " + _EXT_JSON + " END\n"
+    "  ELSE CASE WHEN user_id % 4 = 0 THEN CAST(value AS STRING)\n"
+    "    WHEN user_id % 4 = 1 THEN CASE WHEN value > 50 THEN 'true' ELSE 'false' END\n"
+    "    WHEN user_id % 4 = 2 THEN concat('\"lvl_', CAST(CAST(floor(value) AS BIGINT) AS STRING), '\"')\n"
+    "    ELSE 'null' END END"
+)
+
+_UNIT = """CASE WHEN event_type = 'purchase' THEN CASE WHEN user_id % 2 = 0 THEN 'W' ELSE 'kW' END
+  WHEN event_type = 'click' AND user_id % 3 != 0 THEN 'kWh'
+  WHEN event_type = 'view' AND user_id % 4 = 0 THEN 'C' END"""
+
+_PROPS = (
+    "CASE WHEN (" + _UNIT + ") IS NOT NULL THEN map('unit', " + _UNIT + ")"
+    " ELSE CAST(map() AS MAP<STRING, STRING>) END"
+)
+
+# Materialization barrier (optimization guide §1.2/§4.4 analogue): a
+# one-element explode(array(struct(...))) Generate. Without it, Catalyst
+# pushes the transform's row filters (self-traffic, 30 kW guard, val_t
+# validity) BELOW the spread exchange — re-deriving the full
+# JSON-synthesis CASE trees per row on the (single) scan task.
+# Predicates referencing generator output cannot cross a Generate, so the
+# synthesis is evaluated exactly once, after the exchange, on all cores.
+# Row-count and values are untouched (the array always has one element).
+# Measured interleaved: pipeline 2.30 -> 1.69 s sf0.1.
+_FIMP_ROW_SQL = (
+    "explode(array(named_struct(\n"
+    "  'topic', concat('pt:j1/mt:evt/rt:dev/rn:test/ad:1/sv:', " + _SERV + ",\n"
+    "                  '/ad:', CAST(user_id AS STRING)),\n"
+    "  'type', " + _TYP + ",\n"
+    "  'serv', " + _SERV + ",\n"
+    "  'val_t', " + _VAL_T + ",\n"
+    "  'val', " + _VAL + ",\n"
+    "  'props', " + _PROPS + ",\n"
+    "  'src', 'driver',\n"
+    "  'ts', ts,\n"
+    "  'dev_id', CAST(user_id AS STRING),\n"
+    "  'location_id', CAST(user_id % 5 AS STRING),\n"
+    "  'dev_type', CASE WHEN user_id % 3 = 0 THEN 'meter.main_elec' ELSE 'sensor.generic' END,\n"
+    "  'domain', 'site1')))"
+)
+
 
 def fimp_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The adapter's JSON-synthesis expressions and the transform behind it
@@ -32,105 +137,4 @@ def fimp_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input would run them on one core (guide §2: the scan task count caps
     # the stage). Inert at real scale — see spread_small_scan.
     ev = spread_small_scan(read_events(spark, sf_dir))
-    u = F.col("user_id")
-    v = F.col("value")
-    et = F.col("event_type")
-
-    serv = (
-        F.when(et == "purchase", "meter_elec")
-        .when(et == "click", F.when(u % 3 == 0, "chargepoint").otherwise("meter_elec"))
-        .when(et == "signup", "thermostat")
-        .when(et == "error", F.when(u % 5 == 0, "price_info_elec").otherwise("meter_elec"))
-        .otherwise(F.when(u % 7 == 0, "ecollector").otherwise("sensor_temp"))
-    )
-    typ = (
-        F.when(et == "purchase", "evt.meter.report")
-        .when(
-            et == "click",
-            F.when(u % 3 == 0, "evt.current_session.report").otherwise("evt.meter.report"),
-        )
-        .when(et == "signup", "cmd.setpoint.set")
-        .when(
-            et == "error",
-            F.when(u % 5 == 0, "evt.price_forecast.report").otherwise("evt.meter_ext.report"),
-        )
-        .otherwise("evt.sensor.report")
-    )
-    val_t = (
-        F.when(et.isin("purchase", "click"), "float")
-        .when(et == "signup", "str_map")
-        .when(et == "error", F.when(u % 5 == 0, "object").otherwise("float_map"))
-        .otherwise(
-            F.when(u % 4 == 0, "float")
-            .when(u % 4 == 1, "bool")
-            .when(u % 4 == 2, "string")
-            .otherwise("null")
-        )
-    )
-    s = lambda c: c.cast("string")  # noqa: E731
-    hour1 = F.date_format(
-        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
-    )
-    hour2 = F.date_format(
-        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 2 HOURS"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
-    )
-    level = F.when(v > 100, "HIGH").otherwise("LOW")
-    price_json = F.concat(
-        F.lit('[{"level":"'), level, F.lit('","total":'), s(v / 100),
-        F.lit(',"energy":0.0,"tax":0.0,"currency":"NOK","startsAt":"'), hour1,
-        F.lit('"},{"level":"'), level, F.lit('","total":'), s(v / 50),
-        F.lit(',"energy":0.0,"tax":0.0,"currency":"NOK","startsAt":"'), hour2,
-        F.lit('"}]'),
-    )
-    ext_json = F.concat(
-        F.lit('{"e_import":'), s(v),
-        F.when(u % 2 == 0, F.concat(F.lit(',"e_export":'), s(v / 2))).otherwise(F.lit("")),
-        F.lit(',"p_import":'), s(v * 200), F.lit("}"),
-    )
-    val = (
-        F.when(et == "purchase", F.when(u % 2 == 0, s(v * 50)).otherwise(s(v)))
-        .when(et == "click", s(v))
-        .when(et == "signup", F.concat(F.lit('{"temp":"'), s(v), F.lit('","unit":"C","type":"heat"}')))
-        .when(et == "error", F.when(u % 5 == 0, price_json).otherwise(ext_json))
-        .otherwise(
-            F.when(u % 4 == 0, s(v))
-            .when(u % 4 == 1, F.when(v > 50, "true").otherwise("false"))
-            .when(u % 4 == 2, F.concat(F.lit('"lvl_'), s(F.floor(v).cast("long")), F.lit('"')))
-            .otherwise("null")
-        )
-    )
-    unit = (
-        F.when(et == "purchase", F.when(u % 2 == 0, "W").otherwise("kW"))
-        .when((et == "click") & (u % 3 != 0), "kWh")
-        .when((et == "view") & (u % 4 == 0), "C")
-    )
-    props = F.when(unit.isNotNull(), F.create_map(F.lit("unit"), unit)).otherwise(
-        F.create_map().cast("map<string,string>")
-    )
-    dev_id = s(u)
-    row = F.struct(
-        F.concat(
-            F.lit("pt:j1/mt:evt/rt:dev/rn:test/ad:1/sv:"), serv, F.lit("/ad:"), dev_id
-        ).alias("topic"),
-        typ.alias("type"),
-        serv.alias("serv"),
-        val_t.alias("val_t"),
-        val.alias("val"),
-        props.alias("props"),
-        F.lit("driver").alias("src"),
-        F.col("ts").alias("ts"),
-        dev_id.alias("dev_id"),
-        s(u % 5).alias("location_id"),
-        F.when(u % 3 == 0, "meter.main_elec").otherwise("sensor.generic").alias("dev_type"),
-        F.lit("site1").alias("domain"),
-    )
-    # Materialization barrier (optimization guide §1.2/§4.4 analogue): a
-    # one-element explode(array(struct(...))) Generate. Without it,
-    # Catalyst pushes the transform's row filters (self-traffic, 30 kW
-    # guard, val_t validity) BELOW the spread exchange — re-deriving the
-    # full JSON-synthesis CASE trees per row on the (single) scan task.
-    # Predicates referencing generator output cannot cross a Generate, so
-    # the synthesis is evaluated exactly once, after the exchange, on all
-    # cores. Row-count and values are untouched (the array always has one
-    # element). Measured interleaved: pipeline 2.30 -> 1.69 s sf0.1.
-    return ev.select(F.explode(F.array(row)).alias("_r")).select("_r.*")
+    return ev.select(F.expr(_FIMP_ROW_SQL).alias("_r")).select("_r.*")
