@@ -206,16 +206,20 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     # The hex->int conversion happens AFTER the min (order-preserving on
     # fixed-width lowercase hex), so it costs one conv per doc per hash,
     # not per shingle, and every downstream join/shuffle moves longs.
-    def _hash_expr(i: int):
+    # Built as ONE SQL string per aggregate (r12 optimization, guide §5):
+    # the Column-builder loop cost ~12 py4j round-trips per hash; the
+    # parser produces the identical expression tree in 2.
+    def _hash_sql(i: int) -> str:
         digest, slot = divmod(i, 8)
-        h = F.md5(F.col("shingle")) if digest == 0 else F.md5(
-            F.concat(F.lit(f"{digest}|"), F.col("shingle"))
+        h = "md5(shingle)" if digest == 0 else f"md5(concat('{digest}|', shingle))"
+        return (
+            f"CAST(conv(min(substring({h}, {4 * slot + 1}, 4)), 16, 10)"
+            f" AS BIGINT) AS mh_{i}"
         )
-        return F.conv(F.min(F.substring(h, 4 * slot + 1, 4)), 16, 10).cast(
-            "long"
-        ).alias(f"mh_{i}")
 
-    return sh.groupBy("doc_id").agg(*[_hash_expr(i) for i in range(num_hashes)])
+    return sh.groupBy("doc_id").agg(
+        F.expr(_hash_sql(0)), *[F.expr(_hash_sql(i)) for i in range(1, num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -359,26 +363,28 @@ def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     slice columns (collisions ~2^-64; verification follows anyway)."""
     rows = num_hashes // bands
 
-    def _band_sig(b: int):
-        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+    # One SQL string for the whole unpivot (r12 optimization, guide §5):
+    # the per-band Column loops cost ~15 py4j round-trips per band; the
+    # parser builds the identical explode(array(named_struct(...))) tree
+    # in a handful.
+    def _band_sig(b: int) -> str:
+        cols = [f"mh_{b * rows + r}" for r in range(rows)]
         if rows <= 4:
             expr = cols[0]
             for c in cols[1:]:
-                expr = expr * 65536 + c
-            return expr.cast("long")
-        any_null = cols[0].isNull()
-        for c in cols[1:]:
-            any_null = any_null | c.isNull()
-        return F.when(any_null, F.lit(None).cast("long")).otherwise(
-            F.xxhash64(*cols)
+                expr = f"({expr} * 65536 + {c})"
+            return f"CAST({expr} AS BIGINT)"
+        any_null = " OR ".join(f"{c} IS NULL" for c in cols)
+        return (
+            f"CASE WHEN {any_null} THEN CAST(NULL AS BIGINT)"
+            f" ELSE xxhash64({', '.join(cols)}) END"
         )
 
-    band_structs = [
-        F.struct(F.lit(b).alias("band"), _band_sig(b).alias("sig"))
-        for b in range(bands)
-    ]
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', {_band_sig(b)})" for b in range(bands)
+    )
     return (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("_bs"))
+        sig.selectExpr("doc_id", f"explode(array({band_structs})) AS _bs")
         .select("doc_id", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
         .where(F.col("sig").isNotNull())
     )
@@ -482,19 +488,27 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     Token hash = first 60 bits of md5 (identical in the SQL twin via
     '0x'||substr cast); bit i of the simhash is set when the sum of
     (+1/-1) votes from token-hash bit i is >= 0."""
+    # The three per-bit loops below are SQL strings (r12 optimization,
+    # guide §5): the Column-builder form cost ~45 py4j round-trips per
+    # bit (vote CASE + sum + weighted recombine); the parser builds the
+    # identical trees in ~2 per expression.
     toks = F.array_distinct(tokens_expr(text_col))
     ex = docs.select("doc_id", F.explode(toks).alias("tok"))
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    votes = ex.select("doc_id", *[
-        F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1).alias(f"b{i}")
-        for i in range(bits)
-    ])
-    agg = votes.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)])
-    sim = None
-    for i in range(bits):
-        bit = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+    h = "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+    votes = ex.selectExpr(
+        "doc_id",
+        *[
+            f"CASE WHEN (shiftright({h}, {i}) & 1) = 1 THEN 1 ELSE -1 END AS b{i}"
+            for i in range(bits)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        F.expr("sum(b0) AS s0"), *[F.expr(f"sum(b{i}) AS s{i}") for i in range(1, bits)]
+    )
+    sim = " + ".join(
+        f"CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return agg.selectExpr("doc_id", f"CAST({sim} AS BIGINT) AS simhash")
 
 
 def decontaminate(

@@ -53,8 +53,14 @@ def shingles_expr(toks: Column, k: int = 3) -> Column:
 def lang_score_cols(dt: Column) -> dict[str, Column]:
     """Marker-hit counts per language over a (projected) distinct-token
     array column — one ``size(array_intersect(...))`` per language."""
+    # marker-array literals as one F.expr each (r12 optimization, guide
+    # §5): F.array(*[F.lit(m) ...]) cost ~2 py4j round-trips per marker
     return {
-        lang: F.size(F.array_intersect(dt, F.array(*[F.lit(m) for m in markers])))
+        lang: F.size(
+            F.array_intersect(
+                dt, F.expr("array(" + ", ".join(f"'{m}'" for m in markers) + ")")
+            )
+        )
         for lang, markers in LANG_MARKERS.items()
     }
 

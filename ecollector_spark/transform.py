@@ -79,6 +79,21 @@ def _pt(measurement, ts, series_id, dir_, value_f, value_b, value_s, unit, agg_f
     )
 
 
+#: prepared expression fragments, cached per live SparkContext (r12
+#: optimization, guide §5 — the driver should do almost no work): the
+#: transform's Column forest is schema-static (every expression is built
+#: from fixed column names), but rebuilding it cost ~1,600 py4j
+#: round-trips per call. Standard prepared-statement practice: the
+#: UNRESOLVED expression objects are reused; nothing data-dependent is
+#: cached — every invocation still analyzes, optimizes and executes its
+#: own plan on the JVM. Keyed weakly on the SparkContext object so a
+#: restarted context (dead gateway -> dead JVM expression handles) can
+#: never serve stale fragments.
+import weakref
+
+_PREPARED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def default_transform(events: DataFrame) -> DataFrame:
     """events (FIMP schema + enrichment cols dev_id/location_id/dev_type/
     domain, ts) -> canonical datapoints.
@@ -87,6 +102,31 @@ def default_transform(events: DataFrame) -> DataFrame:
     dev_id, location_id, dev_type, domain. Emits the canonical datapoint
     columns (FIXTURES.md §3) minus tier (stamped by the writer).
     """
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        fragments = _build_exprs()
+    else:
+        fragments = _PREPARED.get(sc)
+        if fragments is None:
+            fragments = _PREPARED[sc] = _build_exprs()
+    parse_cols, err_col, row_filter, explode_col, final_cols = fragments
+    # Parse the polymorphic payload ONCE per row, in its own projection
+    # (see _build_exprs); then the error verdict, the row filter + point
+    # fan-out, and the canonical projection.
+    e = events.select(*events.columns, *parse_cols)
+    e = e.select(*e.columns, err_col)
+    combined = e.where(row_filter).select(*e.columns, explode_col)
+    return combined.select(*final_cols)
+
+
+def _build_exprs():
+    """Build the transform's expression fragments: the payload-parse
+    projection, the event-error verdict, the row filter, the point
+    fan-out generator and the canonical output projection. Pure
+    expression construction over fixed column names — see
+    default_transform for how they are applied (and cached)."""
     _NS = F.lit(None).cast("string")
     _NF = F.lit(None).cast("double")
     _NB = F.lit(None).cast("boolean")
@@ -113,13 +153,12 @@ def default_transform(events: DataFrame) -> DataFrame:
     _need_fmap = (_vt == "float_map") | (_serv.isin(*_METER_SERVICES) & (_typ == "evt.meter_ext.report"))
     _need_smap = (_vt == "str_map") | (_serv == "thermostat")
     _need_prices = (_vt == "object") & (_serv == "price_info_elec")
-    e = events.select(
-        *events.columns,
+    parse_cols = [
         F.col("val").try_cast("double").alias("_fval"),
         F.when(_need_fmap, F.from_json("val", "map<string,double>")).alias("_fmap"),
         F.when(_need_smap, F.from_json("val", "map<string,string>")).alias("_smap"),
         F.when(_need_prices, F.from_json("val", _PRICE_SCHEMA)).alias("_prices"),
-    )
+    ]
     fval = F.col("_fval")
     fmap = F.col("_fmap")
     smap = F.col("_smap")
@@ -168,7 +207,7 @@ def default_transform(events: DataFrame) -> DataFrame:
     )
     # materialized: referenced by the row filter and every generic
     # candidate — one evaluation instead of seven
-    e = e.select(*e.columns, event_error.alias("_event_error"))
+    err_col = event_error.alias("_event_error")
     event_error = F.col("_event_error")
 
     # generic trailing point applies unless a branch set _skip_/fields=nil
@@ -375,11 +414,9 @@ def default_transform(events: DataFrame) -> DataFrame:
     # 16-field candidate struct into UnsafeRow format per input row,
     # and that copy dwarfs what interpreted-vs-codegen evaluation of
     # the when-array saves. Don't re-try.
-    combined = (
-        e.where((serv != "ecollector") & ~event_error)  # F2 + error drop
-        .select(*e.columns, F.explode(all_points).alias("_point"))
-    )
-    return combined.select(
+    row_filter = (serv != "ecollector") & ~event_error  # F2 + error drop
+    explode_col = F.explode(all_points).alias("_point")
+    final_cols = [
         F.col("_point.measurement").alias("measurement"),
         F.col("_point.ts").alias("ts"),
         F.col("_point.series_id").alias("series_id"),
@@ -396,4 +433,5 @@ def default_transform(events: DataFrame) -> DataFrame:
         F.col("_point.value_s").alias("value_s"),
         F.col("_point.unit").alias("unit"),
         F.col("_point.agg_func").alias("agg_func"),
-    )
+    ]
+    return parse_cols, err_col, row_filter, explode_col, final_cols
