@@ -43,9 +43,18 @@ def curate(
     # Projection layering mirrors the standalone operators (tokens, then
     # features + distinct tokens, then scores, then pred): CollapseProject
     # keeps non-cheap multi-referenced exprs materialized per layer.
-    d = kept.select(
-        "doc_id", F.col(text_col).alias("_text"), text.tokens_expr(text_col).alias("_toks")
-    )
+    #
+    # The token array is produced through a one-element explode
+    # (text.tokens_barrier — same Generate-barrier mechanism as the fimp
+    # adapter): the final quality filter below would otherwise be pushed
+    # through these projections with full alias substitution — the
+    # physical plan re-derived the regexp tokenizer SIX times inside the
+    # one pushed-down Filter condition, evaluated on every pre-join row,
+    # then tokenized again post-join for the manifest. Predicates cannot
+    # cross a Generate whose output they reference, so tokenization runs
+    # exactly once, post-join, on the kept docs only. Row multiset
+    # unchanged. Measured (interleaved medians, sf0.1): 1.82 -> 0.91 s.
+    d = text.tokens_barrier(kept, text_col)
     feats = text.quality_feature_cols(F.col("_toks"), F.col("_text"))
     d2 = d.select(
         "doc_id",
