@@ -113,8 +113,64 @@ def gap_fill(
     if fill_type == FILL_ZERO:
         return joined.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
     if fill_type in (FILL_PREVIOUS, FILL_LINEAR):
+        # Scale-adaptive single-chunk fast path: the uniform spine's
+        # bucket count is a driver-side constant (from/to/step are
+        # literals), and when it fits in ONE chunk the chunked
+        # machinery is provably inert — every group has exactly one
+        # chunk, so the carried edges (_cprev/_cnext: values from
+        # PREVIOUS/NEXT chunks) are NULL for every row and the
+        # checkpoint + edge aggregate + carry window + broadcast join
+        # compute nothing. Skip straight to the per-group window
+        # (task-bounded by n_buckets <= CHUNK_BUCKETS); identical
+        # values by construction, pinned by the chunked==unchunked
+        # property test. The non-uniform tz spine (times_df) has no
+        # driver-side count, so it always takes the chunked path.
+        if times_df is None:
+            n_from = int(
+                (from_epoch - offset_seconds) // step_seconds * step_seconds
+                + offset_seconds
+            )
+            n_buckets = (int(to_epoch) - n_from) // int(step_seconds) + 1
+            if n_buckets <= CHUNK_BUCKETS:
+                return _window_fill(
+                    joined, fill_type, group_cols, time_col, value_col
+                )
         return _chunked_fill(joined, fill_type, step_seconds, group_cols, time_col, value_col)
     raise ValueError(f"unknown fill type: {fill_type!r}")
+
+
+def _window_fill(
+    joined: DataFrame,
+    fill_type: str,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """previous/linear fill over one group-partitioned window — the
+    single-chunk specialization of :func:`_chunked_fill` (its expressions
+    with the carried chunk edges replaced by their known-NULL values).
+    Only safe when the caller has bounded the per-group row count."""
+    out_cols = joined.columns
+    wp = Window.partitionBy(*group_cols).orderBy(time_col)
+    wprev = wp.rowsBetween(Window.unboundedPreceding, 0)
+    prev_v = F.last(value_col, ignorenulls=True).over(wprev)
+    if fill_type == FILL_PREVIOUS:
+        return joined.withColumn(value_col, prev_v).select(*out_cols)
+
+    nn_struct = F.when(
+        F.col(value_col).isNotNull(), F.struct(F.col(time_col), F.col(value_col))
+    )
+    wnext = wp.rowsBetween(0, Window.unboundedFollowing)
+    prev_t = F.last(nn_struct[time_col], ignorenulls=True).over(wprev)
+    next_v = F.first(value_col, ignorenulls=True).over(wnext)
+    next_t = F.first(nn_struct[time_col], ignorenulls=True).over(wnext)
+    interp = prev_v + (next_v - prev_v) * (F.col(time_col) - prev_t) / (next_t - prev_t)
+    return joined.withColumn(
+        value_col,
+        F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+            F.when(prev_t == next_t, prev_v).otherwise(interp)
+        ),
+    ).select(*out_cols)
 
 
 def _chunked_fill(

@@ -196,13 +196,17 @@ CHECKS = {
     "tpch_q21_waiting_suppliers": ["partial_", "!CartesianProduct", "TakeOrderedAndProject"],
     # q18: lineitem pre-aggregates map-side before any join; final top-k
     "tpch_q18_large_volume_customers": ["partial_sum", "TakeOrderedAndProject"],
-    # gap fill: the spine-sized window must be chunk-partitioned ([_ck]);
-    # an unpartitioned window ordered directly by time would serialize the
-    # whole spine through one task (the only allowed unpartitioned window
-    # is the per-chunk edge carry, ordered by _ck)
+    # gap fill: this gate's spine is statically <= CHUNK_BUCKETS buckets
+    # (188 four-hour buckets), so gap_fill's driver-side bucket count
+    # takes the single-chunk fast path — ONE group-partitioned fill
+    # window (here unpartitioned: no group tags), no chunk machinery.
+    # The window is bounded by the same constant the chunked path uses
+    # (enumerated in BOUNDED_WINDOWS below); a spine that outgrows
+    # CHUNK_BUCKETS flips back to the [_ck]-partitioned chunked shape.
     "ts_agg_mean_fill_linear": [
-        "\\], \\[_ck#\\d+L\\], \\[time#\\d+L ASC",
-        "!windowspecdefinition\\(time#\\d+L? ASC",
+        "windowspecdefinition\\(time#\\d+L? ASC",
+        "!\\], \\[_ck#\\d+L\\], \\[time#\\d+L ASC",
+        "!Scan ExistingRDD",
     ],
     "ts_group_by_time_tag_fill_previous": [
         "!windowspecdefinition\\(time#\\d+L? ASC",
@@ -436,8 +440,10 @@ FORBIDDEN_EVERYWHERE = ["BatchEvalPython", "InMemoryTableScan"]  # row-UDFs / st
 BOUNDED_WINDOWS = {
     "ts_agg_mean_fill_linear": [
         (
-            r"_ck#\d+L ASC",
-            "per-chunk boundary carry: one row per 1024-bucket chunk (|spine|/1024 rows)",
+            r"time#\d+L ASC",
+            "single-chunk fast-path fill: gap_fill proved the spine "
+            "<= CHUNK_BUCKETS (1024) buckets from the literal from/to/"
+            "step before choosing this window (gapfill.py)",
         ),
     ],
     "datapipe_pack_sequences": [
