@@ -157,7 +157,7 @@ def tz_spine_times(spark, zone: str, from_epoch: int, to_epoch: int,
 
     wall_from, wall_to = _wall(from_epoch), _wall(to_epoch)
     n_from = (wall_from - offset_seconds) // step_seconds * step_seconds + offset_seconds
-    labels = spark.range(1).select(
+    labels = spark.range(1, numPartitions=1).select(
         F.explode(
             F.sequence(
                 F.lit(int(n_from)).cast("long"),

@@ -65,7 +65,7 @@ def bucket_spine(
     n_from = int(
         (from_epoch - offset_seconds) // step_seconds * step_seconds + offset_seconds
     )
-    spine = times_df if times_df is not None else spark.range(1).select(
+    spine = times_df if times_df is not None else spark.range(1, numPartitions=1).select(
         F.explode(
             F.sequence(
                 F.lit(n_from).cast("long"),

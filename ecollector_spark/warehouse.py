@@ -594,7 +594,7 @@ class Warehouse:
         directory before its TTL actually expires."""
         # one 1-row job stamps every tier's cutoff day with the session tz
         cutoff_row = (
-            self.spark.range(1)
+            self.spark.range(1, numPartitions=1)
             .select(
                 *[
                     F.date_format(
