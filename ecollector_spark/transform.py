@@ -111,11 +111,13 @@ def default_transform(events: DataFrame) -> DataFrame:
         fragments = _PREPARED.get(sc)
         if fragments is None:
             fragments = _PREPARED[sc] = _build_exprs()
-    parse_cols, err_col, row_filter, explode_col, final_cols = fragments
-    # Parse the polymorphic payload ONCE per row, in its own projection
-    # (see _build_exprs); then the error verdict, the row filter + point
-    # fan-out, and the canonical projection.
-    e = events.select(*events.columns, *parse_cols)
+    parse_gen, unpack_cols, err_col, row_filter, explode_col, final_cols = fragments
+    # Parse the polymorphic payload ONCE per row, through a one-element
+    # explode (Generate barrier — see _build_exprs); then the error
+    # verdict, the row filter + point fan-out, and the canonical
+    # projection.
+    e = events.select(*events.columns, parse_gen)
+    e = e.select(*events.columns, *unpack_cols)
     e = e.select(*e.columns, err_col)
     combined = e.where(row_filter).select(*e.columns, explode_col)
     return combined.select(*final_cols)
@@ -158,6 +160,23 @@ def _build_exprs():
         F.when(_need_fmap, F.from_json("val", "map<string,double>")).alias("_fmap"),
         F.when(_need_smap, F.from_json("val", "map<string,string>")).alias("_smap"),
         F.when(_need_prices, F.from_json("val", _PRICE_SCHEMA)).alias("_prices"),
+    ]
+    # ...and behind a one-element explode (Generate barrier, r12): the
+    # row filter below references the error verdict, which references
+    # these parses — PushDownPredicates substitutes project aliases into
+    # the pushed condition unconditionally, so without the barrier the
+    # physical Filter re-derived try_cast 6x and from_json 4x per row
+    # (and the fan-out projection parsed again for the survivors).
+    # Predicates cannot cross a Generate whose output they reference, so
+    # the parse runs exactly once; the filter lands directly above it,
+    # operating on the cheap extracted fields. Row multiset unchanged
+    # (the array always has exactly one element).
+    parse_gen = F.explode(F.array(F.struct(*parse_cols))).alias("_parsed")
+    unpack_cols = [
+        F.col("_parsed._fval").alias("_fval"),
+        F.col("_parsed._fmap").alias("_fmap"),
+        F.col("_parsed._smap").alias("_smap"),
+        F.col("_parsed._prices").alias("_prices"),
     ]
     fval = F.col("_fval")
     fmap = F.col("_fmap")
@@ -434,4 +453,4 @@ def _build_exprs():
         F.col("_point.unit").alias("unit"),
         F.col("_point.agg_func").alias("agg_func"),
     ]
-    return parse_cols, err_col, row_filter, explode_col, final_cols
+    return parse_gen, unpack_cols, err_col, row_filter, explode_col, final_cols
