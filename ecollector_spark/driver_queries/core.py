@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ecollector_spark.aggregate import counter_difference, tukey_outliers, windowed_preaggregate
 from ecollector_spark.driver_queries import register
+from ecollector_spark.session import read_parquet
 from ecollector_spark.filters import FilterRecord, compile_filters
 from ecollector_spark.fimp import route_to_regex, route_includes_topic
 from ecollector_spark.query import DataPointsFilter, DataPointsRequest, QueryPlanner
@@ -630,7 +631,7 @@ def enrichment_left_join(spark, sf_dir):
     """SURVEY J1/T3: stream-dimension broadcast LEFT join; missing
     metadata tolerated (process.go:141-145) -> null columns survive."""
     dp = events_as_datapoints(spark, sf_dir).where(F.col("measurement") == "signup")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
     dim = F.broadcast(
         nation.select((F.col("n_nationkey")).alias("_k"), "n_name")
     )

@@ -22,6 +22,7 @@ from ecollector_spark.datapipe.multimodal import (
     sample_frames,
 )
 from ecollector_spark.driver_queries import register
+from ecollector_spark.session import read_parquet
 
 # ---------------------------------------------------------------------------
 # shared corpus (Spark + SQL twins)
@@ -70,7 +71,7 @@ def dedup_corpus(spark, sf_dir):
     # (see spread_small_scan) — measured dedup_minhash_lsh 1.73 -> 1.29 s
     # interleaved medians at sf0.1.
     docs = spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     toks = text.tokens_expr("text")
     keep = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
@@ -163,7 +164,7 @@ def dedup_paragraphs(spark, sf_dir):
     oracle computes identically. One explode, one count-distinct
     groupBy on an xxhash64 long, one left-anti join, one per-doc
     reassembly — never a corpus-wide window (dedup.dedup_paragraphs)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     words = F.split("text", " ")
     text2 = F.concat_ws(
         "\n",
@@ -227,7 +228,7 @@ def dedup_span_removal(spark, sf_dir):
     shingle explode -> count-distinct-docs groupBy on an xxhash64
     long -> hit join -> bounded position explode -> anti join ->
     bounded per-doc reassembly (dedup.dedup_ngram_spans)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     words = F.split("text", " ")
     text2 = F.concat_ws(
         " ",
@@ -293,7 +294,7 @@ def datapipe_curation_text(spark, sf_dir):
     comparisons into a min-id group-by, so any stage-boundary mistake
     (filtering before cleaning, deduping the dirty text, rule
     thresholds on the wrong token set) breaks the hash."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     words = F.split("text", " ")
     text2 = F.concat_ws(
         " ",
@@ -340,7 +341,7 @@ def dedup_urls(spark, sf_dir):
     cheapest dedup stage in the pipeline."""
     from ecollector_spark.datapipe.dedup import dedup_urls as _dedup_urls
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     bp = F.concat(F.lit("/a/"), F.expr("doc_id DIV 5").cast("string"))
     variants = F.array(
         F.concat(F.lit("https://example.com"), bp, F.lit("?x=1&y=2")),
@@ -428,7 +429,7 @@ def datapipe_perplexity(spark, sf_dir):
     scored each token, not just the total."""
     from ecollector_spark.datapipe import lm as _lm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     ref = docs.where(F.col("doc_id") % 5 == 0)
     model = _lm.train_ngram_lm(ref)
     n = _lm.lm_total_tokens(model)
@@ -470,7 +471,7 @@ def datapipe_warc_ingest(spark, sf_dir):
     from ecollector_spark.datapipe.multimodal import attach_synthetic_wet_media
     from ecollector_spark.datapipe.warc import read_warc_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 6 == 1
     )
     return read_warc_media(attach_synthetic_wet_media(docs)).orderBy(
@@ -542,7 +543,7 @@ def datapipe_warc_response(spark, sf_dir):
     )
     from ecollector_spark.datapipe.warc import read_warc_responses
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 6 == 5
     )
     # materialize the explode ONCE before the fan-out (ADVICE r12):
@@ -872,7 +873,7 @@ ORDER BY 1
 
 def incremental_batch(spark, sf_dir):
     """The Spark twin of the oracle's ``newb`` CTE."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     toks = text.tokens_expr("text")
     keep = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
     near_txt = F.concat_ws(" ", F.slice(toks, F.lit(1), keep))
@@ -905,7 +906,7 @@ def dedup_incremental(spark, sf_dir):
     the historical text is never re-read, which is the only ingest-dedup
     shape that holds at 100 TB. One row per new doc with its
     keep/drop decision and, for near-dups, the matched historical id."""
-    old = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    old = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     out = dedup.dedup_incremental(
         incremental_batch(spark, sf_dir),
         dedup.exact_manifest(old),
@@ -940,7 +941,7 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 )
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 vs vec_id=0 (the ANN baseline)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.brute_force_topk(emb, query_id=0, k=10)
 
 
@@ -957,7 +958,7 @@ ORDER BY vec_id
 def ann_cosine_threshold(spark, sf_dir):
     """All vectors with cosine >= 0.25 vs vec_id=0 (orderless exact
     similarity search)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_threshold(emb, query_id=0, threshold=0.25)
 
 
@@ -1024,7 +1025,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     of {_SEARCH_TABLES} tables x {_SEARCH_BITS} seeded hyperplanes — the
     scan-reducing scale path ((table, bucket) partition-prunes at
     100 TB)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_bucketed_search(
         emb,
         query_id=0,
@@ -1057,7 +1058,7 @@ def ann_lsh_indexed(spark, sf_dir):
     output contract as the in-plan ``ann_lsh_bucketed`` — and the same
     oracle, which is exactly the claim: materializing the index changes
     the cost, never the rows."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     idx = _ivf_index_dir(sf_dir, n_centroids=0, n_iter=0) + "_lsh"
     similarity.lsh_build(
         emb, idx, bits=_SEARCH_BITS, tables=_SEARCH_TABLES, dim=_EMB_DIM
@@ -1094,7 +1095,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: hyperplane-LSH candidates (any of
     {_LSH_TABLES} tables x {_LSH_BITS} seeded hyperplanes) + exact-cosine
     verify (the semantic-dedup path for embedded corpora)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     pairs = similarity.embedding_near_dup_pairs(
         emb, threshold=0.3, bits=_LSH_BITS, tables=_LSH_TABLES, dim=_EMB_DIM
     )
@@ -1189,7 +1190,7 @@ def ann_ivf_topk(spark, sf_dir):
     partition-prunes to the 2 nearest lists — exact cosine within. The
     build is idempotent per corpus (skipped when the index exists), so
     repeated searches pay only the pruned probe scan."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     idx = _ivf_index_dir(sf_dir, n_centroids=8, n_iter=2)
     similarity.ivf_build(emb, idx, n_centroids=8, n_iter=2)
     row = (
@@ -1228,7 +1229,7 @@ def datapipe_cluster_assign(spark, sf_dir):
     shuffle wider than (cid, dim)). The oracle replays the identical
     exact-decimal Lloyd unrolling, so labels are bit-equal. A training
     pipeline samples per-cluster from this table to balance domains."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return (
         similarity.ivf_assignments(emb, n_centroids=8, n_iter=2)
         .select("vec_id", F.col("cid").alias("cluster_id"))
@@ -1390,7 +1391,7 @@ def ann_ivf_hier_topk(spark, sf_dir):
     cosine within. The oracle replays BOTH Lloyd levels and both probe
     stages bit-identically (same tie rules), so the returned rows AND
     cosines hash-match."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     idx = _ivf_index_dir(sf_dir, n_centroids=916, n_iter=2)  # distinct key
     similarity.ivf_build(emb, idx, n_centroids=16, n_iter=2, flat_cap=8)
     row = (
@@ -1420,7 +1421,7 @@ def dedup_semantic_hier(spark, sf_dir):
     ~N^1.5 instead of quadratic past 4096 lists. The oracle replays
     BOTH Lloyd levels bit-identically (exact-decimal means, lowest-id
     seeds, lowest-cid2 ties), so cluster ids and survivors hash-match."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.semantic_dedup(
         emb, threshold=0.3, n_centroids=16, n_iter=2, flat_cap=8, level1=4
     )
@@ -1443,7 +1444,7 @@ def dedup_semantic(spark, sf_dir):
     label, so downstream balancing composes. Threshold 0.3 matches the
     synthetic corpus's near-dup density (same as
     ``dedup_embedding_cosine``)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.semantic_dedup(
         emb, threshold=0.3, n_centroids=8, n_iter=2
     )
@@ -1478,7 +1479,7 @@ def datapipe_balanced_sample(spark, sf_dir):
     on any engine (hash_unit ordering, no rand())."""
     from ecollector_spark.datapipe.curation import balance_by_cluster
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     assign = similarity.ivf_assignments(emb, n_centroids=8, n_iter=2).select(
         "vec_id", F.col("cid").alias("cluster_id")
     )
@@ -1563,7 +1564,7 @@ def ann_pq_topk(spark, sf_dir):
     assigned sub-centroid, which the oracle computes by joining codes
     back to the final codebooks). Output: top-10 by ADC distance
     ascending, ties by vec_id."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     cb = similarity.pq_train(emb, m=2, nbits=2, n_iter=2)
     codes = similarity.pq_encode(emb, cb)
     row = (
@@ -1690,7 +1691,7 @@ def ann_ivf_pq_topk(spark, sf_dir):
     scan compression in one plan. The oracle replays the coarse Lloyd,
     the probe pick, BOTH block Lloyds, the code assignment and the ADC
     sum bit-identically."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     row = (
         emb.where(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("v"))
@@ -1717,7 +1718,7 @@ def ann_ivf_pq_rerank(spark, sf_dir):
     probe pick, both block Lloyds, ADC sum, the ROUNDED-score
     shortlist cut and the exact re-rank — bit-identically, so a slip
     in any stage (including the shortlist tie rule) breaks the hash."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     row = (
         emb.where(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("v"))
@@ -1749,7 +1750,7 @@ def ann_ivf_pq_indexed(spark, sf_dir):
     any drift between the layout the build writes and what the probe
     reads (codes dropped, lists scrambled, stale sidecar) breaks the
     hash."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     idx = _ivf_index_dir(sf_dir, n_centroids=8, n_iter=2) + "_pq"
     similarity.ivf_build(
         emb, idx, n_centroids=8, n_iter=2, pq_m=2, pq_nbits=2, pq_n_iter=2
@@ -1784,7 +1785,7 @@ def ann_ivf_append_topk(spark, sf_dir):
     import json
     import shutil
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     idx = _ivf_index_dir(sf_dir, n_centroids=8, n_iter=2) + "_append"
     n_total = emb.count()
 
@@ -1845,7 +1846,7 @@ FROM s ORDER BY doc_id
 )
 def text_langid(spark, sf_dir):
     """Marker-word language ID heuristic (argmax with fixed cascade)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return text.lang_id(docs)
 
 
@@ -1870,7 +1871,7 @@ def text_quality(spark, sf_dir):
 
     # tokenize-heavy map over a single-row-group scan: spread to cluster
     # width (inert at real scale). Interleaved medians: 0.76 -> 0.63 s.
-    docs = spread_small_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = spread_small_scan(read_parquet(spark, f"{sf_dir}/documents.parquet"))
     return text.quality_score(docs)
 
 
@@ -1914,7 +1915,7 @@ def text_gopher_rules(spark, sf_dir):
     word fraction, required stop words. Every rule is an exact
     cross-multiplied INTEGER comparison on both engines — no float in
     any hashed column, so the gate is tolerance-free by construction."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return text.gopher_rules(docs).orderBy("doc_id")
 
 
@@ -1928,7 +1929,7 @@ FROM documents ORDER BY doc_id
 )
 def text_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish token counting."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return text.token_counts(docs)
 
 
@@ -1957,7 +1958,7 @@ FROM base b LEFT JOIN tb USING (doc_id) ORDER BY doc_id
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition signals: duplicate-line fraction +
     most-frequent-bigram fraction (boilerplate/spam gate)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return text.repetition_signals(docs)
 
 
@@ -1978,7 +1979,7 @@ FROM documents ORDER BY doc_id
 def text_pii_scrub(spark, sf_dir):
     """Email/URL redaction with hit counts (map-side pre-tokenization
     scrub; RE2-safe patterns identical on both engines)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return text.pii_scrub(docs)
 
 
@@ -2000,7 +2001,7 @@ WHERE rank <= 3 ORDER BY doc_id, rank
 def text_top_terms(spark, sf_dir):
     """Per-doc top-3 salient terms by tf x N/df (linear-idf tf-idf —
     exact-rational scoring so rankings are engine-reproducible)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return text.top_terms(docs, n=3)
 
 
@@ -2025,7 +2026,7 @@ def text_rolling_fingerprint(spark, sf_dir):
     """Character-level Rabin-Karp rolling-hash fingerprint (min 16-char
     gram hash, exact int64 Horner fold — the byte-level complement of
     the token-shingle fingerprint)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return text.rolling_fingerprint(docs, k=16)
 
 
@@ -2041,7 +2042,7 @@ FROM s ORDER BY doc_id
 )
 def text_fingerprint(spark, sf_dir):
     """Winnowing-style min-md5 fingerprint over 5-token shingles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return text.fingerprint(docs, k=5)
 
 
@@ -2064,7 +2065,7 @@ FROM documents ORDER BY doc_id
 def mm_binary_metadata(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + typed metadata schema
     (decode itself is stubbed; see datapipe.multimodal)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     media = attach_fake_media(docs)
     return media.select("doc_id", "media_type", "width", "height", "n_bytes")
 
@@ -2091,7 +2092,7 @@ def mm_resize_metadata(spark, sf_dir):
     """mapInPandas resize stage (fit-within-224x224, aspect preserved,
     no upscale): the pandas stage's metadata arithmetic is exact double
     math, so the SQL oracle verifies the Arrow batch path end to end."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     from ecollector_spark.datapipe.multimodal import resize_media
 
     out = resize_media(attach_fake_media(docs))
@@ -2121,7 +2122,7 @@ def mm_feature_hist(spark, sf_dir):
     corpus is ASCII so the SQL twin recomputes the same count/total
     quotients in double — the Arrow batch path sits in the value gate,
     not just a row count."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     feats = extract_features(attach_fake_media(docs))
     cols = [
         (F.floor(F.element_at("feature", j + 1) * 1000000.0) / 1000000.0).alias(f"f{j}")
@@ -2150,7 +2151,7 @@ def mm_frame_sampling(spark, sf_dir):
     """Frame-sampling stage (1->N explode per every_n_bytes offset) —
     the video-frame extraction shape with the stub payload; offset
     arithmetic is exact so the SQL twin value-matches the explode."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return sample_frames(attach_fake_media(docs))
 
 
@@ -2170,7 +2171,7 @@ def datapipe_bpe_encode(spark, sf_dir):
     pytest's."""
     from ecollector_spark.datapipe import tokenizer
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     merges = tokenizer.train_on_corpus(docs, num_merges=200)
     enc = tokenizer.bpe_encode(docs, merges)
     return enc.select(
@@ -2185,7 +2186,7 @@ def datapipe_bpe_encode(spark, sf_dir):
 def mm_feature_extract(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (stubbed
     byte-histogram features; real decode raises NotImplementedError)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return extract_features(attach_fake_media(docs))
 
 
@@ -2228,7 +2229,7 @@ def mm_real_decode(spark, sf_dir):
         resize_media,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 7 == 0
     )
     media = attach_synthetic_png_media(docs)
@@ -2294,7 +2295,7 @@ def mm_jpeg_decode(spark, sf_dir):
     pinning marker framing too."""
     from ecollector_spark.datapipe.multimodal import attach_synthetic_jpeg_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 3 == 0
     )
     media = attach_synthetic_jpeg_media(docs)
@@ -2352,7 +2353,7 @@ def mm_jpeg_progressive(spark, sf_dir):
     than the baseline gate, so the two never share rows."""
     from ecollector_spark.datapipe.multimodal import attach_synthetic_jpeg_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 3 == 1
     )
     media = attach_synthetic_jpeg_media(docs, progressive=True)
@@ -2412,7 +2413,7 @@ def mm_png_palette(spark, sf_dir):
         probe_media,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 5 == 1
     )
     media = attach_synthetic_palette_png_media(docs)
@@ -2486,7 +2487,7 @@ def mm_jpeg_exif_orientation(spark, sf_dir):
         extract_oriented_corners,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 6 == 4
     )
     media = attach_synthetic_exif_jpeg_media(docs)
@@ -2525,7 +2526,7 @@ def mm_gif_decode(spark, sf_dir):
     bytes (gif_header), pinning header framing too."""
     from ecollector_spark.datapipe.multimodal import attach_synthetic_gif_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 4 == 2
     )
     media = attach_synthetic_gif_media(docs)
@@ -2583,7 +2584,7 @@ def mm_audio_features(spark, sf_dir):
         extract_audio_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 5 == 0
     )
     return extract_audio_features(attach_synthetic_wav_media(docs)).select(
@@ -2632,7 +2633,7 @@ def mm_tiff_decode(spark, sf_dir):
     too."""
     from ecollector_spark.datapipe.multimodal import attach_synthetic_tiff_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 6 == 3
     )
     media = attach_synthetic_tiff_media(docs)
@@ -2715,7 +2716,7 @@ def mm_probe_metadata(spark, sf_dir):
         probe_media,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     stages = [
         attach_synthetic_png_media,
         attach_synthetic_jpeg_media,
@@ -2781,7 +2782,7 @@ def mm_g711_decode(spark, sf_dir):
         extract_audio_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 9 == 2
     )
     return extract_audio_features(attach_synthetic_g711_media(docs)).select(
@@ -2834,7 +2835,7 @@ def mm_flac_decode(spark, sf_dir):
         extract_audio_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 7 == 1
     )
     return extract_audio_features(attach_synthetic_flac_media(docs)).select(
@@ -2899,7 +2900,7 @@ def mm_video_frames(spark, sf_dir):
         extract_video_frames,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") % 11 == 0
     )
     return extract_video_frames(attach_synthetic_avi_media(docs), every_n=3).select(
@@ -2952,7 +2953,7 @@ def datapipe_curation(spark, sf_dir):
     # spread to cluster width (inert at real scale); interleaved medians
     # consistently ~8% under the unspread fused shape
     docs = spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
     # Doubling via explode instead of unionAll: curate() consumes the
     # corpus twice (md5-keeper aggregate + main side), and a union of two
@@ -2988,7 +2989,7 @@ FROM tsh JOIN bsh USING (shingle) GROUP BY doc_id ORDER BY doc_id
 def dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 5-gram with
     the benchmark subset (doc_id % 20 == 0 plays the eval set)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     benchmark = docs.where(F.col("doc_id") % 20 == 0)
     return dedup.decontaminate(docs, benchmark, k=5)
 
@@ -3086,7 +3087,7 @@ def datapipe_streaming_ingest(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="ec_ingest_")
     ing = StreamingCorpusIngest(spark, root)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     ing.process_batch(docs, 0)
     ing.process_batch(incremental_batch(spark, sf_dir), 1)
     # materialize before deleting the state dir the frame lazily reads —

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from ecollector_spark.datapipe import packing
 from ecollector_spark.driver_queries import register
+from ecollector_spark.session import read_parquet
 from ecollector_spark.driver_queries.datapipe import _TOKS
 
 _SEQ = 512
@@ -43,7 +44,7 @@ def datapipe_pack_sequences(spark, sf_dir):
     monotone md5-range, per-chunk windows only); the oracle is the naive
     single global running sum — bit-equal placement proves the
     decomposition."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return packing.pack_sequences(docs, _SEQ).orderBy("doc_id")
 
 
@@ -64,7 +65,7 @@ def datapipe_pack_manifest(spark, sf_dir):
     """Per-window roll-up of the packing map: every 512-token window
     carries exactly 512 tokens except the final partial one, and doc
     spans account for straddled boundaries."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     placed = packing.pack_sequences(docs, _SEQ)
     return packing.sequence_manifest(placed, _SEQ)
 
@@ -91,7 +92,7 @@ def datapipe_mix_weights(spark, sf_dir):
     downsampled to a quarter, src2 dropped, the rest kept at 1.0 — each
     doc's copy count a pure md5 function of its id, so the SQL twin
     reproduces the exact emitted multiset."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = packing.mix_by_weight(
         docs, {"src0": 2.5, "src1": 0.25, "src2": 0.0}, domain_col="source"
     )
@@ -124,7 +125,7 @@ def datapipe_export_shards(spark, sf_dir):
 
     from ecollector_spark.datapipe.export import export_shards
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = tempfile.mkdtemp(prefix="ec_shards_")
     return export_shards(docs, out, 8)
 
@@ -146,7 +147,7 @@ def datapipe_leakage_safe_split(spark, sf_dir):
     content."""
     from ecollector_spark.datapipe.packing import leakage_safe_split
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return leakage_safe_split(docs, 0.1).orderBy("doc_id")
 
 @register(
@@ -165,5 +166,5 @@ def datapipe_epoch_order(spark, sf_dir):
     two-level prefix decomposition (no unbounded window over data
     rows); the oracle is the naive global row_number — bit-equal
     positions prove the decomposition."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return packing.epoch_order(docs, seed="7").orderBy("doc_id")

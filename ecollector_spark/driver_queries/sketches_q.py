@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ecollector_spark.driver_queries import register
+from ecollector_spark.session import read_parquet
 from ecollector_spark.functions.sketches import hash_unit, kmv_distinct
 from ecollector_spark.sources.events_adapter import read_events
 
@@ -101,7 +102,7 @@ def sketch_stratified_sample(spark, sf_dir):
     on any engine/partitioning."""
     from ecollector_spark.functions.sketches import stratified_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", (F.col("doc_id") % 7).alias("stratum")
     )
     return stratified_sample(docs, ["stratum"], 5, "doc_id").select("stratum", "doc_id")

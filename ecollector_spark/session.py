@@ -11,6 +11,8 @@ treats naive parquet timestamps as UTC).
 from __future__ import annotations
 
 import os
+import stat as _stat
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -141,6 +143,45 @@ def spread_small_scan(df, width: int | None = None):
     return df.repartition(w)
 
 
+#: Inferred parquet schemas memoized per live SparkContext (weak key: a
+#: restarted context can never serve stale JVM handles), keyed on the
+#: file's (realpath, mtime_ns, size) so ANY rewrite re-infers. Schema
+#: inference opens the footer through a JVM round-trip on every
+#: ``spark.read.parquet`` call (~65 ms measured on this box); for the
+#: bench's read-only single-file inputs that is pure fixed cost repeated
+#: per query build. Only plain files take the memo — directory datasets
+#: (partitioned indexes, sink outputs) always infer, because a nested
+#: file change does not bump the top directory's stat. Metadata only:
+#: no rows, results, or listings are cached, and every invocation still
+#: plans/executes its own scan of the parquet input.
+_PARQUET_SCHEMA_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def read_parquet(spark: SparkSession, path: str):
+    """``spark.read.parquet(path)`` with single-file schema inference
+    memoized per (SparkContext, file identity) — see
+    ``_PARQUET_SCHEMA_MEMO``. Behavior-identical: the explicit schema
+    IS the inferred one for the same file state under the same session
+    confs."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return spark.read.parquet(path)
+    if not _stat.S_ISREG(st.st_mode):
+        return spark.read.parquet(path)
+    sc = spark.sparkContext
+    memo = _PARQUET_SCHEMA_MEMO.get(sc)
+    if memo is None:
+        memo = _PARQUET_SCHEMA_MEMO[sc] = {}
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    schema = memo.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        memo[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver's parquet tables and register temp views.
 
@@ -164,7 +205,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = read_parquet(spark, path)
             df.createOrReplaceTempView(n)
             out[n] = df
     return out
