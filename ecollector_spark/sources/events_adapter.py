@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ecollector_spark.session import read_parquet
+
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet with ``ts`` as a proper TimestampType.
@@ -38,41 +40,43 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # older/newer Spark without the conf: fall through to the read
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return ev
 
 
+#: The datapoints projection as SQL fragments: one ``selectExpr`` call
+#: marshals the whole list in a single py4j round-trip (the Column-builder
+#: form cost ~120 round-trips per invocation, and this adapter fronts
+#: every ts-family query build). Expression trees are identical — the
+#: fragments parse to the same Catalyst nodes the Column API built.
+_DP_EXPRS = (
+    "event_type AS measurement",
+    "ts AS ts",
+    "concat_ws(';', event_type, CAST(user_id AS STRING), 'import') AS series_id",
+    "CAST(user_id AS STRING) AS dev_id",
+    "CASE WHEN (user_id % 3) = 0 THEN 'meter.main_elec' ELSE 'sensor.generic' END"
+    " AS dev_type",
+    "'import' AS dir",
+    "CAST(user_id % 5 AS STRING) AS location_id",
+    "event_type AS service",
+    "'driver' AS src",
+    "concat('pt:j1/mt:evt/rt:dev/rn:test/ad:1/sv:', event_type, '/ad:',"
+    " CAST(user_id AS STRING)) AS topic",
+    "'site1' AS domain",
+    "value AS value_f",
+    "CAST(NULL AS BOOLEAN) AS value_b",
+    "CAST(NULL AS STRING) AS value_s",
+    "'W' AS unit",
+    "'mean' AS agg_func",
+    "'gen_raw' AS tier",
+)
+
+
 def events_as_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
-    dev_id = F.col("user_id").cast("string")
-    return ev.select(
-        F.col("event_type").alias("measurement"),
-        F.col("ts").alias("ts"),
-        F.concat_ws(";", "event_type", dev_id, F.lit("import")).alias("series_id"),
-        dev_id.alias("dev_id"),
-        F.when(F.col("user_id") % 3 == 0, "meter.main_elec")
-        .otherwise("sensor.generic")
-        .alias("dev_type"),
-        F.lit("import").alias("dir"),
-        (F.col("user_id") % 5).cast("string").alias("location_id"),
-        F.col("event_type").alias("service"),
-        F.lit("driver").alias("src"),
-        F.concat(
-            F.lit("pt:j1/mt:evt/rt:dev/rn:test/ad:1/sv:"),
-            F.col("event_type"),
-            F.lit("/ad:"),
-            dev_id,
-        ).alias("topic"),
-        F.lit("site1").alias("domain"),
-        F.col("value").alias("value_f"),
-        F.lit(None).cast("boolean").alias("value_b"),
-        F.lit(None).cast("string").alias("value_s"),
-        F.lit("W").alias("unit"),
-        F.lit("mean").alias("agg_func"),
-        F.lit("gen_raw").alias("tier"),
-    )
+    return ev.selectExpr(*_DP_EXPRS)
 
 
 #: DuckDB twin of :func:`events_as_datapoints` (a CTE body over view `events`)
