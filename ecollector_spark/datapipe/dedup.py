@@ -55,7 +55,7 @@ def _doc_shingles(docs: DataFrame, text_col: str, k: int, materialize: bool = Fa
     # (~150x per doc). A multi-referenced non-cheap alias survives
     # CollapseProject, so tokens are computed once per row.
     toks = docs.select("doc_id", tokens_expr(text_col).alias("_toks"))
-    sh = toks.select("doc_id", F.explode(shingles_expr(F.col("_toks"), k)).alias("shingle"))
+    sh = toks.select("doc_id", F.explode(shingles_expr("_toks", k)).alias("shingle"))
     if materialize:
         # The shingle table feeds the signature aggregate, both sides of
         # the verification intersection join, and the two size joins —

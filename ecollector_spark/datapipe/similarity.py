@@ -45,11 +45,35 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL fragment twin of :func:`_dot` (same sequential left-fold) —
+    one parser call instead of ~50 py4j round-trips (r12 guide §5)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _lit_vec_sql(vec) -> str:
+    """A query vector as a SQL double-array literal. ``repr`` emits the
+    shortest round-tripping decimal and Spark's parser is correctly
+    rounded, so the doubles are bit-identical to ``F.lit(float(x))``."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
+def _cosine_sql(v: str, q: str) -> str:
+    """cosine(v, q) fragment over already-double array fragments."""
+    return f"{_dot_sql(v, q)} / (sqrt({_dot_sql(v, v)}) * sqrt({_dot_sql(q, q)}))"
+
+
 def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
 
-def cosine_scores(emb: DataFrame, query_vec: Column, vec_col: str = "embedding") -> DataFrame:
+def cosine_scores(
+    emb: DataFrame, query_vec: Column | str, vec_col: str = "embedding"
+) -> DataFrame:
+    if isinstance(query_vec, str):
+        v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+        q = f"CAST(`{query_vec}` AS ARRAY<DOUBLE>)"
+        return emb.withColumn("cosine", F.expr(_cosine_sql(v, q)))
     v = _as_double(F.col(vec_col))
     q = _as_double(query_vec)
     cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
@@ -62,7 +86,7 @@ def brute_force_topk(
     """Exact top-k by cosine against the embedding of ``query_id``.
     Output (vec_id, cosine) ordered desc, ties by vec_id."""
     q = emb.where(F.col("vec_id") == query_id).select(F.col(vec_col).alias("_q"))
-    scored = cosine_scores(emb.crossJoin(F.broadcast(q)), F.col("_q"), vec_col)
+    scored = cosine_scores(emb.crossJoin(F.broadcast(q)), "_q", vec_col)
     return (
         scored.where(F.col("vec_id") != query_id)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -77,7 +101,7 @@ def cosine_threshold(
     """All vectors with round(cosine,6) >= threshold vs the query vector —
     the deterministic (orderless) form of similarity search."""
     q = emb.where(F.col("vec_id") == query_id).select(F.col(vec_col).alias("_q"))
-    scored = cosine_scores(emb.crossJoin(F.broadcast(q)), F.col("_q"), vec_col)
+    scored = cosine_scores(emb.crossJoin(F.broadcast(q)), "_q", vec_col)
     return (
         scored.where(F.col("vec_id") != query_id)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -1544,12 +1568,13 @@ def ivf_topk_indexed(
     if nprobe is None:
         nprobe = int(st.get("default_nprobe") or 2)
     scan = _pruned_assignments(spark, index_path, query_vec, nprobe, st)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = _dot(F.col("v"), q) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(q, q)))
+    # query vector + cosine as ONE SQL expression: the 64-element literal
+    # array alone cost ~260 py4j round-trips as F.lit columns (guide §5)
+    cos = _cosine_sql("v", _lit_vec_sql(query_vec))
     if exclude_vec_id is not None:
         scan = scan.where(F.col("vec_id") != exclude_vec_id)
     return (
-        scan.select("vec_id", F.round(cos, 6).alias("cosine"))
+        scan.selectExpr("vec_id", f"round({cos}, 6) AS cosine")
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )

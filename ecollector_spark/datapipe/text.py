@@ -30,12 +30,23 @@ _LANGS = tuple(LANG_MARKERS)
 EN_STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
 
+def tokens_sql(col: str) -> str:
+    """SQL fragment twin of :func:`tokens_expr` over a named column —
+    one parser call builds the whole tree (the Column-builder form cost
+    ~12 py4j round-trips per invocation; r12 guide §5)."""
+    return (
+        f"filter(split(lower(regexp_replace(`{col}`, '[^A-Za-z0-9 ]', ' ')), ' +'),"
+        " x -> x <> '')"
+    )
+
+
 def tokens_expr(text: Column | str) -> Column:
     """Lowercased alnum tokens. Identical twin: list_filter(
     string_split_regex(lower(regexp_replace(t,'[^A-Za-z0-9 ]',' ','g')),
     ' +'), x -> x <> '')."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(F.regexp_replace(c, "[^A-Za-z0-9 ]", " ")), " +")
+    if isinstance(text, str):
+        return F.expr(tokens_sql(text))
+    toks = F.split(F.lower(F.regexp_replace(text, "[^A-Za-z0-9 ]", " ")), " +")
     return F.filter(toks, lambda x: x != "")
 
 
@@ -61,10 +72,24 @@ def tokens_barrier(
     )
 
 
-def shingles_expr(toks: Column, k: int = 3) -> Column:
+def shingles_sql(toks_col: str, k: int = 3) -> str:
+    """SQL fragment twin of :func:`shingles_expr` over a named token-array
+    column (same single-parser-call rationale as :func:`tokens_sql`)."""
+    t = f"`{toks_col}`"
+    elems = ", ".join(f"element_at({t}, i + {j + 1})" for j in range(k))
+    return (
+        f"array_distinct(CASE WHEN size({t}) >= {k} THEN "
+        f"transform(sequence(0, size({t}) - {k}), i -> concat_ws(' ', {elems})) "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
+
+
+def shingles_expr(toks: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (space-joined). Empty array when the doc
     has fewer than k tokens (Spark's sequence() would go descending on a
     negative span — guard required)."""
+    if isinstance(toks, str):
+        return F.expr(shingles_sql(toks, k))
     joined = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
@@ -72,9 +97,24 @@ def shingles_expr(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= k, joined).otherwise(F.array().cast("array<string>")))
 
 
-def lang_score_cols(dt: Column) -> dict[str, Column]:
+def lang_score_sql(dt_col: str) -> dict[str, str]:
+    """SQL fragment twins of :func:`lang_score_cols` over a named
+    distinct-token column (single parser call each, r12 guide §5)."""
+    return {
+        lang: (
+            f"size(array_intersect(`{dt_col}`, array("
+            + ", ".join(f"'{m}'" for m in markers)
+            + ")))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_score_cols(dt: Column | str) -> dict[str, Column]:
     """Marker-hit counts per language over a (projected) distinct-token
     array column — one ``size(array_intersect(...))`` per language."""
+    if isinstance(dt, str):
+        return {lang: F.expr(sql) for lang, sql in lang_score_sql(dt).items()}
     # marker-array literals as one F.expr each (r12 optimization, guide
     # §5): F.array(*[F.lit(m) ...]) cost ~2 py4j round-trips per marker
     return {
@@ -87,10 +127,23 @@ def lang_score_cols(dt: Column) -> dict[str, Column]:
     }
 
 
-def lang_pred_expr(scores: dict[str, Column]) -> Column:
+def lang_pred_sql(score_cols: dict[str, str]) -> str:
+    """SQL twin of :func:`lang_pred_expr` over named score columns: the
+    same nested when-cascade, one parser call."""
+    best = "greatest(" + ", ".join(f"`{score_cols[lang]}`" for lang in _LANGS) + ")"
+    pred = "'und'"
+    for lang in reversed(_LANGS):
+        pred = f"CASE WHEN `{score_cols[lang]}` = {best} THEN '{lang}' ELSE {pred} END"
+    return f"CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END"
+
+
+def lang_pred_expr(scores: dict[str, Column] | dict[str, str]) -> Column:
     """Argmax with the fixed tie-break cascade (en>de>fr>es>zh), 'und'
     when no marker hits. ``scores`` columns must be projected (each is
-    referenced twice here)."""
+    referenced twice here). A dict of column NAMES takes the
+    single-parser-call SQL path."""
+    if all(isinstance(c, str) for c in scores.values()):
+        return F.expr(lang_pred_sql(scores))
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     for lang in reversed(_LANGS):  # build cascade so earlier langs win ties
@@ -107,9 +160,9 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     d = docs.select("doc_id", F.array_distinct(tokens_expr(text_col)).alias("_dt"))
     s = d.select(
         "doc_id",
-        *[c.alias(f"_s_{lang}") for lang, c in lang_score_cols(F.col("_dt")).items()],
+        *[c.alias(f"_s_{lang}") for lang, c in lang_score_cols("_dt").items()],
     )
-    scores = {lang: F.col(f"_s_{lang}") for lang in _LANGS}
+    scores = {lang: f"_s_{lang}" for lang in _LANGS}
     return s.select("doc_id", lang_pred_expr(scores).alias("pred_lang"))
 
 
@@ -119,10 +172,56 @@ def _floor6(c: Column) -> Column:
     return F.floor(c * 1000000.0) / 1000000.0
 
 
-def quality_feature_cols(toks: Column, text: Column) -> dict[str, Column]:
+def _floor6_sql(c: str) -> str:
+    return f"floor({c} * 1000000.0D) / 1000000.0D"
+
+
+def quality_feature_sql(toks_col: str, text_col: str) -> dict[str, str]:
+    """SQL fragment twins of :func:`quality_feature_cols` over named
+    columns — one parser call per feature instead of ~20 Column-builder
+    py4j round-trips each (r12 guide §5). Same trees: D-suffixed literals
+    are doubles (bare fractional literals would parse as DECIMAL), and
+    the doubled backslashes render the same regex the raw Python string
+    carried."""
+    t, x = f"`{toks_col}`", f"`{text_col}`"
+    nd = f"CAST(size({t}) AS DOUBLE)"
+    avg_len = (
+        f"CASE WHEN size({t}) > 0 THEN"
+        f" aggregate({t}, 0.0D, (acc, v) -> acc + length(v)) / {nd}"
+        f" ELSE 0.0D END"
+    )
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    stop_hits = f"size(filter({t}, v -> v IN ({stops})))"
+    stop_ratio = f"CASE WHEN size({t}) > 0 THEN {stop_hits} / {nd} ELSE 0.0D END"
+    punct = f"(length({x}) - length(regexp_replace({x}, '[^\\\\w\\\\s]', '')))"
+    punct_ratio = (
+        f"CASE WHEN length({x}) > 0 THEN {punct} / CAST(length({x}) AS DOUBLE)"
+        f" ELSE 0.0D END"
+    )
+    score = (
+        f"0.4D * least({nd} / 100.0D, 1.0D)"
+        f" + 0.3D * (1.0D - {stop_ratio})"
+        f" + 0.3D * least({avg_len} / 8.0D, 1.0D)"
+    )
+    return {
+        "n_tokens": f"size({t})",
+        "avg_token_len": _floor6_sql(avg_len),
+        "stopword_ratio": _floor6_sql(stop_ratio),
+        "punct_ratio": _floor6_sql(punct_ratio),
+        "quality": _floor6_sql(f"({score})"),
+    }
+
+
+def quality_feature_cols(toks: Column | str, text: Column | str) -> dict[str, Column]:
     """The quality features as named Columns over (projected) tokens/text
     columns — shared by ``quality_score`` and the fused curation path so
-    the two produce bit-identical values."""
+    the two produce bit-identical values. String column names take the
+    single-parser-call SQL path (see :func:`quality_feature_sql`)."""
+    if isinstance(toks, str) and isinstance(text, str):
+        return {
+            name: F.expr(sql)
+            for name, sql in quality_feature_sql(toks, text).items()
+        }
     n = F.size(toks)
     nd = n.cast("double")
     avg_len = F.when(
@@ -156,7 +255,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     but fixed; the operator shape (cheap per-doc features -> filter) is
     the standard pretraining-corpus gate."""
     d = docs.select("doc_id", F.col(text_col).alias("_text"), tokens_expr(text_col).alias("_toks"))
-    feats = quality_feature_cols(F.col("_toks"), F.col("_text"))
+    feats = quality_feature_cols("_toks", "_text")
     return d.select("doc_id", *[c.alias(name) for name, c in feats.items()])
 
 
@@ -412,6 +511,6 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     count. Equal fingerprints = candidate duplicates at
     0 storage overhead; used as a blocking key at scale."""
     d = docs.select("doc_id", tokens_expr(text_col).alias("_toks"))
-    s = d.select("doc_id", shingles_expr(F.col("_toks"), k).alias("_sh"))
+    s = d.select("doc_id", shingles_expr("_toks", k).alias("_sh"))
     fp = F.array_min(F.transform(F.col("_sh"), lambda x: F.md5(x)))
     return s.select("doc_id", fp.alias("fingerprint"), F.size("_sh").alias("n_shingles"))

@@ -73,8 +73,6 @@ def dedup_corpus(spark, sf_dir):
     docs = spread_small_scan(
         read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
-    toks = text.tokens_expr("text")
-    keep = F.greatest(F.floor(F.size(toks) * 4 / 5).cast("int"), F.lit(1))
     # Corpus synthesis via explode instead of a 3-branch union (r12
     # optimization): the union replanned the spread scan per branch (3
     # shuffle reads + 3 branch stages); one Generate emits the same
@@ -82,30 +80,22 @@ def dedup_corpus(spark, sf_dir):
     # out carry keep=false and leave right after the explode; the
     # near-dup text (the only expensive per-row expr) is CASE-guarded so
     # it is evaluated only for the doc_id % 10 rows, exactly like the
-    # old branch filter.
-    near_cond = F.col("doc_id") % 10 == 0
-    exact_cond = F.col("doc_id") % 17 == 0
-    rows = F.array(
-        F.struct(
-            F.lit(True).alias("keep"),
-            F.col("doc_id").alias("doc_id"),
-            F.col("text").alias("text"),
-        ),
-        F.struct(
-            near_cond.alias("keep"),
-            (F.col("doc_id") + 10000000).alias("doc_id"),
-            F.when(
-                near_cond, F.concat_ws(" ", F.slice(toks, F.lit(1), keep))
-            ).otherwise(F.lit("")).alias("text"),
-        ),
-        F.struct(
-            exact_cond.alias("keep"),
-            (F.col("doc_id") + 20000000).alias("doc_id"),
-            F.col("text").alias("text"),
-        ),
+    # old branch filter. Built as ONE SQL string (r12 guide §5): the
+    # Column-builder form cost ~80 py4j round-trips per build.
+    toks = text.tokens_sql("text")
+    keep = f"greatest(CAST(floor(size({toks}) * 4 / 5) AS INT), 1)"
+    near = "(doc_id % 10) = 0"
+    rows = (
+        "array("
+        "named_struct('keep', true, 'doc_id', doc_id, 'text', text), "
+        f"named_struct('keep', {near}, 'doc_id', doc_id + 10000000, 'text', "
+        f"CASE WHEN {near} THEN concat_ws(' ', slice({toks}, 1, {keep})) "
+        "ELSE '' END), "
+        "named_struct('keep', (doc_id % 17) = 0, 'doc_id', doc_id + 20000000,"
+        " 'text', text))"
     )
     return (
-        docs.select(F.explode(rows).alias("_r"))
+        docs.selectExpr(f"explode({rows}) AS _r")
         .where(F.col("_r.keep"))
         .select("_r.doc_id", "_r.text")
     )

@@ -116,10 +116,13 @@ def default_transform(events: DataFrame) -> DataFrame:
     # explode (Generate barrier — see _build_exprs); then the error
     # verdict, the row filter + point fan-out, and the canonical
     # projection.
-    e = events.select(*events.columns, parse_gen)
-    e = e.select(*events.columns, *unpack_cols)
-    e = e.select(*e.columns, err_col)
-    combined = e.where(row_filter).select(*e.columns, explode_col)
+    # "*" instead of *df.columns: star-expansion resolves to the same
+    # explicit column list at analysis, without re-converting every name
+    # string through py4j per layer (~80 round-trips saved per build)
+    e = events.select("*", parse_gen)
+    e = e.select("*", *unpack_cols).drop("_parsed")
+    e = e.select("*", err_col)
+    combined = e.where(row_filter).select("*", explode_col)
     return combined.select(*final_cols)
 
 
