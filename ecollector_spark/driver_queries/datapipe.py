@@ -71,7 +71,8 @@ def dedup_corpus(spark, sf_dir):
     # (see spread_small_scan) — measured dedup_minhash_lsh 1.73 -> 1.29 s
     # interleaved medians at sf0.1.
     docs = spread_small_scan(
-        read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        input_bytes=os.path.getsize(f"{sf_dir}/documents.parquet"),
     )
     # Corpus synthesis via explode instead of a 3-branch union (r12
     # optimization): the union replanned the spread scan per branch (3
@@ -1861,7 +1862,10 @@ def text_quality(spark, sf_dir):
 
     # tokenize-heavy map over a single-row-group scan: spread to cluster
     # width (inert at real scale). Interleaved medians: 0.76 -> 0.63 s.
-    docs = spread_small_scan(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    docs = spread_small_scan(
+        read_parquet(spark, f"{sf_dir}/documents.parquet"),
+        input_bytes=os.path.getsize(f"{sf_dir}/documents.parquet"),
+    )
     return text.quality_score(docs)
 
 
@@ -2943,7 +2947,8 @@ def datapipe_curation(spark, sf_dir):
     # spread to cluster width (inert at real scale); interleaved medians
     # consistently ~8% under the unspread fused shape
     docs = spread_small_scan(
-        read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        input_bytes=os.path.getsize(f"{sf_dir}/documents.parquet"),
     )
     # Doubling via explode instead of unionAll: curate() consumes the
     # corpus twice (md5-keeper aggregate + main side), and a union of two

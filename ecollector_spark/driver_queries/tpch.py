@@ -15,6 +15,8 @@ to double at the end — bit-identical regardless of parallelism.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ecollector_spark.driver_queries import register
@@ -67,7 +69,8 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         li.select(
             "l_returnflag", "l_linestatus", "l_quantity",
             "l_extendedprice", "l_discount", "l_tax",
-        )
+        ),
+        input_bytes=os.path.getsize(os.path.join(sf_dir, "lineitem.parquet")),
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))

@@ -115,7 +115,33 @@ def get_spark(
     return spark
 
 
-def spread_small_scan(df, width: int | None = None):
+#: (filesMaxPartitionBytes, filesOpenCostInBytes) memoized per live
+#: SparkContext — two JVM conf reads, fixed for the session's lifetime.
+_SPLIT_CONF_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _estimated_splits(spark: SparkSession, input_bytes: int, parallelism: int) -> int:
+    """Planned scan split count for a SINGLE file, mirroring Spark's
+    ``FilePartition.maxSplitBytes``: maxSplit = min(maxPartitionBytes,
+    max(openCostInBytes, (bytes + openCost) / parallelism)); splits =
+    ceil(bytes / maxSplit). Driver-side arithmetic — replaces the
+    ``df.rdd`` probe (~35 ms of physical planning per call) where the
+    caller knows the input size."""
+    sc = spark.sparkContext
+    memo = _SPLIT_CONF_MEMO.get(sc)
+    if memo is None:
+        jconf = spark._jsparkSession.sessionState().conf()
+        memo = _SPLIT_CONF_MEMO[sc] = (
+            int(jconf.filesMaxPartitionBytes()),
+            int(jconf.filesOpenCostInBytes()),
+        )
+    max_part, open_cost = memo
+    bytes_per_core = (input_bytes + open_cost) // max(parallelism, 1)
+    max_split = min(max_part, max(open_cost, bytes_per_core)) or 1
+    return max(1, -(-input_bytes // max_split))
+
+
+def spread_small_scan(df, width: int | None = None, input_bytes: int | None = None):
     """Widen a tiny scan to cluster parallelism before per-row-heavy work.
 
     A single-row-group parquet file plans as ONE scan task no matter the
@@ -136,6 +162,14 @@ def spread_small_scan(df, width: int | None = None):
     """
     sc = df.sparkSession.sparkContext
     w = width or sc.defaultParallelism
+    if input_bytes is not None:
+        # single-file caller passed the input size: estimate the planned
+        # split count driver-side (see _estimated_splits) — same branch
+        # at both extremes (tiny bench file -> spread; at real scale
+        # splits >> parallelism -> untouched, no exchange added)
+        if _estimated_splits(df.sparkSession, input_bytes, w) >= w:
+            return df
+        return df.repartition(w)
     # .rdd on a scan+project plan is driver-side planning only (no jobs:
     # nothing adaptive executes without an exchange upstream)
     if df.rdd.getNumPartitions() >= w:

@@ -30,6 +30,8 @@ API with its per-branch reference citations.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -136,5 +138,8 @@ def fimp_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are the heaviest per-row work in the engine; a single-row-group
     # input would run them on one core (guide §2: the scan task count caps
     # the stage). Inert at real scale — see spread_small_scan.
-    ev = spread_small_scan(read_events(spark, sf_dir))
+    ev = spread_small_scan(
+        read_events(spark, sf_dir),
+        input_bytes=os.path.getsize(f"{sf_dir}/events.parquet"),
+    )
     return ev.select(F.expr(_FIMP_ROW_SQL).alias("_r")).select("_r.*")
