@@ -1464,6 +1464,23 @@ def _index_stats(index_path: str) -> dict:
         return {}
 
 
+def _sidecar_collect(spark: SparkSession, path: str) -> list[dict]:
+    """Driver-side read of a small index sidecar. Every caller already
+    ``collect()``s the whole sidecar (it is O(sqrt(N)) by construction),
+    so driver memory is unchanged — but the Spark read+collect paid a
+    read-analysis pass plus a scheduled job (~0.15 s/probe at bench
+    scale). pyarrow reads the same parquet rows in-process; the driver
+    already touches ``index_path`` directly (stats.json, publish
+    recovery), so the fs assumption is not new. Any failure (non-local
+    path, missing pyarrow) falls back to the Spark reader."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path).to_pylist()
+    except Exception:
+        return [r.asDict() for r in spark.read.parquet(path).collect()]
+
+
 def _driver_d2(cvec, query_vec: list[float]) -> float:
     """Driver-side squared L2 in the same sequential order as
     :func:`_l2sq`, so probe picks are bit-identical to in-plan ranking."""
@@ -1524,7 +1541,7 @@ def ivf_probe_cids(
     probed lists are bit-identical to the in-plan variant (ties to the
     lowest cid)."""
     _recover_crashed_publish(index_path)
-    rows = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    rows = _sidecar_collect(spark, os.path.join(index_path, "centroids"))
 
     def d2(cvec) -> float:
         acc = 0.0
