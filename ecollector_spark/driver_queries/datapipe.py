@@ -72,7 +72,7 @@ def dedup_corpus(spark, sf_dir):
     # interleaved medians at sf0.1.
     docs = spread_small_scan(
         read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text"),
-        input_bytes=os.path.getsize(f"{sf_dir}/documents.parquet"),
+        input_path=f"{sf_dir}/documents.parquet",
     )
     # Corpus synthesis via explode instead of a 3-branch union (r12
     # optimization): the union replanned the spread scan per branch (3
@@ -1864,7 +1864,7 @@ def text_quality(spark, sf_dir):
     # width (inert at real scale). Interleaved medians: 0.76 -> 0.63 s.
     docs = spread_small_scan(
         read_parquet(spark, f"{sf_dir}/documents.parquet"),
-        input_bytes=os.path.getsize(f"{sf_dir}/documents.parquet"),
+        input_path=f"{sf_dir}/documents.parquet",
     )
     return text.quality_score(docs)
 
@@ -2948,7 +2948,7 @@ def datapipe_curation(spark, sf_dir):
     # consistently ~8% under the unspread fused shape
     docs = spread_small_scan(
         read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text"),
-        input_bytes=os.path.getsize(f"{sf_dir}/documents.parquet"),
+        input_path=f"{sf_dir}/documents.parquet",
     )
     # Doubling via explode instead of unionAll: curate() consumes the
     # corpus twice (md5-keeper aggregate + main side), and a union of two

@@ -70,7 +70,7 @@ def tpch_q1_pricing_summary(spark, sf_dir):
             "l_returnflag", "l_linestatus", "l_quantity",
             "l_extendedprice", "l_discount", "l_tax",
         ),
-        input_bytes=os.path.getsize(os.path.join(sf_dir, "lineitem.parquet")),
+        input_path=os.path.join(sf_dir, "lineitem.parquet"),
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))

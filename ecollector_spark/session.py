@@ -120,13 +120,20 @@ def get_spark(
 _SPLIT_CONF_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _estimated_splits(spark: SparkSession, input_bytes: int, parallelism: int) -> int:
-    """Planned scan split count for a SINGLE file, mirroring Spark's
+def _estimated_splits(
+    spark: SparkSession, input_bytes: int, parallelism: int, n_files: int = 1
+) -> int:
+    """Planned scan split count, mirroring Spark's
     ``FilePartition.maxSplitBytes``: maxSplit = min(maxPartitionBytes,
-    max(openCostInBytes, (bytes + openCost) / parallelism)); splits =
-    ceil(bytes / maxSplit). Driver-side arithmetic — replaces the
-    ``df.rdd`` probe (~35 ms of physical planning per call) where the
-    caller knows the input size."""
+    max(openCostInBytes, (bytes + n_files * openCost) / parallelism)).
+    For a single file splits = ceil(bytes / maxSplit) (each slice packs
+    alone: slice + openCost > maxSplit). For a multi-file dataset the
+    greedy packer bins file slices each charged (size + openCost), so
+    splits ~= ceil((bytes + n_files * openCost) / maxSplit) — an
+    estimate, used only for the spread decision where the two regimes
+    are far apart. Driver-side arithmetic — replaces the ``df.rdd``
+    probe (~35 ms of physical planning per call) where the caller knows
+    the input layout."""
     sc = spark.sparkContext
     memo = _SPLIT_CONF_MEMO.get(sc)
     if memo is None:
@@ -136,12 +143,50 @@ def _estimated_splits(spark: SparkSession, input_bytes: int, parallelism: int) -
             int(jconf.filesOpenCostInBytes()),
         )
     max_part, open_cost = memo
-    bytes_per_core = (input_bytes + open_cost) // max(parallelism, 1)
+    charged = input_bytes + max(n_files, 1) * open_cost
+    bytes_per_core = charged // max(parallelism, 1)
     max_split = min(max_part, max(open_cost, bytes_per_core)) or 1
-    return max(1, -(-input_bytes // max_split))
+    if n_files <= 1:
+        return max(1, -(-input_bytes // max_split))
+    return max(1, -(-charged // max_split))
 
 
-def spread_small_scan(df, width: int | None = None, input_bytes: int | None = None):
+def input_layout(path: str) -> tuple[int, int] | None:
+    """(total_bytes, n_files) of a parquet input — a plain file or a
+    directory dataset (sum of regular files under it, recursively).
+    None when the path cannot be statted. The 100 TB posture fix for
+    spread callers (r13): ``os.path.getsize`` on a DIRECTORY returns
+    the directory inode size (~4 KB), which made the spread estimate
+    read every directory dataset as "tiny" — at real scale, where
+    inputs are always directories, the spread's repartition would have
+    fired on the full table."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if _stat.S_ISREG(st.st_mode):
+        return st.st_size, 1
+    if not _stat.S_ISDIR(st.st_mode):
+        return None
+    total = n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / hidden markers: not data files
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+            except OSError:
+                pass
+    return total, max(n, 1)
+
+
+def spread_small_scan(
+    df,
+    width: int | None = None,
+    input_bytes: int | None = None,
+    input_path: str | None = None,
+):
     """Widen a tiny scan to cluster parallelism before per-row-heavy work.
 
     A single-row-group parquet file plans as ONE scan task no matter the
@@ -162,12 +207,23 @@ def spread_small_scan(df, width: int | None = None, input_bytes: int | None = No
     """
     sc = df.sparkSession.sparkContext
     w = width or sc.defaultParallelism
+    n_files = 1
+    if input_path is not None:
+        # caller passed the input PATH: resolve (bytes, n_files) driver-
+        # side — correct for both plain files and directory datasets
+        # (the getsize-of-a-directory trap; see input_layout). Falls
+        # back to the exact probe when the path cannot be statted.
+        layout = input_layout(input_path)
+        if layout is not None:
+            input_bytes, n_files = layout
+        else:
+            input_bytes = None
     if input_bytes is not None:
-        # single-file caller passed the input size: estimate the planned
-        # split count driver-side (see _estimated_splits) — same branch
-        # at both extremes (tiny bench file -> spread; at real scale
-        # splits >> parallelism -> untouched, no exchange added)
-        if _estimated_splits(df.sparkSession, input_bytes, w) >= w:
+        # estimate the planned split count driver-side (see
+        # _estimated_splits) — same branch at both extremes (tiny bench
+        # file -> spread; at real scale splits >> parallelism ->
+        # untouched, no exchange added)
+        if _estimated_splits(df.sparkSession, input_bytes, w, n_files) >= w:
             return df
         return df.repartition(w)
     # .rdd on a scan+project plan is driver-side planning only (no jobs:

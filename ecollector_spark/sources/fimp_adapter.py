@@ -140,6 +140,6 @@ def fimp_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stage). Inert at real scale — see spread_small_scan.
     ev = spread_small_scan(
         read_events(spark, sf_dir),
-        input_bytes=os.path.getsize(f"{sf_dir}/events.parquet"),
+        input_path=f"{sf_dir}/events.parquet",
     )
     return ev.select(F.expr(_FIMP_ROW_SQL).alias("_r")).select("_r.*")
