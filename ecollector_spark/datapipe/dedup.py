@@ -155,6 +155,21 @@ def _verify_jaccard(
         F.collect_set(F.xxhash64("shingle")).alias("sh_set"),
         F.count("*").alias("n_sh"),
     )
+    if cand_docs is None:
+        # r13 (exact path only): the per-doc set table behind a lazy
+        # localCheckpoint — the a/b sides of the pair join otherwise
+        # each replay the xxhash64 + collect_set aggregate over the
+        # full shingle table (plan-verified: the ObjectHashAggregate +
+        # Exchange subtree appeared twice; the branches canonicalize
+        # differently after the alias renames, so ReuseExchange never
+        # fired). Per-doc arrays of distinct shingle hashes — strictly
+        # smaller than the exploded shingle table the caller already
+        # checkpoints, so the 100 TB posture is unchanged. The hybrid
+        # border path keeps the plain shape: its sets are LeftSemi-
+        # bounded to candidate docs (a small table by construction —
+        # duplication there is cheap, and the pinned audit contract
+        # keeps the semi-join visible in the final plan frame).
+        sets = sets.localCheckpoint(eager=False)
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("na")
     )
@@ -203,21 +218,35 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     # derive extra independent hashes from seeded re-hashes (md5(seed|shingle))
     # rather than silently slicing past the digest (substring past position
     # 32 returns '' -> constant signatures -> universal LSH collisions).
-    # The hex->int conversion happens AFTER the min (order-preserving on
-    # fixed-width lowercase hex), so it costs one conv per doc per hash,
-    # not per shingle, and every downstream join/shuffle moves longs.
-    # Built as ONE SQL string per aggregate (r12 optimization, guide §5):
-    # the Column-builder loop cost ~12 py4j round-trips per hash; the
-    # parser produces the identical expression tree in 2.
+    # Each digest is PROJECTED once per shingle row below the aggregate
+    # (r13, guide §2.3/§1): the old shape put substring(md5(shingle))
+    # inside every min(), so the non-codegen aggregate evaluated md5
+    # 8x per row. The hex->int conversion moved INSIDE the min (r13):
+    # min over the int64 of a fixed-width lowercase-hex slice equals
+    # conv(min(hex)) (the conversion is an order-preserving bijection),
+    # and a BIGINT min buffer makes the aggregate a codegen'd
+    # HashAggregate — the string-buffered min forced SortAggregate,
+    # which sorted the full exploded shingle table by doc_id before
+    # aggregating (plan-verified: Sort+SortAggregate -> HashAggregate,
+    # same mh_i values). Built as ONE SQL string per aggregate (r12
+    # optimization, guide §5).
+    n_digests = -(-num_hashes // 8)
+
+    def _digest_sql(d: int) -> str:
+        return "md5(shingle)" if d == 0 else f"md5(concat('{d}|', shingle))"
+
+    hashed = sh.selectExpr(
+        "doc_id", *[f"{_digest_sql(d)} AS _h{d}" for d in range(n_digests)]
+    )
+
     def _hash_sql(i: int) -> str:
         digest, slot = divmod(i, 8)
-        h = "md5(shingle)" if digest == 0 else f"md5(concat('{digest}|', shingle))"
         return (
-            f"CAST(conv(min(substring({h}, {4 * slot + 1}, 4)), 16, 10)"
-            f" AS BIGINT) AS mh_{i}"
+            f"min(CAST(conv(substring(_h{digest}, {4 * slot + 1}, 4), 16, 10)"
+            f" AS BIGINT)) AS mh_{i}"
         )
 
-    return sh.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         F.expr(_hash_sql(0)), *[F.expr(_hash_sql(i)) for i in range(1, num_hashes)]
     )
 
@@ -283,7 +312,14 @@ def minhash_lsh_pairs(
         # join land in the already-spill-bound regime, and on a
         # dup-heavy corpus they filter nothing); it pays only inside
         # hybrid, where the border is small.
-        cand = minhash_lsh_candidates(sh, num_hashes, bands)
+        # r13: signatures behind a lazy localCheckpoint (the hybrid
+        # path's shape) — the band self-join's two branches otherwise
+        # each replay the full shingle aggregate (plan-verified: the
+        # Sort/HashAggregate subtree appeared twice). Per-doc fixed
+        # width (num_hashes longs), same scale class the hybrid path
+        # already checkpoints.
+        sig = _signatures_from_shingles(sh, num_hashes).localCheckpoint(eager=False)
+        cand = minhash_lsh_candidates(sh, num_hashes, bands, sig=sig)
         return _verify_jaccard(sh, cand, threshold)
     if verify != "hybrid":
         raise ValueError(f"unknown verify mode {verify!r}")
