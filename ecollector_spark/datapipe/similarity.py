@@ -327,9 +327,15 @@ def semantic_dedup(
             n_iter=n_iter,
             level1=level1,
         )
+    # r13 (guide §5): the normed assignment table feeds BOTH sides of
+    # the within-cluster self-join AND the survivor anti-join — three
+    # evaluations of the full clustering lineage (each itself several
+    # corpus passes) without a barrier. One lazy localCheckpoint
+    # computes it once; corpus-sized, same storage class as the dedup
+    # family's checkpointed shingle table.
     withn = a.select(
         "vec_id", "cid", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("_n")
-    )
+    ).localCheckpoint(eager=False)
     lo, hi = withn.alias("lo"), withn.alias("hi")
     cos = _dot(F.col("lo.v"), F.col("hi.v")) / (F.col("lo._n") * F.col("hi._n"))
     drops = (
@@ -553,19 +559,30 @@ def hierarchical_centroids(
     n_centroids: int,
     n_iter: int = 2,
     level1: int | None = None,
-) -> tuple[DataFrame, DataFrame, int, int]:
+) -> tuple[DataFrame, DataFrame, int, int, DataFrame]:
     """Train both levels of the two-level quantizer over
-    ``e = (vec_id, v)``: returns ``(coarse, subc, level1, fanout)``
-    where ``coarse`` is (cid, cvec) from the ordinary flat Lloyd and
-    ``subc`` is (cid1, cid2, cvec) — the per-coarse-cluster codebook.
-    Shared by :func:`hierarchical_assignments` (SemDeDup) and the
-    hierarchical :func:`ivf_build` (the index path)."""
+    ``e = (vec_id, v)``: returns ``(coarse, subc, level1, fanout, e1)``
+    where ``coarse`` is (cid, cvec) from the ordinary flat Lloyd,
+    ``subc`` is (cid1, cid2, cvec) — the per-coarse-cluster codebook —
+    and ``e1`` the checkpointed coarse assignment (vec_id, v, cid1),
+    returned so callers reuse the materialization instead of replaying
+    the corpus argmin pass (r13). Shared by
+    :func:`hierarchical_assignments` (SemDeDup) and the hierarchical
+    :func:`ivf_build` (the index path)."""
     if level1 is None:
         level1 = _pow2_near_sqrt(n_centroids)
     fanout = -(-n_centroids // level1)  # ceil
     coarse = ivf_centroids(e, level1, n_iter)
-    e1 = _assign_to_centroids(e, coarse).select(
-        "vec_id", "v", F.col("cid").alias("cid1")
+    # r13 (guide §5, iterative algorithms): the coarse assignment is
+    # consumed by the seed window, EVERY sub-Lloyd iteration, and the
+    # caller's final assignment — each consumer otherwise replays the
+    # full corpus scan + broadcast argmin. One lazy localCheckpoint
+    # computes it once; corpus-sized, the same storage class the dedup
+    # pipeline already checkpoints for its shingle table.
+    e1 = (
+        _assign_to_centroids(e, coarse)
+        .select("vec_id", "v", F.col("cid").alias("cid1"))
+        .localCheckpoint(eager=False)
     )
     rn = F.row_number().over(Window.partitionBy("cid1").orderBy("vec_id"))
     subc = (
@@ -593,7 +610,7 @@ def hierarchical_centroids(
             )
             .localCheckpoint(eager=False)
         )
-    return coarse, subc, level1, fanout
+    return coarse, subc, level1, fanout, e1
 
 
 def hierarchical_assignments(
@@ -626,11 +643,11 @@ def hierarchical_assignments(
     sub-centroids; an emptied sub-cluster keeps its previous position
     (same rule as :func:`ivf_centroids`)."""
     e = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
-    coarse, subc, level1, fanout = hierarchical_centroids(
+    # e1 comes back checkpointed from training (r13): the final
+    # assignment reuses the materialized coarse pass instead of
+    # replaying scan + broadcast argmin a fourth time
+    coarse, subc, level1, fanout, e1 = hierarchical_centroids(
         e, n_centroids, n_iter, level1
-    )
-    e1 = _assign_to_centroids(e, coarse).select(
-        "vec_id", "v", F.col("cid").alias("cid1")
     )
     final = _assign_to_subcentroids(e1, subc)
     return final.select(
@@ -1173,11 +1190,9 @@ def ivf_build(
         )
     hierarchical = n_centroids > flat_cap
     if hierarchical:
-        coarse, subc, level1, fanout = hierarchical_centroids(
+        # e1 reused from training (r13) — see hierarchical_centroids
+        coarse, subc, level1, fanout, e1 = hierarchical_centroids(
             e, n_centroids, n_iter
-        )
-        e1 = _assign_to_centroids(e, coarse).select(
-            "vec_id", "v", F.col("cid").alias("cid1")
         )
         assigned = _assign_to_subcentroids(e1, subc).select(
             "vec_id",
