@@ -104,14 +104,16 @@ CHECKS = {
     ],
     # text ops are one map-side pass: no shuffle except the explicit sort
     "text_quality": ["^((?!Exchange hashpartitioning).)*$"],
-    # two-level SemDeDup (r10): level-2 assignment arrives through an
-    # ordinary cid1 equi-join (never a cartesian pairing, never a
-    # broadcast of the full k-codebook as a single argmin array), Lloyd
-    # means keep their partial phase, sub-codebooks replay from the
-    # lazy localCheckpoint
+    # two-level SemDeDup (r10; final-frame shape updated r13 — the
+    # normed assignment table is now behind a lazy localCheckpoint, so
+    # the frame starts at Scan ExistingRDD): within-cluster pairing is
+    # a hash equi-join, drops leave via LEFT ANTI, never a cartesian
+    # enumeration. The Lloyd partial phase and the cid1 equi-join moved
+    # into the checkpoint-materialization lineage — pinned separately by
+    # _raw_lloyd_means / _raw_hier_assign below.
     "dedup_semantic_hier": [
         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
-        "partial_",
+        "LeftAnti",
         "Scan ExistingRDD",
         "!CartesianProduct",
     ],
@@ -311,13 +313,35 @@ CHECKS = {
         "!CartesianProduct",
         "!Window",
     ],
-    # SemDeDup (r9 second session): the centroid argmin is a broadcast
-    # of the collapsed one-row centroid array (never an exploded
-    # corpus x k shuffle), within-cluster pairing is a hash equi-join
-    # on cid, drops leave via LEFT ANTI — never a cartesian enumeration
+    # SemDeDup (r9 second session; final-frame shape updated r13 — see
+    # dedup_semantic_hier): within-cluster pairing is a hash equi-join
+    # on cid, drops leave via LEFT ANTI — never a cartesian enumeration.
+    # The one-row-centroid-array broadcast argmin (BroadcastNestedLoop,
+    # never an exploded corpus x k shuffle) now sits in the checkpoint
+    # lineage — pinned by _raw_flat_assign below.
     "dedup_semantic": [
-        "BroadcastNestedLoopJoin",
         "LeftAnti",
+        "Scan ExistingRDD",
+        "!CartesianProduct",
+    ],
+    # the flat quantizer's assignment lineage (r13): the centroid argmin
+    # must stay a broadcast of the collapsed one-row centroid array —
+    # BroadcastNestedLoopJoin, never a cartesian product or an exploded
+    # corpus x k shuffle
+    "_raw_flat_assign": [
+        "BroadcastNestedLoopJoin",
+        "!CartesianProduct",
+        "!Generate",
+    ],
+    # the Lloyd means aggregate lineage (r13): exact-decimal means keep
+    # their map-side partial phase
+    "_raw_lloyd_means": [
+        "partial_",
+    ],
+    # the two-level assignment lineage (r13): sub-centroids arrive
+    # through an ordinary cid1 equi-join, never a cartesian pairing
+    "_raw_hier_assign": [
+        "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
         "!CartesianProduct",
     ],
     # field arithmetic over mangled names (r9 second session): same
@@ -558,6 +582,40 @@ def _raw_dedup_incremental(spark, sf_dir):
     )
 
 
+def _raw_flat_assign(spark, sf_dir):
+    from ecollector_spark.datapipe.similarity import ivf_assignments
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_assignments(emb, n_centroids=8, n_iter=2)
+
+
+def _raw_lloyd_means(spark, sf_dir):
+    # one Lloyd mean step over seed centroids, pre-checkpoint: the
+    # exact-decimal means aggregate must keep its map-side partial phase
+    from pyspark.sql import functions as F
+
+    from ecollector_spark.datapipe.similarity import _assign_to_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    comp = _assign_to_centroids(e, cents).select(
+        "cid", F.posexplode("v").alias("pos", "x")
+    )
+    return comp.groupBy("cid", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("m")
+    )
+
+
+def _raw_hier_assign(spark, sf_dir):
+    from ecollector_spark.datapipe.similarity import hierarchical_assignments
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hierarchical_assignments(emb, 16, n_iter=2, level1=4)
+
+
 def audit_builders():
     """Every audited plan builder: driver gates + the raw shapes above."""
     from ecollector_spark import driver_queries
@@ -572,6 +630,9 @@ def audit_builders():
         "_raw_embedding_near_dup": _raw_embedding_near_dup,
         "_raw_transform": _raw_transform,
         "_raw_dedup_incremental": _raw_dedup_incremental,
+        "_raw_flat_assign": _raw_flat_assign,
+        "_raw_lloyd_means": _raw_lloyd_means,
+        "_raw_hier_assign": _raw_hier_assign,
     }
 
 
