@@ -215,10 +215,17 @@ class Warehouse:
                     F.col("dt") <= F.date_format(F.timestamp_seconds(F.lit(int(to_epoch))), "yyyy-MM-dd")
                 )
             df = df.drop("dt")
+        # r13 (guide §6): sargable timestamp-literal forms instead of
+        # unix_timestamp(ts) — the function-wrapped predicate can never
+        # reach the parquet scan, the literal form lands in PushedFilters
+        # and rowgroup min/max stats prune (same convention the planner
+        # adopted in r10). Exactly equivalent on integer epochs:
+        # unix(ts) >= X  <=>  ts >= X;  unix(ts) <= X  <=>  ts < X+1
+        # (unix_timestamp floors to whole seconds).
         if from_epoch is not None:
-            df = df.where(F.unix_timestamp("ts") >= int(from_epoch))
+            df = df.where(F.col("ts") >= F.timestamp_seconds(F.lit(int(from_epoch))))
         if to_epoch is not None:
-            df = df.where(F.unix_timestamp("ts") <= int(to_epoch))
+            df = df.where(F.col("ts") < F.timestamp_seconds(F.lit(int(to_epoch) + 1)))
         return df.withColumn("tier", F.lit(tier))
 
     def tier_reader(self):
@@ -322,7 +329,10 @@ class Warehouse:
         df = self.read_tier(tier)
         new = points.drop("tier") if "tier" in points.columns else points
         if df is not None:
-            keep = df.where(F.unix_timestamp("ts") < from_epoch).drop("tier")
+            # sargable form (r13): unix(ts) < X <=> ts < X on integer X
+            keep = df.where(
+                F.col("ts") < F.timestamp_seconds(F.lit(int(from_epoch)))
+            ).drop("tier")
             merged = keep.unionByName(new, allowMissingColumns=True)
         else:
             merged = new
@@ -336,7 +346,7 @@ class Warehouse:
         )
         tail_max = (
             self.spark.read.parquet(tmp)
-            .where(F.unix_timestamp("ts") >= from_epoch)
+            .where(F.col("ts") >= F.timestamp_seconds(F.lit(int(from_epoch))))
             .agg(F.max("ts").alias("m"))
             .collect()[0]["m"]
         )
@@ -413,10 +423,11 @@ class Warehouse:
         layout a ``time <`` cutoff aligned to day boundaries is mostly
         directory drops too (the TTL enforcement path)."""
         match = F.lit(True)
+        # sargable forms (r13): exactly equivalent on integer epochs
         if from_epoch is not None:
-            match = match & (F.unix_timestamp("ts") >= int(from_epoch))
+            match = match & (F.col("ts") >= F.timestamp_seconds(F.lit(int(from_epoch))))
         if to_epoch is not None:
-            match = match & (F.unix_timestamp("ts") < int(to_epoch))
+            match = match & (F.col("ts") < F.timestamp_seconds(F.lit(int(to_epoch))))
         # tag-equality restriction (public InfluxQL DELETE surface, r9
         # second session): ``(key, "="|"!=", value)`` triples ANDed in.
         # InfluxDB treats a missing tag as the EMPTY value, not as
@@ -562,12 +573,18 @@ class Warehouse:
             if df is None:
                 continue
             cutoff = now_epoch - ttls[tier]
-            expired = df.where(F.unix_timestamp("ts") <= cutoff)
+            # sargable forms (r13): unix(ts) <= c <=> ts < c+1, and
+            # unix(ts) > c <=> ts >= c+1 — the literal predicates reach
+            # PushedFilters, so a tier whose rowgroups are all young
+            # answers the expired-count from min/max stats without a
+            # data scan (the behavior the docstring always promised)
+            cut_lit = F.timestamp_seconds(F.lit(int(cutoff) + 1))
+            expired = df.where(F.col("ts") < cut_lit)
             n = expired.count()
             if n == 0:
                 continue
             hwm = self._read_hwm_sidecar(tier)
-            keep = df.where(F.unix_timestamp("ts") > cutoff).drop("tier")
+            keep = df.where(F.col("ts") >= cut_lit).drop("tier")
             tmp = self.tier_path(tier) + ".compacting"
             keep.write.mode("overwrite").partitionBy("measurement").parquet(tmp)
             self._swap_in(tmp, self.tier_path(tier))
