@@ -107,16 +107,34 @@ def main() -> None:
     load_before = guard["load1_before"]
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    # build/exec split (r13, VERDICT r12 #10 — additions-only): the same
+    # timed region, with the boundary between DataFrame construction
+    # (driver-side Python + py4j + any planning the build itself forces,
+    # e.g. lazy localCheckpoints compiling their subtree) and the noop
+    # materialization stamped per run. Medians land in BENCH_DETAIL so
+    # the next round can attribute wins without re-profiling; the JSON
+    # line contract and the per-query total are unchanged.
+    build_split: dict[str, dict[str, float]] = {}
     for name in names:
         fn = registry[name]
         runs = []
+        builds = []
+        execs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            runs.append(t2 - t0)
+            builds.append(t1 - t0)
+            execs.append(t2 - t1)
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        build_split[name] = {
+            "build": round(statistics.median(builds), 3),
+            "exec": round(statistics.median(execs), 3),
+        }
 
     # machine weather (VERDICT r6 #8): cross-round absolute totals on a
     # shared container have repeatedly shifted with ambient load, not
@@ -143,7 +161,13 @@ def main() -> None:
             "compromised": guard["compromised"],
         },
     }
-    detail = {**out, "spread": spread, "n_runs": n_runs, "sf_dir": sf_dir}
+    detail = {
+        **out,
+        "spread": spread,
+        "build_exec_split": build_split,
+        "n_runs": n_runs,
+        "sf_dir": sf_dir,
+    }
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         detail["datapipe_scale"] = scale_probe(spark)
     # fold in the wall-time scale ladders (tools/ts_scale_probe.py, run

@@ -65,14 +65,13 @@ def bucket_spine(
     n_from = int(
         (from_epoch - offset_seconds) // step_seconds * step_seconds + offset_seconds
     )
-    spine = times_df if times_df is not None else spark.range(1, numPartitions=1).select(
-        F.explode(
-            F.sequence(
-                F.lit(n_from).cast("long"),
-                F.lit(int(to_epoch)).cast("long"),
-                F.lit(int(step_seconds)).cast("long"),
-            )
-        ).alias(time_col)
+    # one selectExpr parse instead of the Column-built explode(sequence)
+    # chain (r13, guide §5 — same tree, ~15 fewer py4j round-trips)
+    spine = times_df if times_df is not None else spark.range(
+        1, numPartitions=1
+    ).selectExpr(
+        f"explode(sequence({n_from}L, {int(to_epoch)}L, "
+        f"{int(step_seconds)}L)) AS `{time_col}`"
     )
     if group_cols:
         if groups_df is None:
@@ -151,24 +150,35 @@ def _window_fill(
     with the carried chunk edges replaced by their known-NULL values).
     Only safe when the caller has bounded the per-group row count."""
     out_cols = joined.columns
-    wp = Window.partitionBy(*group_cols).orderBy(time_col)
-    wprev = wp.rowsBetween(Window.unboundedPreceding, 0)
-    prev_v = F.last(value_col, ignorenulls=True).over(wprev)
-    if fill_type == FILL_PREVIOUS:
-        return joined.withColumn(value_col, prev_v).select(*out_cols)
-
-    nn_struct = F.when(
-        F.col(value_col).isNotNull(), F.struct(F.col(time_col), F.col(value_col))
+    # SQL-string window fragments (r13, guide §5): one parser call per
+    # filled column instead of the Window-builder chain (~45 py4j
+    # round-trips per fill build). Identical expression trees — the SQL
+    # window syntax resolves to the same WindowSpec.
+    part = (
+        "PARTITION BY " + ", ".join(f"`{g}`" for g in group_cols) + " "
+        if group_cols
+        else ""
     )
-    wnext = wp.rowsBetween(0, Window.unboundedFollowing)
-    prev_t = F.last(nn_struct[time_col], ignorenulls=True).over(wprev)
-    next_v = F.first(value_col, ignorenulls=True).over(wnext)
-    next_t = F.first(nn_struct[time_col], ignorenulls=True).over(wnext)
-    interp = prev_v + (next_v - prev_v) * (F.col(time_col) - prev_t) / (next_t - prev_t)
+    t, v = f"`{time_col}`", f"`{value_col}`"
+    wprev = f"OVER ({part}ORDER BY {t} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    wnext = f"OVER ({part}ORDER BY {t} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    prev_v = f"last({v}, true) {wprev}"
+    if fill_type == FILL_PREVIOUS:
+        return joined.withColumn(value_col, F.expr(prev_v)).select(*out_cols)
+
+    nn_struct = f"CASE WHEN {v} IS NOT NULL THEN struct({t}, {v}) END"
+    prev_t = f"last(({nn_struct}).`{time_col}`, true) {wprev}"
+    next_v = f"first({v}, true) {wnext}"
+    next_t = f"first(({nn_struct}).`{time_col}`, true) {wnext}"
+    interp = (
+        f"{prev_v} + ({next_v} - {prev_v}) * ({t} - {prev_t}) / ({next_t} - {prev_t})"
+    )
     return joined.withColumn(
         value_col,
-        F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
-            F.when(prev_t == next_t, prev_v).otherwise(interp)
+        F.expr(
+            f"CASE WHEN {v} IS NOT NULL THEN {v} "
+            f"WHEN {prev_t} = {next_t} THEN {prev_v} "
+            f"ELSE {interp} END"
         ),
     ).select(*out_cols)
 
