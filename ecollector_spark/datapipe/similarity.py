@@ -54,8 +54,22 @@ def _dot_sql(a: str, b: str) -> str:
 def _lit_vec_sql(vec) -> str:
     """A query vector as a SQL double-array literal. ``repr`` emits the
     shortest round-tripping decimal and Spark's parser is correctly
-    rounded, so the doubles are bit-identical to ``F.lit(float(x))``."""
-    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+    rounded, so the doubles are bit-identical to ``F.lit(float(x))``.
+    Non-finite values (ADVICE r12: ``repr`` would emit ``inf``/``nan``,
+    which the SQL parser rejects) go through the CAST forms the parser
+    does accept — same doubles as ``F.lit(float('inf'))`` etc."""
+
+    def one(x) -> str:
+        f = float(x)
+        if f != f:  # NaN
+            return "CAST('NaN' AS DOUBLE)"
+        if f == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if f == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{f!r}D"
+
+    return "array(" + ", ".join(one(x) for x in vec) + ")"
 
 
 def _cosine_sql(v: str, q: str) -> str:
@@ -1486,13 +1500,19 @@ def _sidecar_collect(spark: SparkSession, path: str) -> list[dict]:
     read-analysis pass plus a scheduled job (~0.15 s/probe at bench
     scale). pyarrow reads the same parquet rows in-process; the driver
     already touches ``index_path`` directly (stats.json, publish
-    recovery), so the fs assumption is not new. Any failure (non-local
-    path, missing pyarrow) falls back to the Spark reader."""
+    recovery), so the fs assumption is not new. Only the EXPECTED
+    failures fall back to the Spark reader (ADVICE r12: a blanket
+    except silently re-routed corrupted sidecars through the slow
+    path) — missing pyarrow, or an unreadable/non-local path; a
+    corrupted parquet footer raises either way."""
     try:
         import pyarrow.parquet as pq
-
+    except ImportError:
+        return [r.asDict() for r in spark.read.parquet(path).collect()]
+    try:
         return pq.read_table(path).to_pylist()
-    except Exception:
+    except (OSError, FileNotFoundError):
+        # non-local / unreadable path: let Spark's reader resolve it
         return [r.asDict() for r in spark.read.parquet(path).collect()]
 
 

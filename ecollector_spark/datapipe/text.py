@@ -30,12 +30,22 @@ _LANGS = tuple(LANG_MARKERS)
 EN_STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
 
+def _ident(col: str) -> str:
+    """Backtick-quote a SIMPLE top-level column name for a SQL fragment,
+    escaping embedded backticks (ADVICE r12). The fragment builders
+    treat their string argument as one column name — a qualified or
+    nested reference like ``s.text`` that ``F.col`` would resolve is NOT
+    supported here (it would become a literal quoted name); pass a
+    Column for those."""
+    return "`" + col.replace("`", "``") + "`"
+
+
 def tokens_sql(col: str) -> str:
     """SQL fragment twin of :func:`tokens_expr` over a named column —
     one parser call builds the whole tree (the Column-builder form cost
     ~12 py4j round-trips per invocation; r12 guide §5)."""
     return (
-        f"transform(regexp_extract_all(`{col}`, '[A-Za-z0-9]+', 0),"
+        f"transform(regexp_extract_all({_ident(col)}, '[A-Za-z0-9]+', 0),"
         " x -> lower(x))"
     )
 
@@ -89,7 +99,7 @@ def tokens_barrier(
 def shingles_sql(toks_col: str, k: int = 3) -> str:
     """SQL fragment twin of :func:`shingles_expr` over a named token-array
     column (same single-parser-call rationale as :func:`tokens_sql`)."""
-    t = f"`{toks_col}`"
+    t = _ident(toks_col)
     elems = ", ".join(f"element_at({t}, i + {j + 1})" for j in range(k))
     return (
         f"array_distinct(CASE WHEN size({t}) >= {k} THEN "
@@ -118,7 +128,7 @@ def lang_score_sql(dt_col: str) -> dict[str, str]:
     distinct-token column (single parser call each, r12 guide §5)."""
     return {
         lang: (
-            f"size(array_intersect(`{dt_col}`, array("
+            f"size(array_intersect({_ident(dt_col)}, array("
             + ", ".join(f"'{m}'" for m in markers)
             + ")))"
         )
@@ -146,10 +156,10 @@ def lang_score_cols(dt: Column | str) -> dict[str, Column]:
 def lang_pred_sql(score_cols: dict[str, str]) -> str:
     """SQL twin of :func:`lang_pred_expr` over named score columns: the
     same nested when-cascade, one parser call."""
-    best = "greatest(" + ", ".join(f"`{score_cols[lang]}`" for lang in _LANGS) + ")"
+    best = "greatest(" + ", ".join(_ident(score_cols[lang]) for lang in _LANGS) + ")"
     pred = "'und'"
     for lang in reversed(_LANGS):
-        pred = f"CASE WHEN `{score_cols[lang]}` = {best} THEN '{lang}' ELSE {pred} END"
+        pred = f"CASE WHEN {_ident(score_cols[lang])} = {best} THEN '{lang}' ELSE {pred} END"
     return f"CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END"
 
 
@@ -199,7 +209,7 @@ def quality_feature_sql(toks_col: str, text_col: str) -> dict[str, str]:
     are doubles (bare fractional literals would parse as DECIMAL), and
     the doubled backslashes render the same regex the raw Python string
     carried."""
-    t, x = f"`{toks_col}`", f"`{text_col}`"
+    t, x = _ident(toks_col), _ident(text_col)
     nd = f"CAST(size({t}) AS DOUBLE)"
     avg_len = (
         f"CASE WHEN size({t}) > 0 THEN"

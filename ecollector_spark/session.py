@@ -125,7 +125,13 @@ def _estimated_splits(
 ) -> int:
     """Planned scan split count, mirroring Spark's
     ``FilePartition.maxSplitBytes``: maxSplit = min(maxPartitionBytes,
-    max(openCostInBytes, (bytes + n_files * openCost) / parallelism)).
+    max(openCostInBytes, (bytes + n_files * openCost) / minPartitionNum))
+    where minPartitionNum resolves exactly as the planner's
+    (filesMinPartitionNum -> leafNodeDefaultParallelism ->
+    sc.defaultParallelism); ``parallelism`` is kept for signature
+    stability but the denominator no longer uses it (ADVICE r12: a
+    caller width != defaultParallelism took a different branch than the
+    exact ``.rdd`` probe).
     For a single file splits = ceil(bytes / maxSplit) (each slice packs
     alone: slice + openCost > maxSplit). For a multi-file dataset the
     greedy packer bins file slices each charged (size + openCost), so
@@ -138,13 +144,24 @@ def _estimated_splits(
     memo = _SPLIT_CONF_MEMO.get(sc)
     if memo is None:
         jconf = spark._jsparkSession.sessionState().conf()
+        # Spark's own denominator (ADVICE r12): FilePartition divides by
+        # spark.sql.files.minPartitionNum, falling back to
+        # spark.sql.leafNodeDefaultParallelism, falling back to
+        # sc.defaultParallelism — NOT by the caller's width, which only
+        # decides the spread threshold. Resolved once per context (these
+        # confs are pinned at get_spark; mid-session changes are out of
+        # contract, same assumption as the other conf memos here).
+        min_pn = spark.conf.get("spark.sql.files.minPartitionNum", None) or spark.conf.get(
+            "spark.sql.leafNodeDefaultParallelism", None
+        )
         memo = _SPLIT_CONF_MEMO[sc] = (
             int(jconf.filesMaxPartitionBytes()),
             int(jconf.filesOpenCostInBytes()),
+            int(min_pn) if min_pn else sc.defaultParallelism,
         )
-    max_part, open_cost = memo
+    max_part, open_cost, min_partition_num = memo
     charged = input_bytes + max(n_files, 1) * open_cost
-    bytes_per_core = charged // max(parallelism, 1)
+    bytes_per_core = charged // max(min_partition_num, 1)
     max_split = min(max_part, max(open_cost, bytes_per_core)) or 1
     if n_files <= 1:
         return max(1, -(-input_bytes // max_split))
@@ -243,7 +260,10 @@ def spread_small_scan(
 #: (partitioned indexes, sink outputs) always infer, because a nested
 #: file change does not bump the top directory's stat. Metadata only:
 #: no rows, results, or listings are cached, and every invocation still
-#: plans/executes its own scan of the parquet input.
+#: plans/executes its own scan of the parquet input. Assumes the
+#: schema-affecting session confs (parquet.binaryAsString, timestampType,
+#: nanosAsLong) are pinned at get_spark for the context's lifetime
+#: (ADVICE r12) — mid-session conf changes are out of contract here.
 _PARQUET_SCHEMA_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
