@@ -178,10 +178,22 @@ def _verify_jaccard(
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = inter / (F.col("na") + F.col("nb") - inter)
+    # jaccard through a one-element Generate barrier (r13, the repo's
+    # standard shape): the threshold filter otherwise pushes INTO the
+    # join condition with alias substitution, so array_intersect — the
+    # verify's per-pair compute — ran once per candidate in the
+    # condition AND again per surviving pair in the projection. Behind
+    # the Generate it runs exactly once per candidate; on dup-heavy
+    # corpora (most candidates survive) that halves the verify compute.
+    # Row multiset unchanged (the array always has one element).
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .select("doc_a", "doc_b", _floor6(jac).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.explode(F.array(_floor6(jac))).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
 
