@@ -247,6 +247,13 @@ def embedding_near_dup_pairs(
     )
     a, b = bk.alias("a"), bk.alias("b")
     cos = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    # cosine through a one-element Generate barrier (r13, same shape as
+    # the minhash verify): the threshold filter otherwise pushes into
+    # the bucket join's condition with alias substitution, so the
+    # dim-length dot-product fold ran once per candidate in the
+    # condition AND again per surviving pair in the projection. Behind
+    # the Generate it runs exactly once per candidate; row multiset
+    # unchanged (one-element array).
     return (
         a.join(
             b,
@@ -257,7 +264,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+            F.explode(F.array(F.round(cos, 6))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
