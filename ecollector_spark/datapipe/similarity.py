@@ -116,9 +116,13 @@ def cosine_threshold(
     the deterministic (orderless) form of similarity search."""
     q = emb.where(F.col("vec_id") == query_id).select(F.col(vec_col).alias("_q"))
     scored = cosine_scores(emb.crossJoin(F.broadcast(q)), "_q", vec_col)
+    # one-element Generate barrier (r13, same class as the near-dup
+    # verifies): the threshold filter otherwise pushes below the
+    # projection with alias substitution and the dim-length cosine fold
+    # evaluates twice for every surviving row
     return (
         scored.where(F.col("vec_id") != query_id)
-        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .select("vec_id", F.explode(F.array(F.round("cosine", 6))).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
